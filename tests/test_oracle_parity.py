@@ -1,0 +1,38 @@
+"""Run every registered query against its DuckDB oracle, mimicking the
+driver's CORRECTNESS harness (row count + schema + values), at a small
+scale factor so the full suite stays fast."""
+
+from __future__ import annotations
+
+import pytest
+
+from fledge_south_csvplayback_spark import registry
+from tests.conftest import TEST_SF_DIR
+from tests.oracle_harness import compare
+
+_QUERIES = registry.all_queries()
+_ORACLES = registry.all_oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_parity(spark, name):
+    df = _QUERIES[name](spark, TEST_SF_DIR)
+    ok, msg = compare(df, _ORACLES[name], TEST_SF_DIR)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
+def test_rows_only(spark, name):
+    """Queries without an oracle still must run and return a stable schema."""
+    df = _QUERIES[name](spark, TEST_SF_DIR)
+    assert df.columns, f"{name}: no columns"
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
