@@ -1,0 +1,127 @@
+"""Oracle-checkable query wrappers for the CSV source layer.
+
+The driver's correctness harness passes (spark, sf_dir) and runs the
+oracle SQL in DuckDB with the sf tables pre-registered — but DuckDB can
+also read the committed fixture CSVs directly (read_csv with explicit
+options), which lets the CSV scan variants (S3-S5, §1.4) be
+hash-checked end-to-end too. sf_dir is ignored by these queries; the
+fixture path is stable inside the repo.
+
+Types are pinned on both sides (explicit Spark schema / DuckDB
+``columns=``) so the check exercises the skip/rename/select/cast
+plumbing, not two engines' inference heuristics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fledge_south_csvplayback_spark.sources import csv_source as cs
+
+FIXTURE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "tests", "fixtures")
+)
+
+
+def _fx(name: str) -> str:
+    return os.path.join(FIXTURE_DIR, name)
+
+
+# --- S3 pick_from_file: plain headered read (F1) ----------------------------
+def csv_pick_from_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cs.read_pick_from_file(
+        spark,
+        _fx("vibration.csv"),
+        schema="channel1 double, channel2 double, user_ts string",
+    )
+
+
+CSV_PICK_FROM_FILE_SQL = f"""
+SELECT * FROM read_csv('{_fx("vibration.csv")}', header=true,
+    columns={{'channel1': 'DOUBLE', 'channel2': 'DOUBLE', 'user_ts': 'VARCHAR'}})
+"""
+
+
+# --- S3+S4: header at index after skipping metadata rows (F4) ---------------
+def csv_skiprows_header_at_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cs.read_pick_from_file(
+        spark,
+        _fx("metadata_header.csv"),
+        header_row=0,
+        skip_rows=2,
+        schema="ts string, temp double, pressure double",
+    )
+
+
+CSV_SKIPROWS_SQL = f"""
+SELECT * FROM read_csv('{_fx("metadata_header.csv")}', skip=3, header=false,
+    columns={{'ts': 'VARCHAR', 'temp': 'DOUBLE', 'pressure': 'DOUBLE'}})
+"""
+
+
+# --- S3 explicit: rename + subset + cast in one spec (F2) --------------------
+def csv_explicit_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cs.read_explicit(
+        spark, _fx("typed.csv"), "id:int,temperature:float,status:str"
+    )
+
+
+CSV_EXPLICIT_SQL = f"""
+SELECT column0::BIGINT AS id, column1::DOUBLE AS temperature,
+       column2::VARCHAR AS status
+FROM read_csv('{_fx("typed.csv")}', skip=1, header=false,
+    columns={{'column0': 'VARCHAR', 'column1': 'VARCHAR', 'column2': 'VARCHAR'}})
+"""
+
+
+def csv_explicit_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cs.read_explicit(spark, _fx("typed.csv"), "id:int,,status:str")
+
+
+CSV_EXPLICIT_SUBSET_SQL = f"""
+SELECT column0::BIGINT AS id, column2::VARCHAR AS status
+FROM read_csv('{_fx("typed.csv")}', skip=1, header=false,
+    columns={{'column0': 'VARCHAR', 'column1': 'VARCHAR', 'column2': 'VARCHAR'}})
+"""
+
+
+# --- §1.4.3 ragged rows → map, exploded for hashability (F3) -----------------
+def csv_ragged_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = cs.read_ragged(spark, _fx("ragged.csv"))
+    return df.select(
+        "row_id", F.explode(F.col("readings")).alias("datapoint", "value")
+    )
+
+
+CSV_RAGGED_SQL = """
+SELECT * FROM (VALUES
+    (0, 'column_1', 'a'), (0, 'column_2', 'b'), (0, 'column_3', 'c'),
+    (1, 'column_1', '2'), (1, 'column_2', '3'), (1, 'column_4', '23'),
+    (2, 'column_1', '4')
+) AS t(row_id, datapoint, value)
+"""
+
+
+# --- S5 pass_in_datapoint: metadata rows merged into every reading (F4) ------
+def csv_metadata_datapoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fx("metadata_header.csv")
+    meta = cs.read_metadata_datapoint(spark, path, 2)
+    df = cs.read_pick_from_file(
+        spark,
+        path,
+        header_row=0,
+        skip_rows=2,
+        schema="ts string, temp double, pressure double",
+    )
+    return df.withColumn("metadata", F.lit(meta))
+
+
+CSV_METADATA_SQL = f"""
+SELECT ts, temp, pressure,
+       'device=XJ900 site=plant7_calibrated=2020-01-01' AS metadata
+FROM read_csv('{_fx("metadata_header.csv")}', skip=3, header=false,
+    columns={{'ts': 'VARCHAR', 'temp': 'DOUBLE', 'pressure': 'DOUBLE'}})
+"""

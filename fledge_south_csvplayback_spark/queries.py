@@ -9,7 +9,33 @@ operator modules.
 from __future__ import annotations
 
 from fledge_south_csvplayback_spark.registry import register
-from fledge_south_csvplayback_spark.operators import relational
+from fledge_south_csvplayback_spark.operators import csv_queries, relational
 
 # --- relational suite (SURVEY.md §2.3/§2.5/§2.7/§2.8 gap-fill) -------------
 register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_SQL)
+
+# --- CSV source layer (SURVEY.md §2.1 S3-S5, §1.4) --------------------------
+register(
+    "csv_pick_from_file",
+    csv_queries.csv_pick_from_file,
+    csv_queries.CSV_PICK_FROM_FILE_SQL,
+)
+register(
+    "csv_skiprows_header_at_index",
+    csv_queries.csv_skiprows_header_at_index,
+    csv_queries.CSV_SKIPROWS_SQL,
+)
+register(
+    "csv_explicit_schema", csv_queries.csv_explicit_schema, csv_queries.CSV_EXPLICIT_SQL
+)
+register(
+    "csv_explicit_subset",
+    csv_queries.csv_explicit_subset,
+    csv_queries.CSV_EXPLICIT_SUBSET_SQL,
+)
+register("csv_ragged_map", csv_queries.csv_ragged_map, csv_queries.CSV_RAGGED_SQL)
+register(
+    "csv_metadata_datapoint",
+    csv_queries.csv_metadata_datapoint,
+    csv_queries.CSV_METADATA_SQL,
+)

@@ -1,0 +1,129 @@
+"""Unit tests for the CSV scan variants (SURVEY.md §2.1), encoding the
+reference docs' worked examples (docs/index.rst:52-114)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from fledge_south_csvplayback_spark.schema import parse_use_columns
+from fledge_south_csvplayback_spark.sources import csv_source as cs
+
+
+def fx(fixture_dir, name):
+    return os.path.join(fixture_dir, name)
+
+
+# --- schema parser (csvplayback.py:601-635 semantics) ----------------------
+def test_parse_use_columns_rename_cast():
+    specs = parse_use_columns("id:int,temperature:float,status:str")
+    assert [s.name for s in specs] == ["id", "temperature", "status"]
+    assert specs[0].dtype == T.LongType()
+    assert specs[1].dtype == T.DoubleType()
+
+
+def test_parse_use_columns_drop_and_untyped():
+    specs = parse_use_columns("id,,value:float")
+    assert [s.name for s in specs] == ["id", "", "value"]
+    assert specs[0].dtype is None
+
+
+def test_parse_use_columns_bad_type():
+    with pytest.raises(TypeError):
+        parse_use_columns("id:integer")
+
+
+def test_parse_use_columns_malformed():
+    with pytest.raises(ValueError):
+        parse_use_columns("id:int:extra")
+
+
+# --- pick_from_file ---------------------------------------------------------
+def test_basic_header_read(spark, fixture_dir):
+    df = cs.read_pick_from_file(spark, fx(fixture_dir, "vibration.csv"))
+    assert df.columns == ["channel1", "channel2", "user_ts"]
+    assert df.count() == 2000
+
+
+def test_header_at_index_with_skip(spark, fixture_dir):
+    # metadata_header.csv: 2 metadata lines, then header, then 100 rows.
+    # skip 2 + header at (new) index 0
+    df = cs.read_pick_from_file(
+        spark, fx(fixture_dir, "metadata_header.csv"), header_row=0, skip_rows=2
+    )
+    assert df.columns == ["ts", "temp", "pressure"]
+    assert df.count() == 100
+    # same file expressed as header at physical index 2, no skip
+    df2 = cs.read_pick_from_file(
+        spark, fx(fixture_dir, "metadata_header.csv"), header_row=2
+    )
+    assert df2.columns == ["ts", "temp", "pressure"]
+    assert df2.count() == 100
+
+
+def test_compressed_reads(spark, fixture_dir):
+    for ext in (".gz", ".bz2"):
+        df = cs.read_pick_from_file(spark, fx(fixture_dir, "vibration.csv" + ext))
+        assert df.count() == 2000
+
+
+def test_empty_file_raises(spark, fixture_dir):
+    with pytest.raises(EOFError):
+        cs.read_pick_from_file(spark, fx(fixture_dir, "empty.csv"))
+
+
+# --- explicit ---------------------------------------------------------------
+def test_explicit_rename_subset_cast(spark, fixture_dir):
+    # rename value->temperature, cast to double
+    df = cs.read_explicit(
+        spark, fx(fixture_dir, "typed.csv"), "id:int,temperature:float,status:str"
+    )
+    assert df.columns == ["id", "temperature", "status"]
+    assert dict(df.dtypes)["temperature"] == "double"
+    assert df.count() == 50
+
+    # positional drop: keep id and status only
+    df2 = cs.read_explicit(spark, fx(fixture_dir, "typed.csv"), "id:int,,status:str")
+    assert df2.columns == ["id", "status"]
+
+    # cast double -> int truncation path
+    df3 = cs.read_explicit(
+        spark, fx(fixture_dir, "typed.csv"), "id:int,temperature:int,status:str"
+    )
+    assert dict(df3.dtypes)["temperature"] == "bigint"
+
+
+def test_explicit_width_mismatch(spark, fixture_dir):
+    with pytest.raises(ValueError):
+        cs.read_explicit(spark, fx(fixture_dir, "typed.csv"), "id:int,value:float")
+
+
+# --- ragged -----------------------------------------------------------------
+def test_ragged_docs_example(spark, fixture_dir):
+    # docs/index.rst:52-67: a,b,c / 2,3,,23 / 4
+    df = cs.read_ragged(spark, fx(fixture_dir, "ragged.csv"))
+    rows = {r.row_id: r.readings for r in df.collect()}
+    assert rows[0] == {"column_1": "a", "column_2": "b", "column_3": "c"}
+    assert rows[1] == {"column_1": "2", "column_2": "3", "column_4": "23"}
+    assert rows[2] == {"column_1": "4"}
+
+
+# --- metadata capture (S5) --------------------------------------------------
+def test_metadata_datapoint(spark, fixture_dir):
+    meta = cs.read_metadata_datapoint(spark, fx(fixture_dir, "metadata_header.csv"), 2)
+    assert meta == "device=XJ900 site=plant7_calibrated=2020-01-01"
+
+
+# --- discovery (S1) ---------------------------------------------------------
+def test_find_csv_alphabetical_first(fixture_dir):
+    d = os.path.join(fixture_dir, "multi")
+    assert cs.find_csv_file(d, "vib").endswith("a_vib.csv")
+    assert cs.find_csv_file(d, "nomatch") is None
+    files = cs.find_csv_files(fixture_dir, "vibration")
+    assert [os.path.basename(f) for f in files] == [
+        "vibration.csv",
+        "vibration.csv.bz2",
+        "vibration.csv.gz",
+    ]
