@@ -54,8 +54,8 @@ def main() -> None:
     for n in names:  # warmup at tiny SF
         try:
             run_query(qs[n], spark, WARMUP_DIR)
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — warmup failures must be visible
+            print(f"warmup failed for {n}: {e!r}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for n in names:

@@ -24,6 +24,10 @@ from fledge_south_csvplayback_spark.sources import csv_source as cs
 FIXTURE_DIR = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", "tests", "fixtures")
 )
+assert os.path.isdir(FIXTURE_DIR), (
+    f"fixture dir missing: {FIXTURE_DIR} — the CSV-layer queries and their "
+    "oracles resolve fixtures relative to the repo checkout"
+)
 
 
 def _fx(name: str) -> str:

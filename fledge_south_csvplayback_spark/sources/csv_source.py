@@ -11,13 +11,16 @@ Scale notes:
 - Plain reads go through ``spark.read.csv`` — distributed splits,
   codec handling (.gz/.bz2 native), pushdown-friendly.
 - ``skip_rows`` / ``header at index k`` has no native Spark CSV
-  option; those paths read lines with ``sc.textFile`` and drop the
-  first K *physical* lines via ``zipWithIndex`` — one extra pass, but
-  exact, distributed, and only used when the config demands it. This
-  is per-file logic (the reference plays one file at a time, S1/S9);
-  the multi-file batch path keeps the fast native reader.
-- Header/metadata lines are fetched with a ``limit(K)`` text read —
-  a driver-side K-line read regardless of file size.
+  option; those paths use :mod:`lineio` — a text scan ordered by
+  ``(_metadata.file_block_start, monotonically_increasing_id)`` with
+  the first K physical lines filtered out and ``from_csv`` doing the
+  parse. Everything stays in the JVM / whole-stage codegen; no Python
+  RDD lambdas anywhere (plans show no ExistingRDD/PythonRDD node).
+- Schemas are always pinned at parse time (caller-supplied, or
+  inferred once driver-side from the first data line) — a single pass,
+  never ``inferSchema=True`` stacked under casts.
+- Header/metadata lines are fetched with a TakeOrdered K-line read —
+  driver-side K lines regardless of file size.
 
 Embedded newlines inside quoted fields are not supported in the
 skip-rows paths (line-oriented); the reference's pandas reader had the
@@ -26,6 +29,7 @@ same practical shape for sensor CSVs.
 
 from __future__ import annotations
 
+import csv
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,8 +37,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fledge_south_csvplayback_spark.schema import ColumnSpec, parse_use_columns
+from fledge_south_csvplayback_spark.sources import lineio
 
-CSV_EXTENSIONS = (".csv", "csv.bz2", "csv.gz")  # csvplayback.py:510
+# reference csvplayback.py:510 matches '.csv'-rooted suffixes only
+CSV_EXTENSIONS = (".csv", ".csv.bz2", ".csv.gz")
 
 
 def check_not_empty(path: str) -> None:
@@ -65,24 +71,58 @@ def find_csv_file(csv_dir: str, pattern: str = "") -> str | None:
 
 
 # ---------------------------------------------------------------------------
-# raw line access helpers
+# raw line access (delegates to lineio; kept as the module's public API)
 # ---------------------------------------------------------------------------
 def head_lines(spark: SparkSession, path: str, n: int) -> list[str]:
-    """First n physical lines (driver-side; limit is pushed into the scan)."""
-    return [r.value for r in spark.read.text(path).limit(n).collect()]
+    """First n physical lines (driver-side; TakeOrdered over the scan)."""
+    return lineio.head_lines(spark, path, n)
 
 
-def _lines_dropping(spark: SparkSession, path: str, k: int):
-    """RDD of lines with the first k physical lines removed.
+def _split_header(line: str) -> list[str]:
+    """Parse one header line with the csv module (quote-aware)."""
+    return next(csv.reader([line]))
 
-    zipWithIndex is the one genuinely positional-imperative piece of
-    the engine (SURVEY.md §7 'what's hard' #1): CSV rows carry no
-    position, and pandas-style skiprows is positional by definition.
+
+_INFER_ORDER: tuple[tuple[str, type], ...] = (("bigint", int), ("double", float))
+
+
+def _infer_ddl(names: list[str], sample_fields: list[str]) -> str:
+    """One-line driver-side type inference (int → float → string).
+
+    Mirrors the practical outcome of the reference's per-chunk pandas
+    inference for sensor CSVs without a second distributed pass.
     """
-    rdd = spark.sparkContext.textFile(path)
-    if k <= 0:
-        return rdd
-    return rdd.zipWithIndex().filter(lambda x: x[1] >= k).map(lambda x: x[0])
+    types = []
+    for v in sample_fields:
+        t = "string"
+        for ddl, py in _INFER_ORDER:
+            try:
+                py(v)
+                t = ddl
+                break
+            except (TypeError, ValueError):
+                continue
+        types.append(t)
+    types += ["string"] * (len(names) - len(types))
+    return ", ".join(f"`{n}` {t}" for n, t in zip(names, types))
+
+
+def _schema_ddl(schema: T.StructType | str, names: list[str] | None = None) -> str:
+    """Normalize a StructType/DDL schema to DDL, optionally renaming."""
+    if isinstance(schema, T.StructType):
+        st = schema
+    else:
+        st = T.StructType.fromDDL(schema)
+    if names is not None:
+        if len(names) != len(st.fields):
+            raise ValueError(
+                f"schema has {len(st.fields)} fields but header has "
+                f"{len(names)} columns"
+            )
+        st = T.StructType(
+            [T.StructField(n, f.dataType, f.nullable) for n, f in zip(names, st.fields)]
+        )
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in st.fields)
 
 
 # ---------------------------------------------------------------------------
@@ -95,26 +135,29 @@ def read_pick_from_file(
     path: str,
     header_row: int = 0,
     skip_rows: int = 0,
-    schema: T.StructType | None = None,
+    schema: T.StructType | str | None = None,
     infer_schema: bool = True,
 ) -> DataFrame:
     check_not_empty(path)
     if header_row == 0 and skip_rows == 0:
-        # fast path: fully native reader
+        # fast path: fully native reader, splittable, pushdown-friendly
         reader = spark.read.option("header", True)
         if schema is not None:
             return reader.schema(schema).csv(path)
         return reader.option("inferSchema", infer_schema).csv(path)
 
-    names_line = head_lines(spark, path, skip_rows + header_row + 1)[-1]
-    names = names_line.split(",")
-    data = _lines_dropping(spark, path, skip_rows + header_row + 1)
-    reader = spark.read
+    head = head_lines(spark, path, skip_rows + header_row + 2)
+    names = _split_header(head[skip_rows + header_row])
     if schema is not None:
-        df = reader.schema(schema).csv(data)
+        ddl = _schema_ddl(schema, names)
     else:
-        df = reader.option("inferSchema", infer_schema).csv(data)
-    return df.toDF(*names)
+        sample = head[skip_rows + header_row + 1 :]
+        fields = next(csv.reader(sample)) if (sample and infer_schema) else []
+        ddl = _infer_ddl(names, fields)
+    data = lineio.skip_lines(
+        lineio.read_lines(spark, path), skip_rows + header_row + 1
+    )
+    return lineio.parse_csv_lines(data, ddl)
 
 
 # ---------------------------------------------------------------------------
@@ -132,19 +175,27 @@ def read_explicit(
     specs = (
         parse_use_columns(use_columns) if isinstance(use_columns, str) else use_columns
     )
-    data = _lines_dropping(spark, path, skip_rows + 1)  # +1: header line discarded
-    df = spark.read.option("inferSchema", True).csv(data)
-
-    if len(specs) != len(df.columns):
+    header_line = head_lines(spark, path, skip_rows + 1)[-1]
+    n_cols = len(_split_header(header_line))
+    if len(specs) != n_cols:
         raise ValueError(
-            f"useColumns has {len(specs)} entries but file has "
-            f"{len(df.columns)} columns"
+            f"useColumns has {len(specs)} entries but file has {n_cols} columns"
         )
+    raw_ddl = ", ".join(f"`_c{i}` string" for i in range(n_cols))
+
+    if skip_rows == 0:
+        # native fast path: header=True discards line 0, pinned all-string
+        # schema applies positionally — one pass, no inference
+        df = spark.read.option("header", True).schema(raw_ddl).csv(path)
+    else:
+        data = lineio.skip_lines(lineio.read_lines(spark, path), skip_rows + 1)
+        df = lineio.parse_csv_lines(data, raw_ddl)
+
     cols = []
-    for spec, src in zip(specs, df.columns):
+    for i, spec in enumerate(specs):
         if spec.name == "":
             continue  # positional drop (usecols semantics)
-        c = F.col(src)
+        c = F.col(f"_c{i}")
         if spec.dtype is not None:
             c = c.cast(spec.dtype)
         cols.append(c.alias(spec.name))
@@ -166,14 +217,15 @@ def read_ragged(
 
     Values stay strings (the reference's pandas read gives per-column
     object dtypes for ragged input; a string map is the honest Spark
-    shape). row_id preserves file order for downstream timestamping.
+    shape). row_id preserves file order for downstream timestamping;
+    it comes from the distributed partition-offset numbering in lineio
+    (no global sort, no Python round-trip).
     """
     check_not_empty(path)
-    lines = _lines_dropping(spark, path, skip_rows).zipWithIndex()
-    df = spark.createDataFrame(
-        lines.map(lambda x: (x[1], x[0])), schema="row_id long, line string"
+    lines = lineio.with_line_numbers(
+        lineio.skip_lines(lineio.read_lines(spark, path), skip_rows)
     )
-    fields = F.split(F.col("line"), ",")
+    fields = F.split(F.col("value"), ",")
     entry = F.transform(
         fields,
         lambda v, i: F.struct(
@@ -182,7 +234,7 @@ def read_ragged(
         ),
     )
     kept = F.filter(entry, lambda s: s["value"].isNotNull() & (s["value"] != ""))
-    return df.select("row_id", F.map_from_entries(kept).alias("readings"))
+    return lines.select("row_id", F.map_from_entries(kept).alias("readings"))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,113 @@
+"""Positional line access over text files — fully JVM-side.
+
+The reference's pandas reader exposes positional semantics (``skiprows``,
+``header=<row index>``, per-row order for timestamp synthesis,
+reference csvplayback.py:579-597,651-659) that Spark's CSV source does
+not. These helpers recover file position without shipping rows through
+Python (no RDD lambdas, no ``zipWithIndex``):
+
+- ``read_lines``: ``spark.read.text`` plus two ordering columns — the
+  split's byte offset (``_metadata.file_block_start``) and
+  ``monotonically_increasing_id()``. Within one split rows are read
+  sequentially, so ``(_blk, _mid)`` sorts to exact file order no matter
+  how Spark schedules the splits. Stays valid for compressed (.gz/.bz2)
+  files, which are single-split.
+- ``skip_lines``: drops the first K physical lines by filtering on the
+  K-th smallest ``(_blk, _mid)`` — a TakeOrdered job over 2 long
+  columns (no data movement), then a pushed-down comparison filter.
+- ``with_line_numbers``: exact 0-based global line ids via the
+  partition-offset technique: per-split counts (tiny aggregate,
+  collected) → cumulative offsets → per-split ``row_number``. Both the
+  window and the count are partitioned by split, so nothing ever
+  funnels through a single partition; this is the scalable DataFrame
+  equivalent of ``zipWithIndex`` (two passes over the scan, like
+  zipWithIndex itself, but JVM-side and whole-stage-codegen'd).
+- ``parse_csv_lines``: JVM CSV parsing of a line column via
+  ``from_csv`` (quote/escape aware — the same uniVocity parser the
+  native reader uses).
+
+Caveat (shared with the reference's line-oriented shape for sensor
+CSVs): embedded newlines inside quoted fields split lines here;
+``spark.read.csv`` multiLine mode is the escape hatch when that matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ORDER_COLS = ("_blk", "_mid")
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Text read with deterministic file-order columns (_blk, _mid, value)."""
+    return spark.read.text(path).select(
+        F.col("_metadata.file_block_start").alias("_blk"),
+        F.monotonically_increasing_id().alias("_mid"),
+        "value",
+    )
+
+
+def head_lines(spark: SparkSession, path: str, n: int) -> list[str]:
+    """First n physical lines, driver-side (TakeOrdered over the scan)."""
+    rows = read_lines(spark, path).orderBy(*ORDER_COLS).limit(n).collect()
+    return [r.value for r in rows]
+
+
+def skip_lines(lines: DataFrame, k: int) -> DataFrame:
+    """Drop the first k physical lines of a ``read_lines`` frame."""
+    if k <= 0:
+        return lines
+    bound = lines.select(*ORDER_COLS).orderBy(*ORDER_COLS).limit(k).collect()
+    if len(bound) < k:  # fewer than k lines: nothing left
+        return lines.filter(F.lit(False))
+    blk, mid = bound[-1]
+    return lines.filter(
+        (F.col("_blk") > blk) | ((F.col("_blk") == blk) & (F.col("_mid") > mid))
+    )
+
+
+def with_line_numbers(lines: DataFrame, col_name: str = "row_id") -> DataFrame:
+    """Exact 0-based global line ids in file order, distributed.
+
+    Split-local ``row_number`` + driver-collected per-split offsets;
+    each window is bounded by one file split, so no global sort and no
+    single-partition funnel (SURVEY.md §7 'what's hard' #1 done right).
+    """
+    w = Window.partitionBy("_blk").orderBy("_mid")
+    counts = sorted(
+        (r._blk, r.cnt)
+        for r in lines.groupBy("_blk").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for blk, cnt in counts:
+        offsets[blk] = acc
+        acc += cnt
+    if not offsets:
+        return lines.withColumn(col_name, F.lit(0).cast("long")).filter(F.lit(False))
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return lines.withColumn(
+        col_name,
+        (offset_map[F.col("_blk")] + F.row_number().over(w) - 1).cast("long"),
+    )
+
+
+def parse_csv_lines(
+    lines: DataFrame,
+    schema: str,
+    keep: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parse the ``value`` line column as CSV with a pinned schema (DDL).
+
+    JVM-side (``from_csv``), single pass, quote-aware. ``keep`` carries
+    extra columns (e.g. row_id) through the parse.
+    """
+    parsed: Column = F.from_csv(F.col("value"), schema, options or {})
+    keep_cols = [F.col(c) for c in (keep or [])]
+    return lines.select(*keep_cols, parsed.alias("_r")).select(
+        *(keep or []), "_r.*"
+    )

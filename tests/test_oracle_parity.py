@@ -26,7 +26,7 @@ def test_rows_only(spark, name):
     """Queries without an oracle still must run and return a stable schema."""
     df = _QUERIES[name](spark, TEST_SF_DIR)
     assert df.columns, f"{name}: no columns"
-    assert df.count() >= 0
+    assert df.count() > 0, f"{name}: empty result"
 
 
 def test_entry_smoke(spark):
