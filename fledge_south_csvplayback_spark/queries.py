@@ -9,7 +9,7 @@ operator modules.
 from __future__ import annotations
 
 from fledge_south_csvplayback_spark.registry import register
-from fledge_south_csvplayback_spark.operators import csv_queries, relational
+from fledge_south_csvplayback_spark.operators import csv_queries, relational, ts_queries
 
 # --- relational suite (SURVEY.md §2.3/§2.5/§2.7/§2.8 gap-fill) -------------
 register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_SQL)
@@ -34,6 +34,21 @@ register(
     csv_queries.CSV_EXPLICIT_SUBSET_SQL,
 )
 register("csv_ragged_map", csv_queries.csv_ragged_map, csv_queries.CSV_RAGGED_SQL)
+
+# --- timestamp synthesis T1-T5 (SURVEY.md §2.4) -----------------------------
+register("ts_copy_csv_value", ts_queries.ts_copy_csv_value, ts_queries.TS_COPY_SQL)
+register("ts_move_csv_value", ts_queries.ts_move_csv_value, ts_queries.TS_MOVE_SQL)
+register(
+    "ts_current_time_burst",
+    ts_queries.ts_current_time_burst,
+    ts_queries.TS_BURST_SQL,
+)
+register(
+    "ts_current_time_continuous",
+    ts_queries.ts_current_time_continuous,
+    ts_queries.TS_CONTINUOUS_SQL,
+)
+register("ts_sample_delta", ts_queries.ts_sample_delta, ts_queries.TS_DELTA_SQL)
 register(
     "csv_metadata_datapoint",
     csv_queries.csv_metadata_datapoint,

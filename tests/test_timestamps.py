@@ -1,0 +1,59 @@
+"""Unit tests for timestamp synthesis T1-T5.
+
+Semantics cross-checked against the reference formulas
+(csvplayback.py:717-756) computed in plain Python over the fixtures.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from fledge_south_csvplayback_spark.operators import timestamps as ts
+from fledge_south_csvplayback_spark.operators.ts_queries import (
+    ANCHOR,
+    CHUNK,
+    DELTA_ANCHOR,
+    ts_current_time_continuous,
+    ts_sample_delta,
+)
+
+
+@pytest.mark.parametrize(
+    "fmt,expected",
+    [
+        ("%Y-%m-%d %H:%M:%S.%f%z", "yyyy-MM-dd HH:mm:ss.SSSSSSZ"),
+        ("%Y-%m-%dT%H:%M:%S", "yyyy-MM-dd'T'HH:mm:ss"),
+        ("%d/%m/%y %I:%M %p", "dd/MM/yy hh:mm a"),
+        ("%Y%m%d", "yyyyMMdd"),
+    ],
+)
+def test_strptime_to_jdk(fmt, expected):
+    assert ts.strptime_to_jdk(fmt) == expected
+
+
+def test_strptime_to_jdk_rejects_unknown():
+    with pytest.raises(ValueError):
+        ts.strptime_to_jdk("%Q")
+
+
+def test_continuous_spread_matches_reference_formula(spark):
+    # reference: row i of chunk c -> anchor_c.replace(microsecond=i*step)
+    rows = ts_current_time_continuous(spark, "").orderBy("user_ts").collect()
+    anchor = datetime.fromisoformat(ANCHOR)
+    step = 1_000_000 // CHUNK
+    for k in (0, 1, CHUNK - 1, CHUNK, 2 * CHUNK + 7, len(rows) - 1):
+        expected = (anchor + timedelta(seconds=k // CHUNK)).replace(
+            microsecond=(k % CHUNK) * step
+        )
+        assert rows[k].timestamp == expected, k
+
+
+def test_sample_delta_is_first_two_rows_spacing(spark):
+    # timestamped.csv is a 125 us grid -> delta must be exactly 125 us
+    rows = ts_sample_delta(spark, "").orderBy("ts").collect()
+    anchor = datetime.fromisoformat(DELTA_ANCHOR)
+    assert rows[0].timestamp == anchor
+    assert rows[1].timestamp - rows[0].timestamp == timedelta(microseconds=125)
+    assert rows[400].timestamp == anchor + timedelta(microseconds=400 * 125)
