@@ -1,0 +1,88 @@
+"""Oracle-checkable queries for the reading envelope (csvplayback.py:760-771).
+
+Channels are read with all-string schemas so map values are the raw CSV
+strings — both engines then agree bit-for-bit without floating-point
+formatting heuristics. Timestamps stringify via each engine's
+timestamp->string cast, which produce identical text (verified:
+trailing zeros trimmed the same way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fledge_south_csvplayback_spark.operators import readings, timestamps
+from fledge_south_csvplayback_spark.operators.csv_queries import _fx
+from fledge_south_csvplayback_spark.operators.ts_queries import TS_FMT
+from fledge_south_csvplayback_spark.sources import csv_source as cs
+
+_VIB_RAW_DUCK = (
+    "read_csv('{path}', header=true, columns={{'channel1': 'VARCHAR', "
+    "'channel2': 'VARCHAR', 'user_ts': 'VARCHAR'}})"
+).format(path=_fx("vibration.csv"))
+
+_META_RAW_DUCK = (
+    "read_csv('{path}', skip=3, header=false, columns={{'ts': 'VARCHAR', "
+    "'temp': 'VARCHAR', 'pressure': 'VARCHAR'}})"
+).format(path=_fx("metadata_header.csv"))
+
+_METADATA_LITERAL = "device=XJ900 site=plant7_calibrated=2020-01-01"
+
+
+# --- envelope: copy-csv-value timestamping, source column kept ---------------
+def reading_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = cs.read_pick_from_file(
+        spark,
+        _fx("vibration.csv"),
+        schema="channel1 string, channel2 string, user_ts string",
+    )
+    df = timestamps.copy_csv_value(df, "user_ts", TS_FMT)
+    env = readings.build_envelope(df, asset="vibration")
+    return readings.explode_envelope(env)
+
+
+READING_ENVELOPE_SQL = f"""
+WITH t AS (
+    SELECT channel1, channel2, user_ts,
+           CAST(CAST(strptime(user_ts, '%Y-%m-%d %H:%M:%S.%f%z') AS TIMESTAMP)
+                AS VARCHAR) AS timestamp
+    FROM {_VIB_RAW_DUCK}
+)
+SELECT 'vibration' AS asset, timestamp, 'channel1' AS datapoint,
+       channel1 AS value FROM t
+UNION ALL
+SELECT 'vibration', timestamp, 'channel2', channel2 FROM t
+UNION ALL
+SELECT 'vibration', timestamp, 'user_ts', user_ts FROM t
+"""
+
+
+# --- envelope: move-csv-value (P4 drop) + pass_in_datapoint metadata ---------
+def reading_envelope_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _fx("metadata_header.csv")
+    meta = cs.read_metadata_datapoint(spark, path, 2)
+    df = cs.read_pick_from_file(
+        spark,
+        path,
+        header_row=0,
+        skip_rows=2,
+        schema="ts string, temp string, pressure string",
+    )
+    df = timestamps.move_csv_value(df, "ts", TS_FMT)  # P4: ts column dropped
+    env = readings.build_envelope(df, asset="plant", metadata=meta)
+    return readings.explode_envelope(env)
+
+
+READING_ENVELOPE_METADATA_SQL = f"""
+WITH t AS (
+    SELECT temp, pressure,
+           CAST(CAST(strptime(ts, '%Y-%m-%d %H:%M:%S.%f%z') AS TIMESTAMP)
+                AS VARCHAR) AS timestamp
+    FROM {_META_RAW_DUCK}
+)
+SELECT 'plant' AS asset, timestamp, 'temp' AS datapoint, temp AS value FROM t
+UNION ALL
+SELECT 'plant', timestamp, 'pressure', pressure FROM t
+UNION ALL
+SELECT 'plant', timestamp, 'metadata', '{_METADATA_LITERAL}' FROM t
+"""

@@ -1,0 +1,85 @@
+"""Reading-envelope builder (reference csvplayback.py:760-771).
+
+The reference's output unit is the *reading* dict
+``{'asset': str, 'timestamp': str, 'readings': {datapoint: value}}``
+built row-by-row with ``chunk.to_dict('records')`` (csvplayback.py:746)
+plus the ``pass_in_datapoint`` metadata merge (csvplayback.py:758-759).
+
+Spark shape: one nested column build over the flat frame —
+``create_map`` of the datapoint columns (+ optional metadata entry via
+``map_concat``), the synthesized ``timestamp`` stringified like the
+reference's ``str(...)`` (csvplayback.py:749-755). All built-ins, so
+the row pivot costs one projection, no shuffle, and stays inside
+whole-stage codegen; at a sink boundary the envelope serializes with
+``to_json`` for free.
+
+Internally the engine keeps columns flat as long as possible (SURVEY.md
+§1.2) — the envelope is the *last* step before a sink, never an
+intermediate representation.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def readings_map(
+    df: DataFrame,
+    value_cols: list[str] | None = None,
+    exclude: tuple[str, ...] = ("timestamp",),
+) -> Column:
+    """Map of datapoint name -> value (stringified) for the given columns."""
+    cols = value_cols or [c for c in df.columns if c not in exclude]
+    pairs = list(
+        chain.from_iterable(
+            (F.lit(c), F.col(c).cast("string")) for c in cols
+        )
+    )
+    return F.map_from_arrays(
+        F.array(*pairs[0::2]), F.array(*pairs[1::2])
+    )
+
+
+def build_envelope(
+    df: DataFrame,
+    asset: str,
+    ts_col: str = "timestamp",
+    value_cols: list[str] | None = None,
+    metadata: str | None = None,
+    metadata_key: str = "metadata",
+    readings_col: Column | None = None,
+) -> DataFrame:
+    """(asset string, timestamp string, readings map<string,string>).
+
+    ``readings_col`` short-circuits the map build for ragged mode, where
+    the reader already produced a readings map (csv_source.read_ragged).
+    ``metadata`` merges the pass_in_datapoint header capture into every
+    reading under ``metadata_key`` (csvplayback.py:758-759).
+    """
+    m = (
+        readings_col
+        if readings_col is not None
+        else readings_map(df, value_cols, exclude=(ts_col,))
+    )
+    if metadata is not None:
+        m = F.map_concat(
+            m, F.create_map(F.lit(metadata_key), F.lit(metadata))
+        )
+    return df.select(
+        F.lit(asset).alias("asset"),
+        F.col(ts_col).cast("string").alias("timestamp"),
+        m.alias("readings"),
+    )
+
+
+def explode_envelope(env: DataFrame) -> DataFrame:
+    """Flatten the readings map to (asset, timestamp, datapoint, value)
+    rows — the hashable projection used by the correctness oracle."""
+    return env.select(
+        "asset",
+        "timestamp",
+        F.explode(F.col("readings")).alias("datapoint", "value"),
+    )

@@ -9,7 +9,12 @@ operator modules.
 from __future__ import annotations
 
 from fledge_south_csvplayback_spark.registry import register
-from fledge_south_csvplayback_spark.operators import csv_queries, relational, ts_queries
+from fledge_south_csvplayback_spark.operators import (
+    csv_queries,
+    envelope_queries,
+    relational,
+    ts_queries,
+)
 
 # --- relational suite (SURVEY.md §2.3/§2.5/§2.7/§2.8 gap-fill) -------------
 register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_SQL)
@@ -49,6 +54,18 @@ register(
     ts_queries.TS_CONTINUOUS_SQL,
 )
 register("ts_sample_delta", ts_queries.ts_sample_delta, ts_queries.TS_DELTA_SQL)
+
+# --- reading envelope (§1.1, csvplayback.py:760-771) ------------------------
+register(
+    "reading_envelope",
+    envelope_queries.reading_envelope,
+    envelope_queries.READING_ENVELOPE_SQL,
+)
+register(
+    "reading_envelope_metadata",
+    envelope_queries.reading_envelope_metadata,
+    envelope_queries.READING_ENVELOPE_METADATA_SQL,
+)
 register(
     "csv_metadata_datapoint",
     csv_queries.csv_metadata_datapoint,
