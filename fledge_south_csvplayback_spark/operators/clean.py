@@ -1,0 +1,217 @@
+"""Cleaning / NaN-repair operators (A1-A2, W1-W3, F4, E1-E2).
+
+Re-expresses the reference's two cleaning surfaces:
+
+- the plugin's ``ignoreNaN=report`` scan (reference
+  csvplayback.py:681-691): any-null / any-whitespace per column;
+- the offline ETL tool ``process_csv_data.py``: whitespace->NaN
+  (line 119), all-null column drop (113-114,137-139), rolling
+  mean/median fill (128-134), linear/nearest interpolation with
+  ``limit_direction='both'`` (124-126), and the Fledge-dump
+  ``reading``-JSON flattening (55-84).
+
+Spark shapes:
+
+- The report and the all-null test are single-pass aggregates (one row
+  over any data size; map-side partial aggregation).
+- Rolling fills are 2-row trailing windows; interpolation is the
+  last/first-ignorenulls + row-distance-weights pattern. Windows accept
+  ``partition_cols`` (e.g. per-device/per-file) so state never funnels
+  through one partition at scale; the ETL tool's single-file semantics
+  use the global window deliberately.
+- Flattening is ``from_json`` (F7) — the idiomatic upgrade of the
+  reference's per-row string splitting (process_csv_data.py:74-80).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.window import WindowSpec
+
+
+def _is_blank(c: str) -> Column:
+    """Whitespace-only cell (reference str.isspace(), csvplayback.py:685)."""
+    return F.col(c).isNotNull() & (F.trim(F.col(c)) == "")
+
+
+def whitespace_to_null(df: DataFrame, cols: list[str]) -> DataFrame:
+    """F4: whitespace-only strings -> null (process_csv_data.py:119)."""
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.when(_is_blank(c), None).otherwise(F.col(c)))
+    return out
+
+
+def null_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A1: per-column any-null / any-blank flags, one aggregate pass.
+
+    The reference reports and shuts playback down when ignoreNaN=report
+    finds a hole (csvplayback.py:686-691); here the report is the
+    operator, policy belongs to the caller.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.max(F.col(c).isNull()).alias(f"_n_{c}"))
+        aggs.append(F.max(_is_blank(c)).alias(f"_b_{c}"))
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_n_{c}").alias("any_null"),
+                F.col(f"_b_{c}").alias("any_blank"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("r")).select("r.*")
+
+
+def all_null_columns(df: DataFrame, cols: list[str]) -> list[str]:
+    """A2: columns with zero non-null values (process_csv_data.py:113-114).
+
+    One aggregate row collected to the driver — a schema decision, not a
+    data-path collect.
+    """
+    row = df.agg(*[F.count(F.col(c)).alias(c) for c in cols]).collect()[0]
+    return [c for c in cols if row[c] == 0]
+
+
+# ---------------------------------------------------------------------------
+# W1/W2: 2-row trailing rolling fills (process_csv_data.py:128-134).
+# pandas fillna(col.rolling(2, min_periods=1).mean()): at a NaN position
+# the window is {prev, NaN} and pandas skips NaN -> prev; two NaNs in a
+# row stay NaN. avg/percentile over ROWS BETWEEN 1 PRECEDING AND CURRENT
+# ROW ignore nulls identically.
+# ---------------------------------------------------------------------------
+def _w(order_cols: list[str], partition_cols: list[str] | None) -> WindowSpec:
+    w = (
+        Window.partitionBy(*partition_cols)
+        if partition_cols
+        else Window.partitionBy()
+    )
+    return w.orderBy(*order_cols)
+
+
+def rolling_mean_fill(
+    df: DataFrame,
+    cols: list[str],
+    order_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    w = _w(order_cols, partition_cols).rowsBetween(-1, 0)
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.avg(c).over(w)))
+    return out
+
+
+def rolling_median_fill(
+    df: DataFrame,
+    cols: list[str],
+    order_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    w = _w(order_cols, partition_cols).rowsBetween(-1, 0)
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c, F.coalesce(F.col(c), F.expr(f"percentile({c}, 0.5)").over(w))
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# W3: linear / nearest interpolation, limit_direction='both'
+# (process_csv_data.py:124-126). last/first ignore-nulls over
+# unbounded-direction frames + row-distance weights; leading/trailing
+# gaps take the nearest existing value. 'nearest' ties (equidistant)
+# take the earlier neighbor.
+# ---------------------------------------------------------------------------
+def interpolate_fill(
+    df: DataFrame,
+    cols: list[str],
+    order_cols: list[str],
+    partition_cols: list[str] | None = None,
+    method: str = "linear",
+) -> DataFrame:
+    if method not in ("linear", "nearest"):
+        raise ValueError(f"unsupported interpolation method {method!r}")
+    base = _w(order_cols, partition_cols)
+    w_prev = base.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = base.rowsBetween(0, Window.unboundedFollowing)
+    w_rn = base
+    out = df.withColumn("_rn", F.row_number().over(w_rn))
+    for c in cols:
+        rn_if = F.when(F.col(c).isNotNull(), F.col("_rn"))
+        prev_v = F.last(c, ignorenulls=True).over(w_prev)
+        next_v = F.first(c, ignorenulls=True).over(w_next)
+        prev_rn = F.last(rn_if, ignorenulls=True).over(w_prev)
+        next_rn = F.first(rn_if, ignorenulls=True).over(w_next)
+        if method == "linear":
+            interp = prev_v + (next_v - prev_v) * (
+                (F.col("_rn") - prev_rn) / (next_rn - prev_rn)
+            )
+        else:
+            interp = F.when(
+                (F.col("_rn") - prev_rn) <= (next_rn - F.col("_rn")), prev_v
+            ).otherwise(next_v)
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .when(prev_v.isNull(), next_v)
+            .when(next_v.isNull(), prev_v)
+            .otherwise(interp),
+        )
+    return out.drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# E1: Fledge-dump flattening (process_csv_data.py:55-84) — the dump's
+# `reading` column is a JSON object string; from_json replaces the
+# reference's per-row split(',')[i].split(':')[j] chains.
+# ---------------------------------------------------------------------------
+def flatten_fledge_dump(
+    df: DataFrame,
+    keys: list[str],
+    reading_col: str = "reading",
+    ts_col: str = "user_ts",
+) -> DataFrame:
+    m = F.from_json(F.col(reading_col), "map<string,double>")
+    return df.select(
+        *[m[k].alias(k) for k in keys], F.col(ts_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2: NaN repair composition (process_csv_data.py:87-148): blanks ->
+# null, numeric cast, drop all-null columns, then fill or drop-column.
+# ---------------------------------------------------------------------------
+def repair_nans(
+    df: DataFrame,
+    cols: list[str],
+    order_cols: list[str],
+    method: str = "linear",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    df = whitespace_to_null(df, cols)
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("double"))
+    dead = set(all_null_columns(df, cols))
+    df = df.drop(*dead)
+    live = [c for c in cols if c not in dead]
+    if method == "drop":
+        # reference 'drop' removes any column still containing NaN
+        holed = [
+            c
+            for c in live
+            if c in set(all_null_columns(df, live))
+            or df.filter(F.col(c).isNull()).limit(1).count() > 0
+        ]
+        return df.drop(*holed)
+    if method == "rolling_mean":
+        return rolling_mean_fill(df, live, order_cols, partition_cols)
+    if method == "rolling_median":
+        return rolling_median_fill(df, live, order_cols, partition_cols)
+    return interpolate_fill(df, live, order_cols, partition_cols, method)

@@ -1,0 +1,176 @@
+"""Oracle-checkable queries for the cleaning suite (A1/A2, W1-W3, F4, E1/E2).
+
+All run over the committed dirty/fledge_dump fixtures with all-string
+reads, so both engines see identical raw cells; numeric repair casts
+happen inside the operators under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fledge_south_csvplayback_spark.operators import clean
+from fledge_south_csvplayback_spark.operators.csv_queries import _fx
+from fledge_south_csvplayback_spark.sources import csv_source as cs
+
+_DIRTY_SCHEMA = "ts string, a string, b string, allblank string"
+_DIRTY_DUCK = (
+    "read_csv('{path}', header=true, columns={{'ts': 'VARCHAR', 'a': 'VARCHAR', "
+    "'b': 'VARCHAR', 'allblank': 'VARCHAR'}})"
+).format(path=_fx("dirty.csv"))
+
+_DUMP_DUCK = (
+    "read_csv('{path}', header=true, columns={{'reading': 'VARCHAR', "
+    "'user_ts': 'VARCHAR'}})"
+).format(path=_fx("fledge_dump.csv"))
+
+# blanks -> null + double cast, both engines (F4 + process_csv_data.py:121)
+_NUMERIC_CTE = f"""
+WITH s AS (
+    SELECT ts,
+           (CASE WHEN trim(a) = '' THEN NULL ELSE a END)::DOUBLE AS a,
+           (CASE WHEN trim(b) = '' THEN NULL ELSE b END)::DOUBLE AS b
+    FROM {_DIRTY_DUCK}
+)
+"""
+
+
+def _dirty(spark: SparkSession) -> DataFrame:
+    return cs.read_pick_from_file(spark, _fx("dirty.csv"), schema=_DIRTY_SCHEMA)
+
+
+def _dirty_numeric(spark: SparkSession) -> DataFrame:
+    df = clean.whitespace_to_null(_dirty(spark), ["a", "b"])
+    return df.select(
+        "ts", F.col("a").cast("double"), F.col("b").cast("double")
+    )
+
+
+# --- A1: any-null / any-blank report ----------------------------------------
+def clean_null_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean.null_report(_dirty(spark), ["ts", "a", "b", "allblank"])
+
+
+_REPORT_COL = (
+    "SELECT '{c}' AS column, bool_or({c} IS NULL) AS any_null, "
+    "bool_or({c} IS NOT NULL AND trim({c}) = '') AS any_blank FROM s"
+)
+CLEAN_NULL_REPORT_SQL = (
+    f"WITH s AS (SELECT * FROM {_DIRTY_DUCK})\n"
+    + "\nUNION ALL\n".join(_REPORT_COL.format(c=c) for c in ("ts", "a", "b", "allblank"))
+)
+
+
+# --- W1/W2: rolling fills ----------------------------------------------------
+def clean_rolling_mean_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean.rolling_mean_fill(_dirty_numeric(spark), ["a", "b"], ["ts"])
+
+
+CLEAN_ROLLING_MEAN_SQL = (
+    _NUMERIC_CTE
+    + """
+SELECT ts,
+       COALESCE(a, avg(a) OVER w) AS a,
+       COALESCE(b, avg(b) OVER w) AS b
+FROM s
+WINDOW w AS (ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+"""
+)
+
+
+def clean_rolling_median_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean.rolling_median_fill(_dirty_numeric(spark), ["a", "b"], ["ts"])
+
+
+CLEAN_ROLLING_MEDIAN_SQL = (
+    _NUMERIC_CTE
+    + """
+SELECT ts,
+       COALESCE(a, median(a) OVER w) AS a,
+       COALESCE(b, median(b) OVER w) AS b
+FROM s
+WINDOW w AS (ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+"""
+)
+
+
+# --- W3: interpolation -------------------------------------------------------
+def clean_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean.interpolate_fill(
+        _dirty_numeric(spark), ["a", "b"], ["ts"], method="linear"
+    )
+
+
+def clean_interpolate_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean.interpolate_fill(
+        _dirty_numeric(spark), ["a", "b"], ["ts"], method="nearest"
+    )
+
+
+def _interp_sql(expr_a: str, expr_b: str) -> str:
+    return (
+        _NUMERIC_CTE
+        + f"""
+, n AS (SELECT *, row_number() OVER (ORDER BY ts) AS rn FROM s),
+x AS (
+    SELECT ts, rn, a, b,
+        last_value(a IGNORE NULLS) OVER wp AS pa,
+        first_value(a IGNORE NULLS) OVER wn AS na,
+        last_value(CASE WHEN a IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS par,
+        first_value(CASE WHEN a IS NOT NULL THEN rn END IGNORE NULLS) OVER wn AS nar,
+        last_value(b IGNORE NULLS) OVER wp AS pb,
+        first_value(b IGNORE NULLS) OVER wn AS nb,
+        last_value(CASE WHEN b IS NOT NULL THEN rn END IGNORE NULLS) OVER wp AS pbr,
+        first_value(CASE WHEN b IS NOT NULL THEN rn END IGNORE NULLS) OVER wn AS nbr
+    FROM n
+    WINDOW wp AS (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT ts,
+       CASE WHEN a IS NOT NULL THEN a WHEN pa IS NULL THEN na
+            WHEN na IS NULL THEN pa ELSE {expr_a} END AS a,
+       CASE WHEN b IS NOT NULL THEN b WHEN pb IS NULL THEN nb
+            WHEN nb IS NULL THEN pb ELSE {expr_b} END AS b
+FROM x
+"""
+    )
+
+
+CLEAN_INTERP_LINEAR_SQL = _interp_sql(
+    "pa + (na - pa) * (rn - par) / (nar - par)",
+    "pb + (nb - pb) * (rn - pbr) / (nbr - pbr)",
+)
+CLEAN_INTERP_NEAREST_SQL = _interp_sql(
+    "CASE WHEN (rn - par) <= (nar - rn) THEN pa ELSE na END",
+    "CASE WHEN (rn - pbr) <= (nbr - rn) THEN pb ELSE nb END",
+)
+
+
+# --- E1: Fledge-dump flattening ----------------------------------------------
+def clean_flatten_fledge_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = cs.read_pick_from_file(
+        spark, _fx("fledge_dump.csv"), schema="reading string, user_ts string"
+    )
+    return clean.flatten_fledge_dump(df, ["channel1", "channel2"])
+
+
+CLEAN_FLATTEN_SQL = f"""
+SELECT CAST(json_extract_string(reading, '$.channel1') AS DOUBLE) AS channel1,
+       CAST(json_extract_string(reading, '$.channel2') AS DOUBLE) AS channel2,
+       user_ts
+FROM {_DUMP_DUCK}
+"""
+
+
+# --- E2: full repair composition (blank->null, drop all-null, fill) ----------
+def clean_repair_nans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean.repair_nans(
+        _dirty(spark).select("ts", "a", "b", "allblank"),
+        ["a", "b", "allblank"],
+        ["ts"],
+        method="linear",
+    )
+
+
+CLEAN_REPAIR_SQL = CLEAN_INTERP_LINEAR_SQL  # allblank dropped by A2 on the Spark side

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from fledge_south_csvplayback_spark.registry import register
 from fledge_south_csvplayback_spark.operators import (
+    clean_queries,
     csv_queries,
     envelope_queries,
     relational,
@@ -65,6 +66,43 @@ register(
     "reading_envelope_metadata",
     envelope_queries.reading_envelope_metadata,
     envelope_queries.READING_ENVELOPE_METADATA_SQL,
+)
+
+# --- cleaning / NaN repair (SURVEY.md §2.5 A1-A2, §2.6 W1-W3, §2.12 E1-E2) --
+register(
+    "clean_null_report",
+    clean_queries.clean_null_report,
+    clean_queries.CLEAN_NULL_REPORT_SQL,
+)
+register(
+    "clean_rolling_mean_fill",
+    clean_queries.clean_rolling_mean_fill,
+    clean_queries.CLEAN_ROLLING_MEAN_SQL,
+)
+register(
+    "clean_rolling_median_fill",
+    clean_queries.clean_rolling_median_fill,
+    clean_queries.CLEAN_ROLLING_MEDIAN_SQL,
+)
+register(
+    "clean_interpolate_linear",
+    clean_queries.clean_interpolate_linear,
+    clean_queries.CLEAN_INTERP_LINEAR_SQL,
+)
+register(
+    "clean_interpolate_nearest",
+    clean_queries.clean_interpolate_nearest,
+    clean_queries.CLEAN_INTERP_NEAREST_SQL,
+)
+register(
+    "clean_flatten_fledge_dump",
+    clean_queries.clean_flatten_fledge_dump,
+    clean_queries.CLEAN_FLATTEN_SQL,
+)
+register(
+    "clean_repair_nans",
+    clean_queries.clean_repair_nans,
+    clean_queries.CLEAN_REPAIR_SQL,
 )
 register(
     "csv_metadata_datapoint",

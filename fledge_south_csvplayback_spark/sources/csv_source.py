@@ -140,8 +140,9 @@ def read_pick_from_file(
 ) -> DataFrame:
     check_not_empty(path)
     if header_row == 0 and skip_rows == 0:
-        # fast path: fully native reader, splittable, pushdown-friendly
-        reader = spark.read.option("header", True)
+        # fast path: fully native reader, splittable, pushdown-friendly;
+        # RFC4180 doubled-quote escaping (pandas-written CSVs)
+        reader = spark.read.option("header", True).option("escape", '"')
         if schema is not None:
             return reader.schema(schema).csv(path)
         return reader.option("inferSchema", infer_schema).csv(path)
@@ -186,7 +187,12 @@ def read_explicit(
     if skip_rows == 0:
         # native fast path: header=True discards line 0, pinned all-string
         # schema applies positionally — one pass, no inference
-        df = spark.read.option("header", True).schema(raw_ddl).csv(path)
+        df = (
+            spark.read.option("header", True)
+            .option("escape", '"')
+            .schema(raw_ddl)
+            .csv(path)
+        )
     else:
         data = lineio.skip_lines(lineio.read_lines(spark, path), skip_rows + 1)
         df = lineio.parse_csv_lines(data, raw_ddl)

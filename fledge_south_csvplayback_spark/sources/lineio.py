@@ -104,9 +104,13 @@ def parse_csv_lines(
     """Parse the ``value`` line column as CSV with a pinned schema (DDL).
 
     JVM-side (``from_csv``), single pass, quote-aware. ``keep`` carries
-    extra columns (e.g. row_id) through the parse.
+    extra columns (e.g. row_id) through the parse. RFC4180
+    doubled-quote escaping is the default (pandas/DuckDB behavior — the
+    reference's CSVs are pandas-written); Spark's backslash default is
+    overridable via ``options``.
     """
-    parsed: Column = F.from_csv(F.col("value"), schema, options or {})
+    opts = {"escape": '"', **(options or {})}
+    parsed: Column = F.from_csv(F.col("value"), schema, opts)
     keep_cols = [F.col(c) for c in (keep or [])]
     return lines.select(*keep_cols, parsed.alias("_r")).select(
         *(keep or []), "_r.*"
