@@ -1,0 +1,225 @@
+"""Event-stream operators over the ``events`` table.
+
+The reference generates event time but never aggregates on it
+(SURVEY.md §2.10 ST8 ABSENT); these are the standard event-time
+operators a complete engine needs, written scale-first:
+
+- **as-of join** (`purchase` ← most recent prior `click` per user):
+  implemented as union + per-user ordered window with ignore-nulls
+  ``last`` — one shuffle on user_id, no inequality join, no cartesian
+  expansion. This is the classic distributed as-of pattern; DuckDB's
+  native ASOF JOIN is the oracle.
+- **sessionization**: gap-threshold sessions via lag + running sum of
+  session starts, again one shuffle on user_id.
+- **props extraction**: ``from_json`` on the JSON props column (F7).
+- **hourly rollup**: event-time tumbling window aggregation
+  (``F.window``) — the batch twin of the streaming watermarked window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with its TIMESTAMP(NANOS) column as microsecond ts.
+
+    Spark has no nanosecond timestamp type; the legacy conf reads the
+    parquet NANOS column as a long, then integer-division (not float —
+    ns epoch values exceed double's 53-bit mantissa) truncates to
+    microseconds, matching DuckDB's ns->us cast of the same file.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+SESSION_GAP_S = 4 * 3600  # 4 h gap starts a new session
+
+
+# --- as-of join --------------------------------------------------------------
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, latest right row with right.ts <= left.ts per key.
+
+    Union the tagged sides, sort per key by (ts, side) — right sorts
+    first at equal timestamps so ties count as 'prior or equal',
+    matching ASOF semantics — then carry right values forward with
+    ignore-nulls ``last`` and keep the left rows.
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.withColumn("_side", F.lit(0))
+    l_cols = [c for c in left.columns]
+    un = lt.select(
+        *l_cols, "_side", *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols]
+    ).unionByName(
+        rt.select(
+            *[
+                (F.col(c) if c in (on, ts_col) else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+                for c in l_cols
+            ],
+            "_side",
+            *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        )
+    )
+    w = (
+        W.partitionBy(on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+        for c in right_cols
+    ]
+    return (
+        un.select(*l_cols, "_side", *carried)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
+
+
+def events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts", right_cols=["ts", "value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").alias("last_click_ts"),
+        F.col("asof_value").alias("last_click_value"),
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT a.event_id, a.user_id, a.ts,
+       b.ts AS last_click_ts, b.value AS last_click_value
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase') a
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'click') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
+# --- sessionization ----------------------------------------------------------
+def sessionize(
+    df: DataFrame, key: str, ts_col: str, gap_s: int
+) -> DataFrame:
+    w = W.partitionBy(key).orderBy(ts_col)
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    is_new = (
+        F.when(gap.isNull() | (gap > gap_s * 1_000_000), 1).otherwise(0)
+    )
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = sessionize(ev, "user_id", "ts", SESSION_GAP_S)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH g AS (
+    SELECT *,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > CAST({SESSION_GAP_S} AS BIGINT) * 1000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT *,
+           CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_id
+    FROM g
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       ROUND(SUM(value), 2) AS session_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+# --- JSON props extraction (F7) ---------------------------------------------
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "map<string,int>")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       ROUND(AVG(k), 6) AS avg_k,
+       CAST(COUNT(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_high
+FROM (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- hourly tumbling-window rollup ------------------------------------------
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -83,3 +83,176 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape: broadcast star join. region/nation are bounded dimensions
+# (25/5 rows at any scale) — explicitly broadcast so the fact tables
+# never shuffle for them; customer⨝orders and orders⨝lineitem are
+# fact-side equi-joins on their natural keys (shuffle joins, AQE skew
+# handling). Revenue by nation within one region.
+# ---------------------------------------------------------------------------
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .join(orders, F.col("c_custkey") == orders.o_custkey)
+        .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 shape: fact-fact shuffle join + top-k (TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp")
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND l_shipdate > TIMESTAMP '1996-06-30'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions: per-group ranking (distributed — the window is
+# partitioned by the group key, never a global sort).
+# ---------------------------------------------------------------------------
+def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+Q_WINDOW_SQL = """
+SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rank
+    FROM orders
+)
+WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.8): customers active in both/only-first of two years.
+# ---------------------------------------------------------------------------
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = active(1995), active(1996)
+    both = y95.intersect(y96).select(F.lit("both").alias("op"), "o_custkey")
+    only95 = y95.exceptAll(y96).select(F.lit("only_1995").alias("op"), "o_custkey")
+    return both.unionByName(only95)
+
+
+Q_SET_OPS_SQL = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT 'both' AS op, o_custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT 'only_1995' AS op, o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k customers by revenue: fact-fact join + agg + TakeOrdered.
+# ---------------------------------------------------------------------------
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+Q_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""

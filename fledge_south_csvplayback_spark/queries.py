@@ -13,12 +13,34 @@ from fledge_south_csvplayback_spark.operators import (
     clean_queries,
     csv_queries,
     envelope_queries,
+    events,
     relational,
     ts_queries,
 )
 
 # --- relational suite (SURVEY.md §2.3/§2.5/§2.7/§2.8 gap-fill) -------------
 register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_SQL)
+register("q5_regional_revenue", relational.q5_regional_revenue, relational.Q5_SQL)
+register("q3_shipping_priority", relational.q3_shipping_priority, relational.Q3_SQL)
+register(
+    "q_top_orders_per_priority",
+    relational.q_top_orders_per_priority,
+    relational.Q_WINDOW_SQL,
+)
+register("q_set_ops", relational.q_set_ops, relational.Q_SET_OPS_SQL)
+register("q_top_customers", relational.q_top_customers, relational.Q_TOP_CUSTOMERS_SQL)
+
+# --- event-stream operators (events table; SURVEY.md §2.3 range/as-of) ------
+register("events_asof_click", events.events_asof_click, events.EVENTS_ASOF_SQL)
+register(
+    "events_sessionize", events.events_sessionize, events.EVENTS_SESSIONIZE_SQL
+)
+register(
+    "events_props_extract", events.events_props_extract, events.EVENTS_PROPS_SQL
+)
+register(
+    "events_hourly_rollup", events.events_hourly_rollup, events.EVENTS_HOURLY_SQL
+)
 
 # --- CSV source layer (SURVEY.md §2.1 S3-S5, §1.4) --------------------------
 register(
