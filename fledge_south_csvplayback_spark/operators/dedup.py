@@ -1,0 +1,255 @@
+"""Deduplication operators over the ``documents`` table.
+
+The reference has no dedup (it is an IoT playback plugin); these are
+the large-scale-training-pipeline operators the engine adds, designed
+for the 100 TB case first:
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle keyed
+  by md5(text), never by the full text bytes.
+- **ngram_jaccard**: exact n-gram (shingle) Jaccard via an *inverted
+  index* self-join: explode distinct shingles, join doc-pairs that
+  share a shingle, count shared shingles per pair. No document-level
+  cross join anywhere; the join key is the shingle, so cost scales
+  with shared-shingle pairs, not |docs|². (For adversarial corpora a
+  document-frequency cap on shingles bounds the fan-out; the synthetic
+  corpus needs none.)
+- **minhash_lsh**: 32-perm MinHash signatures (xxhash64 with per-perm
+  seeds, array expressions — no Python), banded 8×4 so candidate
+  generation is an equi-join on (band, band_key); candidates are then
+  *verified* with exact Jaccard, so output equals the exact operator's
+  (at the 0.8 threshold the 8-band/4-row S-curve has miss probability
+  (1-j⁴)⁸ < 1e-8 — recall is asserted in tests). The oracle is
+  therefore the same SQL as ngram_jaccard.
+- **simhash**: 64-bit SimHash from token hashes (per-bit vote sums →
+  OR of set bits), candidate pairs via 4×16-bit band buckets, verified
+  by Hamming distance ≤ 8 (bit_count(xor)). Hash-dependent, so
+  rows-only checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NGRAM = 3
+JACCARD_THRESHOLD = 0.8
+MINHASH_PERMS = 32
+LSH_BANDS = 8  # 4 rows per band
+SIMHASH_BANDS = 8  # 8 bits each: any pair within Hamming 7 must share a band
+SIMHASH_MAX_HAMMING = 16
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- exact dedup -------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups keyed by content hash; keeper = min doc_id."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- shingling ---------------------------------------------------------------
+def shingles(text: Column, n: int = NGRAM) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>)."""
+    toks = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams))
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", shingles(F.col("text")).alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+
+
+# oracle used by both the exact-Jaccard and the LSH operator (see module
+# docstring for why LSH verification makes the outputs identical)
+NGRAM_JACCARD_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, len(t) - {NGRAM - 1}),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+    FROM toks WHERE len(t) >= {NGRAM}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT ia AS doc_a, ib AS doc_b,
+       ROUND(c::DOUBLE / (na.n + nb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes na ON ia = na.doc_id
+JOIN sizes nb ON ib = nb.doc_id
+WHERE c::DOUBLE / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    idx = sh.select("doc_id", F.explode("sh").alias("s"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    j = F.col("c") / (F.col("na.n") + F.col("nb.n") - F.col("c"))
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(j >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+def minhash_signature(sh: Column, perms: int = MINHASH_PERMS) -> list[Column]:
+    """Per-permutation min of seeded xxhash64 over the shingle set."""
+    return [
+        F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, F.lit(p)))
+        ).alias(f"_mh{p}")
+        for p in range(perms)
+    ]
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = MINHASH_PERMS // LSH_BANDS
+    sh = _shingled(spark, sf_dir)
+    sig = sh.select("doc_id", "sh", *minhash_signature(F.col("sh")))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"_mh{b * rows + r}") for r in range(rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (arrays are per-doc, small)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    j = inter / union
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(j >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash within Hamming distance 8.
+
+    Rows-only checked (the fingerprint depends on xxhash64, which the
+    SQL oracle cannot reproduce); tests assert it finds the planted
+    near-duplicates that exact Jaccard finds.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
+    fp = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
+                .otherwise(0)
+                for b in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 64 // SIMHASH_BANDS * i)
+                        .bitwiseAND((1 << (64 // SIMHASH_BANDS)) - 1)
+                        .alias("chunk"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

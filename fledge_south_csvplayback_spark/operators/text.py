@@ -1,0 +1,179 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Training-data-pipeline text ops, all built-in expressions (no Python
+UDFs — every formula is a Catalyst expression that survives
+whole-stage codegen and scales embarrassingly):
+
+- **text_stats / quality**: char/token counts, distinct-token ratio,
+  stopword ratio, mean token length, and a deterministic composite
+  quality score.
+- **lang_id**: marker-word n-gram heuristic (argmax of per-language
+  stopword hits with a deterministic tie order).
+- **token classes**: BPE-ish regex token counting (word / number /
+  other classes).
+- **fingerprint**: md5 over normalized text — the canonical
+  content-defined document fingerprint used by exact dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+# marker sets per language; scored in this fixed order, first max wins
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "in"),
+    "es": ("el", "la", "los", "de", "y"),
+    "fr": ("le", "la", "les", "et", "un"),
+    "de": ("der", "die", "das", "und", "ein"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _in_set(arr, values: tuple[str, ...]):
+    lit_arr = F.array(*[F.lit(v) for v in values])
+    return F.size(F.filter(arr, lambda t: F.array_contains(lit_arr, t)))
+
+
+# --- stats + quality score ---------------------------------------------------
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_hits = _in_set(toks, STOPWORDS)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    ttr = n_distinct / n_tokens
+    stop_ratio = stop_hits / n_tokens
+    mean_len = tok_chars / n_tokens
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.4
+        + ttr * 0.4
+        + F.least(F.lit(1.0), stop_ratio * 10) * 0.2,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        quality.alias("quality"),
+    )
+
+
+def _duck_inset(values: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{v}'" for v in values)
+    return f"len(list_filter(t, x -> x IN ({lst})))"
+
+
+TEXT_STATS_SQL = f"""
+WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       CAST(len(text) AS INTEGER) AS n_chars,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+       ROUND(len(list_distinct(t))::DOUBLE / len(t), 6) AS ttr,
+       ROUND({_duck_inset(STOPWORDS)}::DOUBLE / len(t), 6) AS stop_ratio,
+       ROUND(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 6)
+           AS mean_token_len,
+       ROUND(LEAST(1.0, len(t) / 100.0) * 0.4
+             + (len(list_distinct(t))::DOUBLE / len(t)) * 0.4
+             + LEAST(1.0, ({_duck_inset(STOPWORDS)}::DOUBLE / len(t)) * 10) * 0.2,
+             6) AS quality
+FROM s
+"""
+
+
+# --- language-id heuristic ---------------------------------------------------
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    scores = {lang: _in_set(toks, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # reversed so the first language in LANG_MARKERS order wins ties
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        *[s.alias(f"score_{lang}") for lang, s in scores.items()],
+    )
+
+
+def _lang_case() -> str:
+    hits = {
+        lang: _duck_inset(m).replace("t,", "t,") for lang, m in LANG_MARKERS.items()
+    }
+    best = "GREATEST(" + ", ".join(hits.values()) + ")"
+    branches = " ".join(
+        f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return (
+        f"CASE WHEN {best} = 0 THEN 'und' {branches} ELSE 'und' END",
+        hits,
+    )
+
+
+_CASE, _HITS = _lang_case()
+TEXT_LANG_ID_SQL = f"""
+WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id, lang,
+       {_CASE} AS lang_pred,
+       CAST({_HITS['en']} AS INTEGER) AS score_en,
+       CAST({_HITS['es']} AS INTEGER) AS score_es,
+       CAST({_HITS['fr']} AS INTEGER) AS score_fr,
+       CAST({_HITS['de']} AS INTEGER) AS score_de
+FROM s
+"""
+
+
+# --- BPE-ish token-class counting --------------------------------------------
+WORD_RE = "[a-z]+"
+NUM_RE = "[0-9]+"
+
+
+def text_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(WORD_RE)).alias("n_word_tokens"),
+        F.regexp_count(F.col("text"), F.lit(NUM_RE)).alias("n_num_tokens"),
+    )
+
+
+TEXT_TOKEN_CLASSES_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{WORD_RE}')) AS INTEGER) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '{NUM_RE}')) AS INTEGER) AS n_num_tokens
+FROM documents
+"""
+
+
+# --- content fingerprint -----------------------------------------------------
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.col("text"), "[^a-z0-9 ]", ""))
+    return docs.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
+    )
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id, md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS fingerprint
+FROM documents
+"""

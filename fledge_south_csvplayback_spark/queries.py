@@ -12,9 +12,11 @@ from fledge_south_csvplayback_spark.registry import register
 from fledge_south_csvplayback_spark.operators import (
     clean_queries,
     csv_queries,
+    dedup,
     envelope_queries,
     events,
     relational,
+    text,
     ts_queries,
 )
 
@@ -41,6 +43,18 @@ register(
 register(
     "events_hourly_rollup", events.events_hourly_rollup, events.EVENTS_HOURLY_SQL
 )
+
+# --- dedup suite (documents table; training-pipeline extensions) ------------
+register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
+register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.NGRAM_JACCARD_SQL)
+register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.NGRAM_JACCARD_SQL)
+register("dedup_simhash", dedup.dedup_simhash, None)  # hash-dependent: rows-only
+
+# --- text analysis (documents table) ----------------------------------------
+register("text_stats", text.text_stats, text.TEXT_STATS_SQL)
+register("text_lang_id", text.text_lang_id, text.TEXT_LANG_ID_SQL)
+register("text_token_classes", text.text_token_classes, text.TEXT_TOKEN_CLASSES_SQL)
+register("text_fingerprint", text.text_fingerprint, text.TEXT_FINGERPRINT_SQL)
 
 # --- CSV source layer (SURVEY.md §2.1 S3-S5, §1.4) --------------------------
 register(
