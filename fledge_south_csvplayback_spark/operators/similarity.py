@@ -1,0 +1,190 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Two paths, per the training-pipeline brief:
+
+- **brute-force cosine top-k** (the correctness baseline): the query
+  set is small and explicitly *broadcast*; every partition of the big
+  side computes dot products against the broadcast queries with
+  built-in array expressions (``zip_with`` + ``aggregate`` — JVM
+  codegen, no Python). Per-query top-k is a window partitioned by
+  query id. The only "cross" join is broadcast-nested-loop of
+  |queries| × partition — the correct brute-force shape at any scale
+  (cost |Q|·N with N scanned once); there is no fact×fact cartesian.
+- **LSH-bucketed ANN** (the scale path): 16 deterministic random
+  hyperplanes (driver-seeded, embedded as literal arrays) hashed into
+  4 bands × 4 bits; a candidate must share a band bucket with the
+  query, then exact cosine ranks the candidates. Bucket join is an
+  equi-join on (band, key) — at 100 TB this is the difference between
+  N·|Q| and (N/2^bits)·|Q| dot products. Hash-bucket membership is not
+  SQL-reproducible, so this entry is rows-only checked; recall against
+  the brute-force oracle is asserted in tests.
+
+Arrays are cast float->double before arithmetic so Spark and DuckDB
+accumulate in the same precision.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+LSH_PLANES = 16
+LSH_BANDS = 8  # 2 bits per band: high candidate recall, still prunes ~3/4
+DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+# --- brute-force cosine top-k ------------------------------------------------
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+    ranked = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cos)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )
+    return ranked.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < {N_QUERIES}),
+p AS (
+    SELECT q.query_id, e.vec_id,
+           list_dot_product(e.v, q.qv) / (e.nrm * q.qn) AS cosine
+    FROM e, q
+    WHERE e.vec_id != q.query_id
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM p
+)
+SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine
+FROM r WHERE rank <= {TOP_K}
+"""
+
+
+# --- LSH-bucketed ANN --------------------------------------------------------
+def _hyperplanes(n: int = LSH_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded SHA-256 stream)."""
+    planes = []
+    for p in range(n):
+        vals: list[float] = []
+        chunk = 0
+        while len(vals) < dim:
+            h = hashlib.sha256(f"lsh:{p}:{chunk}".encode()).digest()  # 32 bytes
+            vals.extend(
+                struct.unpack(">q", h[i : i + 8])[0] / 2**63
+                for i in range(0, 32, 8)
+            )
+            chunk += 1
+        planes.append(vals[:dim])
+    return planes
+
+
+def _lsh_bands(v: Column) -> Column:
+    """Array of (band, key) structs from hyperplane sign bits."""
+    planes = _hyperplanes()
+    bits = [
+        F.when(_dot(v, F.array(*[F.lit(x) for x in plane])) >= 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    per_band = LSH_PLANES // LSH_BANDS
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    [
+                        bits[b * per_band + i] * (1 << i)
+                        for i in range(per_band)
+                    ],
+                    F.lit(0),
+                ).alias("key"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+
+
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    banded = emb.withColumn("bk", F.explode(_lsh_bands(F.col("v")))).select(
+        "vec_id", "v", "norm", "bk.band", "bk.key"
+    )
+    queries = banded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("band").alias("qband"),
+        F.col("key").alias("qkey"),
+    )
+    cands = (
+        banded.join(
+            F.broadcast(queries),
+            (F.col("band") == F.col("qband"))
+            & (F.col("key") == F.col("qkey"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "v", "norm", "qv", "qnorm")
+        .dropDuplicates(["query_id", "vec_id"])  # multi-band hits collapse
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+    ranked = cands.withColumn("cosine", cos).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+    )

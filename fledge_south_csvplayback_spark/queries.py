@@ -15,7 +15,9 @@ from fledge_south_csvplayback_spark.operators import (
     dedup,
     envelope_queries,
     events,
+    multimodal,
     relational,
+    similarity,
     text,
     ts_queries,
 )
@@ -55,6 +57,22 @@ register("text_stats", text.text_stats, text.TEXT_STATS_SQL)
 register("text_lang_id", text.text_lang_id, text.TEXT_LANG_ID_SQL)
 register("text_token_classes", text.text_token_classes, text.TEXT_TOKEN_CLASSES_SQL)
 register("text_fingerprint", text.text_fingerprint, text.TEXT_FINGERPRINT_SQL)
+
+# --- similarity search (embeddings table) -----------------------------------
+register("ann_cosine_topk", similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL)
+register("ann_cosine_topk_lsh", similarity.ann_cosine_topk_lsh, None)  # hash buckets
+
+# --- multimodal plumbing (binary payload + mapInPandas, decode stubbed) -----
+register(
+    "multimodal_features",
+    multimodal.multimodal_features,
+    multimodal.MULTIMODAL_FEATURES_SQL,
+)
+register(
+    "multimodal_frame_sample",
+    multimodal.multimodal_frame_sample,
+    multimodal.MULTIMODAL_FRAMES_SQL,
+)
 
 # --- CSV source layer (SURVEY.md §2.1 S3-S5, §1.4) --------------------------
 register(

@@ -1,0 +1,33 @@
+"""Similarity-search properties: LSH recall vs the brute-force baseline."""
+
+from __future__ import annotations
+
+from fledge_south_csvplayback_spark.operators import similarity as S
+from tests.conftest import TEST_SF_DIR
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    bf = {(r.query_id, r.vec_id) for r in S.ann_cosine_topk(spark, TEST_SF_DIR).collect()}
+    lsh = {
+        (r.query_id, r.vec_id)
+        for r in S.ann_cosine_topk_lsh(spark, TEST_SF_DIR).collect()
+    }
+    assert len(bf) == S.N_QUERIES * S.TOP_K
+    assert len(lsh) == S.N_QUERIES * S.TOP_K
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.8, recall
+
+
+def test_bruteforce_topk_shape(spark):
+    rows = S.ann_cosine_topk(spark, TEST_SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.vec_id != r.query_id
+        assert -1.0 <= r.cosine <= 1.0
+    for q, rs in by_q.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(1, S.TOP_K + 1))
+        ordered = sorted(rs, key=lambda x: x.rank)
+        cosines = [x.cosine for x in ordered]
+        assert cosines == sorted(cosines, reverse=True)
