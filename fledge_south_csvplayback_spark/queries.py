@@ -21,6 +21,7 @@ from fledge_south_csvplayback_spark.operators import (
     text,
     ts_queries,
 )
+from fledge_south_csvplayback_spark.streaming import stream_queries
 
 # --- relational suite (SURVEY.md §2.3/§2.5/§2.7/§2.8 gap-fill) -------------
 register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_SQL)
@@ -73,6 +74,9 @@ register(
     multimodal.multimodal_frame_sample,
     multimodal.MULTIMODAL_FRAMES_SQL,
 )
+
+# --- streaming playback (ST1-ST7; wall-clock stamps => rows-only) -----------
+register("playback_stream_smoke", stream_queries.playback_stream_smoke, None)
 
 # --- CSV source layer (SURVEY.md §2.1 S3-S5, §1.4) --------------------------
 register(

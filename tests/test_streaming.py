@@ -1,0 +1,100 @@
+"""Streaming playback smoke tests (ST1-ST7, S7-S10)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from fledge_south_csvplayback_spark.config import IngestMode, PlaybackConfig
+from fledge_south_csvplayback_spark.streaming import playback as pb
+
+FIXTURE_MULTI = os.path.join(
+    os.path.dirname(__file__), "fixtures", "multi"
+)
+SCHEMA = "channel1 string, channel2 string, user_ts string"
+
+
+def _cfg(d: str, **kw) -> PlaybackConfig:
+    return PlaybackConfig(csv_dir_name=d, csv_file_name="vib", **kw)
+
+
+def test_async_stream_drains_all_files(spark):
+    got: list[int] = []
+
+    def cb(rows, batch_id):
+        got.append(len(rows))
+
+    session = pb.PlaybackSession(spark, _cfg(FIXTURE_MULTI), SCHEMA)
+    q = session.start_async(cb, available_now=True)
+    q.awaitTermination()
+    assert sum(got) == 4000  # 2 files x 2000 data rows
+    assert len(got) >= 2  # maxFilesPerTrigger=1 -> one batch per file
+
+
+def test_poll_mode_envelope_shape(spark):
+    session = pb.PlaybackSession(spark, _cfg(FIXTURE_MULTI), SCHEMA)
+    session.start_polling(available_now=True)
+    batch = session.poll()
+    assert batch, "first poll should yield a burst"
+    r = batch[0]
+    assert set(r.asDict()) == {"asset", "timestamp", "readings"}
+    assert r.asset == "vibration"
+    assert set(r.readings) == {"channel1", "channel2", "user_ts"}
+    session.stop()
+
+
+def test_continuous_mode_spreads_timestamps(spark):
+    cfg = _cfg(FIXTURE_MULTI, ingest_mode=IngestMode.CONTINUOUS, sample_rate=2000)
+    collected = []
+    session = pb.PlaybackSession(spark, cfg, SCHEMA)
+    q = session.start_async(lambda rows, bid: collected.extend(rows), available_now=True)
+    q.awaitTermination()
+    stamps = {r.timestamp for r in collected}
+    # 2000-row chunks spread at 500 us steps -> many distinct stamps
+    assert len(stamps) > 100
+
+
+def test_replay_loop_doubles_rows(spark):
+    seen = []
+    total = pb.replay(
+        spark, _cfg(FIXTURE_MULTI), SCHEMA, lambda rows, bid: seen.append(len(rows)), 2
+    )
+    assert total == 8000  # continue_playing x2
+
+
+def test_clean_source_archive_moves_files(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for name in os.listdir(FIXTURE_MULTI):
+        shutil.copy(os.path.join(FIXTURE_MULTI, name), src / name)
+    archive = tmp_path / "done"
+    session = pb.PlaybackSession(
+        spark,
+        _cfg(str(src)),
+        SCHEMA,
+        clean_source="archive",
+        archive_dir=str(archive),
+    )
+    q = session.start_async(lambda rows, bid: None, available_now=True)
+    q.awaitTermination()
+    # archival is asynchronous maintenance work; allow it to settle
+    import time
+
+    for _ in range(40):
+        if not any(f.endswith(".csv") for f in os.listdir(src)):
+            break
+        time.sleep(0.5)
+    archived = list(archive.rglob("*.csv")) if archive.exists() else []
+    moved = not any(f.endswith(".csv") for f in os.listdir(src))
+    assert moved or archived, "cleanSource=archive should relocate consumed files"
+
+
+def test_csv_append_writer(spark, tmp_path):
+    out = str(tmp_path / "out")
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    pb.write_csv_append(df, out)
+    pb.write_csv_append(df, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 10
