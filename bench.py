@@ -24,10 +24,21 @@ from fledge_south_csvplayback_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARMUP_DIR = "/root/testdata/sf0.001"
 
-# Headline subset: biggest-shuffle / most-representative queries.
+# Headline subset: biggest-shuffle / most-representative query per suite.
 # Falls back to every registered query if a headline name is missing.
 HEADLINE = [
-    "q1_pricing_summary",
+    "q1_pricing_summary",  # scan + hash agg
+    "q5_regional_revenue",  # broadcast star join + fact-fact joins
+    "q3_shipping_priority",  # fact-fact join + top-k
+    "q_top_orders_per_priority",  # partitioned window
+    "events_asof_click",  # as-of join (union + ordered window)
+    "events_sessionize",  # lag + running-sum sessions
+    "dedup_ngram_jaccard",  # inverted-index self-join (heaviest shuffle)
+    "dedup_minhash_lsh",  # signature + banded candidate join
+    "ann_cosine_topk",  # broadcast brute-force cosine
+    "text_stats",  # array-expression scan
+    "multimodal_features",  # Arrow mapInPandas path
+    "csv_pick_from_file",  # CSV source layer
 ]
 
 

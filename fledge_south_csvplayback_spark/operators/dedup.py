@@ -67,20 +67,45 @@ GROUP BY 1
 
 # --- shingling ---------------------------------------------------------------
 def shingles(text: Column, n: int = NGRAM) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>)."""
-    toks = F.split(text, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams))
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    The token array is let-bound via the ``transform(array(split(...)),
+    toks -> ...)`` trick so the split runs exactly ONCE per row: every
+    ``element_at`` in a lambda otherwise embeds its own copy of its
+    argument subtree, and higher-order-function lambdas are interpreted
+    (outside codegen and common-subexpression elimination) — an inline
+    split would re-tokenize the document once per gram per element,
+    O(len²) per row. (A separate select() doesn't help: Catalyst
+    collapses adjacent Projects and re-inlines the expression.) Grams
+    use O(1) ``element_at`` lookups, not ``slice`` copies.
+    """
+
+    def build(toks: Column) -> Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k) for k in range(n)]
+                ),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(F.split(text, " ")), build), 1)
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
+        .filter(F.size(F.split(F.col("text"), " ")) >= NGRAM)  # cheap predicate
         .select("doc_id", shingles(F.col("text")).alias("sh"))
-        .filter(F.col("sh").isNotNull())
+    )
+
+
+def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) inverted index — the shared base of the
+    Jaccard and MinHash operators."""
+    return _shingled(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
     )
 
 
@@ -110,9 +135,8 @@ WHERE c::DOUBLE / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir)
-    idx = sh.select("doc_id", F.explode("sh").alias("s"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
+    idx = _shingle_index(spark, sf_dir)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = idx.alias("a"), idx.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -132,20 +156,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash + LSH -----------------------------------------------------------
-def minhash_signature(sh: Column, perms: int = MINHASH_PERMS) -> list[Column]:
-    """Per-permutation min of seeded xxhash64 over the shingle set."""
-    return [
-        F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, F.lit(p)))
-        ).alias(f"_mh{p}")
-        for p in range(perms)
-    ]
+def minhash_signatures(idx: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """Per-doc MinHash signature as one aggregation over the inverted
+    index: min of seeded xxhash64 per permutation — map-side partial
+    aggregation, one shuffle keyed by doc_id, no per-row array passes."""
+    return idx.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("s", F.lit(p))).alias(f"_mh{p}")
+            for p in range(perms)
+        ]
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = MINHASH_PERMS // LSH_BANDS
-    sh = _shingled(spark, sf_dir)
-    sig = sh.select("doc_id", "sh", *minhash_signature(F.col("sh")))
+    idx = _shingle_index(spark, sf_dir)
+    sig = minhash_signatures(idx)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -174,6 +200,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # verify candidates with exact Jaccard (arrays are per-doc, small)
+    sh = _shingled(spark, sf_dir)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
