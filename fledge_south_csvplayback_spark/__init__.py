@@ -18,7 +18,9 @@ Layout:
     sources/       CSV scan variants, file discovery (S1-S6)
     operators/     timestamps, cleaning, readings envelope, relational,
                    dedup, similarity, text, multimodal
-    streaming/     rate-controlled playback (ST1-ST7)
+    streaming/     rate-controlled playback, sinks, replay (ST1-ST7, S7-S10)
+    etl.py         offline cleaning CLI (E1-E3)
+    queries.py     driver-contract registrations (one line per operator)
 """
 
 __version__ = "0.1.0"

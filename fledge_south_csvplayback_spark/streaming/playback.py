@@ -216,6 +216,20 @@ def replay(
     return total
 
 
+# -- A4: throughput counters --------------------------------------------------
+def throughput(query: StreamingQuery) -> dict[str, float]:
+    """Readings/sec from the engine's own progress telemetry — the
+    reference's TIME_IT counters (csvplayback.py:908-922) for free."""
+    p = query.lastProgress
+    if not p:
+        return {"input_rows_per_second": 0.0, "processed_rows_per_second": 0.0}
+    return {
+        "input_rows_per_second": float(p.get("inputRowsPerSecond") or 0.0),
+        "processed_rows_per_second": float(p.get("processedRowsPerSecond") or 0.0),
+        "num_input_rows": float(p.get("numInputRows") or 0.0),
+    }
+
+
 # -- S10: CSV append writer ---------------------------------------------------
 def write_csv_append(df: DataFrame, path: str, header: bool = True) -> None:
     """Append-mode CSV write (the ETL tool's chunked append sink).

@@ -91,6 +91,15 @@ def test_clean_source_archive_moves_files(spark, tmp_path):
     assert moved or archived, "cleanSource=archive should relocate consumed files"
 
 
+def test_throughput_counters(spark):
+    session = pb.PlaybackSession(spark, _cfg(FIXTURE_MULTI), SCHEMA)
+    q = session.start_async(lambda rows, bid: None, available_now=True)
+    q.awaitTermination()
+    t = pb.throughput(q)
+    assert t["num_input_rows"] > 0
+    assert t["processed_rows_per_second"] > 0
+
+
 def test_csv_append_writer(spark, tmp_path):
     out = str(tmp_path / "out")
     df = spark.range(5).selectExpr("id", "id * 2 AS v")

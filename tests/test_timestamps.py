@@ -38,6 +38,45 @@ def test_strptime_to_jdk_rejects_unknown():
         ts.strptime_to_jdk("%Q")
 
 
+@pytest.mark.parametrize(
+    "fmt",
+    [
+        "%Y-%m-%d %H:%M:%S.%f%z",
+        "%Y-%m-%dT%H:%M:%S",
+        "%d/%m/%Y %H:%M",
+    ],
+)
+def test_parse_roundtrip_matches_python_strptime(spark, fmt):
+    """Property: Spark to_timestamp(strptime_to_jdk(fmt)) == Python
+    strptime for a seeded spread of datetimes."""
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    rng = random.Random(42)
+    base = datetime(2000, 1, 1, tzinfo=timezone.utc)
+    dts = [
+        base
+        + timedelta(
+            days=rng.randint(0, 9000),
+            seconds=rng.randint(0, 86399),
+            microseconds=rng.randint(0, 999999),
+        )
+        for _ in range(50)
+    ]
+    formatted = [d.strftime(fmt) for d in dts]
+    expected = [
+        datetime.strptime(s, fmt)
+        .astimezone(timezone.utc)
+        .replace(tzinfo=None)
+        if "%z" in fmt
+        else datetime.strptime(s, fmt)
+        for s in formatted
+    ]
+    df = spark.createDataFrame([(s,) for s in formatted], "s string")
+    got = [r.timestamp for r in ts.copy_csv_value(df, "s", fmt).collect()]
+    assert got == expected
+
+
 def test_continuous_spread_matches_reference_formula(spark):
     # reference: row i of chunk c -> anchor_c.replace(microsecond=i*step)
     rows = ts_current_time_continuous(spark, "").orderBy("user_ts").collect()
