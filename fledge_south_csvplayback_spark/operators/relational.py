@@ -256,3 +256,59 @@ GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins (EXISTS / NOT EXISTS): the shuffle carries only the
+# customer side; the probe never widens rows.
+# ---------------------------------------------------------------------------
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    on = customer.c_custkey == big_orders.o_custkey
+    with_big = customer.join(big_orders, on, "left_semi").select(
+        F.lit("has_big_order").alias("op"), "c_custkey"
+    )
+    without_big = customer.join(big_orders, on, "left_anti").select(
+        F.lit("no_big_order").alias("op"), "c_custkey"
+    )
+    return with_big.unionByName(without_big)
+
+
+Q_SEMI_ANTI_SQL = """
+SELECT 'has_big_order' AS op, c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+UNION ALL
+SELECT 'no_big_order' AS op, c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP: hierarchical subtotals in one pass (Catalyst expands the
+# grouping sets; partial aggregation still applies).
+# ---------------------------------------------------------------------------
+def q1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""

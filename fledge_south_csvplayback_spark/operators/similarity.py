@@ -154,6 +154,47 @@ def _lsh_bands(v: Column) -> Column:
     )
 
 
+COSINE_PAIR_THRESHOLD = 0.45  # the synthetic embeddings top out near 0.51
+
+
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup mining: all pairs above a cosine
+    threshold, candidates from the hyperplane-LSH band buckets (no
+    all-pairs cross join), verified with the exact cosine.
+
+    Rows-only checked (bucket membership is hash-defined); recall
+    against a brute-force ground truth is asserted in tests.
+    """
+    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    banded = emb.withColumn("bk", F.explode(_lsh_bands(F.col("v")))).select(
+        "vec_id", "v", "norm", "bk.band", "bk.key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+            F.col("a.norm").alias("na"),
+            F.col("b.norm").alias("nb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cands.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COSINE_PAIR_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 

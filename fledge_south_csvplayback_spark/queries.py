@@ -34,6 +34,8 @@ register(
 )
 register("q_set_ops", relational.q_set_ops, relational.Q_SET_OPS_SQL)
 register("q_top_customers", relational.q_top_customers, relational.Q_TOP_CUSTOMERS_SQL)
+register("q_semi_anti_join", relational.q_semi_anti_join, relational.Q_SEMI_ANTI_SQL)
+register("q1_rollup", relational.q1_rollup, relational.Q1_ROLLUP_SQL)
 
 # --- event-stream operators (events table; SURVEY.md §2.3 range/as-of) ------
 register("events_asof_click", events.events_asof_click, events.EVENTS_ASOF_SQL)
@@ -62,6 +64,9 @@ register("text_fingerprint", text.text_fingerprint, text.TEXT_FINGERPRINT_SQL)
 # --- similarity search (embeddings table) -----------------------------------
 register("ann_cosine_topk", similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL)
 register("ann_cosine_topk_lsh", similarity.ann_cosine_topk_lsh, None)  # hash buckets
+register(
+    "embedding_cosine_pairs", similarity.embedding_cosine_pairs, None
+)  # hash buckets
 
 # --- multimodal plumbing (binary payload + mapInPandas, decode stubbed) -----
 register(
@@ -98,6 +103,13 @@ register(
     csv_queries.CSV_EXPLICIT_SUBSET_SQL,
 )
 register("csv_ragged_map", csv_queries.csv_ragged_map, csv_queries.CSV_RAGGED_SQL)
+register("csv_gzip", csv_queries.csv_gzip, csv_queries.CSV_GZIP_SQL)
+register("csv_bzip2", csv_queries.csv_bzip2, csv_queries.CSV_BZIP2_SQL)
+register(
+    "csv_directory_union",
+    csv_queries.csv_directory_union,
+    csv_queries.CSV_DIRECTORY_SQL,
+)
 
 # --- timestamp synthesis T1-T5 (SURVEY.md §2.4) -----------------------------
 register("ts_copy_csv_value", ts_queries.ts_copy_csv_value, ts_queries.TS_COPY_SQL)

@@ -18,6 +18,35 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.8, recall
 
 
+def test_embedding_cosine_pairs_recall(spark):
+    import duckdb
+
+    truth = {
+        (a, b)
+        for a, b in duckdb.connect()
+        .execute(
+            f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS n
+            FROM read_parquet('{TEST_SF_DIR}/embeddings.parquet'))
+        SELECT a.vec_id, b.vec_id
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.n * b.n) >= {S.COSINE_PAIR_THRESHOLD}
+        """
+        )
+        .fetchall()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in S.embedding_cosine_pairs(spark, TEST_SF_DIR).collect()
+    }
+    assert got <= truth  # exact verification: no false positives
+    assert truth, "threshold should select some pairs in the fixture data"
+    recall = len(got) / len(truth)
+    assert recall >= 0.5, (recall, len(got), len(truth))
+
+
 def test_bruteforce_topk_shape(spark):
     rows = S.ann_cosine_topk(spark, TEST_SF_DIR).collect()
     by_q = {}
