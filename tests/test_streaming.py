@@ -91,6 +91,24 @@ def test_clean_source_archive_moves_files(spark, tmp_path):
     assert moved or archived, "cleanSource=archive should relocate consumed files"
 
 
+def test_restart_with_new_config(spark):
+    """ST6: reconfigure = stop + rebuild + start (csvplayback.py:336-353)."""
+    session = pb.PlaybackSession(spark, _cfg(FIXTURE_MULTI), SCHEMA)
+    q1 = session.start_async(lambda rows, bid: None, available_now=True)
+    q1.awaitTermination()
+    counts = []
+    new_cfg = _cfg(FIXTURE_MULTI, asset_name="pump")
+    q2 = session.restart(new_cfg, lambda rows, bid: counts.append(rows))
+    try:
+        deadline = 30
+        while not counts and deadline > 0:
+            q2.processAllAvailable()
+            deadline -= 1
+        assert counts and counts[0][0].asset == "pump"
+    finally:
+        session.stop()
+
+
 def test_throughput_counters(spark):
     session = pb.PlaybackSession(spark, _cfg(FIXTURE_MULTI), SCHEMA)
     q = session.start_async(lambda rows, bid: None, available_now=True)
