@@ -39,6 +39,7 @@ HEADLINE = [
     "text_stats",  # array-expression scan
     "multimodal_features",  # Arrow mapInPandas path
     "csv_pick_from_file",  # CSV source layer
+    "playback_burst_envelope",  # burst playback throughput (600k readings at sf0.1)
 ]
 
 

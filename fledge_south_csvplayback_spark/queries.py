@@ -82,6 +82,9 @@ register(
 
 # --- streaming playback (ST1-ST7; wall-clock stamps => rows-only) -----------
 register("playback_stream_smoke", stream_queries.playback_stream_smoke, None)
+register(
+    "playback_burst_envelope", envelope_queries.playback_burst_envelope, None
+)  # wall-clock stamps
 
 # --- CSV source layer (SURVEY.md §2.1 S3-S5, §1.4) --------------------------
 register(
