@@ -113,10 +113,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_case() -> str:
-    hits = {
-        lang: _duck_inset(m).replace("t,", "t,") for lang, m in LANG_MARKERS.items()
-    }
+def _lang_case() -> tuple[str, dict[str, str]]:
+    hits = {lang: _duck_inset(m) for lang, m in LANG_MARKERS.items()}
     best = "GREATEST(" + ", ".join(hits.values()) + ")"
     branches = " ".join(
         f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in LANG_MARKERS
