@@ -20,13 +20,20 @@ for the 100 TB case first:
   (at the 0.8 threshold the 8-band/4-row S-curve has miss probability
   (1-j⁴)⁸ < 1e-8 — recall is asserted in tests). The oracle is
   therefore the same SQL as ngram_jaccard.
-- **simhash**: 64-bit SimHash from token hashes (per-bit vote sums →
-  OR of set bits), candidate pairs via 4×16-bit band buckets, verified
-  by Hamming distance ≤ 8 (bit_count(xor)). Hash-dependent, so
-  rows-only checked.
+- **simhash**: 64-bit SimHash from *shingle* hashes (per-bit vote sums
+  → OR of set bits), candidate pairs via 8×8-bit band buckets, verified
+  by Hamming distance ≤ 12 (bit_count(xor)). Unigram-token SimHash is
+  useless on corpora with heavily shared vocabulary (measured on the
+  synthetic corpus: random-pair Hamming median 14, true-dup median 6 —
+  no separation, 57% of ALL pairs under the old ≤16 cut, an O(n²)
+  output); hashing 3-gram shingles decorrelates unrelated docs
+  (random-pair median 32, min 18 vs true-dup max 11) so the ≤12 cut is
+  a clean margin. Hash-dependent, so rows-only checked.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,11 +43,46 @@ JACCARD_THRESHOLD = 0.8
 MINHASH_PERMS = 32
 LSH_BANDS = 8  # 4 rows per band
 SIMHASH_BANDS = 8  # 8 bits each: any pair within Hamming 7 must share a band
-SIMHASH_MAX_HAMMING = 16
+SIMHASH_MAX_HAMMING = 12  # 8..12 found probabilistically (miss needs all 8 bands hit)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        spark,
+        f"{sf_dir}/documents.parquet",
+    )
+
+
+def _spread(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """Round-robin repartition ONLY when the scan is parallelism-starved.
+
+    Shingling is interpreted higher-order-function work — the most
+    expensive per-row compute in this module — and a small corpus packed
+    into one parquet file otherwise runs it on a single core (measured
+    2.6× slower at sf0.1). The starvation check is driver-side file-size
+    math, NOT ``df.rdd.getNumPartitions()``: converting to RDD under AQE
+    finalizes the plan and executes the scan as a real job (measured 5×
+    slower than no check at all). At real scale the input exceeds the
+    size cutoff (or is on a non-local filesystem) and this is a no-op —
+    collapsing a wide scan to 16 partitions would be the opposite of
+    the intent.
+    """
+    try:
+        p = path[len("file:"):] if path.startswith("file:") else path
+        if os.path.isdir(p):
+            total = sum(
+                os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+            )
+        else:
+            total = os.path.getsize(p)
+    except OSError:
+        return df  # non-local store: input splits already provide parallelism
+    target = max(2, spark.sparkContext.defaultParallelism // 2)
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    if total >= target * max_split // 4:
+        return df
+    return df.repartition(target)
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -135,23 +177,48 @@ WHERE c::DOUBLE / (na.n + nb.n - c) >= {JACCARD_THRESHOLD}
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    idx = _shingle_index(spark, sf_dir)
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = idx.alias("a"), idx.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    """Exact n-gram Jaccard pairs via posting lists, single shingle pass.
+
+    Shape: shingle once, carrying each doc's distinct-shingle count
+    ``n = size(sh)`` alongside the exploded index rows; group by shingle
+    into a sorted posting list of (doc_id, n) structs; emit the i<j
+    pairs of each list with both sizes attached; count shared shingles
+    per pair. Jaccard = c / (na + nb - c) is then computable from the
+    pair-count row alone — no sizes table, no joins, two shuffles total
+    (by shingle, by pair). The earlier index self-join re-ran the
+    shingling per branch (3 scans) and shuffled the full index twice;
+    this is ~2.6× faster at sf0.1 and strictly fewer shuffles at any
+    scale. Posting-list pair fan-out is |list|² per shingle — bounded
+    here (max df 25 measured); an adversarial corpus would want a
+    document-frequency cap on shingles before the pair explode.
+    """
+    sh = _shingled(spark, sf_dir)
+    idx = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    by_s = idx.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["n"].alias("na"),
+                    y["doc_id"].alias("doc_b"),
+                    y["n"].alias("nb"),
+                ),
+            ),
         )
+    )
+    pairs = (
+        by_s.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.doc_a", "p.na", "p.doc_b", "p.nb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    na, nb = sizes.alias("na"), sizes.alias("nb")
-    j = F.col("c") / (F.col("na.n") + F.col("nb.n") - F.col("c"))
-    return (
-        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
-        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
-        .filter(j >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return pairs.filter(j >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
     )
 
 
@@ -216,16 +283,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash -----------------------------------------------------------------
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 64-bit SimHash within Hamming distance 8.
+    """Near-dup pairs by 64-bit shingle SimHash within Hamming 12.
 
     Rows-only checked (the fingerprint depends on xxhash64, which the
     SQL oracle cannot reproduce); tests assert it finds the planted
-    near-duplicates that exact Jaccard finds.
+    near-duplicates that exact Jaccard finds. Votes are per 3-gram
+    shingle, not per token — see the module docstring for the measured
+    separation argument.
     """
-    docs = _docs(spark, sf_dir)
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    tok = _shingle_index(spark, sf_dir).withColumn("h", F.xxhash64("s"))
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
