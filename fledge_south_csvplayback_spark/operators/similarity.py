@@ -195,6 +195,121 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF (inverted-file) ANN -------------------------------------------------
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize into inverted lists, probe a few cells.
+
+    The coarse centroids are the first ``IVF_CELLS`` non-query vectors —
+    a deterministic, data-defined rule rather than k-means, which makes
+    the whole index SQL-expressible: unlike the LSH variant this entry
+    is *oracle-checked*, DuckDB rebuilding the identical inverted lists.
+    Assignment is argmax-cosine over the broadcast centroids (the
+    standard IVF cost: |cells|·N dots, one scan, no shuffle besides the
+    per-vector argmax window); each query probes its ``IVF_NPROBE``
+    nearest cells and only those lists are searched exactly. At scale
+    the candidate join is an equi-join on cell_id, never all-pairs; a
+    real deployment would swap the centroid rule for sampled k-means
+    without touching the plan shape.
+    """
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    cents = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_CELLS)
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    csim = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    scored = (
+        emb.join(F.broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    F.col("csim").desc(), F.col("cell_id")
+                )
+            ),
+        )
+    )
+    assign = scored.filter(F.col("r") == 1).select("vec_id", "v", "norm", "cell_id")
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .filter(F.col("r") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.col("cell_id").alias("probe_cell"),
+        )
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+    ranked = (
+        assign.join(
+            F.broadcast(probes),
+            (F.col("cell_id") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", cos)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )
+    return ranked.select(
+        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+ANN_COSINE_TOPK_IVF_SQL = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM embeddings
+),
+c AS (
+    SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + IVF_CELLS}
+),
+scored AS (
+    SELECT e.vec_id, e.v, e.nrm, c.cell_id,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
+                        c.cell_id) AS r
+    FROM e, c
+),
+a AS (SELECT vec_id, v, nrm, cell_id FROM scored WHERE r = 1),
+p AS (
+    SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell_id
+    FROM scored WHERE vec_id < {N_QUERIES} AND r <= {IVF_NPROBE}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id,
+           list_dot_product(a.v, p.qv) / (a.nrm * p.qn) AS cosine
+    FROM a JOIN p ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM cand
+)
+SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine
+FROM r WHERE rank <= {TOP_K}
+"""
+
+
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 

