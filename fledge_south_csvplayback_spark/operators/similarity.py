@@ -12,12 +12,15 @@ Two paths, per the training-pipeline brief:
   (cost |Q|·N with N scanned once); there is no fact×fact cartesian.
 - **LSH-bucketed ANN** (the scale path): 16 deterministic random
   hyperplanes (driver-seeded, embedded as literal arrays) hashed into
-  4 bands × 4 bits; a candidate must share a band bucket with the
+  8 bands × 2 bits; a candidate must share a band bucket with the
   query, then exact cosine ranks the candidates. Bucket join is an
   equi-join on (band, key) — at 100 TB this is the difference between
-  N·|Q| and (N/2^bits)·|Q| dot products. Hash-bucket membership is not
-  SQL-reproducible, so this entry is rows-only checked; recall against
-  the brute-force oracle is asserted in tests.
+  N·|Q| and (N/2^bits)·|Q| dot products. Because the hyperplanes are
+  *literal* double arrays (not runtime hashes), the identical buckets
+  are rebuilt in the DuckDB oracle by embedding the same literals in
+  the SQL — the LSH entries are fully value-checked, with ranking on
+  round(cosine, 6) in both engines so float summation order cannot
+  reorder near-ties.
 
 Arrays are cast float->double before arithmetic so Spark and DuckDB
 accumulate in the same precision.
@@ -154,6 +157,37 @@ def _lsh_bands(v: Column) -> Column:
     )
 
 
+def _banded_sql() -> str:
+    """DuckDB CTEs rebuilding the exact Spark LSH buckets: the same
+    hyperplane literals, the same sign-bit band keys. Emits ``e``
+    (vectors + norms) and ``banded`` (vec_id, band, key)."""
+    per_band = LSH_PLANES // LSH_BANDS
+    planes = _hyperplanes()
+    lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+    keys = []
+    for b in range(LSH_BANDS):
+        bits = " + ".join(
+            f"CASE WHEN list_dot_product(v, {lits[b * per_band + i]}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i in range(per_band)
+        )
+        keys.append(f"({bits}) AS k{b}")
+    case_key = " ".join(
+        f"WHEN {b} THEN k{b}" for b in range(LSH_BANDS)
+    )
+    return f"""
+e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+    FROM embeddings
+),
+k AS (SELECT vec_id, v, nrm, {", ".join(keys)} FROM e),
+banded AS (
+    SELECT vec_id, band, CASE band {case_key} END AS key
+    FROM k CROSS JOIN (SELECT unnest(range({LSH_BANDS})) AS band) b
+)"""
+
+
 COSINE_PAIR_THRESHOLD = 0.45  # the synthetic embeddings top out near 0.51
 
 
@@ -162,8 +196,9 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, candidates from the hyperplane-LSH band buckets (no
     all-pairs cross join), verified with the exact cosine.
 
-    Rows-only checked (bucket membership is hash-defined); recall
-    against a brute-force ground truth is asserted in tests.
+    Oracle-checked: the bucket assignment is rebuilt literally in SQL
+    (see ``_banded_sql``), so DuckDB produces the identical candidate
+    set and the identical surviving pairs.
     """
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
     banded = emb.withColumn("bk", F.explode(_lsh_bands(F.col("v")))).select(
@@ -193,6 +228,26 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_PAIR_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def _embedding_cosine_pairs_sql() -> str:
+    return f"""
+WITH {_banded_sql()},
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       ROUND(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cosine
+FROM cand c
+JOIN e ea ON c.vec_a = ea.vec_id
+JOIN e eb ON c.vec_b = eb.vec_id
+WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) >= {COSINE_PAIR_THRESHOLD}
+"""
+
+
+EMBEDDING_COSINE_PAIRS_SQL = _embedding_cosine_pairs_sql()
 
 
 # --- IVF (inverted-file) ANN -------------------------------------------------
@@ -335,12 +390,45 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["query_id", "vec_id"])  # multi-band hits collapse
     )
     cos = _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
+    # rank on the rounded cosine so the oracle (whose float summation
+    # order may differ at the last ulp) ranks identically; vec_id breaks
+    # the (now more likely) exact ties deterministically
     ranked = cands.withColumn("cosine", cos).withColumn(
         "rank",
         F.row_number().over(
-            W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            W.partitionBy("query_id").orderBy(
+                F.round("cosine", 6).desc(), F.col("vec_id")
+            )
         ),
     )
     return ranked.filter(F.col("rank") <= TOP_K).select(
         "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
     )
+
+
+def _ann_cosine_topk_lsh_sql() -> str:
+    return f"""
+WITH {_banded_sql()},
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, a.vec_id
+    FROM banded a JOIN banded q
+      ON a.band = q.band AND a.key = q.key
+     AND q.vec_id < {N_QUERIES} AND a.vec_id != q.vec_id
+),
+scored AS (
+    SELECT c.query_id, c.vec_id,
+           ROUND(list_dot_product(ea.v, eq.v) / (ea.nrm * eq.nrm), 6) AS cosine
+    FROM cand c
+    JOIN e ea ON c.vec_id = ea.vec_id
+    JOIN e eq ON c.query_id = eq.vec_id
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= {TOP_K}
+"""
+
+
+ANN_COSINE_TOPK_LSH_SQL = _ann_cosine_topk_lsh_sql()

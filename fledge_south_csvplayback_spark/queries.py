@@ -63,15 +63,21 @@ register("text_fingerprint", text.text_fingerprint, text.TEXT_FINGERPRINT_SQL)
 
 # --- similarity search (embeddings table) -----------------------------------
 register("ann_cosine_topk", similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL)
-register("ann_cosine_topk_lsh", similarity.ann_cosine_topk_lsh, None)  # hash buckets
+register(
+    "ann_cosine_topk_lsh",
+    similarity.ann_cosine_topk_lsh,
+    similarity.ANN_COSINE_TOPK_LSH_SQL,
+)
 register(
     "ann_cosine_topk_ivf",
     similarity.ann_cosine_topk_ivf,
     similarity.ANN_COSINE_TOPK_IVF_SQL,
 )
 register(
-    "embedding_cosine_pairs", similarity.embedding_cosine_pairs, None
-)  # hash buckets
+    "embedding_cosine_pairs",
+    similarity.embedding_cosine_pairs,
+    similarity.EMBEDDING_COSINE_PAIRS_SQL,
+)
 
 # --- multimodal plumbing (binary payload + mapInPandas, decode stubbed) -----
 register(
