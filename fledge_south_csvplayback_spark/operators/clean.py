@@ -168,6 +168,99 @@ def interpolate_fill(
 
 
 # ---------------------------------------------------------------------------
+# W3 'cubic' (process_csv_data.py:124 accepts method='cubic'): natural
+# cubic spline through the non-null samples, evaluated at the null
+# positions. pandas delegates method='cubic' to SciPy, which this
+# environment excludes, so the solve is a self-contained numpy
+# tridiagonal (Thomas) sweep inside applyInPandas — the documented
+# pandas-UDF fallback for semantics the built-in expressions can't
+# express. Leading/trailing gaps clamp to the nearest knot
+# (limit_direction='both' edge behavior, same as the linear/nearest
+# paths above).
+# ---------------------------------------------------------------------------
+def interpolate_cubic(
+    df: DataFrame,
+    cols: list[str],
+    order_cols: list[str],
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fill nulls in numeric ``cols`` with a natural cubic spline fit
+    per group. One Arrow batch group per ``partition_cols`` combination
+    (per device / per file); ``None`` makes the whole input a single
+    group — the ETL tool's single-file semantics, deliberate there, but
+    at scale always pass ``partition_cols`` so the spline state never
+    funnels through one task.
+    """
+    cols_l, order_l = list(cols), list(order_cols)
+
+    # local closure: cloudpickle serializes it by value, so executor
+    # Python workers never need this module importable
+    def _fill(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(order_l, kind="mergesort").reset_index(drop=True)
+        x_all = np.arange(len(pdf), dtype=float)
+        for c in cols_l:
+            y = pdf[c].to_numpy(dtype=float)
+            known = ~np.isnan(y)
+            n = int(known.sum())
+            if n == 0 or n == len(y):
+                continue
+            xk, yk = x_all[known], y[known]
+            if n == 1:
+                y[~known] = yk[0]
+                pdf[c] = y
+                continue
+            h = np.diff(xk)
+            if n == 2:
+                m = np.zeros(2)
+            else:
+                # natural spline: tridiag system for interior second
+                # derivatives; forward sweep then back substitution
+                lo, di, up = h[:-1], 2.0 * (h[:-1] + h[1:]), h[1:]
+                rhs = 6.0 * (
+                    (yk[2:] - yk[1:-1]) / h[1:] - (yk[1:-1] - yk[:-2]) / h[:-1]
+                )
+                k = n - 2
+                cp, dp = np.empty(k), np.empty(k)
+                cp[0] = up[0] / di[0]
+                dp[0] = rhs[0] / di[0]
+                for i in range(1, k):
+                    den = di[i] - lo[i] * cp[i - 1]
+                    cp[i] = up[i] / den
+                    dp[i] = (rhs[i] - lo[i] * dp[i - 1]) / den
+                mi = np.empty(k)
+                mi[-1] = dp[-1]
+                for i in range(k - 2, -1, -1):
+                    mi[i] = dp[i] - cp[i] * mi[i + 1]
+                m = np.concatenate([[0.0], mi, [0.0]])
+            for j in np.where(~known)[0]:
+                xj = x_all[j]
+                if xj <= xk[0]:
+                    y[j] = yk[0]
+                elif xj >= xk[-1]:
+                    y[j] = yk[-1]
+                else:
+                    i = int(np.searchsorted(xk, xj)) - 1
+                    hi = xk[i + 1] - xk[i]
+                    t1, t0 = xk[i + 1] - xj, xj - xk[i]
+                    y[j] = (
+                        (m[i] * t1**3 + m[i + 1] * t0**3) / (6.0 * hi)
+                        + (yk[i] / hi - m[i] * hi / 6.0) * t1
+                        + (yk[i + 1] / hi - m[i + 1] * hi / 6.0) * t0
+                    )
+            pdf[c] = y
+        return pdf
+
+    # string literal: an *integer* literal in groupBy is read as a
+    # column ordinal under spark.sql.groupByOrdinal
+    grouped = (
+        df.groupBy(*partition_cols) if partition_cols else df.groupBy(F.lit("g"))
+    )
+    return grouped.applyInPandas(_fill, df.schema)
+
+
+# ---------------------------------------------------------------------------
 # E1: Fledge-dump flattening (process_csv_data.py:55-84) — the dump's
 # `reading` column is a JSON object string; from_json replaces the
 # reference's per-row split(',')[i].split(':')[j] chains.
@@ -214,4 +307,6 @@ def repair_nans(
         return rolling_mean_fill(df, live, order_cols, partition_cols)
     if method == "rolling_median":
         return rolling_median_fill(df, live, order_cols, partition_cols)
+    if method == "cubic":
+        return interpolate_cubic(df, live, order_cols, partition_cols)
     return interpolate_fill(df, live, order_cols, partition_cols, method)

@@ -147,6 +147,100 @@ CLEAN_INTERP_NEAREST_SQL = _interp_sql(
 )
 
 
+def clean_interpolate_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = clean.interpolate_cubic(_dirty_numeric(spark), ["a", "b"], ["ts"])
+    # round in both engines: spline values come from two independent
+    # double pipelines (numpy vs DuckDB recurrence)
+    return out.select("ts", F.round("a", 6).alias("a"), F.round("b", 6).alias("b"))
+
+
+# Natural-cubic-spline oracle: the tridiagonal (Thomas) solve the numpy
+# side runs is a sequential recurrence, expressed here as two recursive
+# CTEs (forward sweep `fwd`, back substitution `bwd`) over the knots of
+# each column in long format — a genuinely independent implementation,
+# not a literal-values crib.
+CLEAN_INTERP_CUBIC_SQL = (
+    "WITH RECURSIVE "
+    + _NUMERIC_CTE.strip().removeprefix("WITH")
+    + """
+, n AS (SELECT *, row_number() OVER (ORDER BY ts) AS rn FROM s),
+long AS (
+    SELECT 'a' AS col, rn::DOUBLE AS x, a AS y FROM n
+    UNION ALL
+    SELECT 'b' AS col, rn::DOUBLE AS x, b AS y FROM n
+),
+knots AS (
+    SELECT col, x, y,
+           row_number() OVER (PARTITION BY col ORDER BY x) AS ki,
+           count(*) OVER (PARTITION BY col) AS nk
+    FROM long WHERE y IS NOT NULL
+),
+eq AS (  -- one tridiagonal row per interior knot
+    SELECT col, ki - 1 AS ei,
+           x - lag(x) OVER w AS lo,
+           2 * ((x - lag(x) OVER w) + (lead(x) OVER w - x)) AS di,
+           lead(x) OVER w - x AS up,
+           6 * ((lead(y) OVER w - y) / (lead(x) OVER w - x)
+                - (y - lag(y) OVER w) / (x - lag(x) OVER w)) AS rhs
+    FROM knots
+    WINDOW w AS (PARTITION BY col ORDER BY ki)
+    QUALIFY ki > 1 AND ki < nk
+),
+fwd AS (
+    SELECT col, ei, up / di AS cp, rhs / di AS dp FROM eq WHERE ei = 1
+    UNION ALL
+    SELECT e.col, e.ei,
+           e.up / (e.di - e.lo * f.cp),
+           (e.rhs - e.lo * f.dp) / (e.di - e.lo * f.cp)
+    FROM eq e JOIN fwd f ON e.col = f.col AND e.ei = f.ei + 1
+),
+bwd AS (
+    SELECT f.col, f.ei, f.dp AS m
+    FROM fwd f JOIN (SELECT col, max(ei) AS me FROM fwd GROUP BY col) mx
+      ON f.col = mx.col AND f.ei = mx.me
+    UNION ALL
+    SELECT f.col, f.ei, f.dp - f.cp * b.m
+    FROM fwd f JOIN bwd b ON f.col = b.col AND f.ei = b.ei - 1
+),
+m AS (  -- second derivative per knot; natural ends pinned to 0
+    SELECT k.col, k.ki, k.x, k.y, COALESCE(b.m, 0.0) AS m
+    FROM knots k LEFT JOIN bwd b ON k.col = b.col AND k.ki - 1 = b.ei
+),
+seg AS (
+    SELECT col, x AS x0, y AS y0, m AS m0,
+           lead(x) OVER ws AS x1, lead(y) OVER ws AS y1, lead(m) OVER ws AS m1
+    FROM m
+    WINDOW ws AS (PARTITION BY col ORDER BY ki)
+),
+holes AS (SELECT col, x FROM long WHERE y IS NULL),
+edges AS (
+    SELECT col, arg_min(y, x) AS yfirst, arg_max(y, x) AS ylast,
+           min(x) AS xmin, max(x) AS xmax
+    FROM knots GROUP BY col
+),
+fills AS (
+    SELECT h.col, h.x,
+           (s.m0 * pow(s.x1 - h.x, 3) + s.m1 * pow(h.x - s.x0, 3))
+               / (6 * (s.x1 - s.x0))
+           + (s.y0 / (s.x1 - s.x0) - s.m0 * (s.x1 - s.x0) / 6) * (s.x1 - h.x)
+           + (s.y1 / (s.x1 - s.x0) - s.m1 * (s.x1 - s.x0) / 6) * (h.x - s.x0)
+               AS y
+    FROM holes h JOIN seg s ON h.col = s.col AND h.x > s.x0 AND h.x < s.x1
+    UNION ALL
+    SELECT h.col, h.x, CASE WHEN h.x < e.xmin THEN e.yfirst ELSE e.ylast END
+    FROM holes h JOIN edges e
+      ON h.col = e.col AND (h.x < e.xmin OR h.x > e.xmax)
+)
+SELECT n.ts,
+       ROUND(COALESCE(n.a, fa.y), 6) AS a,
+       ROUND(COALESCE(n.b, fb.y), 6) AS b
+FROM n
+LEFT JOIN fills fa ON fa.col = 'a' AND fa.x = n.rn
+LEFT JOIN fills fb ON fb.col = 'b' AND fb.x = n.rn
+"""
+)
+
+
 # --- E1: Fledge-dump flattening ----------------------------------------------
 def clean_flatten_fledge_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = cs.read_pick_from_file(

@@ -179,6 +179,11 @@ register(
     clean_queries.CLEAN_INTERP_NEAREST_SQL,
 )
 register(
+    "clean_interpolate_cubic",
+    clean_queries.clean_interpolate_cubic,
+    clean_queries.CLEAN_INTERP_CUBIC_SQL,
+)
+register(
     "clean_flatten_fledge_dump",
     clean_queries.clean_flatten_fledge_dump,
     clean_queries.CLEAN_FLATTEN_SQL,

@@ -95,3 +95,103 @@ def test_null_report_flags(spark):
     assert rows["a"] == (True, False)  # empty cells parse as null, not blank
     assert rows["b"] == (True, True)  # has both a null and a whitespace cell
     assert rows["allblank"] == (True, False)
+
+
+# --- W3 cubic: natural spline via applyInPandas ------------------------------
+def _dense_natural_spline(xk, yk, xs):
+    """Independent ground truth: solve the full 4(n-1)-coefficient
+    linear system per segment (continuity, C1, C2, natural ends) with
+    numpy — a different formulation from the operator's tridiagonal
+    sweep, so shared bugs can't cancel."""
+    n = len(xk)
+    if n == 1:
+        return np.full(len(xs), yk[0])
+    nseg = n - 1
+    A = np.zeros((4 * nseg, 4 * nseg))
+    r = np.zeros(4 * nseg)
+    row = 0
+    for i in range(nseg):  # endpoint interpolation per segment
+        for x, y in ((xk[i], yk[i]), (xk[i + 1], yk[i + 1])):
+            A[row, 4 * i : 4 * i + 4] = [x**3, x**2, x, 1.0]
+            r[row] = y
+            row += 1
+    for i in range(nseg - 1):  # C1 + C2 at interior knots
+        x = xk[i + 1]
+        A[row, 4 * i : 4 * i + 4] = [3 * x**2, 2 * x, 1.0, 0.0]
+        A[row, 4 * (i + 1) : 4 * (i + 1) + 4] = [-3 * x**2, -2 * x, -1.0, 0.0]
+        row += 1
+        A[row, 4 * i : 4 * i + 4] = [6 * x, 2.0, 0.0, 0.0]
+        A[row, 4 * (i + 1) : 4 * (i + 1) + 4] = [-6 * x, -2.0, 0.0, 0.0]
+        row += 1
+    A[row, 0:4] = [6 * xk[0], 2.0, 0.0, 0.0]  # natural ends: S'' = 0
+    row += 1
+    A[row, -4:] = [6 * xk[-1], 2.0, 0.0, 0.0]
+    coef = np.linalg.solve(A, r)
+    out = []
+    for x in xs:
+        if x <= xk[0]:
+            out.append(yk[0])
+            continue
+        if x >= xk[-1]:
+            out.append(yk[-1])
+            continue
+        i = int(np.searchsorted(xk, x)) - 1
+        c3, c2, c1, c0 = coef[4 * i : 4 * i + 4]
+        out.append(c3 * x**3 + c2 * x**2 + c1 * x + c0)
+    return np.array(out)
+
+
+def test_cubic_matches_dense_solve(spark):
+    # deterministic pseudo-random series with interior + edge holes
+    n = 40
+    ys = [float(((7 * i) % 11) - 5 + 0.25 * i) for i in range(n)]
+    holes = {0, 1, 5, 11, 12, 13, 22, 30, 38, 39}
+    rows = [
+        (f"t{i:03d}", None if i in holes else ys[i]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "ord string, v double")
+    got = {
+        r.ord: r.v
+        for r in clean.interpolate_cubic(df, ["v"], ["ord"]).collect()
+    }
+    xk = np.array([float(i) for i in range(n) if i not in holes])
+    yk = np.array([ys[i] for i in range(n) if i not in holes])
+    expect = _dense_natural_spline(xk, yk, np.arange(n, dtype=float))
+    for i in range(n):
+        assert got[f"t{i:03d}"] == pytest.approx(expect[i], rel=1e-9, abs=1e-9), i
+
+
+def test_cubic_grouped_and_degenerate(spark):
+    rows = [
+        # group g1: 3 knots -> one interior spline value
+        ("g1", "t0", 1.0),
+        ("g1", "t1", None),
+        ("g1", "t2", 3.0),
+        ("g1", "t3", 9.0),
+        # group g2: single knot -> constant fill
+        ("g2", "t0", None),
+        ("g2", "t1", 5.0),
+        ("g2", "t2", None),
+        # group g3: all null -> untouched
+        ("g3", "t0", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, ord string, v double")
+    got = {
+        (r.g, r.ord): r.v
+        for r in clean.interpolate_cubic(
+            df, ["v"], ["ord"], partition_cols=["g"]
+        ).collect()
+    }
+    # 3-knot natural spline through (0,1),(2,3),(3,9): tridiag solve gives
+    # M1 = 6*((9-3)/1 - (3-1)/2)/(2*(2+1)) = 5; S(1) = interior value
+    x0, x1, y0, y1, m0, m1, h = 0.0, 2.0, 1.0, 3.0, 0.0, 5.0, 2.0
+    x = 1.0
+    expect = (
+        (m0 * (x1 - x) ** 3 + m1 * (x - x0) ** 3) / (6 * h)
+        + (y0 / h - m0 * h / 6) * (x1 - x)
+        + (y1 / h - m1 * h / 6) * (x - x0)
+    )
+    assert got[("g1", "t1")] == pytest.approx(expect)
+    assert got[("g1", "t0")] == 1.0 and got[("g1", "t2")] == 3.0
+    assert got[("g2", "t0")] == 5.0 and got[("g2", "t2")] == 5.0
+    assert got[("g3", "t0")] is None
