@@ -46,6 +46,29 @@ def windowed_counts(
     )
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    content_col: str = "payload",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ingest dedup: drop rows whose content fingerprint was
+    already seen within the watermark horizon.
+
+    The batch ``dedup_exact`` keyed by ``md5(content)`` re-expressed
+    for continuous ingest: ``dropDuplicatesWithinWatermark`` keeps one
+    row per fingerprint and — unlike plain ``dropDuplicates`` — evicts
+    fingerprint state once the watermark passes, so state is bounded by
+    the duplicate-arrival horizon instead of growing with the full
+    corpus. That bound is what makes exact dedup runnable on an
+    unbounded 100 TB ingest stream.
+    """
+    return (
+        stream.withColumn("fingerprint", F.md5(F.col(content_col).cast("string")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def running_totals_stateful(stream: DataFrame) -> DataFrame:
     """Per-user running (count, value-sum) via applyInPandasWithState.
 

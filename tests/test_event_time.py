@@ -86,3 +86,78 @@ def test_stateful_running_totals(spark, tmp_path, event_files):
     )
     want = {r.user_id: r["count"] for r in batch}
     assert {k: v[0] for k, v in final.items()} == want
+
+
+def test_stream_dedup_exact_bounded_state(spark, tmp_path):
+    # two micro-batch files with overlapping payloads: duplicates must
+    # collapse across batches while distinct payloads all survive
+    import datetime as dt
+
+    t0 = dt.datetime(2021, 1, 1, 0, 0, 0)
+    rows_a = [(t0, "p1"), (t0, "p2"), (t0, "p1")]
+    rows_b = [(t0 + dt.timedelta(minutes=1), "p2"), (t0 + dt.timedelta(minutes=1), "p3")]
+    src = str(tmp_path / "dedup_src")
+    schema = "ts timestamp, payload string"
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        et.stream_dedup_exact(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r.payload for r in spark.sql("SELECT * FROM dedup_stream").collect()
+    )
+    assert got == ["p1", "p2", "p3"]
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, tmp_path, event_files):
+    """ST5/ST9: a restarted query resumes from the checkpointed offsets —
+    files already processed are not re-counted."""
+    schema = spark.read.parquet(event_files).schema
+    ckpt = str(tmp_path / "ckpt_recover")
+
+    def run(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(event_files)
+        )
+        q = (
+            stream.groupBy("event_type")
+            .count()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("recover_a")
+    total_first = sum(
+        r["count"] for r in spark.sql("SELECT * FROM recover_a").collect()
+    )
+    # restart against the same checkpoint with no new input: the memory
+    # sink of the NEW query stays empty because every offset is committed
+    run("recover_b")
+    assert spark.sql("SELECT * FROM recover_b").count() == 0
+    # append one more file, restart again: only the delta is processed
+    extra = spark.read.parquet(event_files).limit(7)
+    extra.coalesce(1).write.mode("append").parquet(event_files)
+    run("recover_c")
+    total_after = sum(
+        r["count"] for r in spark.sql("SELECT * FROM recover_c").collect()
+    )
+    # aggregation state came back from the checkpoint and only the new
+    # file was read on top of it
+    assert total_after == total_first + 7
