@@ -2,15 +2,21 @@
 
 Same surface as the reference tool (process_csv_data.py:23-52):
 ``-i/--input``, ``-o/--output``, ``-c/--chunksize``, ``-C/--choice
-{fill,drop,ignore}``, ``-m/--method {linear,nearest,rolling_mean,
-rolling_median}`` — recomposed as two *composable* transforms
-(flatten -> repair) applied to one DataFrame. This deliberately fixes
-the reference's quirk of re-reading the raw input for the NaN pass and
-appending both outputs to the same file (process_csv_data.py:151-153;
-SURVEY.md §2.12).
+{fill,drop,ignore}``, ``-m/--method {linear,nearest,cubic,
+rolling_mean,rolling_median}`` — recomposed as two *composable*
+transforms (flatten -> repair) applied to one DataFrame. This
+deliberately fixes the reference's quirk of re-reading the raw input
+for the NaN pass and appending both outputs to the same file
+(process_csv_data.py:151-153; SURVEY.md §2.12).
 
 ``--chunksize`` is accepted for CLI compatibility but unused: chunked
 iteration is Spark's job (partitioned scan), not the reader's.
+
+Deliberate deviations from the reference CLI: ``-i``/``-o`` are taken
+as raw paths (the reference resolves both under ``$FLEDGE_DATA``,
+process_csv_data.py:17-21,39-40) and an existing output directory is
+overwritten (the reference refuses, :47-49) — engine-style batch-job
+semantics rather than plugin-sandbox semantics.
 """
 
 from __future__ import annotations
@@ -81,7 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "-m",
         "--method",
-        choices=("linear", "nearest", "rolling_mean", "rolling_median"),
+        # 'cubic' included to match the reference's fill branch
+        # (process_csv_data.py:33-34,124 accepts free text incl. cubic)
+        choices=("linear", "nearest", "cubic", "rolling_mean", "rolling_median"),
         default="linear",
     )
     p.add_argument("--ts-col", default="user_ts")

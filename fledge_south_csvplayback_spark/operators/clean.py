@@ -291,18 +291,20 @@ def repair_nans(
     df = whitespace_to_null(df, cols)
     for c in cols:
         df = df.withColumn(c, F.col(c).cast("double"))
-    dead = set(all_null_columns(df, cols))
+    # ONE aggregate pass decides both policies: count(c)==0 -> dead
+    # (all-null, always dropped), count(c)<count(*) -> holed (dropped
+    # under method='drop'). Positional access so a data column named
+    # like the total alias can't collide.
+    counts = df.agg(
+        F.count(F.lit(1)), *[F.count(F.col(c)) for c in cols]
+    ).collect()[0]
+    total, per_col = counts[0], dict(zip(cols, counts[1:]))
+    dead = [c for c in cols if per_col[c] == 0]
     df = df.drop(*dead)
-    live = [c for c in cols if c not in dead]
+    live = [c for c in cols if per_col[c] > 0]
     if method == "drop":
         # reference 'drop' removes any column still containing NaN
-        holed = [
-            c
-            for c in live
-            if c in set(all_null_columns(df, live))
-            or df.filter(F.col(c).isNull()).limit(1).count() > 0
-        ]
-        return df.drop(*holed)
+        return df.drop(*[c for c in live if per_col[c] < total])
     if method == "rolling_mean":
         return rolling_mean_fill(df, live, order_cols, partition_cols)
     if method == "rolling_median":

@@ -138,6 +138,27 @@ def csv_bzip2(spark: SparkSession, sf_dir: str) -> DataFrame:
 CSV_BZIP2_SQL = CSV_PICK_FROM_FILE_SQL
 
 
+def csv_compressed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both compressed codec paths in one registered entry (S1/S3).
+
+    The driver caps CORRECTNESS output at 50 entries, so the gz and bz2
+    variants share one registration; a codec tag keeps the two scans
+    distinguishable in the hash compare.
+    """
+    return csv_gzip(spark, sf_dir).withColumn("codec", F.lit("gz")).unionByName(
+        csv_bzip2(spark, sf_dir).withColumn("codec", F.lit("bz2"))
+    )
+
+
+CSV_CODECS_SQL = f"""
+SELECT *, 'gz' AS codec FROM read_csv('{_fx("vibration.csv.gz")}', header=true,
+    columns={{'channel1': 'DOUBLE', 'channel2': 'DOUBLE', 'user_ts': 'VARCHAR'}})
+UNION ALL
+SELECT *, 'bz2' AS codec FROM read_csv('{_fx("vibration.csv")}', header=true,
+    columns={{'channel1': 'DOUBLE', 'channel2': 'DOUBLE', 'user_ts': 'VARCHAR'}})
+"""
+
+
 # --- S1: multi-file directory scan (the batch union of a playback dir) -------
 def csv_directory_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = cs.read_pick_from_file(

@@ -16,10 +16,12 @@ for the 100 TB case first:
 - **minhash_lsh**: 32-perm MinHash signatures (xxhash64 with per-perm
   seeds, array expressions — no Python), banded 8×4 so candidate
   generation is an equi-join on (band, band_key); candidates are then
-  *verified* with exact Jaccard, so output equals the exact operator's
-  (at the 0.8 threshold the 8-band/4-row S-curve has miss probability
-  (1-j⁴)⁸ < 1e-8 — recall is asserted in tests). The oracle is
-  therefore the same SQL as ngram_jaccard.
+  *verified* with exact Jaccard, so every emitted pair is a true
+  near-dup. Recall is the 8-band/4-row S-curve: miss probability
+  (1-j⁴)⁸ ≈ 1.5e-2 right at the 0.8 threshold but < 4e-4 by j=0.9 and
+  < 2e-7 by j=0.95. Sharing ngram_jaccard's oracle therefore relies on
+  the corpus having no pairs hovering just above the threshold —
+  asserted for the fixture corpora in test_lsh_fixture_margin.
 - **simhash**: 64-bit SimHash from *shingle* hashes (per-bit vote sums
   → OR of set bits), candidate pairs via 8×8-bit band buckets, verified
   by Hamming distance ≤ 12 (bit_count(xor)). Unigram-token SimHash is
@@ -28,7 +30,10 @@ for the 100 TB case first:
   no separation, 57% of ALL pairs under the old ≤16 cut, an O(n²)
   output); hashing 3-gram shingles decorrelates unrelated docs
   (random-pair median 32, min 18 vs true-dup max 11) so the ≤12 cut is
-  a clean margin. Hash-dependent, so rows-only checked.
+  a clean margin. The shingle hash is the two 32-bit halves of
+  md5(shingle) — reproducible in DuckDB SQL, so the whole operator
+  (votes → fingerprint → band buckets → Hamming verify) is
+  hash-checked against an oracle, not just row-counted.
 """
 
 from __future__ import annotations
@@ -40,6 +45,15 @@ from pyspark.sql import functions as F
 
 NGRAM = 3
 JACCARD_THRESHOLD = 0.8
+# Posting-list pair generation fans out |list|² per shingle; a shingle
+# shared by more documents than this cap is dropped from intersection
+# counting (boilerplate that carries no near-dup signal), bounding the
+# worst-case explode at CAP² regardless of corpus skew. Jaccard then
+# reads as a lower bound for pairs whose overlap includes capped
+# shingles; at threshold 0.8 a pair must share ~90% of shingles, so a
+# real near-dup pair cannot be composed mostly of corpus-wide
+# boilerplate and survives the cap.
+SHINGLE_DF_CAP = 256
 MINHASH_PERMS = 32
 LSH_BANDS = 8  # 4 rows per band
 SIMHASH_BANDS = 8  # 8 bits each: any pair within Hamming 7 must share a band
@@ -79,10 +93,32 @@ def _spread(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
     except OSError:
         return df  # non-local store: input splits already provide parallelism
     target = max(2, spark.sparkContext.defaultParallelism // 2)
-    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    max_split = _parse_size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
     if total >= target * max_split // 4:
         return df
     return df.repartition(target)
+
+
+_SIZE_SUFFIXES = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_size_bytes(value: str, default: int = 134217728) -> int:
+    """Spark byte-size conf parse ('134217728', '128m', '1G', '128mb').
+
+    A bad value falls back to the 128 MiB default rather than failing
+    the query — this conf only tunes the small-input repartition
+    heuristic."""
+    v = value.strip().lower().removesuffix("b")
+    mult = 1
+    if v and v[-1] in _SIZE_SUFFIXES:
+        mult = _SIZE_SUFFIXES[v[-1]]
+        v = v[:-1]
+    try:
+        return int(v) * mult
+    except ValueError:
+        return default
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -162,9 +198,11 @@ sh AS (
     FROM toks WHERE len(t) >= {NGRAM}
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+kept AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {SHINGLE_DF_CAP}),
 inter AS (
     SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    WHERE a.s IN (SELECT s FROM kept)
     GROUP BY 1, 2
 )
 SELECT ia AS doc_a, ib AS doc_b,
@@ -192,11 +230,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     here (max df 25 measured); an adversarial corpus would want a
     document-frequency cap on shingles before the pair explode.
     """
-    sh = _shingled(spark, sf_dir)
+    pairs = _pair_counts(_shingled(spark, sf_dir))
+    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return pairs.filter(j >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
+    )
+
+
+def _pair_counts(sh: DataFrame) -> DataFrame:
+    """Shared-shingle pair counts (doc_a, na, doc_b, nb, c) from a
+    shingled frame — the posting-list core of both the exact-Jaccard
+    operator and the MinHash-LSH verifier. Shingles whose posting list
+    exceeds SHINGLE_DF_CAP are dropped before the |list|² pair explode
+    (see the constant's comment); sizes na/nb stay uncapped."""
     idx = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     by_s = idx.groupBy("s").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
     )
+    by_s = by_s.filter(F.size("ds") <= SHINGLE_DF_CAP)
     pair_structs = F.flatten(
         F.transform(
             F.col("ds"),
@@ -211,14 +262,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
+    return (
         by_s.select(F.explode(pair_structs).alias("p"))
         .groupBy("p.doc_a", "p.na", "p.doc_b", "p.nb")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
-    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return pairs.filter(j >= JACCARD_THRESHOLD).select(
-        "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
     )
 
 
@@ -236,8 +283,25 @@ def minhash_signatures(idx: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard.
+
+    Candidates come from the banded signature equi-join; each candidate
+    pair is then verified by exact Jaccard computed from posting-list
+    intersection counts over the index *restricted to candidate docs*
+    (a broadcast semi-join — candidate docs are a small fraction of the
+    corpus), so no ``array<string>`` payload ever crosses a shuffle.
+    Output = the exact operator's pairs minus any whose signature missed
+    all bands: the miss probability at Jaccard j is (1-j^4)^8 — ~1.5e-2
+    right at the 0.8 threshold, <4e-4 at j>=0.9, <2e-7 at j>=0.95 — so
+    the shared oracle (NGRAM_JACCARD_SQL) is valid only when the corpus
+    has no pairs hovering just above the threshold.
+    tests/test_dedup.py::test_lsh_fixture_margin pins that property for
+    the fixture corpora: every exact pair clears j>=0.9 or is found by
+    LSH anyway.
+    """
     rows = MINHASH_PERMS // LSH_BANDS
-    idx = _shingle_index(spark, sf_dir)
+    sh = _shingled(spark, sf_dir)
+    idx = sh.select("doc_id", F.explode("sh").alias("s"))
     sig = minhash_signatures(idx)
     bands = sig.select(
         "doc_id",
@@ -266,18 +330,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (arrays are per-doc, small)
-    sh = _shingled(spark, sf_dir)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    j = inter / union
-    return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(j >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    # verify candidates with exact Jaccard from posting-list counts over
+    # the candidate-doc slice of the index — narrow long-typed joins
+    # only, no shingle arrays in any shuffle payload. cands feeds BOTH
+    # the doc-slice semi-join and the final pair intersect; cache alone
+    # doesn't help (both branches sit in ONE action's DAG and race the
+    # cache fill), so materialize it eagerly with a count() — one small
+    # job, and the signature+banding pipeline runs once, not twice.
+    # cands is a pair-of-longs table, tiny at any corpus scale.
+    cands = cands.cache()
+    cands.count()
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select("doc_b"))
+        .distinct()
+    )
+    cand_sh = sh.join(F.broadcast(cand_docs), "doc_id", "semi")
+    pairs = _pair_counts(cand_sh).join(F.broadcast(cands), ["doc_a", "doc_b"])
+    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return pairs.filter(j >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
     )
 
 
@@ -285,52 +357,76 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by 64-bit shingle SimHash within Hamming 12.
 
-    Rows-only checked (the fingerprint depends on xxhash64, which the
-    SQL oracle cannot reproduce); tests assert it finds the planted
-    near-duplicates that exact Jaccard finds. Votes are per 3-gram
-    shingle, not per token — see the module docstring for the measured
-    separation argument.
+    The per-shingle hash is md5 split into two 32-bit halves (hex chars
+    1-8 and 9-16), each held as a non-negative long — DuckDB rebuilds
+    the identical values with ``('0x'||substr(md5(s),...))::BIGINT``,
+    so the operator is fully hash-checked (SIMHASH_SQL), not rows-only.
+    Keeping the fingerprint as two 32-bit halves also sidesteps 64-bit
+    sign traps in both engines' shift/compare semantics. Votes are per
+    3-gram shingle, not per token — see the module docstring for the
+    measured separation argument. Banding: 8 bands × 8 bits (4 per
+    half), so any pair within Hamming 7 is guaranteed a shared band;
+    8..12 are found when some band survives (probabilistic, but
+    deterministic given the data — both engines band identically).
     """
-    tok = _shingle_index(spark, sf_dir).withColumn("h", F.xxhash64("s"))
+    tok = _shingle_index(spark, sf_dir).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("h_lo"),
+    )
+    half_bits = 32
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(1) == 1, 1)
+                F.when(F.shiftrightunsigned(col, b).bitwiseAND(1) == 1, 1)
                 .otherwise(-1)
-            ).alias(f"_v{b}")
-            for b in range(64)
+            ).alias(f"_v{half}{b}")
+            for half, col in (("lo", F.col("h_lo")), ("hi", F.col("h_hi")))
+            for b in range(half_bits)
         ]
     )
-    fp = votes.select(
-        "doc_id",
-        sum(
+
+    def pack(half: str) -> Column:
+        return sum(
             [
-                F.when(F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b))
-                .otherwise(0)
-                for b in range(64)
+                F.when(
+                    F.col(f"_v{half}{b}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), b),
+                ).otherwise(0)
+                for b in range(half_bits)
             ],
             F.lit(0).cast("long"),
-        ).alias("simhash"),
+        )
+
+    fp = votes.select(
+        "doc_id", pack("lo").alias("fp_lo"), pack("hi").alias("fp_hi")
     )
+    band_bits = 64 // SIMHASH_BANDS  # 8 bits; 4 bands per half
     chunks = fp.select(
         "doc_id",
-        "simhash",
+        "fp_lo",
+        "fp_hi",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", 64 // SIMHASH_BANDS * i)
-                        .bitwiseAND((1 << (64 // SIMHASH_BANDS)) - 1)
+                        F.shiftrightunsigned(
+                            F.col("fp_lo") if i < 4 else F.col("fp_hi"),
+                            band_bits * (i % 4),
+                        )
+                        .bitwiseAND((1 << band_bits) - 1)
                         .alias("chunk"),
                     )
                     for i in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bc"),
-    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    ).select("doc_id", "fp_lo", "fp_hi", "bc.band", "bc.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(
+        F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo"))
+    ) + F.bit_count(F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi")))
     return (
         a.join(
             b,
@@ -346,3 +442,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, len(t) - {NGRAM - 1}),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+    FROM toks WHERE len(t) >= {NGRAM}
+),
+hs AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(s), 1, 8))::BIGINT AS h_hi,
+           ('0x' || substr(md5(s), 9, 8))::BIGINT AS h_lo
+    FROM sh
+),
+votes AS (
+    SELECT doc_id, g.b AS b,
+           SUM(CASE WHEN ((h_lo >> g.b) & 1) = 1 THEN 1 ELSE -1 END) AS v_lo,
+           SUM(CASE WHEN ((h_hi >> g.b) & 1) = 1 THEN 1 ELSE -1 END) AS v_hi
+    FROM hs, generate_series(0, 31) g(b)
+    GROUP BY 1, 2
+),
+fp AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v_lo > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                AS BIGINT) AS fp_lo,
+           CAST(SUM(CASE WHEN v_hi > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                AS BIGINT) AS fp_hi
+    FROM votes GROUP BY 1
+),
+bands AS (
+    SELECT doc_id, fp_lo, fp_hi, g.i AS band,
+           CASE WHEN g.i < 4 THEN (fp_lo >> (8 * g.i)) & 255
+                ELSE (fp_hi >> (8 * (g.i - 4))) & 255 END AS chunk
+    FROM fp, generate_series(0, 7) g(i)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi))
+           AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi))
+      <= {SIMHASH_MAX_HAMMING}
+"""

@@ -93,7 +93,10 @@ def playback_burst_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         F.lit("lineitem").alias("asset"),
         F.current_timestamp().cast("string").alias("timestamp"),
-        F.create_map(*pairs).alias("readings"),
+        # to_json at the sink boundary: the map itself is the in-flight
+        # shape, but the driver's canonicalizer can't hash a dict cell,
+        # so the registered query serializes it (a codegen builtin).
+        F.to_json(F.create_map(*pairs)).alias("readings"),
     )
 
 

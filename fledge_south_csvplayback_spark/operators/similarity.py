@@ -157,6 +157,10 @@ def _lsh_bands(v: Column) -> Column:
     )
 
 
+def _case_key_sql() -> str:
+    return " ".join(f"WHEN {b} THEN k{b}" for b in range(LSH_BANDS))
+
+
 def _banded_sql() -> str:
     """DuckDB CTEs rebuilding the exact Spark LSH buckets: the same
     hyperplane literals, the same sign-bit band keys. Emits ``e``
@@ -172,9 +176,7 @@ def _banded_sql() -> str:
             for i in range(per_band)
         )
         keys.append(f"({bits}) AS k{b}")
-    case_key = " ".join(
-        f"WHEN {b} THEN k{b}" for b in range(LSH_BANDS)
-    )
+    case_key = _case_key_sql()
     return f"""
 e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -204,46 +206,66 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = emb.withColumn("bk", F.explode(_lsh_bands(F.col("v")))).select(
         "vec_id", "v", "norm", "bk.band", "bk.key"
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    # Within-bucket scoring is a dense matmul, not a pair join. A
+    # band-bucket self-join evaluates a 64-d dot per matched row with
+    # Catalyst expressions — higher-order functions are interpreted
+    # (~13 µs/pair measured) and even an unrolled element_at sum is
+    # worse (~37 µs/pair); at 4M candidate pairs (sf0.1) that was
+    # 50-160 s of expression evaluation. One normalized GEMM per bucket
+    # (Mn @ Mn.T, BLAS via Arrow-batched applyInPandas) scores the same
+    # pairs in milliseconds, and only pairs above threshold leave
+    # Python. The shuffle is `banded` grouped by (band, key) — vectors
+    # cross the wire once. At larger corpora add planes/bands so
+    # buckets stay bounded, and block the GEMM within a bucket; the
+    # grouping plan is unchanged.
+    def _bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["vec_a", "vec_b", "cosine"]
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=cols)
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["v"].to_numpy())
+        mn = m / pdf["norm"].to_numpy()[:, None]
+        sim = mn @ mn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        c = np.round(sim[iu, ju], 6)
+        keep = c >= COSINE_PAIR_THRESHOLD
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "cosine": c[keep],
+            }
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-            F.col("a.norm").alias("na"),
-            F.col("b.norm").alias("nb"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+
+    pairs = banded.groupBy("band", "key").applyInPandas(
+        _bucket_pairs, "vec_a long, vec_b long, cosine double"
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        cands.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= COSINE_PAIR_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
-    )
+    # a pair co-bucketed in several bands appears once per band with an
+    # identical rounded cosine — distinct over the full row is exact
+    return pairs.distinct()
 
 
 def _embedding_cosine_pairs_sql() -> str:
+    # mirrors the Spark plan exactly: cosine inside the band join,
+    # threshold on the ROUNDED value, distinct over surviving triples
     return f"""
 WITH {_banded_sql()},
-cand AS (
-    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+eb AS (
+    SELECT k.vec_id, bd.band, CASE bd.band {_case_key_sql()} END AS key,
+           k.v, k.nrm
+    FROM k CROSS JOIN (SELECT unnest(range({LSH_BANDS})) AS band) bd(band)
 )
-SELECT c.vec_a, c.vec_b,
-       ROUND(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cosine
-FROM cand c
-JOIN e ea ON c.vec_a = ea.vec_id
-JOIN e eb ON c.vec_b = eb.vec_id
-WHERE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm) >= {COSINE_PAIR_THRESHOLD}
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM eb a JOIN eb b
+  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+      >= {COSINE_PAIR_THRESHOLD}
 """
 
 

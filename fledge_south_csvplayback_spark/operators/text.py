@@ -164,14 +164,16 @@ FROM documents
 
 # --- content fingerprint -----------------------------------------------------
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # case-fold BEFORE stripping so uppercase letters are lowered, not
+    # deleted — 'The Cat' normalizes to 'the cat', not 'he at'
     docs = _docs(spark, sf_dir)
-    norm = F.lower(F.regexp_replace(F.col("text"), "[^a-z0-9 ]", ""))
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
     return docs.select(
         "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
     )
 
 
 TEXT_FINGERPRINT_SQL = """
-SELECT doc_id, md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS fingerprint
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
 FROM documents
 """

@@ -53,7 +53,7 @@ register(
 register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
 register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.NGRAM_JACCARD_SQL)
 register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.NGRAM_JACCARD_SQL)
-register("dedup_simhash", dedup.dedup_simhash, None)  # hash-dependent: rows-only
+register("dedup_simhash", dedup.dedup_simhash, dedup.SIMHASH_SQL)
 
 # --- text analysis (documents table) ----------------------------------------
 register("text_stats", text.text_stats, text.TEXT_STATS_SQL)
@@ -91,12 +91,6 @@ register(
     multimodal.MULTIMODAL_FRAMES_SQL,
 )
 
-# --- streaming playback (ST1-ST7; wall-clock stamps => rows-only) -----------
-register("playback_stream_smoke", stream_queries.playback_stream_smoke, None)
-register(
-    "playback_burst_envelope", envelope_queries.playback_burst_envelope, None
-)  # wall-clock stamps
-
 # --- CSV source layer (SURVEY.md §2.1 S3-S5, §1.4) --------------------------
 register(
     "csv_pick_from_file",
@@ -117,8 +111,14 @@ register(
     csv_queries.CSV_EXPLICIT_SUBSET_SQL,
 )
 register("csv_ragged_map", csv_queries.csv_ragged_map, csv_queries.CSV_RAGGED_SQL)
-register("csv_gzip", csv_queries.csv_gzip, csv_queries.CSV_GZIP_SQL)
-register("csv_bzip2", csv_queries.csv_bzip2, csv_queries.CSV_BZIP2_SQL)
+# gz + bz2 folded into one entry: the driver records at most 50
+# CORRECTNESS rows, and two codec scans of the same fixture don't merit
+# two of them (the per-codec readers stay public API, pytest-covered).
+register(
+    "csv_compressed_codecs",
+    csv_queries.csv_compressed_codecs,
+    csv_queries.CSV_CODECS_SQL,
+)
 register(
     "csv_directory_union",
     csv_queries.csv_directory_union,
@@ -193,8 +193,14 @@ register(
     clean_queries.clean_repair_nans,
     clean_queries.CLEAN_REPAIR_SQL,
 )
+# csv_metadata_datapoint is deliberately NOT registered: its S5 surface
+# (metadata-header capture + merge) is already hash-verified end-to-end
+# by reading_envelope_metadata, and the driver caps at 50 entries.
+
+# --- streaming playback (ST1-ST7; wall-clock stamps => rows-only) -----------
+# Registered last on purpose: these are the only rows-only entries, so
+# if the driver ever truncates, the oracle-checked entries survive.
+register("playback_stream_smoke", stream_queries.playback_stream_smoke, None)
 register(
-    "csv_metadata_datapoint",
-    csv_queries.csv_metadata_datapoint,
-    csv_queries.CSV_METADATA_SQL,
-)
+    "playback_burst_envelope", envelope_queries.playback_burst_envelope, None
+)  # wall-clock stamps

@@ -45,7 +45,6 @@ from pyspark.sql.streaming import StreamingQuery
 
 from fledge_south_csvplayback_spark.config import IngestMode, PlaybackConfig
 from fledge_south_csvplayback_spark.operators import readings as env
-from fledge_south_csvplayback_spark.operators.rowid import with_global_row_number
 
 MAX_QUEUE_CHUNK_CAPACITY = 3  # reference bounded buffer, csvplayback.py:787
 
@@ -92,7 +91,18 @@ def stamp_batch(df: DataFrame, cfg: PlaybackConfig, anchor: str | None = None) -
         return df.withColumn("timestamp", F.lit(anchor).cast("timestamp"))
     n = cfg.chunk_size
     step_us = 1_000_000 // n
-    numbered = with_global_row_number(df, df.columns[:1], "_k")
+    # Batch-local spreading id: the low 33 bits of
+    # monotonically_increasing_id are a per-partition 0-based sequence,
+    # so (_k % n) walks each partition through the anchor second — the
+    # observable contract (rows spread evenly across the second) without
+    # the per-trigger driver round-trip a global row number costs
+    # (with_global_row_number collect()s partition counts; at high
+    # trigger rates that's driver chatter per micro-batch). Exact
+    # global positions stay with the oracle-checked batch T1 operator
+    # (timestamps.current_time_continuous).
+    numbered = df.withColumn(
+        "_k", F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
+    )
     return numbered.withColumn(
         "timestamp",
         F.expr(

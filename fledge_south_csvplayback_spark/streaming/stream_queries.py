@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from fledge_south_csvplayback_spark.config import PlaybackConfig
 from fledge_south_csvplayback_spark.operators.csv_queries import _fx
+from fledge_south_csvplayback_spark.operators.readings import explode_envelope
 from fledge_south_csvplayback_spark.streaming.playback import PlaybackSession
 
 _SCHEMA = "channel1 string, channel2 string, user_ts string"
@@ -30,4 +31,6 @@ def playback_stream_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         rows.extend(batch)
     q.awaitTermination()
-    return spark.createDataFrame(rows)
+    # Flatten the readings map: the driver's canonicalizer sorts/hashes
+    # pandas cells, and a map column materializes as an unhashable dict.
+    return explode_envelope(spark.createDataFrame(rows))

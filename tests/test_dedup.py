@@ -34,3 +34,48 @@ def test_exact_dedup_counts(spark):
     out = dedup.dedup_exact(spark, TEST_SF_DIR)
     total = out.agg({"n_copies": "sum"}).collect()[0][0]
     assert total == 500  # every doc lands in exactly one group
+
+
+def test_lsh_fixture_margin(spark):
+    """The LSH entry shares the exact-Jaccard oracle, which is only
+    sound while no fixture pair hovers just above the 0.8 threshold
+    (band-miss probability (1-j^4)^8 is ~1.5e-2 at j=0.8 but <5e-4 by
+    j=0.88). Pin that the corpus keeps the margin: every exact pair is
+    comfortably above threshold AND actually found by LSH."""
+    exact = dedup.dedup_ngram_jaccard(spark, TEST_SF_DIR).collect()
+    lsh = _pairs(dedup.dedup_minhash_lsh(spark, TEST_SF_DIR))
+    assert exact
+    for r in exact:
+        assert r.jaccard >= 0.88, (
+            f"fixture pair ({r.doc_a},{r.doc_b}) j={r.jaccard} is in the "
+            "borderline band where LSH may deterministically miss — "
+            "register dedup_minhash_lsh with its own oracle instead"
+        )
+        assert (r.doc_a, r.doc_b) in lsh
+
+
+def test_df_cap_bounds_hot_shingle_fanout(spark):
+    """A corpus-wide boilerplate shingle (df > SHINGLE_DF_CAP) must not
+    generate posting-list pairs: docs related only through it produce
+    no pair rows, and it is excluded from surviving pairs' intersection
+    counts while still counting toward set sizes."""
+    n_noise = dedup.SHINGLE_DF_CAP + 10
+    rows = [(1, ["hot"] + [f"s{k}" for k in range(19)] + ["u1"]),
+            (2, ["hot"] + [f"s{k}" for k in range(19)] + ["u2"])]
+    rows += [(i, ["hot", f"only{i}"]) for i in range(3, 3 + n_noise)]
+    sh = spark.createDataFrame(rows, "doc_id int, sh array<string>")
+    pairs = dedup._pair_counts(sh).collect()
+    assert len(pairs) == 1, pairs  # no pair bridged only by the hot shingle
+    p = pairs[0]
+    # c counts the 19 shared non-hot shingles; sizes still include hot
+    assert (p.doc_a, p.doc_b, p.c, p.na, p.nb) == (1, 2, 19, 21, 21)
+
+
+def test_parse_size_bytes():
+    f = dedup._parse_size_bytes
+    assert f("134217728") == 134217728
+    assert f("128m") == 128 << 20
+    assert f("128MB") == 128 << 20
+    assert f("1G") == 1 << 30
+    assert f("64k") == 64 << 10
+    assert f("garbage") == 134217728  # falls back, never raises

@@ -36,3 +36,21 @@ def test_etl_drop_removes_holed_columns(spark, tmp_path):
 def test_parser_defaults():
     args = etl.build_parser().parse_args(["-i", "in.csv", "-o", "out.csv"])
     assert args.choice == "fill" and args.method == "linear"
+
+
+def test_etl_cubic_fill(spark, tmp_path):
+    """-m cubic reaches interpolate_cubic (reference fill branch accepts
+    'cubic', process_csv_data.py:33-34,124)."""
+    args = etl.build_parser().parse_args(
+        ["-i", "in.csv", "-o", "out.csv", "-m", "cubic"]
+    )
+    assert args.method == "cubic"
+    out = str(tmp_path / "cubic")
+    res = etl.run_etl(
+        spark, f"{FIX}/dirty.csv", out, choice="fill", method="cubic", ts_col="ts"
+    )
+    assert "allblank" not in res.columns
+    back = spark.read.option("header", True).csv(out)
+    # spline fills interior holes; edge gaps clamp to the nearest knot
+    assert back.count() > 0
+    assert back.filter("a IS NULL OR b IS NULL").count() == 0
