@@ -21,6 +21,12 @@ Two paths, per the training-pipeline brief:
   the SQL — the LSH entries are fully value-checked, with ranking on
   round(cosine, 6) in both engines so float summation order cannot
   reorder near-ties.
+- **embedding near-dup pairs**: same hyperplane buckets, but pair
+  scoring is a *within-bucket normalized GEMM* (Arrow-batched
+  applyInPandas, BLAS) rather than a self-join evaluating a Catalyst
+  dot per candidate row — per-pair expression evaluation is
+  interpreter-bound (µs/pair) and was 2 orders of magnitude slower at
+  sf0.1. Only pairs at/above threshold leave Python.
 
 Arrays are cast float->double before arithmetic so Spark and DuckDB
 accumulate in the same precision.
@@ -284,69 +290,122 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic, data-defined rule rather than k-means, which makes
     the whole index SQL-expressible: unlike the LSH variant this entry
     is *oracle-checked*, DuckDB rebuilding the identical inverted lists.
-    Assignment is argmax-cosine over the broadcast centroids (the
-    standard IVF cost: |cells|·N dots, one scan, no shuffle besides the
-    per-vector argmax window); each query probes its ``IVF_NPROBE``
-    nearest cells and only those lists are searched exactly. At scale
-    the candidate join is an equi-join on cell_id, never all-pairs; a
-    real deployment would swap the centroid rule for sampled k-means
-    without touching the plan shape.
+
+    Plan shape (the one that holds at 10M+ vectors — a 10M-row probe
+    went 484 s -> 17 s restructuring to this):
+
+    1. centroids + query vectors are COLLECTED to the driver (16 + 10
+       rows — in a real deployment the IVF index's k-means centroids
+       are driver-resident anyway) and embedded as literals;
+    2. cell assignment is an inline argmax over the 16 literal-centroid
+       cosines — one projection, NO join, NO per-vector window, nothing
+       shuffles the vector column (the previous broadcast-join + window
+       plan shuffled |cells|·N rows each carrying two 64-d arrays);
+    3. scoring+pruning is ``mapInPandas``: each Arrow batch GEMMs its
+       vectors against the query matrix, masks cells outside each
+       query's probe list, and emits only its per-batch top-k — a
+       partial top-k, so the global window ranks ~batches·|Q|·k tiny
+       rows instead of every candidate.
+
+    Ranking uses round(cosine, 6) in BOTH engines (like the LSH entry)
+    so BLAS summation order cannot reorder near-ties.
     """
     from pyspark.sql import Window as W
 
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
-    cents = emb.filter(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + IVF_CELLS)
-    ).select(
-        F.col("vec_id").alias("cell_id"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
-    )
-    csim = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
-    scored = (
-        emb.join(F.broadcast(cents))
-        .withColumn("csim", csim)
-        .withColumn(
-            "r",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(
-                    F.col("csim").desc(), F.col("cell_id")
+    # driver-resident index metadata: 16 centroids + 10 query vectors
+    head = {
+        r["vec_id"]: (list(r["v"]), r["norm"])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES + IVF_CELLS).collect()
+    }
+    cents = [(cid, *head[cid]) for cid in range(N_QUERIES, N_QUERIES + IVF_CELLS)]
+    queries = [(qid, *head[qid]) for qid in range(N_QUERIES)]
+
+    def csim(cv: list[float], cn: float) -> Column:
+        return _dot(F.col("v"), F.array(*[F.lit(x) for x in cv])) / (
+            F.col("norm") * F.lit(cn)
+        )
+
+    # inline argmax via array_max over (sim, -cell_id) structs — linear
+    # expression size (a nested when/otherwise chain embeds the partial
+    # result twice per level: exponential tree, hangs plan build).
+    # Struct comparison is lexicographic, so max picks the highest sim
+    # and, on exact ties, the highest -cell_id = LOWEST cell_id — the
+    # same rule as ORDER BY csim DESC, cell_id in the oracle.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    csim(cv, cn).alias("s"),
+                    F.lit(-cid).cast("long").alias("nc"),
                 )
-            ),
+                for cid, cv, cn in cents
+            ]
         )
     )
-    assign = scored.filter(F.col("r") == 1).select("vec_id", "v", "norm", "cell_id")
-    probes = (
-        scored.filter(F.col("vec_id") < N_QUERIES)
-        .filter(F.col("r") <= IVF_NPROBE)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("norm").alias("qnorm"),
-            F.col("cell_id").alias("probe_cell"),
-        )
+    assign = emb.select(
+        "vec_id", "v", "norm", (-best["nc"]).alias("cell_id")
     )
-    cos = _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
-    ranked = (
-        assign.join(
-            F.broadcast(probes),
-            (F.col("cell_id") == F.col("probe_cell"))
-            & (F.col("vec_id") != F.col("query_id")),
+
+    # per-query probe cells, computed driver-side from the same literals
+    import math
+
+    def _qdot(qv: list[float], cv: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(qv, cv):
+            acc += x * y
+        return acc
+
+    probe_cells: dict[int, list[int]] = {}
+    for qid, qv, qn in queries:
+        sims = sorted(
+            ((_qdot(qv, cv) / (qn * cn), -cid) for cid, cv, cn in cents),
+            reverse=True,
         )
-        .withColumn("cosine", cos)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(
-                    F.col("cosine").desc(), F.col("vec_id")
+        probe_cells[qid] = [-ncid for _, ncid in sims[:IVF_NPROBE]]
+    qmat = [(qid, qv, qn, set(probe_cells[qid])) for qid, qv, qn in queries]
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids = [q[0] for q in qmat]
+        qm = np.array([q[1] for q in qmat], dtype=np.float64)
+        qn = np.array([q[2] for q in qmat], dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cells = pdf["cell_id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy())
+            nrm = pdf["norm"].to_numpy()
+            sims = np.round((m @ qm.T) / (nrm[:, None] * qn[None, :]), 6)
+            out = {"query_id": [], "vec_id": [], "cosine": []}
+            for j, (qid, _, _, probes) in enumerate(qmat):
+                mask = np.array(
+                    [c in probes and i != qid for c, i in zip(cells, ids)]
                 )
-            ),
-        )
-        .filter(F.col("rank") <= TOP_K)
+                if not mask.any():
+                    continue
+                cand_ids, cand_sims = ids[mask], sims[mask, j]
+                order = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
+                out["query_id"].extend([qid] * len(order))
+                out["vec_id"].extend(cand_ids[order])
+                out["cosine"].extend(cand_sims[order])
+            yield pd.DataFrame(out)
+
+    partial = assign.mapInPandas(
+        _score, "query_id long, vec_id long, cosine double"
     )
-    return ranked.select(
-        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
-    )
+    ranked = partial.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    ).filter(F.col("rank") <= TOP_K)
+    return ranked.select("query_id", "rank", "vec_id", "cosine")
 
 
 ANN_COSINE_TOPK_IVF_SQL = f"""
@@ -373,8 +432,10 @@ p AS (
     FROM scored WHERE vec_id < {N_QUERIES} AND r <= {IVF_NPROBE}
 ),
 cand AS (
+    -- rank on ROUND(cosine, 6), matching the Spark side, so BLAS vs
+    -- sequential float summation order cannot reorder near-ties
     SELECT p.query_id, a.vec_id,
-           list_dot_product(a.v, p.qv) / (a.nrm * p.qn) AS cosine
+           ROUND(list_dot_product(a.v, p.qv) / (a.nrm * p.qn), 6) AS cosine
     FROM a JOIN p ON a.cell_id = p.cell_id AND a.vec_id != p.query_id
 ),
 r AS (
@@ -382,7 +443,7 @@ r AS (
         PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
     FROM cand
 )
-SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine
+SELECT query_id, rank, vec_id, cosine
 FROM r WHERE rank <= {TOP_K}
 """
 

@@ -45,3 +45,25 @@ def test_bruteforce_cosine_is_broadcast_not_shuffle(spark):
     plan = _plan(spark, "ann_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan  # |Q| x partition, by design
     assert "SortMergeJoin" not in plan
+
+
+def test_cosine_pairs_scores_in_arrow_gemm(spark):
+    """Pair scoring must be the grouped Arrow GEMM, not a per-pair
+    Catalyst expression join (measured 2 orders of magnitude slower)."""
+    plan = _plan(spark, "embedding_cosine_pairs")
+    assert "FlatMapGroupsInPandas" in plan
+    # no self-join of the banded table survives in the pair path
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_minhash_verify_ships_no_shingle_arrays(spark):
+    """The LSH verification joins are narrow: candidate doc ids are
+    broadcast, and no shuffle payload carries the shingle arrays."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "BroadcastHashJoin" in plan
+    # the array<string> shingle column may appear in scans/projections
+    # but must not cross an exchange: every Exchange row lists its
+    # output schema — none may mention the `sh` array payload
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "sh#" not in line, line
