@@ -145,30 +145,50 @@ GROUP BY 1
 
 # --- shingling ---------------------------------------------------------------
 def shingles(text: Column, n: int = NGRAM) -> Column:
-    """Distinct word n-gram shingles of a text column (array<string>).
+    """Distinct word n-gram shingles of a text column, as 64-bit hashes
+    (array<long>) — every downstream consumer (posting lists, MinHash,
+    SimHash) wants a fixed-width key, so the strings never materialize.
 
-    The token array is let-bound via the ``transform(array(split(...)),
-    toks -> ...)`` trick so the split runs exactly ONCE per row: every
-    ``element_at`` in a lambda otherwise embeds its own copy of its
-    argument subtree, and higher-order-function lambdas are interpreted
-    (outside codegen and common-subexpression elimination) — an inline
-    split would re-tokenize the document once per gram per element,
-    O(len²) per row. (A separate select() doesn't help: Catalyst
-    collapses adjacent Projects and re-inlines the expression.) Grams
-    use O(1) ``element_at`` lookups, not ``slice`` copies.
+    Construction: hash each TOKEN once (md5 hex chars 1-14 -> 56-bit
+    non-negative long — DuckDB rebuilds it verbatim), then mix the n
+    token hashes per gram with shifted xors. Two reasons this shape:
+
+    - Higher-order-function lambdas are interpreted (no codegen/CSE),
+      so per-ELEMENT work dominates; hashing per token costs len
+      md5+conv calls per doc instead of ~len per-gram string builds
+      followed by per-gram md5 (measured 18.8k task-seconds of
+      shingling at 10M docs with per-gram hashing — the mixer is
+      integer ops, ~10x cheaper).
+    - The token array is let-bound via the ``transform(array(...),
+      toks -> ...)`` trick so split+hash run exactly ONCE per row:
+      every ``element_at`` in a lambda otherwise embeds its own copy
+      of its argument subtree (O(len²) re-evaluation; a separate
+      select() doesn't help — Catalyst collapses adjacent Projects).
+
+    Shifts stay within a signed 64-bit positive range (56-bit hashes,
+    max shift 4 bits at n=3); hash collisions (~2^-56 per pair) hit
+    Spark and the DuckDB oracle identically, so oracle parity is
+    unconditional.
     """
 
     def build(toks: Column) -> Column:
+        def gram(i: Column) -> Column:
+            out = F.element_at(toks, i)
+            for k in range(1, n):
+                out = out.bitwiseXOR(
+                    F.shiftleft(F.element_at(toks, i + k), 2 * k)
+                )
+            return out
+
         return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + k) for k in range(n)]
-                ),
-            )
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
         )
 
-    return F.element_at(F.transform(F.array(F.split(text, " ")), build), 1)
+    token_hashes = F.transform(
+        F.split(text, " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 14), 16, 10).cast("long"),
+    )
+    return F.element_at(F.transform(F.array(token_hashes), build), 1)
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,22 +209,28 @@ def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # oracle used by both the exact-Jaccard and the LSH operator (see module
 # docstring for why LSH verification makes the outputs identical)
-NGRAM_JACCARD_SQL = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# shared shingle CTEs: token md5 hashes mixed into 64-bit gram keys —
+# the verbatim SQL rendering of shingles() above
+_SHINGLE_CTES = f"""
+toks AS (
+    SELECT doc_id, list_transform(string_split(text, ' '),
+        t -> ('0x' || substr(md5(t), 1, 14))::BIGINT) AS t
+    FROM documents
+),
 sh AS (
     SELECT doc_id, unnest(list_distinct(list_transform(
         generate_series(1, len(t) - {NGRAM - 1}),
-        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        i -> xor(xor(t[i], t[i+1] << 2), t[i+2] << 4)))) AS s
     FROM toks WHERE len(t) >= {NGRAM}
-),
+)"""
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTES},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-shh AS (
-    SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh
-),
-kept AS (SELECT s FROM shh GROUP BY s HAVING count(*) <= {SHINGLE_DF_CAP}),
+kept AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {SHINGLE_DF_CAP}),
 inter AS (
     SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-    FROM shh a JOIN shh b ON a.s = b.s AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
     WHERE a.s IN (SELECT s FROM kept)
     GROUP BY 1, 2
 )
@@ -246,23 +272,11 @@ def _pair_counts(sh: DataFrame) -> DataFrame:
     operator and the MinHash-LSH verifier. Shingles whose posting list
     exceeds SHINGLE_DF_CAP are dropped before the |list|² pair explode
     (see the constant's comment); sizes na/nb stay uncapped."""
-    # hash each shingle to a 60-bit md5-derived long BEFORE the
-    # groupBy: the posting-list exchange — the widest shuffle in the
-    # module — then carries 8-byte keys instead of ~25-char strings
-    # (~2.5x less shuffle volume at 10M docs, long compares in the
-    # sort). 60 bits keep the value in a signed long in both engines;
-    # collisions (~2^-60 per pair) hit Spark and the DuckDB oracle
-    # identically, so parity is unconditional. Set sizes na/nb still
-    # count distinct STRING shingles (size(sh), pre-hash).
-    idx = sh.select(
-        "doc_id",
-        F.size("sh").alias("n"),
-        F.explode("sh").alias("s"),
-    ).select(
-        "doc_id",
-        "n",
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long").alias("s"),
-    )
+    # shingles are already 64-bit hashes (see shingles()), so the
+    # posting-list exchange — the widest shuffle in the module —
+    # carries 8-byte keys, never shingle strings (~2.5x less shuffle
+    # volume at 10M docs, long compares in the sort)
+    idx = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     by_s = idx.groupBy("s").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
     )
@@ -388,10 +402,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     8..12 are found when some band survives (probabilistic, but
     deterministic given the data — both engines band identically).
     """
+    # shingles are 64-bit hashed grams; re-hash their decimal string
+    # rendering with md5 so the bit distribution feeding the votes is
+    # uniform AND DuckDB can rebuild it (md5(s::VARCHAR))
+    sh_str = F.col("s").cast("string")
     tok = _shingle_index(spark, sf_dir).select(
         "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h_hi"),
-        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("h_lo"),
+        F.conv(F.substring(F.md5(sh_str), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h_hi"),
+        F.conv(F.substring(F.md5(sh_str), 9, 8), 16, 10)
+        .cast("long")
+        .alias("h_lo"),
     )
     half_bits = 32
     votes = tok.groupBy("doc_id").agg(
@@ -464,17 +486,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_SQL = f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (
-    SELECT doc_id, unnest(list_distinct(list_transform(
-        generate_series(1, len(t) - {NGRAM - 1}),
-        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-    FROM toks WHERE len(t) >= {NGRAM}
-),
+WITH {_SHINGLE_CTES},
 hs AS (
     SELECT doc_id,
-           ('0x' || substr(md5(s), 1, 8))::BIGINT AS h_hi,
-           ('0x' || substr(md5(s), 9, 8))::BIGINT AS h_lo
+           ('0x' || substr(md5(s::VARCHAR), 1, 8))::BIGINT AS h_hi,
+           ('0x' || substr(md5(s::VARCHAR), 9, 8))::BIGINT AS h_lo
     FROM sh
 ),
 votes AS (
