@@ -30,10 +30,11 @@ for the 100 TB case first:
   no separation, 57% of ALL pairs under the old ≤16 cut, an O(n²)
   output); hashing 3-gram shingles decorrelates unrelated docs
   (random-pair median 32, min 18 vs true-dup max 11) so the ≤12 cut is
-  a clean margin. The shingle hash is the two 32-bit halves of
-  md5(shingle) — reproducible in DuckDB SQL, so the whole operator
-  (votes → fingerprint → band buckets → Hamming verify) is
-  hash-checked against an oracle, not just row-counted.
+  a clean margin. The per-shingle hash is the two 32-bit halves of
+  md5 over the gram STRING (the one consumer of ``shingle_strings``) —
+  reproducible in DuckDB SQL, so the whole operator (votes →
+  fingerprint → band buckets → Hamming verify) is hash-checked
+  against an oracle, not just row-counted.
 """
 
 from __future__ import annotations
@@ -146,29 +147,27 @@ GROUP BY 1
 # --- shingling ---------------------------------------------------------------
 def shingles(text: Column, n: int = NGRAM) -> Column:
     """Distinct word n-gram shingles of a text column, as 64-bit hashes
-    (array<long>) — every downstream consumer (posting lists, MinHash,
-    SimHash) wants a fixed-width key, so the strings never materialize.
+    (array<long>): xxhash64 per TOKEN, then each gram key is the n
+    token hashes combined with shifted xors — gram strings never
+    materialize.
 
-    Construction: hash each TOKEN once (md5 hex chars 1-14 -> 56-bit
-    non-negative long — DuckDB rebuilds it verbatim), then mix the n
-    token hashes per gram with shifted xors. Two reasons this shape:
+    Why this construction (higher-order-function lambdas are
+    interpreted, so per-element cost is everything — measured on 2M
+    docs / 50M tokens at local[32]): split alone 5.4s; building gram
+    strings then hashing them, or md5+conv per token, adds 38-45s
+    (conv's string base-conversion is ~15µs/call); xxhash64 per token
+    adds ~0 (JVM intrinsic). The token array is let-bound via the
+    ``transform(array(...), toks -> ...)`` trick so split+hash run
+    exactly ONCE per row: every ``element_at`` in a lambda otherwise
+    embeds its own copy of its argument subtree (O(len²)
+    re-evaluation; a separate select() doesn't help — Catalyst
+    collapses adjacent Projects).
 
-    - Higher-order-function lambdas are interpreted (no codegen/CSE),
-      so per-ELEMENT work dominates; hashing per token costs len
-      md5+conv calls per doc instead of ~len per-gram string builds
-      followed by per-gram md5 (measured 18.8k task-seconds of
-      shingling at 10M docs with per-gram hashing — the mixer is
-      integer ops, ~10x cheaper).
-    - The token array is let-bound via the ``transform(array(...),
-      toks -> ...)`` trick so split+hash run exactly ONCE per row:
-      every ``element_at`` in a lambda otherwise embeds its own copy
-      of its argument subtree (O(len²) re-evaluation; a separate
-      select() doesn't help — Catalyst collapses adjacent Projects).
-
-    Shifts stay within a signed 64-bit positive range (56-bit hashes,
-    max shift 4 bits at n=3); hash collisions (~2^-56 per pair) hit
-    Spark and the DuckDB oracle identically, so oracle parity is
-    unconditional.
+    The Jaccard/MinHash oracles stay on STRING grams (output-level
+    parity): a 64-bit collision would be needed to change a distinct
+    count, ~1e-11 odds at oracle scale. SimHash, whose oracle must
+    rebuild the per-gram hash VALUES bit-for-bit, uses
+    ``shingle_strings`` + md5 instead.
     """
 
     def build(toks: Column) -> Column:
@@ -184,11 +183,26 @@ def shingles(text: Column, n: int = NGRAM) -> Column:
             F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
         )
 
-    token_hashes = F.transform(
-        F.split(text, " "),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 14), 16, 10).cast("long"),
-    )
+    token_hashes = F.transform(F.split(text, " "), lambda t: F.xxhash64(t))
     return F.element_at(F.transform(F.array(token_hashes), build), 1)
+
+
+def shingle_strings(text: Column, n: int = NGRAM) -> Column:
+    """Distinct word n-gram shingles as STRINGS — the slow path, kept
+    for operators whose oracle must re-derive per-gram hash values
+    (SimHash md5 halves). Same let-binding structure as shingles()."""
+
+    def build(toks: Column) -> Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + k) for k in range(n)]
+                ),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(F.split(text, " ")), build), 1)
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,28 +213,18 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) inverted index — the shared base of the
-    Jaccard and MinHash operators."""
-    return _shingled(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("s")
-    )
-
-
 # oracle used by both the exact-Jaccard and the LSH operator (see module
 # docstring for why LSH verification makes the outputs identical)
-# shared shingle CTEs: token md5 hashes mixed into 64-bit gram keys —
-# the verbatim SQL rendering of shingles() above
+# shared STRING-gram CTEs: the oracles re-derive shingle sets from the
+# gram text itself — Spark's hashed gram keys change distinct counts
+# only on a 64-bit collision (~1e-11 at oracle scale), so output-level
+# parity holds without the SQL mirroring the hash
 _SHINGLE_CTES = f"""
-toks AS (
-    SELECT doc_id, list_transform(string_split(text, ' '),
-        t -> ('0x' || substr(md5(t), 1, 14))::BIGINT) AS t
-    FROM documents
-),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
     SELECT doc_id, unnest(list_distinct(list_transform(
         generate_series(1, len(t) - {NGRAM - 1}),
-        i -> xor(xor(t[i], t[i+1] << 2), t[i+2] << 4)))) AS s
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
     FROM toks WHERE len(t) >= {NGRAM}
 )"""
 
@@ -402,18 +406,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     8..12 are found when some band survives (probabilistic, but
     deterministic given the data — both engines band identically).
     """
-    # shingles are 64-bit hashed grams; re-hash their decimal string
-    # rendering with md5 so the bit distribution feeding the votes is
-    # uniform AND DuckDB can rebuild it (md5(s::VARCHAR))
-    sh_str = F.col("s").cast("string")
-    tok = _shingle_index(spark, sf_dir).select(
-        "doc_id",
-        F.conv(F.substring(F.md5(sh_str), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h_hi"),
-        F.conv(F.substring(F.md5(sh_str), 9, 8), 16, 10)
-        .cast("long")
-        .alias("h_lo"),
+    # SimHash's oracle must rebuild the per-gram hash VALUES, so this
+    # operator pays for the reproducible path: STRING grams hashed with
+    # md5, halves rebuilt in SQL as ('0x'||substr(md5(s),...))::BIGINT
+    tok = (
+        _docs(spark, sf_dir)
+        .filter(F.size(F.split(F.col("text"), " ")) >= NGRAM)
+        .select("doc_id", F.explode(shingle_strings(F.col("text"))).alias("s"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h_hi"),
+            F.conv(F.substring(F.md5("s"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h_lo"),
+        )
     )
     half_bits = 32
     votes = tok.groupBy("doc_id").agg(
@@ -489,8 +497,8 @@ SIMHASH_SQL = f"""
 WITH {_SHINGLE_CTES},
 hs AS (
     SELECT doc_id,
-           ('0x' || substr(md5(s::VARCHAR), 1, 8))::BIGINT AS h_hi,
-           ('0x' || substr(md5(s::VARCHAR), 9, 8))::BIGINT AS h_lo
+           ('0x' || substr(md5(s), 1, 8))::BIGINT AS h_hi,
+           ('0x' || substr(md5(s), 9, 8))::BIGINT AS h_lo
     FROM sh
 ),
 votes AS (
