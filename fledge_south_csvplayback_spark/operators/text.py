@@ -177,3 +177,83 @@ TEXT_FINGERPRINT_SQL = """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
 FROM documents
 """
+
+
+# --- winnowing fingerprint (rolling-hash k-gram minima) ----------------------
+WINNOW_N = 3  # gram width (tokens)
+WINNOW_W = 4  # window of consecutive gram hashes per fingerprint pick
+
+WINNOW_FINGERPRINT_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, list_transform(string_split(text, ' '),
+        t -> ('0x' || substr(md5(t), 1, 14))::BIGINT) AS t
+    FROM documents
+),
+gh AS (
+    SELECT doc_id, list_transform(
+        generate_series(1, len(t) - {WINNOW_N - 1}),
+        i -> xor(xor(t[i], t[i+1] << 2), t[i+2] << 4)) AS g
+    FROM toks WHERE len(t) >= {WINNOW_N + WINNOW_W - 1}
+)
+SELECT DISTINCT doc_id,
+       unnest(list_distinct(list_transform(
+           generate_series(1, len(g) - {WINNOW_W - 1}),
+           i -> list_min(g[i:i+{WINNOW_W - 1}])))) AS fp
+FROM gh
+"""
+
+
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every token k-gram in document order, slide a
+    window of W consecutive gram hashes, keep each window's minimum —
+    the selected minima are the fingerprint set. Guarantees any shared
+    run of >= N + W - 1 tokens between two documents shares at least
+    one fingerprint hash, at ~1/W the index size of full shingling.
+
+    All Catalyst expressions: the token-hash array is let-bound (HOF
+    lambdas re-evaluate copied subtrees otherwise) and gram hashes are
+    md5-token xors, the DuckDB-reproducible construction — this
+    operator is oracle-checked by pytest
+    (tests/test_text_winnow.py) rather than the driver registry, which
+    is capped at 50 entries.
+
+    Output: one (doc_id, fp) row per selected fingerprint hash.
+    """
+    n, w = WINNOW_N, WINNOW_W
+
+    def build(toks):
+        def gram(i):
+            out = F.element_at(toks, i)
+            for k in range(1, n):
+                out = out.bitwiseXOR(
+                    F.shiftleft(F.element_at(toks, i + k), 2 * k)
+                )
+            return out
+
+        return F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+
+    token_hashes = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 14), 16, 10).cast("long"),
+    )
+    grams = F.element_at(F.transform(F.array(token_hashes), build), 1)
+
+    def minima(g):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(g) - (w - 1)),
+                lambda i: F.array_min(F.slice(g, i, w)),
+            )
+        )
+
+    docs = _docs(spark, sf_dir).filter(
+        F.size(F.split(F.col("text"), " ")) >= n + w - 1
+    )
+    fp = docs.select(
+        "doc_id",
+        F.explode(
+            F.element_at(F.transform(F.array(grams), minima), 1)
+        ).alias("fp"),
+    )
+    return fp.distinct()
