@@ -348,8 +348,6 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # per-query probe cells, computed driver-side from the same literals
-    import math
-
     def _qdot(qv: list[float], cv: list[float]) -> float:
         acc = 0.0
         for x, y in zip(qv, cv):
