@@ -70,8 +70,26 @@ def _norm(a: Column) -> Column:
 
 # --- brute-force cosine top-k ------------------------------------------------
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    """Brute-force cosine top-k with a two-level partial top-k.
 
+    Scoring is the broadcast-nested-loop of |Q| queries against each
+    partition (JVM codegen array expressions — the correct brute-force
+    shape). The top-k is NOT a global ``row_number`` window: that plan
+    shuffles every scored candidate row (N·|Q|) into |Q| reducer tasks,
+    each sorting ~N rows — a funnel at scale. Instead:
+
+    1. per (query_id, spark_partition_id) the scored rows are reduced
+       to ``slice(sort_array(collect_list(struct(-cosine, vec_id))),
+       1, k)`` — because the partition id is in the grouping key, every
+       group is task-local, so the aggregation completes map-side and
+       only k rows per (query, partition) cross the shuffle;
+    2. the ~partitions·|Q|·k survivors are merged per query by the same
+       sorted-slice aggregation, and ``posexplode`` of the final sorted
+       slice yields the rank directly — no Window operator anywhere.
+
+    Ordering matches the oracle: struct comparison is lexicographic, so
+    ascending sort on (-cosine, vec_id) = cosine DESC, vec_id ASC.
+    """
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -79,21 +97,33 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("qnorm"),
     )
     cos = _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
-    ranked = (
+    scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cosine", cos)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                W.partitionBy("query_id").orderBy(
-                    F.col("cosine").desc(), F.col("vec_id")
-                )
-            ),
+        .select(
+            "query_id",
+            F.spark_partition_id().alias("pid"),
+            F.struct(
+                (-cos).alias("nc"), F.col("vec_id").alias("vec_id")
+            ).alias("t"),
         )
-        .filter(F.col("rank") <= TOP_K)
     )
-    return ranked.select(
-        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+
+    def topk(col: str) -> Column:
+        return F.slice(F.sort_array(F.collect_list(col)), 1, TOP_K).alias("top")
+
+    partial = (
+        scored.groupBy("query_id", "pid")
+        .agg(topk("t"))
+        .select("query_id", F.explode("top").alias("t"))
+    )
+    merged = partial.groupBy("query_id").agg(topk("t"))
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "query_id",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("t.vec_id").alias("vec_id"),
+        F.round(-F.col("t.nc"), 6).alias("cosine"),
     )
 
 
@@ -251,14 +281,20 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = banded.groupBy("band", "key").applyInPandas(
         _bucket_pairs, "vec_a long, vec_b long, cosine double"
     )
-    # a pair co-bucketed in several bands appears once per band with an
-    # identical rounded cosine — distinct over the full row is exact
-    return pairs.distinct()
+    # a pair co-bucketed in several bands is scored once per band, by
+    # different GEMMs over different bucket matrices — BLAS blocking can
+    # differ at the last ulp, so at a rounding boundary the rounded
+    # cosines are not guaranteed identical across bands. Collapse on the
+    # pair key alone and keep the max, never distinct over the full row
+    # (which would emit the pair twice on such a boundary).
+    return pairs.groupBy("vec_a", "vec_b").agg(F.max("cosine").alias("cosine"))
 
 
 def _embedding_cosine_pairs_sql() -> str:
     # mirrors the Spark plan exactly: cosine inside the band join,
-    # threshold on the ROUNDED value, distinct over surviving triples
+    # threshold on the ROUNDED value, max-per-pair over surviving bands
+    # (DuckDB's per-band cosines are deterministic and identical, so
+    # MAX = the single value; Spark's collapse rule is the same shape)
     return f"""
 WITH {_banded_sql()},
 eb AS (
@@ -266,12 +302,13 @@ eb AS (
            k.v, k.nrm
     FROM k CROSS JOIN (SELECT unnest(range({LSH_BANDS})) AS band) bd(band)
 )
-SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       MAX(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)) AS cosine
 FROM eb a JOIN eb b
   ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
       >= {COSINE_PAIR_THRESHOLD}
+GROUP BY 1, 2
 """
 
 
