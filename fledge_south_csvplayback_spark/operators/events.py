@@ -32,8 +32,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes)["ts"] == "bigint":
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # parquet files annotated isAdjustedToUTC=false read as
+        # TIMESTAMP_NTZ, which unix_micros/watermarks reject; the session
+        # timezone is pinned UTC (session.py), so this cast keeps wall
+        # values bit-identical while restoring the TIMESTAMP surface.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -30,6 +30,16 @@ RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total double"
 
 
+def _ltz(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local timezone); parquet
+    sources annotated isAdjustedToUTC=false stream in as TIMESTAMP_NTZ.
+    The session timezone is pinned UTC (session.py), so the cast keeps
+    wall values identical."""
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def windowed_counts(
     stream: DataFrame,
     window: str = "1 hour",
@@ -37,7 +47,7 @@ def windowed_counts(
 ) -> DataFrame:
     """Watermarked tumbling-window counts per event_type."""
     return (
-        stream.withWatermark("ts", watermark)
+        _ltz(stream, "ts").withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).start.alias("hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -63,7 +73,8 @@ def stream_dedup_exact(
     unbounded 100 TB ingest stream.
     """
     return (
-        stream.withColumn("fingerprint", F.md5(F.col(content_col).cast("string")))
+        _ltz(stream, "ts")
+        .withColumn("fingerprint", F.md5(F.col(content_col).cast("string")))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
