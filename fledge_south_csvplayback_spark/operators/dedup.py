@@ -260,8 +260,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingling per branch (3 scans) and shuffled the full index twice;
     this is ~2.6× faster at sf0.1 and strictly fewer shuffles at any
     scale. Posting-list pair fan-out is |list|² per shingle — bounded
-    here (max df 25 measured); an adversarial corpus would want a
-    document-frequency cap on shingles before the pair explode.
+    by the implemented document-frequency cap (SHINGLE_DF_CAP, applied
+    in _pair_counts before the pair explode and mirrored in the
+    oracle's ``kept`` CTE), so the worst case is CAP² per shingle even
+    on adversarial corpora; the planted-hot-shingle test pins it.
     """
     pairs = _pair_counts(_shingled(spark, sf_dir))
     j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
@@ -270,21 +272,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_counts(sh: DataFrame) -> DataFrame:
+def _pair_counts(sh: DataFrame, hot: DataFrame | None = None) -> DataFrame:
     """Shared-shingle pair counts (doc_a, na, doc_b, nb, c) from a
     shingled frame — the posting-list core of both the exact-Jaccard
-    operator and the MinHash-LSH verifier. Shingles whose posting list
-    exceeds SHINGLE_DF_CAP are dropped before the |list|² pair explode
-    (see the constant's comment); sizes na/nb stay uncapped."""
+    operator and the MinHash-LSH verifier. Shingles whose FULL-CORPUS
+    document frequency exceeds SHINGLE_DF_CAP are dropped before the
+    |list|² pair explode (see the constant's comment); sizes na/nb stay
+    uncapped.
+
+    When ``sh`` is the whole corpus (exact path) the cap is the local
+    posting-list size filter. When ``sh`` is a slice (LSH verification),
+    the caller MUST pass ``hot`` = the over-cap shingle keys computed
+    over the full corpus: a slice-local size filter would keep a
+    shingle whose corpus df exceeds the cap but whose slice df does not,
+    inflating c relative to the exact operator and the shared oracle.
+    """
     # shingles are already 64-bit hashes (see shingles()), so the
     # posting-list exchange — the widest shuffle in the module —
     # carries 8-byte keys, never shingle strings (~2.5x less shuffle
     # volume at 10M docs, long compares in the sort)
     idx = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    if hot is not None:
+        # anti-join before the posting-list shuffle: hot carries at most
+        # |postings| / CAP keys (8 bytes each), broadcastable far past
+        # 10M docs; slice lists are then <= CAP by construction, so the
+        # local size filter below is redundant and skipped.
+        idx = idx.join(F.broadcast(hot), "s", "anti")
     by_s = idx.groupBy("s").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
     )
-    by_s = by_s.filter(F.size("ds") <= SHINGLE_DF_CAP)
+    if hot is None:
+        by_s = by_s.filter(F.size("ds") <= SHINGLE_DF_CAP)
     pair_structs = F.flatten(
         F.transform(
             F.col("ds"),
@@ -383,7 +401,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cand_sh = sh.join(F.broadcast(cand_docs), "doc_id", "semi")
-    pairs = _pair_counts(cand_sh).join(F.broadcast(cands), ["doc_a", "doc_b"])
+    # the df cap must be computed over the FULL corpus, exactly like the
+    # exact operator and the shared oracle: a boilerplate shingle with
+    # corpus df > CAP but candidate-slice df <= CAP would otherwise be
+    # counted only here, inflating c on skewed corpora. One narrow
+    # count-only aggregation over the already-built index (map-side
+    # partial counts, 8-byte keys); the over-cap set is at most
+    # |postings| / CAP keys, broadcast into _pair_counts' anti-join.
+    hot = (
+        idx.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("s")
+    )
+    pairs = _pair_counts(cand_sh, hot=hot).join(
+        F.broadcast(cands), ["doc_a", "doc_b"]
+    )
     j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return pairs.filter(j >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(j, 6).alias("jaccard")

@@ -71,6 +71,47 @@ def test_df_cap_bounds_hot_shingle_fanout(spark):
     assert (p.doc_a, p.doc_b, p.c, p.na, p.nb) == (1, 2, 19, 21, 21)
 
 
+def test_lsh_df_cap_uses_full_corpus_df(spark, tmp_path, monkeypatch):
+    """The LSH verifier must cap shingles on FULL-CORPUS document
+    frequency, exactly like the exact operator: a boilerplate gram with
+    corpus df > CAP but candidate-slice df <= CAP must be excluded from
+    intersection counts, or the two paths (which share an oracle)
+    diverge on skewed corpora."""
+    monkeypatch.setattr(dedup, "SHINGLE_DF_CAP", 4)
+    toks = [f"t{k}" for k in range(4)] + ["bp1", "bp2", "bp3"] + [
+        f"t{k}" for k in range(4, 19)
+    ]  # 22 tokens -> 20 grams, one of them the boilerplate run
+    rows = [
+        (1, " ".join(toks)),
+        (2, " ".join(toks[:-1] + ["zz"])),  # near-dup of 1, j well > 0.8
+        (3, " ".join(f"c{k}" for k in range(22))),
+        (4, " ".join([f"c{k}" for k in range(21)] + ["dz"])),  # control pair
+    ]
+    # 10 unrelated docs each containing the exact boilerplate run:
+    # corpus df("bp1 bp2 bp3") = 12 > 4, but its df inside the {1,2}
+    # candidate slice is 2 <= 4 — the trap a slice-local cap falls into
+    rows += [
+        (10 + i, f"f{i}a f{i}b bp1 bp2 bp3 f{i}c f{i}d") for i in range(10)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_jaccard(spark, sf).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_minhash_lsh(spark, sf).collect()
+    }
+    assert (1, 2) in exact and (3, 4) in exact
+    # pair (1,2) shares 19 of 20 grams but the hot one is dropped from
+    # c on BOTH paths: j = 18 / (20 + 20 - 18)
+    assert abs(exact[(1, 2)] - 18 / 22) < 1e-6
+    assert lsh == exact
+
+
 def test_parse_size_bytes():
     f = dedup._parse_size_bytes
     assert f("134217728") == 134217728
