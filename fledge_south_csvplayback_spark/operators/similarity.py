@@ -2,14 +2,12 @@
 
 Two paths, per the training-pipeline brief:
 
-- **brute-force cosine top-k** (the correctness baseline): the query
-  set is small and explicitly *broadcast*; every partition of the big
-  side computes dot products against the broadcast queries with
-  built-in array expressions (``zip_with`` + ``aggregate`` — JVM
-  codegen, no Python). Per-query top-k is a window partitioned by
-  query id. The only "cross" join is broadcast-nested-loop of
-  |queries| × partition — the correct brute-force shape at any scale
-  (cost |Q|·N with N scanned once); there is no fact×fact cartesian.
+- **brute-force cosine top-k** (the correctness baseline): the |Q|
+  query vectors ride in a ``mapInPandas`` closure; each Arrow batch
+  GEMMs against the query matrix (BLAS) and emits only its per-batch
+  top-k, so the post-scoring exchange carries ~batches·|Q|·k tiny
+  rows — cost |Q|·N compute with N scanned once, near-zero shuffle,
+  and no join operator at all (so no fact×fact cartesian either).
 - **LSH-bucketed ANN** (the scale path): 16 deterministic random
   hyperplanes (driver-seeded, embedded as literal arrays) hashed into
   8 bands × 2 bits; a candidate must share a band bucket with the
@@ -70,61 +68,83 @@ def _norm(a: Column) -> Column:
 
 # --- brute-force cosine top-k ------------------------------------------------
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k with a two-level partial top-k.
+    """Brute-force cosine top-k as a mapInPandas per-batch partial top-k.
 
-    Scoring is the broadcast-nested-loop of |Q| queries against each
-    partition (JVM codegen array expressions — the correct brute-force
-    shape). The top-k is NOT a global ``row_number`` window: that plan
-    shuffles every scored candidate row (N·|Q|) into |Q| reducer tasks,
-    each sorting ~N rows — a funnel at scale. Instead:
+    The |Q|=10 query vectors are collected to the driver (a filtered
+    10-row scan; query/index metadata is driver-resident in any real
+    deployment — same pattern as the IVF entry) and shipped in the UDF
+    closure. Each Arrow batch of the big side then GEMMs its vectors
+    against the query matrix (one BLAS matmul per batch, no join
+    operator at all) and emits only its per-batch top-k per query, so
+    the exchange after scoring carries ≤ batches·|Q|·k tiny
+    (query_id, vec_id, cosine) rows — not the N·|Q| scored structs a
+    groupBy/collect_list formulation ships inside partial-agg buffers
+    (Catalyst cannot push a result-expression ``slice`` into a partial
+    aggregate, so "map-side top-k via collect_list" is a myth; verified
+    with ``explain``).
 
-    1. per (query_id, spark_partition_id) the scored rows are reduced
-       to ``slice(sort_array(collect_list(struct(-cosine, vec_id))),
-       1, k)`` — because the partition id is in the grouping key, every
-       group is task-local, so the aggregation completes map-side and
-       only k rows per (query, partition) cross the shuffle;
-    2. the ~partitions·|Q|·k survivors are merged per query by the same
-       sorted-slice aggregation, and ``posexplode`` of the final sorted
-       slice yields the rank directly — no Window operator anywhere.
+    The physical plan this actually produces (read from
+    ``explain(mode="formatted")``, pinned by
+    ``test_bruteforce_topk_is_partial_no_collect_list``):
+    Scan parquet → Project (norm) → MapInPandas → Sort +
+    WindowGroupLimit(Partial, k) → Exchange hashpartitioning(query_id)
+    carrying only (query_id, vec_id, cosine) survivors →
+    WindowGroupLimit(Final) → Window row_number → Filter rank ≤ k.
+    Spark's WindowGroupLimit prunes map-side to ≤k per query per task
+    *on top of* the per-batch top-k, so the exchange payload is
+    ≤ tasks·|Q|·k 24-byte rows. No collect_list anywhere.
 
-    Ordering matches the oracle: struct comparison is lexicographic, so
-    ascending sort on (-cosine, vec_id) = cosine DESC, vec_id ASC.
+    Per-batch and global selection use the SAME total order —
+    round(cosine, 6) DESC, vec_id ASC — so the global top-k over the
+    union of batch top-ks equals the true top-k (every global winner is
+    a winner in its own batch). Rounding *before* ranking mirrors the
+    oracle (which ranks on ROUND(cosine, 6)) so numpy-BLAS vs DuckDB
+    float-summation order cannot reorder near-ties.
     """
+    from pyspark.sql import Window as W
+
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-    )
-    cos = _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
-    scored = (
-        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.spark_partition_id().alias("pid"),
-            F.struct(
-                (-cos).alias("nc"), F.col("vec_id").alias("vec_id")
-            ).alias("t"),
-        )
-    )
+    qmat = [
+        (r["vec_id"], list(r["v"]), r["norm"])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
 
-    def topk(col: str) -> Column:
-        return F.slice(F.sort_array(F.collect_list(col)), 1, TOP_K).alias("top")
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
 
-    partial = (
-        scored.groupBy("query_id", "pid")
-        .agg(topk("t"))
-        .select("query_id", F.explode("top").alias("t"))
+        q_ids = [q[0] for q in qmat]
+        qm = np.array([q[1] for q in qmat], dtype=np.float64)
+        qn = np.array([q[2] for q in qmat], dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy())
+            nrm = pdf["norm"].to_numpy()
+            sims = np.round((m @ qm.T) / (nrm[:, None] * qn[None, :]), 6)
+            out = {"query_id": [], "vec_id": [], "cosine": []}
+            for j, qid in enumerate(q_ids):
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], sims[mask, j]
+                order = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
+                out["query_id"].extend([qid] * len(order))
+                out["vec_id"].extend(cand_ids[order])
+                out["cosine"].extend(cand_sims[order])
+            yield pd.DataFrame(out)
+
+    partial = emb.mapInPandas(
+        _score, "query_id long, vec_id long, cosine double"
     )
-    merged = partial.groupBy("query_id").agg(topk("t"))
-    return merged.select(
-        "query_id", F.posexplode("top").alias("pos", "t")
-    ).select(
-        "query_id",
-        (F.col("pos") + 1).alias("rank"),
-        F.col("t.vec_id").alias("vec_id"),
-        F.round(-F.col("t.nc"), 6).alias("cosine"),
-    )
+    ranked = partial.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    ).filter(F.col("rank") <= TOP_K)
+    return ranked.select("query_id", "rank", "vec_id", "cosine")
 
 
 ANN_COSINE_TOPK_SQL = f"""
@@ -135,8 +155,10 @@ WITH e AS (
 ),
 q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < {N_QUERIES}),
 p AS (
+    -- rank on ROUND(cosine, 6), matching the Spark side, so BLAS vs
+    -- sequential float summation order cannot reorder near-ties
     SELECT q.query_id, e.vec_id,
-           list_dot_product(e.v, q.qv) / (e.nrm * q.qn) AS cosine
+           ROUND(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 6) AS cosine
     FROM e, q
     WHERE e.vec_id != q.query_id
 ),
@@ -145,7 +167,7 @@ r AS (
         PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
     FROM p
 )
-SELECT query_id, rank, vec_id, ROUND(cosine, 6) AS cosine
+SELECT query_id, rank, vec_id, cosine
 FROM r WHERE rank <= {TOP_K}
 """
 

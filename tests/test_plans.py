@@ -41,10 +41,20 @@ def test_envelope_projects_only_needed_columns(spark):
     assert "temperature" not in plan
 
 
-def test_bruteforce_cosine_is_broadcast_not_shuffle(spark):
+def test_bruteforce_topk_is_partial_no_collect_list(spark):
+    """The brute-force top-k must be the mapInPandas per-batch partial
+    top-k: the exchange after scoring carries ~batches·|Q|·k tiny rows.
+    A groupBy/collect_list formulation ships ALL N·|Q| scored structs
+    inside partial-agg buffers (a result-expression slice is NOT pushed
+    into the partial aggregate), so its presence is a regression."""
     plan = _plan(spark, "ann_cosine_topk")
-    assert "BroadcastNestedLoopJoin" in plan  # |Q| x partition, by design
-    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "collect_list" not in plan
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+    # no vector payload crosses an exchange: only the tiny scored rows
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "v#" not in line, line
 
 
 def test_cosine_pairs_scores_in_arrow_gemm(spark):
