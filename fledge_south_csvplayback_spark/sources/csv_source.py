@@ -141,11 +141,19 @@ def read_pick_from_file(
     check_not_empty(path)
     if header_row == 0 and skip_rows == 0:
         # fast path: fully native reader, splittable, pushdown-friendly;
-        # RFC4180 doubled-quote escaping (pandas-written CSVs)
+        # RFC4180 doubled-quote escaping (pandas-written CSVs). The
+        # schema is always pinned: caller-supplied, or inferred once
+        # driver-side from the first data line (a limit-2 head read,
+        # first blocks only) — never inferSchema=True, whose inference
+        # is a full second distributed pass over the data.
         reader = spark.read.option("header", True).option("escape", '"')
         if schema is not None:
             return reader.schema(schema).csv(path)
-        return reader.option("inferSchema", infer_schema).csv(path)
+        head = head_lines(spark, path, 2)
+        names = _split_header(head[0])
+        sample = head[1:]
+        fields = next(csv.reader(sample)) if (sample and infer_schema) else []
+        return reader.schema(_infer_ddl(names, fields)).csv(path)
 
     head = head_lines(spark, path, skip_rows + header_row + 2)
     names = _split_header(head[skip_rows + header_row])

@@ -63,6 +63,21 @@ def test_header_at_index_with_skip(spark, fixture_dir):
     assert df2.count() == 100
 
 
+def test_fast_path_schema_is_driver_inferred(spark, fixture_dir):
+    """The no-skip fast path must pin a driver-inferred schema (one-line
+    _infer_ddl over a limit-2 head read) — never inferSchema=True, whose
+    inference is a full second distributed pass over the file (a second
+    100 TB scan at scale). _infer_ddl's type lattice is exactly
+    bigint -> double -> string, so the fixture's float channels and
+    tz-suffixed timestamp string pin the outcome."""
+    df = cs.read_pick_from_file(spark, fx(fixture_dir, "vibration.csv"))
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "double",
+        "double",
+        "string",
+    ]
+
+
 def test_compressed_reads(spark, fixture_dir):
     for ext in (".gz", ".bz2"):
         df = cs.read_pick_from_file(spark, fx(fixture_dir, "vibration.csv" + ext))
