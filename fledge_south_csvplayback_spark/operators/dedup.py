@@ -424,13 +424,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash -----------------------------------------------------------------
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, reproducible: bool = True
+) -> DataFrame:
     """Near-dup pairs by 64-bit shingle SimHash within Hamming 12.
 
-    The per-shingle hash is md5 split into two 32-bit halves (hex chars
-    1-8 and 9-16), each held as a non-negative long — DuckDB rebuilds
-    the identical values with ``('0x'||substr(md5(s),...))::BIGINT``,
-    so the operator is fully hash-checked (SIMHASH_SQL), not rows-only.
+    ``reproducible=True`` (the registered entry) derives the per-shingle
+    hash as md5 over the gram STRING split into two 32-bit halves (hex
+    chars 1-8 and 9-16), each held as a non-negative long — DuckDB
+    rebuilds the identical values with
+    ``('0x'||substr(md5(s),...))::BIGINT``, so the operator is fully
+    hash-checked (SIMHASH_SQL), not rows-only. That reproducibility
+    costs ~an order of magnitude in gram hashing (string grams
+    materialize, md5 + conv per gram — see shingles() for the measured
+    numbers); ``reproducible=False`` is the production path: the
+    already-hashed 64-bit gram keys from shingles() (xxhash64 tokens,
+    shifted-xor combine — no gram strings anywhere) are split into
+    their two 32-bit halves and feed the identical vote/pack/band/verify
+    pipeline. The SimHash GEOMETRY is hash-agnostic — any uniform
+    64-bit gram hash gives the same true-dup/random-pair separation —
+    so the two paths agree on all solidly-near pairs and can differ
+    only at the probabilistic band-survival boundary (Hamming 8-12,
+    where finding the pair needs one of 8 hash-dependent bands to
+    collide; measured pair-set agreement 27/28 at sf0.001, 25/25 at
+    sf0.01 — test_simhash_production_hash_matches_reproducible pins
+    Jaccard ≥ 0.9); only the oracle needs md5.
+
     Keeping the fingerprint as two 32-bit halves also sidesteps 64-bit
     sign traps in both engines' shift/compare semantics. Votes are per
     3-gram shingle, not per token — see the module docstring for the
@@ -439,23 +458,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     8..12 are found when some band survives (probabilistic, but
     deterministic given the data — both engines band identically).
     """
-    # SimHash's oracle must rebuild the per-gram hash VALUES, so this
-    # operator pays for the reproducible path: STRING grams hashed with
-    # md5, halves rebuilt in SQL as ('0x'||substr(md5(s),...))::BIGINT
-    tok = (
-        _docs(spark, sf_dir)
-        .filter(F.size(F.split(F.col("text"), " ")) >= NGRAM)
-        .select("doc_id", F.explode(shingle_strings(F.col("text"))).alias("s"))
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
-            .cast("long")
-            .alias("h_hi"),
-            F.conv(F.substring(F.md5("s"), 9, 8), 16, 10)
-            .cast("long")
-            .alias("h_lo"),
+    if reproducible:
+        # the oracle must rebuild the per-gram hash VALUES, so this path
+        # pays for STRING grams hashed with md5, halves rebuilt in SQL
+        tok = (
+            _docs(spark, sf_dir)
+            .filter(F.size(F.split(F.col("text"), " ")) >= NGRAM)
+            .select(
+                "doc_id", F.explode(shingle_strings(F.col("text"))).alias("s")
+            )
+            .select(
+                "doc_id",
+                F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+                .cast("long")
+                .alias("h_hi"),
+                F.conv(F.substring(F.md5("s"), 9, 8), 16, 10)
+                .cast("long")
+                .alias("h_lo"),
+            )
         )
-    )
+    else:
+        # production: 64-bit hashed grams straight from shingles() —
+        # no gram strings, no md5; halves via unsigned shift / mask
+        tok = (
+            _shingled(spark, sf_dir)
+            .select("doc_id", F.explode("sh").alias("hs"))
+            .select(
+                "doc_id",
+                F.shiftrightunsigned(F.col("hs"), 32).alias("h_hi"),
+                F.col("hs").bitwiseAND(F.lit((1 << 32) - 1)).alias("h_lo"),
+            )
+        )
     half_bits = 32
     votes = tok.groupBy("doc_id").agg(
         *[
