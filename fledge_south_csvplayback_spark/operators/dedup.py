@@ -55,6 +55,14 @@ JACCARD_THRESHOLD = 0.8
 # real near-dup pair cannot be composed mostly of corpus-wide
 # boilerplate and survives the cap.
 SHINGLE_DF_CAP = 256
+# Over-cap ("hot") shingle keys are usually a tiny set (≤ |postings|/CAP
+# by pigeonhole), but on adversarial corpora that bound itself reaches
+# tens of millions of keys — forcing a broadcast there is driver/executor
+# memory pressure. At 8 bytes/key this cap keeps the broadcast build side
+# ~32 MB (under the session's 64 MB autoBroadcastJoinThreshold); above
+# it the anti-join falls back to a shuffle, which is the correct plan
+# when the hot set is genuinely large.
+HOT_BROADCAST_MAX = 4_000_000
 MINHASH_PERMS = 32
 LSH_BANDS = 8  # 4 rows per band
 SIMHASH_BANDS = 8  # 8 bits each: any pair within Hamming 7 must share a band
@@ -294,10 +302,17 @@ def _pair_counts(sh: DataFrame, hot: DataFrame | None = None) -> DataFrame:
     idx = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     if hot is not None:
         # anti-join before the posting-list shuffle: hot carries at most
-        # |postings| / CAP keys (8 bytes each), broadcastable far past
-        # 10M docs; slice lists are then <= CAP by construction, so the
-        # local size filter below is redundant and skipped.
-        idx = idx.join(F.broadcast(hot), "s", "anti")
+        # |postings| / CAP keys (8 bytes each) — usually tiny, but the
+        # bound is corpus-dependent, so the broadcast is GUARDED, not
+        # forced: cache + count (the aggregation runs once either way),
+        # broadcast under HOT_BROADCAST_MAX keys, shuffled anti-join
+        # above it. Slice lists are <= CAP by construction afterwards,
+        # so the local size filter below is redundant and skipped.
+        hot = hot.cache()
+        if hot.count() <= HOT_BROADCAST_MAX:
+            idx = idx.join(F.broadcast(hot), "s", "anti")
+        else:
+            idx = idx.join(hot, "s", "anti")
     by_s = idx.groupBy("s").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
     )
@@ -407,7 +422,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counted only here, inflating c on skewed corpora. One narrow
     # count-only aggregation over the already-built index (map-side
     # partial counts, 8-byte keys); the over-cap set is at most
-    # |postings| / CAP keys, broadcast into _pair_counts' anti-join.
+    # |postings| / CAP keys, anti-joined in _pair_counts (broadcast when
+    # small — the guarded common case — shuffled when adversarially
+    # large; see HOT_BROADCAST_MAX).
     hot = (
         idx.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))

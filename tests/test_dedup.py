@@ -30,6 +30,18 @@ def test_simhash_finds_planted_near_dups(spark):
     assert recall >= 0.9, (recall, len(sim), len(exact))
 
 
+def test_hot_antijoin_shuffle_fallback_same_result(spark, monkeypatch):
+    """When the over-cap shingle set exceeds HOT_BROADCAST_MAX the
+    anti-join must fall back to a shuffle instead of forcing a broadcast
+    (driver memory pressure on adversarial corpora) — with identical
+    output. Forcing the threshold to 0 exercises the fallback path on
+    the fixture corpus."""
+    baseline = _pairs(dedup.dedup_minhash_lsh(spark, TEST_SF_DIR))
+    monkeypatch.setattr(dedup, "HOT_BROADCAST_MAX", 0)
+    fallback = _pairs(dedup.dedup_minhash_lsh(spark, TEST_SF_DIR))
+    assert fallback == baseline
+
+
 def test_simhash_production_hash_matches_reproducible(spark):
     """The reproducible=False path swaps md5-string gram hashing for the
     64-bit hashed grams from shingles() (no gram strings, no md5).
