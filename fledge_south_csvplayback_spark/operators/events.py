@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from fledge_south_csvplayback_spark.session import ensure_ltz
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with its TIMESTAMP(NANOS) column as microsecond ts.
@@ -32,16 +34,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = dict(df.dtypes)["ts"]
-    if ts_type == "bigint":
+    if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # parquet files annotated isAdjustedToUTC=false read as
-        # TIMESTAMP_NTZ, which unix_micros/watermarks reject; the session
-        # timezone is pinned UTC (session.py), so this cast keeps wall
-        # values bit-identical while restoring the TIMESTAMP surface.
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    return ensure_ltz(df, "ts")
 
 
 SESSION_GAP_S = 4 * 3600  # 4 h gap starts a new session

@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def get_spark(
@@ -51,6 +52,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_ltz(df: DataFrame, ts_col: str) -> DataFrame:
+    """Restore the TIMESTAMP surface on a TIMESTAMP_NTZ column.
+
+    Parquet sources annotated isAdjustedToUTC=false read (or stream) in
+    as TIMESTAMP_NTZ, which watermarks and unix_micros reject. The
+    session timezone is pinned UTC (get_spark above), so the cast keeps
+    wall values bit-identical. No-op for any other dtype — shared by
+    the batch events loader and the streaming event-time operators so
+    the two cannot drift.
+    """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):

@@ -26,18 +26,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from fledge_south_csvplayback_spark.session import ensure_ltz
+
 RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total double"
 
 
-def _ltz(stream: DataFrame, ts_col: str) -> DataFrame:
-    """Watermarks require TIMESTAMP (with local timezone); parquet
-    sources annotated isAdjustedToUTC=false stream in as TIMESTAMP_NTZ.
-    The session timezone is pinned UTC (session.py), so the cast keeps
-    wall values identical."""
-    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
-        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return stream
+# watermarks require TIMESTAMP (with local timezone); the shared cast
+# helper lives next to the session builder whose pinned-UTC timezone
+# makes it value-preserving
+_ltz = ensure_ltz
 
 
 def windowed_counts(
