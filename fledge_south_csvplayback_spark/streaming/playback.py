@@ -92,16 +92,23 @@ def stamp_batch(df: DataFrame, cfg: PlaybackConfig, anchor: str | None = None) -
     n = cfg.chunk_size
     step_us = 1_000_000 // n
     # Batch-local spreading id: the low 33 bits of
-    # monotonically_increasing_id are a per-partition 0-based sequence,
-    # so (_k % n) walks each partition through the anchor second — the
-    # observable contract (rows spread evenly across the second) without
-    # the per-trigger driver round-trip a global row number costs
-    # (with_global_row_number collect()s partition counts; at high
-    # trigger rates that's driver chatter per micro-batch). Exact
-    # global positions stay with the oracle-checked batch T1 operator
-    # (timestamps.current_time_continuous).
+    # monotonically_increasing_id are a per-partition 0-based sequence
+    # that RESTARTS per partition — used alone, a multi-partition batch
+    # would cluster every partition's rows near the anchor instead of
+    # spreading across the second. Each partition therefore starts at
+    # its own offset, pid * (n / P̂), P̂ = defaultParallelism: a
+    # single-partition batch walks the second consecutively (offset 0,
+    # unchanged semantics), and a balanced multi-partition batch covers
+    # disjoint consecutive slices of it. All without the per-trigger
+    # driver round-trip a global row number costs (with_global_row_number
+    # collect()s partition counts; at high trigger rates that's driver
+    # chatter per micro-batch). Exact global positions stay with the
+    # oracle-checked batch T1 operator (timestamps.current_time_continuous).
+    stride = max(1, n // df.sparkSession.sparkContext.defaultParallelism)
     numbered = df.withColumn(
-        "_k", F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
+        "_k",
+        F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
+        + F.spark_partition_id().cast("long") * stride,
     )
     return numbered.withColumn(
         "timestamp",

@@ -56,6 +56,32 @@ def test_continuous_mode_spreads_timestamps(spark):
     assert len(stamps) > 100
 
 
+def test_multi_partition_batch_spreads_across_second(spark):
+    """A multi-partition micro-batch must spread across the anchor
+    second, not cluster every partition's rows near the anchor: the
+    per-partition spreading id restarts at 0, so each partition gets a
+    pid * (n/P̂) starting offset. With 4 partitions of 100 rows and
+    n=2000, offsets land partitions at slots 0/62/124/186 of 2000 —
+    the max stamp must sit well past the first partition's 100-slot
+    reach."""
+    n = 2000
+    cfg = _cfg(FIXTURE_MULTI, ingest_mode=IngestMode.CONTINUOUS, sample_rate=n)
+    df = spark.range(400, numPartitions=4).selectExpr("id AS channel1")
+    stamped = pb.stamp_batch(df, cfg, anchor="2020-01-01 00:00:00")
+    micros = [
+        r[0]
+        for r in stamped.selectExpr(
+            "unix_micros(timestamp) - unix_micros(TIMESTAMP '2020-01-01 00:00:00')"
+        ).collect()
+    ]
+    step = 1_000_000 // n
+    slots = {m // step for m in micros}
+    # single-partition clustering would cap the max slot at 100
+    assert max(slots) >= 150, sorted(slots)[-5:]
+    # and the spread stays inside the anchor second
+    assert 0 <= min(micros) and max(micros) < 1_000_000
+
+
 def test_replay_loop_doubles_rows(spark):
     seen = []
     total = pb.replay(
