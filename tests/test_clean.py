@@ -195,3 +195,77 @@ def test_cubic_grouped_and_degenerate(spark):
     assert got[("g1", "t0")] == 1.0 and got[("g1", "t2")] == 3.0
     assert got[("g2", "t0")] == 5.0 and got[("g2", "t2")] == 5.0
     assert got[("g3", "t0")] is None
+
+
+# ---------------------------------------------------------------------------
+# Partitioned-window scale path (the 100 TB shape): with partition_cols
+# the window state must shard across a hash-partitioned Exchange, never
+# funnel through one global-window task. The registered single-file
+# entries keep the global window deliberately (ETL tool semantics).
+# ---------------------------------------------------------------------------
+def _two_device(spark):
+    rows = [
+        ("d1", 1, 1.0),
+        ("d1", 2, None),
+        ("d1", 3, 4.0),
+        ("d2", 1, 10.0),
+        ("d2", 2, None),
+        ("d2", 3, None),
+        ("d2", 4, 40.0),
+    ]
+    return spark.createDataFrame(rows, "device string, ts int, a double")
+
+
+def test_partitioned_fill_two_device_values(spark):
+    """Per-device interpolation: a global window would bleed d1's 4.0
+    into d2's gap (linear between 4.0 and 10.0), so the per-device
+    expectations below fail unless partitioning is honored."""
+    out = clean.interpolate_fill(
+        _two_device(spark), ["a"], ["ts"], partition_cols=["device"]
+    )
+    got = {(r.device, r.ts): r.a for r in out.collect()}
+    assert got[("d1", 2)] == pytest.approx(2.5)
+    assert got[("d2", 2)] == pytest.approx(20.0)
+    assert got[("d2", 3)] == pytest.approx(30.0)
+
+    out = clean.rolling_mean_fill(
+        _two_device(spark), ["a"], ["ts"], partition_cols=["device"]
+    )
+    got = {(r.device, r.ts): r.a for r in out.collect()}
+    # trailing {prev, null} windows average to prev; two nulls in a row
+    # stay null (the fill reads original values, like pandas rolling)
+    assert got[("d1", 2)] == pytest.approx(1.0)
+    assert got[("d2", 2)] == pytest.approx(10.0)
+    assert got[("d2", 3)] is None
+
+    out = clean.rolling_median_fill(
+        _two_device(spark), ["a"], ["ts"], partition_cols=["device"]
+    )
+    got = {(r.device, r.ts): r.a for r in out.collect()}
+    assert got[("d1", 2)] == pytest.approx(1.0)
+    assert got[("d2", 3)] is None
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda df: clean.interpolate_fill(df, ["a"], ["ts"], ["device"]),
+        lambda df: clean.interpolate_fill(
+            df, ["a"], ["ts"], ["device"], method="nearest"
+        ),
+        lambda df: clean.rolling_mean_fill(df, ["a"], ["ts"], ["device"]),
+        lambda df: clean.rolling_median_fill(df, ["a"], ["ts"], ["device"]),
+        lambda df: clean.interpolate_cubic(df, ["a"], ["ts"], ["device"]),
+    ],
+    ids=["linear", "nearest", "rolling_mean", "rolling_median", "cubic"],
+)
+def test_partitioned_fill_plan_shards_by_key(spark, build):
+    plan = (
+        build(_two_device(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(device" in plan, plan
+    # the global-window funnel (every row through ONE task) must be gone
+    assert "SinglePartition" not in plan, plan
