@@ -39,6 +39,7 @@ for the 100 TB case first:
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -441,40 +442,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash -----------------------------------------------------------------
-def dedup_simhash(
-    spark: SparkSession, sf_dir: str, reproducible: bool = True
+def _simhash_fp(
+    spark: SparkSession, sf_dir: str, reproducible: bool
 ) -> DataFrame:
-    """Near-dup pairs by 64-bit shingle SimHash within Hamming 12.
-
-    ``reproducible=True`` (the registered entry) derives the per-shingle
-    hash as md5 over the gram STRING split into two 32-bit halves (hex
-    chars 1-8 and 9-16), each held as a non-negative long — DuckDB
-    rebuilds the identical values with
-    ``('0x'||substr(md5(s),...))::BIGINT``, so the operator is fully
-    hash-checked (SIMHASH_SQL), not rows-only. That reproducibility
-    costs ~an order of magnitude in gram hashing (string grams
-    materialize, md5 + conv per gram — see shingles() for the measured
-    numbers); ``reproducible=False`` is the production path: the
-    already-hashed 64-bit gram keys from shingles() (xxhash64 tokens,
-    shifted-xor combine — no gram strings anywhere) are split into
-    their two 32-bit halves and feed the identical vote/pack/band/verify
-    pipeline. The SimHash GEOMETRY is hash-agnostic — any uniform
-    64-bit gram hash gives the same true-dup/random-pair separation —
-    so the two paths agree on all solidly-near pairs and can differ
-    only at the probabilistic band-survival boundary (Hamming 8-12,
-    where finding the pair needs one of 8 hash-dependent bands to
-    collide; measured pair-set agreement 27/28 at sf0.001, 25/25 at
-    sf0.01 — test_simhash_production_hash_matches_reproducible pins
-    Jaccard ≥ 0.9); only the oracle needs md5.
-
-    Keeping the fingerprint as two 32-bit halves also sidesteps 64-bit
-    sign traps in both engines' shift/compare semantics. Votes are per
-    3-gram shingle, not per token — see the module docstring for the
-    measured separation argument. Banding: 8 bands × 8 bits (4 per
-    half), so any pair within Hamming 7 is guaranteed a shared band;
-    8..12 are found when some band survives (probabilistic, but
-    deterministic given the data — both engines band identically).
-    """
+    """64-bit SimHash fingerprints as two 32-bit halves:
+    (doc_id, fp_lo, fp_hi). Shared by both candidate schemes
+    (``dedup_simhash`` 8-band, ``dedup_simhash_blocked`` m-block
+    tables); see ``dedup_simhash`` for the reproducible-vs-production
+    hash tradeoff."""
     if reproducible:
         # the oracle must rebuild the per-gram hash VALUES, so this path
         # pays for STRING grams hashed with md5, halves rebuilt in SQL
@@ -530,42 +505,34 @@ def dedup_simhash(
             F.lit(0).cast("long"),
         )
 
-    fp = votes.select(
+    return votes.select(
         "doc_id", pack("lo").alias("fp_lo"), pack("hi").alias("fp_hi")
     )
-    band_bits = 64 // SIMHASH_BANDS  # 8 bits; 4 bands per half
-    chunks = fp.select(
-        "doc_id",
-        "fp_lo",
-        "fp_hi",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(
-                            F.col("fp_lo") if i < 4 else F.col("fp_hi"),
-                            band_bits * (i % 4),
-                        )
-                        .bitwiseAND((1 << band_bits) - 1)
-                        .alias("chunk"),
-                    )
-                    for i in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("bc"),
-    ).select("doc_id", "fp_lo", "fp_hi", "bc.band", "bc.chunk")
+
+
+def _fp_chunk(i: int) -> Column:
+    """8-bit chunk ``i`` of the (fp_lo, fp_hi) fingerprint — chunk = the
+    classic band; the blocked scheme keys tables on combinations of the
+    SAME chunks, which is what makes its candidates a provable subset."""
+    band_bits = 64 // SIMHASH_BANDS
+    return F.shiftrightunsigned(
+        F.col("fp_lo") if i < 4 else F.col("fp_hi"), band_bits * (i % 4)
+    ).bitwiseAND((1 << band_bits) - 1)
+
+
+def _hamming_pairs(chunks: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Self-join ``chunks`` on ``key_cols`` (+ doc_a < doc_b), verify
+    full Hamming distance <= SIMHASH_MAX_HAMMING, distinct pairs. The
+    shared tail of both SimHash candidate schemes."""
     a, b = chunks.alias("a"), chunks.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     ham = F.bit_count(
         F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo"))
     ) + F.bit_count(F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi")))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
         .filter(ham <= SIMHASH_MAX_HAMMING)
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -576,8 +543,131 @@ def dedup_simhash(
     )
 
 
-SIMHASH_SQL = f"""
-WITH {_SHINGLE_CTES},
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, reproducible: bool = True
+) -> DataFrame:
+    """Near-dup pairs by 64-bit shingle SimHash within Hamming 12.
+
+    ``reproducible=True`` (the registered entry) derives the per-shingle
+    hash as md5 over the gram STRING split into two 32-bit halves (hex
+    chars 1-8 and 9-16), each held as a non-negative long — DuckDB
+    rebuilds the identical values with
+    ``('0x'||substr(md5(s),...))::BIGINT``, so the operator is fully
+    hash-checked (SIMHASH_SQL), not rows-only. That reproducibility
+    costs ~an order of magnitude in gram hashing (string grams
+    materialize, md5 + conv per gram — see shingles() for the measured
+    numbers); ``reproducible=False`` is the production path: the
+    already-hashed 64-bit gram keys from shingles() (xxhash64 tokens,
+    shifted-xor combine — no gram strings anywhere) are split into
+    their two 32-bit halves and feed the identical vote/pack/band/verify
+    pipeline. The SimHash GEOMETRY is hash-agnostic — any uniform
+    64-bit gram hash gives the same true-dup/random-pair separation —
+    so the two paths agree on all solidly-near pairs and can differ
+    only at the probabilistic band-survival boundary (Hamming 8-12,
+    where finding the pair needs one of 8 hash-dependent bands to
+    collide; measured pair-set agreement 27/28 at sf0.001, 25/25 at
+    sf0.01 — test_simhash_production_hash_matches_reproducible pins
+    Jaccard ≥ 0.9); only the oracle needs md5.
+
+    Keeping the fingerprint as two 32-bit halves also sidesteps 64-bit
+    sign traps in both engines' shift/compare semantics. Votes are per
+    3-gram shingle, not per token — see the module docstring for the
+    measured separation argument. Banding: 8 bands × 8 bits (4 per
+    half), so any pair within Hamming 7 is guaranteed a shared band;
+    8..12 are found when some band survives (probabilistic, but
+    deterministic given the data — both engines band identically).
+    """
+    fp = _simhash_fp(spark, sf_dir, reproducible)
+    chunks = fp.select(
+        "doc_id",
+        "fp_lo",
+        "fp_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), _fp_chunk(i).alias("chunk")
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "fp_lo", "fp_hi", "bc.band", "bc.chunk")
+    return _hamming_pairs(chunks, ["band", "chunk"])
+
+
+# Blocked-scheme table count: C(8, m) tables keyed on m-chunk
+# combinations. m=3 -> 56 tables of 24-bit keys.
+SIMHASH_BLOCK_M = 3
+
+
+def dedup_simhash_blocked(
+    spark: SparkSession,
+    sf_dir: str,
+    reproducible: bool = True,
+    m: int = SIMHASH_BLOCK_M,
+) -> DataFrame:
+    """SimHash near-dup pairs with permuted-block candidate tables —
+    the scheme of Manku, Jain & Das Sarma, "Detecting Near-Duplicates
+    for Web Crawling" (WWW'07) — for corpora where the classic 8-band
+    join stops scaling.
+
+    Why: ``dedup_simhash`` keys candidates on single 8-bit chunks, a
+    256-value keyspace per band. Random fingerprints spread uniformly,
+    so every bucket holds ~N/256 docs and the band join emits
+    ~8·256·C(N/256, 2) ≈ N²/64 candidate rows regardless of how many
+    true near-dups exist — ~1.6e11 at N=1M, ~1.6e13 at 10M (the probe
+    curve in BASELINE.md measures the quadratic). Any scheme keyed on
+    k bits cannot beat N²/2^k pairs, so the fix is wider keys: each of
+    C(8, m) tables keys on the CONCATENATION of m of the same 8-bit
+    chunks (m=3 → 56 tables, 24-bit keys, buckets ~N/2^24).
+
+    Detection: a pair collides in a table iff that table's m chunks are
+    all clean (no differing bit). H differing bits dirty at most H
+    chunks, so every pair within Hamming ≤ 8-m is GUARANTEED a clean
+    m-subset (m=3 → guarantee H ≤ 5); for H in 6..12 the pair is found
+    iff its dirty bits land in ≤ 8-m chunks — probabilistic in the
+    corpus but deterministic given the data, so the DuckDB oracle
+    (SIMHASH_BLOCKED_SQL builds the identical 56 tables) reproduces the
+    output exactly. Verification (full Hamming ≤ SIMHASH_MAX_HAMMING)
+    is unchanged, and because the blocks ARE the classic bands, a clean
+    m-subset implies a clean band: blocked output ⊆ ``dedup_simhash``
+    output, and m=1 reproduces it exactly (both properties pinned in
+    tests/test_dedup.py). The classic operator keeps the higher recall
+    in the 6..12 tail — use it below ~10^5 docs; blocked is the scale
+    path: 56·N index rows (8-byte keys) shuffle instead of an N²/64
+    join, the same posting-list-shaped plan the Jaccard operator runs.
+    """
+    fp = _simhash_fp(spark, sf_dir, reproducible)
+    band_bits = 64 // SIMHASH_BANDS
+
+    def key(combo: tuple[int, ...]) -> Column:
+        k = F.lit(0).cast("long")
+        for i in combo:
+            k = F.shiftleft(k, band_bits).bitwiseOR(_fp_chunk(i))
+        return k
+
+    combos = list(itertools.combinations(range(SIMHASH_BANDS), m))
+    chunks = fp.select(
+        "doc_id",
+        "fp_lo",
+        "fp_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), key(c).alias("key"))
+                    for t, c in enumerate(combos)
+                ]
+            )
+        ).alias("tk"),
+    ).select("doc_id", "fp_lo", "fp_hi", "tk.tbl", "tk.key")
+    return _hamming_pairs(chunks, ["tbl", "key"])
+
+
+# shared fp CTEs: md5-half shingle hashes -> per-bit votes -> packed
+# (fp_lo, fp_hi) — the reproducible path of _simhash_fp, rebuilt
+# value-for-value so both SimHash oracles are hash-checked
+_SIMHASH_FP_CTES = f"""{_SHINGLE_CTES},
 hs AS (
     SELECT doc_id,
            ('0x' || substr(md5(s), 1, 8))::BIGINT AS h_hi,
@@ -598,18 +688,54 @@ fp AS (
            CAST(SUM(CASE WHEN v_hi > 0 THEN (1::BIGINT << b) ELSE 0 END)
                 AS BIGINT) AS fp_hi
     FROM votes GROUP BY 1
-),
+)"""
+
+# the DISTINCT pair + Hamming-verify tail shared by both SimHash
+# oracles; {{t}} = the keyed candidate table's name
+_SIMHASH_PAIRS_TAIL = f"""
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi))
+           AS hamming
+FROM {{t}} a JOIN {{t}} b
+  ON a.{{k1}} = b.{{k1}} AND a.{{k2}} = b.{{k2}} AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi))
+      <= {SIMHASH_MAX_HAMMING}
+"""
+
+SIMHASH_SQL = f"""
+WITH {_SIMHASH_FP_CTES},
 bands AS (
     SELECT doc_id, fp_lo, fp_hi, g.i AS band,
            CASE WHEN g.i < 4 THEN (fp_lo >> (8 * g.i)) & 255
                 ELSE (fp_hi >> (8 * (g.i - 4))) & 255 END AS chunk
     FROM fp, generate_series(0, 7) g(i)
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi))
-           AS hamming
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.fp_lo, b.fp_lo)) + bit_count(xor(a.fp_hi, b.fp_hi))
-      <= {SIMHASH_MAX_HAMMING}
-"""
+{_SIMHASH_PAIRS_TAIL.format(t="bands", k1="band", k2="chunk")}"""
+
+
+def _simhash_blocked_sql(m: int = SIMHASH_BLOCK_M) -> str:
+    """Mirror of dedup_simhash_blocked's C(8, m) key tables: the same
+    chunk extraction, the same MSB-first fold, one CASE arm per table."""
+
+    def chunk(i: int) -> str:
+        col = "fp_lo" if i < 4 else "fp_hi"
+        return f"(({col} >> {8 * (i % 4)}) & 255)"
+
+    arms = []
+    for t, combo in enumerate(itertools.combinations(range(8), m)):
+        key = chunk(combo[0])
+        for i in combo[1:]:
+            key = f"(({key} << 8) | {chunk(i)})"
+        arms.append(f"WHEN {t} THEN {key}")
+    n_tables = len(arms)
+    return f"""
+WITH {_SIMHASH_FP_CTES},
+tables AS (
+    SELECT doc_id, fp_lo, fp_hi, t.tbl,
+           CASE t.tbl {" ".join(arms)} END AS key
+    FROM fp CROSS JOIN (SELECT unnest(range({n_tables})) AS tbl) t
+)
+{_SIMHASH_PAIRS_TAIL.format(t="tables", k1="tbl", k2="key")}"""
+
+
+SIMHASH_BLOCKED_SQL = _simhash_blocked_sql()

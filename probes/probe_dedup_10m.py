@@ -1,0 +1,200 @@
+#!/usr/bin/env python3
+"""Scale probes for the dedup operators (BASELINE.md "Measured at scale").
+
+Generates a synthetic planted-near-dup corpus with pure Spark
+expressions (no driver-side loops), runs ONE operator per invocation in
+a fresh session, and prints one JSON line with wall seconds, shuffle
+bytes (from the live UI REST API), output rows, and recall / false
+positives against the planted pairs.
+
+Corpus layout (deterministic, seeded by xxhash64 literals):
+- N docs of W words each; words drawn as ``w<xxhash64(base_id, pos) %
+  VOCAB>`` over a 1M-word vocabulary, so cross-document shingle
+  collisions are negligible and the document-frequency cap never
+  engages (the cap path has its own planted-hot-shingle pytest).
+- the last K = N/1000 docs are near-dups: doc N-K+b repeats base doc
+  b's text plus ONE appended tail word. At W=25 that is 23 shared
+  3-gram shingles of 24 = Jaccard 0.9583 (the same planted geometry as
+  the round-3 ngram probe: miss probability of the 8x4 MinHash bands
+  at j=0.958 is (1-j^4)^8 ~ 4e-7, so LSH recall should be ~100%).
+- corpora are cached under /tmp/spark_graft_probe/docs_<N>_<W>/ and
+  reused across invocations (generation is excluded from timings).
+
+Usage:
+    python probes/probe_dedup_10m.py minhash_lsh --rows 10000000
+    python probes/probe_dedup_10m.py simhash     --rows 200000
+    python probes/probe_dedup_10m.py ngram_jaccard --rows 10000000
+    python probes/probe_dedup_10m.py gen --rows 10000000 --words 25
+
+Operators run through the same public functions the registry serves;
+``simhash`` uses the production hash path (reproducible=False) — the
+md5-string path exists for oracle parity, not scale (see
+operators/dedup.py docstrings).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fledge_south_csvplayback_spark.session import get_spark
+
+VOCAB = 1_000_000
+PROBE_ROOT = "/tmp/spark_graft_probe"
+
+
+def corpus_dir(n: int, words: int) -> str:
+    return f"{PROBE_ROOT}/docs_{n}_{words}"
+
+
+def gen_corpus(spark: SparkSession, n: int, words: int) -> str:
+    """Write documents.parquet with K=n/1000 planted near-dup pairs."""
+    out = corpus_dir(n, words)
+    path = f"{out}/documents.parquet"
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return out
+    k = n // 1000
+    base_id = F.when(
+        F.col("doc_id") >= n - k, F.col("doc_id") - (n - k)
+    ).otherwise(F.col("doc_id"))
+    word_cols = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.lit("probe"), F.col("base"), F.lit(p)), F.lit(VOCAB)),
+        )
+        for p in range(words)
+    ]
+    tail = F.concat(
+        F.lit("x"), F.pmod(F.xxhash64(F.lit("tail"), F.col("doc_id")), F.lit(VOCAB))
+    )
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("base", base_id)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") >= n - k,
+                F.concat_ws(" ", *word_cols, tail),
+            )
+            .otherwise(F.concat_ws(" ", *word_cols))
+            .alias("text"),
+        )
+    )
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    return out
+
+
+def planted_pairs(spark: SparkSession, n: int) -> DataFrame:
+    k = n // 1000
+    return spark.range(k).select(
+        F.col("id").alias("doc_a"), (F.col("id") + (n - k)).alias("doc_b")
+    )
+
+
+def shuffle_write_bytes(spark: SparkSession) -> int:
+    """Total shuffle write bytes across all stages, from the UI REST API."""
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return -1
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app}/stages", timeout=10
+        ) as r:
+            stages = json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:  # noqa: BLE001 — metrics are best-effort, never fail a probe
+        return -1
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "op",
+        choices=["gen", "minhash_lsh", "simhash", "simhash_blocked", "ngram_jaccard"],
+    )
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    ap.add_argument("--words", type=int, default=25)
+    ap.add_argument(
+        "--reproducible",
+        action="store_true",
+        help="simhash: use the md5-string oracle path instead of production",
+    )
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name=f"probe_{args.op}",
+        extra_conf={
+            "spark.ui.enabled": "true",  # REST API is the shuffle-bytes source
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.perf_counter()
+    sf_dir = gen_corpus(spark, args.rows, args.words)
+    gen_sec = round(time.perf_counter() - t0, 1)
+    if args.op == "gen":
+        print(json.dumps({"op": "gen", "rows": args.rows, "sec": gen_sec}))
+        spark.stop()
+        return
+
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    builders = {
+        "minhash_lsh": lambda: dedup.dedup_minhash_lsh(spark, sf_dir),
+        "simhash": lambda: dedup.dedup_simhash(
+            spark, sf_dir, reproducible=args.reproducible
+        ),
+        "simhash_blocked": lambda: dedup.dedup_simhash_blocked(
+            spark, sf_dir, reproducible=args.reproducible
+        ),
+        "ngram_jaccard": lambda: dedup.dedup_ngram_jaccard(spark, sf_dir),
+    }
+
+    # timer wraps the BUILDER too: dedup_minhash_lsh eagerly
+    # materializes its candidate set (cands.count()) during construction
+    # — measuring only the final count() would skip the heaviest jobs
+    shuffle_before = shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    out = builders[args.op]().select("doc_a", "doc_b").cache()
+    n_out = out.count()
+    wall = round(time.perf_counter() - t0, 1)
+    shuffle = shuffle_write_bytes(spark) - shuffle_before
+
+    expected = planted_pairs(spark, args.rows)
+    n_expected = args.rows // 1000
+    n_hit = out.join(expected, ["doc_a", "doc_b"]).count()
+
+    print(
+        json.dumps(
+            {
+                "op": args.op,
+                "rows": args.rows,
+                "words": args.words,
+                "gen_sec": gen_sec,
+                "wall_sec": wall,
+                "docs_per_sec": round(args.rows / wall, 1) if wall else None,
+                "shuffle_bytes": shuffle,
+                "out_pairs": n_out,
+                "planted": n_expected,
+                "recall": round(n_hit / n_expected, 4) if n_expected else None,
+                "false_pos": n_out - n_hit,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

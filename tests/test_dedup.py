@@ -58,6 +58,42 @@ def test_simhash_production_hash_matches_reproducible(spark):
     assert agreement >= 0.9, (agreement, len(rep), len(prod))
 
 
+def test_simhash_blocked_subset_and_recall(spark):
+    """The blocked (permuted-block, Manku WWW'07) candidate scheme keys
+    C(8,3)=56 tables on 3-chunk concatenations of the SAME 8-bit chunks
+    the classic scheme bands on, so a clean 3-subset implies a clean
+    band: blocked output must be a subset of classic output (identical
+    Hamming verify). Detection is guaranteed at Hamming <= 5 and
+    probabilistic for 6..12, so recall vs classic is < 1 by design —
+    pin a floor measured on the fixture corpus."""
+    classic = _pairs(dedup.dedup_simhash(spark, TEST_SF_DIR))
+    blocked = _pairs(dedup.dedup_simhash_blocked(spark, TEST_SF_DIR))
+    assert blocked, "blocked scheme should find the solidly-near pairs"
+    assert blocked <= classic
+    assert len(blocked) / len(classic) >= 0.5, (len(blocked), len(classic))
+
+
+def test_simhash_blocked_m1_equals_classic(spark):
+    """m=1 degenerates to one table per single chunk — exactly the
+    classic band join. Pins that the generalized scheme is the same
+    candidate geometry, not a reimplementation that can drift."""
+    classic = _pairs(dedup.dedup_simhash(spark, TEST_SF_DIR))
+    m1 = _pairs(dedup.dedup_simhash_blocked(spark, TEST_SF_DIR, m=1))
+    assert m1 == classic
+
+
+def test_simhash_blocked_oracle_parity(spark):
+    """dedup_simhash_blocked is pytest-oracle-checked (the 50-entry
+    driver cap is full — see COVERAGE.md): DuckDB rebuilds the same
+    fingerprints AND the same 56 key tables, so the comparison is a
+    full value check, same strength as the driver's."""
+    from tests.oracle_harness import compare
+
+    df = dedup.dedup_simhash_blocked(spark, TEST_SF_DIR)
+    ok, msg = compare(df, dedup.SIMHASH_BLOCKED_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
 def test_exact_dedup_counts(spark):
     out = dedup.dedup_exact(spark, TEST_SF_DIR)
     total = out.agg({"n_copies": "sum"}).collect()[0][0]
