@@ -2,18 +2,23 @@
 
 Two paths, per the training-pipeline brief:
 
-- **brute-force cosine top-k** (the correctness baseline): the |Q|
+- **brute-force cosine top-k** (the correctness baseline AND the
+  default full-accuracy scale path — measured 8.8 s / 1.14M vecs/s /
+  40 KB shuffle at 10M×64-d, `probes/probe_ann_10m.py`): the |Q|
   query vectors ride in a ``mapInPandas`` closure; each Arrow batch
   GEMMs against the query matrix (BLAS) and emits only its per-batch
   top-k, so the post-scoring exchange carries ~batches·|Q|·k tiny
   rows — cost |Q|·N compute with N scanned once, near-zero shuffle,
   and no join operator at all (so no fact×fact cartesian either).
-- **LSH-bucketed ANN** (the scale path): 16 deterministic random
+- **LSH-bucketed ANN** (the selective-candidate path): 16 deterministic random
   hyperplanes (driver-seeded, embedded as literal arrays) hashed into
   8 bands × 2 bits; a candidate must share a band bucket with the
   query, then exact cosine ranks the candidates. Bucket join is an
-  equi-join on (band, key) — at 100 TB this is the difference between
-  N·|Q| and (N/2^bits)·|Q| dot products. Because the hyperplanes are
+  equi-join on (band, key) that prunes ~3/4 of exact cosines, but it
+  ships (vec, norm) per surviving candidate — 30 GB of shuffle at
+  10M×64-d vs the brute path's 40 KB (measured, recall@5 1.0) — so it
+  pays off only when buckets are genuinely selective (many queries,
+  tight bands), not for full-corpus top-k. Because the hyperplanes are
   *literal* double arrays (not runtime hashes), the identical buckets
   are rebuilt in the DuckDB oracle by embedding the same literals in
   the SQL — the LSH entries are fully value-checked, with ranking on
@@ -351,7 +356,17 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is *oracle-checked*, DuckDB rebuilding the identical inverted lists.
 
     Plan shape (the one that holds at 10M+ vectors — a 10M-row probe
-    went 484 s -> 17 s restructuring to this):
+    went 484 s -> 17 s restructuring to this). One measured caveat
+    (round 5, `probes/probe_ann_10m.py`): evaluating the 16
+    literal-centroid cosines per row in step 2 is interpreted
+    higher-order-expression work that costs MORE than the BLAS GEMM it
+    prunes — 40.6 s vs the rewritten brute scan's 8.8 s at 10M on an
+    isotropic corpus. IVF's economics require the assignment to be
+    amortized: compute cell_id once at ingest and store it with the
+    table (the standard IVF deployment), after which scoring probes
+    ~nprobe/cells of the corpus and the brute scan cannot compete.
+    This entry keeps assignment inline because the driver tables carry
+    no precomputed cell column:
 
     1. centroids + query vectors are COLLECTED to the driver (16 + 10
        rows — in a real deployment the IVF index's k-means centroids

@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Scale probes for the similarity operators (BASELINE.md "Measured at
+scale").
+
+Generates a synthetic 10M x 64-d embedding table with pure Spark
+expressions, runs ONE operator per invocation in a fresh session, and
+prints one JSON line with wall seconds, shuffle bytes (UI REST API),
+and — for the approximate paths — recall@k against the brute-force
+top-k computed in the same session (the brute-force operator IS the
+ground truth at scales where a DuckDB oracle is impractical).
+
+Vectors are uniform in [-1, 1) from seeded xxhash64, so queries have
+no planted neighbors — the probe measures throughput and plan shape,
+and recall measures how well IVF/LSH probing tracks the true top-k on
+a worst-case (near-isotropic) corpus.
+
+Usage:
+    python probes/probe_ann_10m.py brute --rows 10000000
+    python probes/probe_ann_10m.py ivf   --rows 10000000
+    python probes/probe_ann_10m.py lsh   --rows 10000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from fledge_south_csvplayback_spark.session import get_spark
+
+PROBE_ROOT = "/tmp/spark_graft_probe"
+DIM = 64
+
+
+def gen_vectors(spark: SparkSession, n: int) -> str:
+    out = f"{PROBE_ROOT}/emb_{n}"
+    path = f"{out}/embeddings.parquet"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        vec = F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.lit("emb"), F.col("vec_id"), F.lit(i)), 65536)
+                    / 32768.0
+                    - 1.0
+                ).cast("float")
+                for i in range(DIM)
+            ]
+        )
+        (
+            spark.range(n)
+            .select(F.col("id").alias("vec_id"))
+            .select("vec_id", vec.alias("embedding"))
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return out
+
+
+def shuffle_write_bytes(spark: SparkSession) -> int:
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return -1
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app}/stages", timeout=10
+        ) as r:
+            return sum(s.get("shuffleWriteBytes", 0) for s in json.load(r))
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return -1
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("op", choices=["gen", "brute", "ivf", "lsh"])
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name=f"probe_ann_{args.op}",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.perf_counter()
+    sf_dir = gen_vectors(spark, args.rows)
+    gen_sec = round(time.perf_counter() - t0, 1)
+    if args.op == "gen":
+        print(json.dumps({"op": "gen", "rows": args.rows, "sec": gen_sec}))
+        spark.stop()
+        return
+
+    from fledge_south_csvplayback_spark.operators import similarity
+
+    builders = {
+        "brute": similarity.ann_cosine_topk,
+        "ivf": similarity.ann_cosine_topk_ivf,
+        "lsh": similarity.ann_cosine_topk_lsh,
+    }
+    shuffle_before = shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    rows = builders[args.op](spark, sf_dir).collect()
+    wall = round(time.perf_counter() - t0, 1)
+    shuffle = shuffle_write_bytes(spark) - shuffle_before
+
+    result = {
+        "op": args.op,
+        "rows": args.rows,
+        "wall_sec": wall,
+        "vecs_per_sec": round(args.rows / wall, 1) if wall else None,
+        "shuffle_bytes": shuffle,
+        "out_rows": len(rows),
+        "gen_sec": gen_sec,
+    }
+    if args.op in ("ivf", "lsh"):
+        # recall@k vs the brute-force operator run in the same session
+        truth = {
+            (r["query_id"], r["vec_id"])
+            for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+        }
+        got = {(r["query_id"], r["vec_id"]) for r in rows}
+        result["recall_at_k"] = round(len(got & truth) / len(truth), 4)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
