@@ -106,8 +106,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (which ranks on ROUND(cosine, 6)) so numpy-BLAS vs DuckDB
     float-summation order cannot reorder near-ties.
     """
-    from pyspark.sql import Window as W
-
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
     qmat = [
         (r["vec_id"], list(r["v"]), r["norm"])
@@ -141,15 +139,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = emb.mapInPandas(
         _score, "query_id long, vec_id long, cosine double"
     )
-    ranked = partial.withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("query_id").orderBy(
-                F.col("cosine").desc(), F.col("vec_id")
-            )
-        ),
-    ).filter(F.col("rank") <= TOP_K)
-    return ranked.select("query_id", "rank", "vec_id", "cosine")
+    return _rank_topk(partial)
 
 
 ANN_COSINE_TOPK_SQL = f"""
@@ -347,6 +337,85 @@ IVF_CELLS = 16
 IVF_NPROBE = 4
 
 
+def _qdot(qv: list[float], cv: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(qv, cv):
+        acc += x * y
+    return acc
+
+
+def _probe_sets(
+    queries: list[tuple], cents: list[tuple], nprobe: int
+) -> dict[int, list[int]]:
+    """Per-query probe cells, computed driver-side from the collected
+    query/centroid vectors: top-``nprobe`` centroid cosines, ties to
+    the lowest cell_id (same rule as the oracle's ORDER BY)."""
+    probe: dict[int, list[int]] = {}
+    for qid, qv, qn in queries:
+        sims = sorted(
+            ((_qdot(qv, cv) / (qn * cn), -cid) for cid, cv, cn in cents),
+            reverse=True,
+        )
+        probe[qid] = [-ncid for _, ncid in sims[:nprobe]]
+    return probe
+
+
+def _masked_partial_topk(qmat: list[tuple]):
+    """mapInPandas scorer shared by the inline-assignment IVF entry and
+    the persisted-index path: each Arrow batch (vec_id, cell_id, v,
+    norm) GEMMs against the query matrix, masks cells outside each
+    query's probe set, and emits only its per-batch top-k — the global
+    window then ranks ~batches·|Q|·k tiny rows."""
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qm = np.array([q[1] for q in qmat], dtype=np.float64)
+        qn = np.array([q[2] for q in qmat], dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cells = pdf["cell_id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy())
+            nrm = pdf["norm"].to_numpy()
+            sims = np.round((m @ qm.T) / (nrm[:, None] * qn[None, :]), 6)
+            out = {"query_id": [], "vec_id": [], "cosine": []}
+            for j, (qid, _, _, probes) in enumerate(qmat):
+                mask = np.array(
+                    [c in probes and i != qid for c, i in zip(cells, ids)]
+                )
+                if not mask.any():
+                    continue
+                cand_ids, cand_sims = ids[mask], sims[mask, j]
+                order = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
+                out["query_id"].extend([qid] * len(order))
+                out["vec_id"].extend(cand_ids[order])
+                out["cosine"].extend(cand_sims[order])
+            yield pd.DataFrame(out)
+
+    return _score
+
+
+def _rank_topk(partial: DataFrame) -> DataFrame:
+    """Global top-k over the union of per-batch partial top-ks. Valid
+    because batch and global selection share one total order
+    (round(cosine, 6) DESC, vec_id ASC): every global winner wins its
+    own batch."""
+    from pyspark.sql import Window as W
+
+    ranked = partial.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("vec_id")
+            )
+        ),
+    ).filter(F.col("rank") <= TOP_K)
+    return ranked.select("query_id", "rank", "vec_id", "cosine")
+
+
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: coarse-quantize into inverted lists, probe a few cells.
 
@@ -366,7 +435,8 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (the standard IVF deployment), after which scoring probes
     ~nprobe/cells of the corpus and the brute scan cannot compete.
     This entry keeps assignment inline because the driver tables carry
-    no precomputed cell column:
+    no precomputed cell column; ``build_ivf_index`` +
+    ``ann_cosine_topk_ivf_indexed`` below are the amortized deployment:
 
     1. centroids + query vectors are COLLECTED to the driver (16 + 10
        rows — in a real deployment the IVF index's k-means centroids
@@ -384,8 +454,6 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking uses round(cosine, 6) in BOTH engines (like the LSH entry)
     so BLAS summation order cannot reorder near-ties.
     """
-    from pyspark.sql import Window as W
-
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
     # driver-resident index metadata: 16 centroids + 10 query vectors
     head = {
@@ -421,63 +489,12 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "v", "norm", (-best["nc"]).alias("cell_id")
     )
 
-    # per-query probe cells, computed driver-side from the same literals
-    def _qdot(qv: list[float], cv: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(qv, cv):
-            acc += x * y
-        return acc
-
-    probe_cells: dict[int, list[int]] = {}
-    for qid, qv, qn in queries:
-        sims = sorted(
-            ((_qdot(qv, cv) / (qn * cn), -cid) for cid, cv, cn in cents),
-            reverse=True,
-        )
-        probe_cells[qid] = [-ncid for _, ncid in sims[:IVF_NPROBE]]
+    probe_cells = _probe_sets(queries, cents, IVF_NPROBE)
     qmat = [(qid, qv, qn, set(probe_cells[qid])) for qid, qv, qn in queries]
-
-    def _score(batches):
-        import numpy as np
-        import pandas as pd
-
-        q_ids = [q[0] for q in qmat]
-        qm = np.array([q[1] for q in qmat], dtype=np.float64)
-        qn = np.array([q[2] for q in qmat], dtype=np.float64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            cells = pdf["cell_id"].to_numpy()
-            m = np.stack(pdf["v"].to_numpy())
-            nrm = pdf["norm"].to_numpy()
-            sims = np.round((m @ qm.T) / (nrm[:, None] * qn[None, :]), 6)
-            out = {"query_id": [], "vec_id": [], "cosine": []}
-            for j, (qid, _, _, probes) in enumerate(qmat):
-                mask = np.array(
-                    [c in probes and i != qid for c, i in zip(cells, ids)]
-                )
-                if not mask.any():
-                    continue
-                cand_ids, cand_sims = ids[mask], sims[mask, j]
-                order = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
-                out["query_id"].extend([qid] * len(order))
-                out["vec_id"].extend(cand_ids[order])
-                out["cosine"].extend(cand_sims[order])
-            yield pd.DataFrame(out)
-
     partial = assign.mapInPandas(
-        _score, "query_id long, vec_id long, cosine double"
+        _masked_partial_topk(qmat), "query_id long, vec_id long, cosine double"
     )
-    ranked = partial.withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("query_id").orderBy(
-                F.col("cosine").desc(), F.col("vec_id")
-            )
-        ),
-    ).filter(F.col("rank") <= TOP_K)
-    return ranked.select("query_id", "rank", "vec_id", "cosine")
+    return _rank_topk(partial)
 
 
 ANN_COSINE_TOPK_IVF_SQL = f"""
@@ -518,6 +535,110 @@ r AS (
 SELECT query_id, rank, vec_id, cosine
 FROM r WHERE rank <= {TOP_K}
 """
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, cells: int = IVF_CELLS
+) -> None:
+    """Ingest-time IVF index: assign every vector to its coarse cell
+    ONCE and persist (vec_id, v, norm, cell_id) parquet partitioned by
+    cell_id — the amortized deployment the inline entry's probe numbers
+    call for (assignment re-done per query costs more than the GEMM it
+    prunes; see ``ann_cosine_topk_ivf``).
+
+    Assignment here is a BLAS GEMM over Arrow batches (m @ centroids.T,
+    argmax), not the inline interpreted-expression argmax — at ingest
+    the 256-cell case is a matmul, not 256 interpreted dots per row.
+    ``np.argmax`` returns the FIRST maximum = lowest cell_id on exact
+    ties, the same rule as the inline entry and the oracle. Writing
+    ``partitionBy("cell_id")`` turns every query's probe list into
+    partition pruning: a reader filtering on cell_id never opens the
+    other cells' files. At 100 TB the same layout holds — cells become
+    directories across the cluster store, and adding vectors is an
+    append to their cell partitions.
+    """
+    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    cent_rows = (
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + cells)
+        )
+        .collect()
+    )
+    cents = sorted((r["vec_id"], list(r["v"]), r["norm"]) for r in cent_rows)
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cid = np.array([c[0] for c in cents], dtype=np.int64)
+        cm = np.array([c[1] for c in cents], dtype=np.float64)
+        cn = np.array([c[2] for c in cents], dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            nrm = pdf["norm"].to_numpy()
+            sims = (m @ cm.T) / (nrm[:, None] * cn[None, :])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "norm": nrm,
+                    "cell_id": cid[np.argmax(sims, axis=1)],
+                }
+            )
+
+    assigned = emb.mapInPandas(
+        _assign, "vec_id long, v array<double>, norm double, cell_id long"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(index_dir)
+
+
+def ann_cosine_topk_ivf_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    nprobe: int = IVF_NPROBE,
+    cells: int = IVF_CELLS,
+) -> DataFrame:
+    """IVF ANN over a ``build_ivf_index`` output: read ONLY the probed
+    cells (partition pruning — the scan's PartitionFilters carry the
+    cell_id IN (...) predicate, pinned in tests), then the same masked
+    per-batch partial top-k as the inline entry. Not registered with
+    the driver (needs a side index and the 50-entry cap is full); the
+    pytest asserts exact agreement with ``ann_cosine_topk_ivf`` plus
+    the pruned scan. Queries and centroids are re-collected from the
+    base table by the same deterministic rule, so both paths probe the
+    same cells.
+
+    A last-ulp caveat, accepted by design: ingest assignment sums dot
+    products in BLAS order while the inline entry's Catalyst expression
+    sums sequentially, so a vector *exactly* equidistant between
+    centroids at double precision could land in different cells. No
+    fixture or probe corpus exhibits one; the agreement test would
+    surface it.
+    """
+    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    head = {
+        r["vec_id"]: (list(r["v"]), r["norm"])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES + cells).collect()
+    }
+    cents = [(cid, *head[cid]) for cid in range(N_QUERIES, N_QUERIES + cells)]
+    queries = [(qid, *head[qid]) for qid in range(N_QUERIES)]
+    probe_cells = _probe_sets(queries, cents, nprobe)
+    qmat = [(qid, qv, qn, set(probe_cells[qid])) for qid, qv, qn in queries]
+
+    needed = sorted({c for cs in probe_cells.values() for c in cs})
+    idx = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("cell_id").isin(needed))
+        .select("vec_id", "cell_id", "v", "norm")
+    )
+    partial = idx.mapInPandas(
+        _masked_partial_topk(qmat), "query_id long, vec_id long, cosine double"
+    )
+    return _rank_topk(partial)
 
 
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

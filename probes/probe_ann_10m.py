@@ -81,7 +81,7 @@ def shuffle_write_bytes(spark: SparkSession) -> int:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("op", choices=["gen", "brute", "ivf", "lsh"])
+    ap.add_argument("op", choices=["gen", "brute", "ivf", "ivf_indexed", "lsh"])
     ap.add_argument("--rows", type=int, default=10_000_000)
     args = ap.parse_args()
 
@@ -109,6 +109,15 @@ def main() -> None:
         "ivf": similarity.ann_cosine_topk_ivf,
         "lsh": similarity.ann_cosine_topk_lsh,
     }
+    build_sec = None
+    if args.op == "ivf_indexed":
+        index_dir = f"{sf_dir}/ivf_index"
+        t0 = time.perf_counter()
+        similarity.build_ivf_index(spark, sf_dir, index_dir)
+        build_sec = round(time.perf_counter() - t0, 1)
+        builders["ivf_indexed"] = (
+            lambda s, d: similarity.ann_cosine_topk_ivf_indexed(s, d, index_dir)
+        )
     shuffle_before = shuffle_write_bytes(spark)
     t0 = time.perf_counter()
     rows = builders[args.op](spark, sf_dir).collect()
@@ -124,7 +133,9 @@ def main() -> None:
         "out_rows": len(rows),
         "gen_sec": gen_sec,
     }
-    if args.op in ("ivf", "lsh"):
+    if build_sec is not None:
+        result["index_build_sec"] = build_sec
+    if args.op in ("ivf", "ivf_indexed", "lsh"):
         # recall@k vs the brute-force operator run in the same session
         truth = {
             (r["query_id"], r["vec_id"])

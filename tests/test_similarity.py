@@ -81,3 +81,51 @@ def test_bruteforce_topk_shape(spark):
         ordered = sorted(rs, key=lambda x: x.rank)
         cosines = [x.cosine for x in ordered]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_indexed_matches_inline(spark, tmp_path):
+    """The persisted-index IVF path (build_ivf_index +
+    ann_cosine_topk_ivf_indexed) must return exactly the inline entry's
+    rows: same centroids rule, same probe sets, same masked partial
+    top-k — only the assignment's location (ingest vs query) differs."""
+    index_dir = str(tmp_path / "ivf_index")
+    S.build_ivf_index(spark, TEST_SF_DIR, index_dir)
+    inline = {
+        tuple(r) for r in S.ann_cosine_topk_ivf(spark, TEST_SF_DIR).collect()
+    }
+    indexed = {
+        tuple(r)
+        for r in S.ann_cosine_topk_ivf_indexed(
+            spark, TEST_SF_DIR, index_dir
+        ).collect()
+    }
+    assert indexed == inline
+
+
+def test_ivf_indexed_prunes_partitions(spark, tmp_path):
+    """partitionBy(cell_id) + the probe-cell filter must reach the scan
+    as PartitionFilters — Spark then prunes at file listing, so only
+    probed cells' directories are ever opened. nprobe=1 makes the union
+    of 10 queries' best cells provably smaller than the 16 on-disk
+    partitions. (df.inputFiles() can't check this: it lists the
+    relation's files BEFORE filters apply.)"""
+    import os
+    import re
+
+    index_dir = str(tmp_path / "ivf_index")
+    S.build_ivf_index(spark, TEST_SF_DIR, index_dir)
+    df = S.ann_cosine_topk_ivf_indexed(spark, TEST_SF_DIR, index_dir, nprobe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cell_id" in ln
+    ]
+    assert pf, plan
+    probed = {int(v) for v in re.findall(r"(\d+)", pf[0].split("IN (")[1])}
+    on_disk = {
+        int(d.split("=")[1])
+        for d in os.listdir(index_dir)
+        if d.startswith("cell_id=")
+    }
+    assert probed and probed < on_disk, (probed, on_disk)
