@@ -373,6 +373,12 @@ def _masked_partial_topk(qmat: list[tuple]):
 
         qm = np.array([q[1] for q in qmat], dtype=np.float64)
         qn = np.array([q[2] for q in qmat], dtype=np.float64)
+        # probe sets as sorted int arrays so the per-batch membership
+        # test is a vectorized np.isin, not a Python loop over rows —
+        # the indexed path feeds millions of rows through this scorer
+        probe_arrs = [
+            np.array(sorted(q[3]), dtype=np.int64) for q in qmat
+        ]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -382,10 +388,8 @@ def _masked_partial_topk(qmat: list[tuple]):
             nrm = pdf["norm"].to_numpy()
             sims = np.round((m @ qm.T) / (nrm[:, None] * qn[None, :]), 6)
             out = {"query_id": [], "vec_id": [], "cosine": []}
-            for j, (qid, _, _, probes) in enumerate(qmat):
-                mask = np.array(
-                    [c in probes and i != qid for c, i in zip(cells, ids)]
-                )
+            for j, (qid, _, _, _probes) in enumerate(qmat):
+                mask = np.isin(cells, probe_arrs[j]) & (ids != qid)
                 if not mask.any():
                     continue
                 cand_ids, cand_sims = ids[mask], sims[mask, j]
