@@ -481,33 +481,62 @@ def _simhash_fp(
                 F.col("hs").bitwiseAND(F.lit((1 << 32) - 1)).alias("h_lo"),
             )
         )
-    half_bits = 32
-    votes = tok.groupBy("doc_id").agg(
+    # Bit votes via SWAR lanes: summing (h >> b) & 0x00010001 counts
+    # bit b of each 32-bit half in lane [15:0] and bit b+16 in lane
+    # [31:16], so 16 sums per half replace 64 per-bit conditional sums.
+    # The naive 128-column sum(when(...)) aggregate plus a 64-term pack
+    # projection cost ~2 s of Catalyst ANALYSIS per invocation (the
+    # optimizer substitutes the aggregate expressions into every pack
+    # term) on top of a wider partial-agg state; this shape plans in
+    # ~0.4 s and runs the sf0.1 fingerprint stage in ~1.0 s vs ~2.8 s
+    # (identical output, pure integer arithmetic either way).
+    lane_mask = 0x00010001
+    lanes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
             F.sum(
-                F.when(F.shiftrightunsigned(col, b).bitwiseAND(1) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"_v{half}{b}")
+                F.shiftrightunsigned(col, b).bitwiseAND(lane_mask)
+            ).alias(f"_l{half}{b}")
             for half, col in (("lo", F.col("h_lo")), ("hi", F.col("h_hi")))
-            for b in range(half_bits)
-        ]
+            for b in range(16)
+        ],
     )
 
-    def pack(half: str) -> Column:
-        return sum(
-            [
-                F.when(
-                    F.col(f"_v{half}{b}") > 0,
-                    F.shiftleft(F.lit(1).cast("long"), b),
-                ).otherwise(0)
-                for b in range(half_bits)
-            ],
-            F.lit(0).cast("long"),
-        )
+    # Pack in a vectorized mapInPandas over the per-doc lane rows: the
+    # equivalent Catalyst projection re-triggers the analysis blowup
+    # above, while this node is opaque to the optimizer and the work is
+    # |docs| rows of integer ops. Majority vote: bit b set iff
+    # 2*count_b > n (sum(±1) > 0 <=> 2*sum(bit) > n — same integers,
+    # so the md5-reproducible oracle is unaffected).
+    def _pack(batches):
+        import numpy as np
+        import pandas as pd
 
-    return votes.select(
-        "doc_id", pack("lo").alias("fp_lo"), pack("hi").alias("fp_hi")
-    )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = pdf["n"].to_numpy(dtype=np.int64)
+            if (n > 0xFFFF).any():
+                # 16-bit lanes count to 65535 shingles per doc; fail
+                # loud rather than silently corrupt fingerprints of
+                # megadocs (chunk such docs upstream, or vote per-bit)
+                raise ValueError(
+                    "simhash SWAR lanes overflow: a document has "
+                    f"{int(n.max())} shingles (> 65535)"
+                )
+            fps = {}
+            for half in ("lo", "hi"):
+                fp = np.zeros(len(pdf), dtype=np.int64)
+                for b in range(32):
+                    lane = pdf[f"_l{half}{b % 16}"].to_numpy(dtype=np.int64)
+                    cnt = (lane >> (16 * (b // 16))) & 0xFFFF
+                    fp |= (cnt * 2 > n).astype(np.int64) << b
+                fps[half] = fp
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fp_lo": fps["lo"], "fp_hi": fps["hi"]}
+            )
+
+    return lanes.mapInPandas(_pack, "doc_id long, fp_lo long, fp_hi long")
 
 
 def _fp_chunk(i: int) -> Column:
