@@ -186,27 +186,32 @@ def _hyperplanes(n: int = LSH_PLANES, dim: int = DIM) -> list[list[float]]:
 
 
 def _lsh_bands(v: Column) -> Column:
-    """Array of (band, key) structs from hyperplane sign bits."""
-    planes = _hyperplanes()
-    bits = [
-        F.when(_dot(v, F.array(*[F.lit(x) for x in plane])) >= 0, 1).otherwise(0)
-        for plane in planes
-    ]
+    """Array of (band, key) structs from hyperplane sign bits.
+
+    The plane matrix rides in as ONE nested-array Literal and the sign
+    bits come from a ``transform`` over it — unrolling per-element
+    literals (16 planes × 64 doubles) made Catalyst ANALYSIS the
+    dominant cost of every LSH entry (~1.5 s/invocation). The dot stays
+    the same left-to-right fold, so bits and band keys are bit-identical
+    to before (and to the oracle's ``list_dot_product`` rebuild)."""
+    planes_lit = F.lit(_hyperplanes())
     per_band = LSH_PLANES // LSH_BANDS
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    [
-                        bits[b * per_band + i] * (1 << i)
-                        for i in range(per_band)
-                    ],
-                    F.lit(0),
-                ).alias("key"),
-            )
-            for b in range(LSH_BANDS)
-        ]
+
+    def bit(idx: Column) -> Column:
+        # one dot per (row, plane): a shared `bits` array referenced via
+        # element_at would be COPIED into each reference and re-evaluate
+        # all 16 dots per band key (measured 16x the dot work)
+        return F.when(_dot(v, F.element_at(planes_lit, idx)) >= 0, 1).otherwise(0)
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            sum(
+                [bit(b * per_band + i + 1) * (1 << i) for i in range(per_band)],
+                F.lit(0),
+            ).alias("key"),
+        ),
     )
 
 
@@ -467,26 +472,32 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [(cid, *head[cid]) for cid in range(N_QUERIES, N_QUERIES + IVF_CELLS)]
     queries = [(qid, *head[qid]) for qid in range(N_QUERIES)]
 
-    def csim(cv: list[float], cn: float) -> Column:
-        return _dot(F.col("v"), F.array(*[F.lit(x) for x in cv])) / (
-            F.col("norm") * F.lit(cn)
-        )
-
     # inline argmax via array_max over (sim, -cell_id) structs — linear
     # expression size (a nested when/otherwise chain embeds the partial
     # result twice per level: exponential tree, hangs plan build).
     # Struct comparison is lexicographic, so max picks the highest sim
     # and, on exact ties, the highest -cell_id = LOWEST cell_id — the
     # same rule as ORDER BY csim DESC, cell_id in the oracle.
+    #
+    # The centroid matrix rides in as ONE nested-array Literal (not
+    # |cells|·dim CreateArray/Literal nodes): unrolling the 16 cosines
+    # with per-element literals cost ~1.5 s of Catalyst analysis per
+    # invocation — this shape plans in <0.1 s. The per-centroid dot is
+    # still the same left-to-right aggregate fold, so assignments stay
+    # bit-identical to the oracle's sequential list_dot_product.
+    centv = F.lit([cv for _, cv, _ in cents])
+    centn = F.lit([cn for _, _, cn in cents])
+    centnc = F.lit([-cid for cid, _, _ in cents])
     best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    csim(cv, cn).alias("s"),
-                    F.lit(-cid).cast("long").alias("nc"),
-                )
-                for cid, cv, cn in cents
-            ]
+        F.transform(
+            F.sequence(F.lit(1), F.lit(len(cents))),
+            lambda i: F.struct(
+                (
+                    _dot(F.col("v"), F.element_at(centv, i))
+                    / (F.col("norm") * F.element_at(centn, i))
+                ).alias("s"),
+                F.element_at(centnc, i).alias("nc"),
+            ),
         )
     )
     assign = emb.select(
