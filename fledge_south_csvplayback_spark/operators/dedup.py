@@ -484,59 +484,65 @@ def _simhash_fp(
     # Bit votes via SWAR lanes: summing (h >> b) & 0x00010001 counts
     # bit b of each 32-bit half in lane [15:0] and bit b+16 in lane
     # [31:16], so 16 sums per half replace 64 per-bit conditional sums.
-    # The naive 128-column sum(when(...)) aggregate plus a 64-term pack
-    # projection cost ~2 s of Catalyst ANALYSIS per invocation (the
-    # optimizer substitutes the aggregate expressions into every pack
-    # term) on top of a wider partial-agg state; this shape plans in
-    # ~0.4 s and runs the sf0.1 fingerprint stage in ~1.0 s vs ~2.8 s
-    # (identical output, pure integer arithmetic either way).
+    # The lanes land in ONE array column, not 33 scalar columns — that
+    # single choice is what makes the pack projection plan fast:
+    # CollapseProject substitutes CHEAP expressions into referencing
+    # projections, so 33 scalar agg columns get copied into all 64 pack
+    # terms and the optimizer then re-traverses a several-thousand-node
+    # tree (~1.5-2 s of analysis per invocation, measured both for the
+    # original 128-column sum(when) aggregate and for scalar SWAR
+    # lanes); a CreateArray result is not cheap, the projection stays
+    # separate, and the whole fingerprint plans in ~0.3 s. Honest
+    # ledger (interleaved fresh-build-per-rep A/B on a noisy host):
+    # sf0.1 whole stage ~2.6 s -> ~2.1 s, 2M-doc production path
+    # 9.3 s -> 7.7 s warm, partial-agg state 4x narrower. A mapInPandas
+    # pack plans faster still but cost ~65 s at 2M docs in Arrow
+    # round-trips of the lane table vs ~1 s of JVM integer ops here —
+    # reverted. Identical fingerprints throughout (majority vote as
+    # 2*count_b > n = sum(±1) > 0, same integers, so the
+    # md5-reproducible oracle is unaffected).
     lane_mask = 0x00010001
     lanes = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(
-                F.shiftrightunsigned(col, b).bitwiseAND(lane_mask)
-            ).alias(f"_l{half}{b}")
-            for half, col in (("lo", F.col("h_lo")), ("hi", F.col("h_hi")))
-            for b in range(16)
-        ],
+        F.array(
+            F.count(F.lit(1)),
+            *[
+                F.sum(F.shiftrightunsigned(col, b).bitwiseAND(lane_mask))
+                for col in (F.col("h_lo"), F.col("h_hi"))
+                for b in range(16)
+            ],
+        ).alias("lanes")
     )
+    n = F.element_at(F.col("lanes"), 1)
 
-    # Pack in a vectorized mapInPandas over the per-doc lane rows: the
-    # equivalent Catalyst projection re-triggers the analysis blowup
-    # above, while this node is opaque to the optimizer and the work is
-    # |docs| rows of integer ops. Majority vote: bit b set iff
-    # 2*count_b > n (sum(±1) > 0 <=> 2*sum(bit) > n — same integers,
-    # so the md5-reproducible oracle is unaffected).
-    def _pack(batches):
-        import numpy as np
-        import pandas as pd
+    # A doc with > 65535 shingles would overflow a 16-bit lane: emit a
+    # NULL fingerprint instead of a silently-corrupt one (null band
+    # keys never satisfy an equi-join, so overflowed docs drop out of
+    # candidate generation — visible via fp_lo IS NULL, pinned in
+    # tests). The guard rides the OR-fold's SEED — a null seed
+    # null-propagates through the fold — because wrapping the packed
+    # column in when(guard, ...) or raise_error measurably re-costs
+    # ~1 s/invocation (the wrapper re-triggers the projection-collapse
+    # analysis this shape exists to avoid). Whole-doc SimHash over
+    # >65k shingles is degenerate anyway (every bit a ~50/50 vote);
+    # chunk such docs upstream.
+    seed = F.when(n <= 0xFFFF, F.lit(0).cast("long"))
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            n = pdf["n"].to_numpy(dtype=np.int64)
-            if (n > 0xFFFF).any():
-                # 16-bit lanes count to 65535 shingles per doc; fail
-                # loud rather than silently corrupt fingerprints of
-                # megadocs (chunk such docs upstream, or vote per-bit)
-                raise ValueError(
-                    "simhash SWAR lanes overflow: a document has "
-                    f"{int(n.max())} shingles (> 65535)"
-                )
-            fps = {}
-            for half in ("lo", "hi"):
-                fp = np.zeros(len(pdf), dtype=np.int64)
-                for b in range(32):
-                    lane = pdf[f"_l{half}{b % 16}"].to_numpy(dtype=np.int64)
-                    cnt = (lane >> (16 * (b // 16))) & 0xFFFF
-                    fp |= (cnt * 2 > n).astype(np.int64) << b
-                fps[half] = fp
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "fp_lo": fps["lo"], "fp_hi": fps["hi"]}
-            )
+    def pack(half_offset: int) -> Column:
+        # lanes[1]=n, lanes[2..17]=lo lanes, lanes[18..33]=hi lanes;
+        # bit b's count sits in 16-bit lane b//16 of lanes element
+        # half_offset + b%16 + 1
+        terms = []
+        for b in range(32):
+            cnt = F.shiftrightunsigned(
+                F.element_at(F.col("lanes"), half_offset + b % 16 + 1),
+                16 * (b // 16),
+            ).bitwiseAND(0xFFFF)
+            terms.append(F.shiftleft((cnt * 2 > n).cast("long"), b))
+        return F.aggregate(F.array(*terms), seed, lambda a, x: a.bitwiseOR(x))
 
-    return lanes.mapInPandas(_pack, "doc_id long, fp_lo long, fp_hi long")
+    return lanes.select(
+        "doc_id", pack(1).alias("fp_lo"), pack(17).alias("fp_hi")
+    )
 
 
 def _fp_chunk(i: int) -> Column:

@@ -184,3 +184,22 @@ def test_parse_size_bytes():
     assert f("1G") == 1 << 30
     assert f("64k") == 64 << 10
     assert f("garbage") == 134217728  # falls back, never raises
+
+
+def test_simhash_fp_overflow_yields_null(spark, tmp_path):
+    """A doc with > 65535 shingles would overflow the 16-bit SWAR vote
+    lanes; the contract is a NULL fingerprint (doc drops out of
+    candidate generation, visibly) rather than a silently-corrupt one.
+    Normal-size docs in the same corpus must still fingerprint."""
+    sf_dir = str(tmp_path)
+    mega = " ".join(f"w{i}" for i in range(70000))
+    spark.createDataFrame(
+        [(1, mega, "en", "t", len(mega)), (2, "a b c d e f", "en", "t", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    fps = {
+        r["doc_id"]: (r["fp_lo"], r["fp_hi"])
+        for r in dedup._simhash_fp(spark, sf_dir, reproducible=False).collect()
+    }
+    assert fps[1] == (None, None)
+    assert fps[2][0] is not None and fps[2][1] is not None
