@@ -309,6 +309,11 @@ def _pair_counts(sh: DataFrame, hot: DataFrame | None = None) -> DataFrame:
         # broadcast under HOT_BROADCAST_MAX keys, shuffled anti-join
         # above it. Slice lists are <= CAP by construction afterwards,
         # so the local size filter below is redundant and skipped.
+        # The cache is deliberately not unpersist()ed: the returned
+        # DataFrame is lazy, so the safe release point is unknowable
+        # here, and the table is at most |postings|/CAP 8-byte keys —
+        # Spark's LRU storage eviction reclaims it under pressure.
+        # (Same policy as the cands cache in dedup_minhash_lsh.)
         hot = hot.cache()
         if hot.count() <= HOT_BROADCAST_MAX:
             idx = idx.join(F.broadcast(hot), "s", "anti")
@@ -651,7 +656,7 @@ def dedup_simhash_blocked(
     256-value keyspace per band. Random fingerprints spread uniformly,
     so every bucket holds ~N/256 docs and the band join emits
     ~8·256·C(N/256, 2) ≈ N²/64 candidate rows regardless of how many
-    true near-dups exist — ~1.6e11 at N=1M, ~1.6e13 at 10M (the probe
+    true near-dups exist — ~1.6e10 at N=1M, ~1.6e12 at 10M (the probe
     curve in BASELINE.md measures the quadratic). Any scheme keyed on
     k bits cannot beat N²/2^k pairs, so the fix is wider keys: each of
     C(8, m) tables keys on the CONCATENATION of m of the same 8-bit
@@ -710,18 +715,23 @@ hs AS (
     FROM sh
 ),
 votes AS (
-    SELECT doc_id, g.b AS b,
+    SELECT doc_id, g.b AS b, COUNT(*) AS cnt,
            SUM(CASE WHEN ((h_lo >> g.b) & 1) = 1 THEN 1 ELSE -1 END) AS v_lo,
            SUM(CASE WHEN ((h_hi >> g.b) & 1) = 1 THEN 1 ELSE -1 END) AS v_hi
     FROM hs, generate_series(0, 31) g(b)
     GROUP BY 1, 2
 ),
 fp AS (
+    -- the NULL mirrors the Spark side's 16-bit SWAR lane bound: docs
+    -- with > 65535 shingles get NULL fingerprints and drop out of the
+    -- (null-rejecting) candidate equi-joins in both engines
     SELECT doc_id,
+           CASE WHEN MAX(cnt) > 65535 THEN NULL ELSE
            CAST(SUM(CASE WHEN v_lo > 0 THEN (1::BIGINT << b) ELSE 0 END)
-                AS BIGINT) AS fp_lo,
+                AS BIGINT) END AS fp_lo,
+           CASE WHEN MAX(cnt) > 65535 THEN NULL ELSE
            CAST(SUM(CASE WHEN v_hi > 0 THEN (1::BIGINT << b) ELSE 0 END)
-                AS BIGINT) AS fp_hi
+                AS BIGINT) END AS fp_hi
     FROM votes GROUP BY 1
 )"""
 

@@ -107,37 +107,14 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float-summation order cannot reorder near-ties.
     """
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    # probe set None = unmasked full scan; the scorer body is shared
+    # with both IVF paths so the ranking contract cannot drift
     qmat = [
-        (r["vec_id"], list(r["v"]), r["norm"])
+        (r["vec_id"], list(r["v"]), r["norm"], None)
         for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
     ]
-
-    def _score(batches):
-        import numpy as np
-        import pandas as pd
-
-        q_ids = [q[0] for q in qmat]
-        qm = np.array([q[1] for q in qmat], dtype=np.float64)
-        qn = np.array([q[2] for q in qmat], dtype=np.float64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            m = np.stack(pdf["v"].to_numpy())
-            nrm = pdf["norm"].to_numpy()
-            sims = np.round((m @ qm.T) / (nrm[:, None] * qn[None, :]), 6)
-            out = {"query_id": [], "vec_id": [], "cosine": []}
-            for j, qid in enumerate(q_ids):
-                mask = ids != qid
-                cand_ids, cand_sims = ids[mask], sims[mask, j]
-                order = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
-                out["query_id"].extend([qid] * len(order))
-                out["vec_id"].extend(cand_ids[order])
-                out["cosine"].extend(cand_sims[order])
-            yield pd.DataFrame(out)
-
     partial = emb.mapInPandas(
-        _score, "query_id long, vec_id long, cosine double"
+        _masked_partial_topk(qmat), "query_id long, vec_id long, cosine double"
     )
     return _rank_topk(partial)
 
@@ -366,11 +343,15 @@ def _probe_sets(
 
 
 def _masked_partial_topk(qmat: list[tuple]):
-    """mapInPandas scorer shared by the inline-assignment IVF entry and
-    the persisted-index path: each Arrow batch (vec_id, cell_id, v,
-    norm) GEMMs against the query matrix, masks cells outside each
-    query's probe set, and emits only its per-batch top-k — the global
-    window then ranks ~batches·|Q|·k tiny rows."""
+    """mapInPandas scorer shared by ALL top-k entries — brute scan
+    (probe set None, no cell_id column), inline-assignment IVF, and the
+    persisted-index path: each Arrow batch (vec_id[, cell_id], v, norm)
+    GEMMs against the query matrix, masks cells outside each query's
+    probe set (when one is given), and emits only its per-batch top-k —
+    the global window then ranks ~batches·|Q|·k tiny rows. One body so
+    the shared contract (round(cosine, 6) BEFORE ranking to mirror the
+    oracles, vec_id tiebreak, self-exclusion) cannot drift between
+    entries."""
 
     def _score(batches):
         import numpy as np
@@ -382,19 +363,24 @@ def _masked_partial_topk(qmat: list[tuple]):
         # test is a vectorized np.isin, not a Python loop over rows —
         # the indexed path feeds millions of rows through this scorer
         probe_arrs = [
-            np.array(sorted(q[3]), dtype=np.int64) for q in qmat
+            None if q[3] is None else np.array(sorted(q[3]), dtype=np.int64)
+            for q in qmat
         ]
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy()
-            cells = pdf["cell_id"].to_numpy()
+            cells = (
+                pdf["cell_id"].to_numpy() if "cell_id" in pdf.columns else None
+            )
             m = np.stack(pdf["v"].to_numpy())
             nrm = pdf["norm"].to_numpy()
             sims = np.round((m @ qm.T) / (nrm[:, None] * qn[None, :]), 6)
             out = {"query_id": [], "vec_id": [], "cosine": []}
             for j, (qid, _, _, _probes) in enumerate(qmat):
-                mask = np.isin(cells, probe_arrs[j]) & (ids != qid)
+                mask = ids != qid
+                if probe_arrs[j] is not None:
+                    mask &= np.isin(cells, probe_arrs[j])
                 if not mask.any():
                     continue
                 cand_ids, cand_sims = ids[mask], sims[mask, j]

@@ -84,26 +84,44 @@ def _split_header(line: str) -> list[str]:
 
 
 _INFER_ORDER: tuple[tuple[str, type], ...] = (("bigint", int), ("double", float))
+# driver-side inference sample: data lines examined from the head read
+INFER_SAMPLE_LINES = 16
 
 
-def _infer_ddl(names: list[str], sample_fields: list[str]) -> str:
-    """One-line driver-side type inference (int → float → string).
+def _infer_ddl(names: list[str], sample_rows: list[list[str]]) -> str:
+    """Driver-side type inference over the head sample (int → float →
+    string, widened per column across the sampled rows).
 
     Mirrors the practical outcome of the reference's per-chunk pandas
-    inference for sensor CSVs without a second distributed pass.
+    inference for sensor CSVs without a second distributed pass. The
+    contract is SAMPLE-based: a column whose later rows widen beyond
+    the sampled type (e.g. ints for 16 rows, then '2.5') parses those
+    rows to NULL — the same silent-cast semantics as the non-fast
+    line-oriented path — so feeds with untrusted-width columns should
+    pass an explicit ``schema=`` (or ``infer_schema=False`` for
+    all-string). The reference has the same wobble per 4000-row chunk
+    (csvplayback.py:679-691: dtype flips between chunks).
     """
-    types = []
-    for v in sample_fields:
-        t = "string"
+    ranks = {"bigint": 0, "double": 1, "string": 2}
+
+    def cell_type(v: str) -> str:
         for ddl, py in _INFER_ORDER:
             try:
                 py(v)
-                t = ddl
-                break
+                return ddl
             except (TypeError, ValueError):
                 continue
-        types.append(t)
-    types += ["string"] * (len(names) - len(types))
+        return "string"
+
+    types = ["bigint"] * len(names)
+    seen = [False] * len(names)
+    for row in sample_rows:
+        for i, v in enumerate(row[: len(names)]):
+            seen[i] = True
+            t = cell_type(v)
+            if ranks[t] > ranks[types[i]]:
+                types[i] = t
+    types = [t if s else "string" for t, s in zip(types, seen)]
     return ", ".join(f"`{n}` {t}" for n, t in zip(names, types))
 
 
@@ -142,27 +160,29 @@ def read_pick_from_file(
     if header_row == 0 and skip_rows == 0:
         # fast path: fully native reader, splittable, pushdown-friendly;
         # RFC4180 doubled-quote escaping (pandas-written CSVs). The
-        # schema is always pinned: caller-supplied, or inferred once
-        # driver-side from the first data line (a limit-2 head read,
-        # first blocks only) — never inferSchema=True, whose inference
-        # is a full second distributed pass over the data.
+        # schema is pinned: caller-supplied, inferred once driver-side
+        # from a first-split head sample, or (infer_schema=False) left
+        # to the native reader's all-string default with NO extra job —
+        # never inferSchema=True, whose inference is a full second
+        # distributed pass over the data.
         reader = spark.read.option("header", True).option("escape", '"')
         if schema is not None:
             return reader.schema(schema).csv(path)
-        head = head_lines(spark, path, 2)
+        if not infer_schema:
+            return reader.csv(path)
+        head = head_lines(spark, path, 1 + INFER_SAMPLE_LINES)
         names = _split_header(head[0])
-        sample = head[1:]
-        fields = next(csv.reader(sample)) if (sample and infer_schema) else []
-        return reader.schema(_infer_ddl(names, fields)).csv(path)
+        sample = list(csv.reader(head[1:]))
+        return reader.schema(_infer_ddl(names, sample)).csv(path)
 
-    head = head_lines(spark, path, skip_rows + header_row + 2)
+    n_sample = INFER_SAMPLE_LINES if (schema is None and infer_schema) else 1
+    head = head_lines(spark, path, skip_rows + header_row + 1 + n_sample)
     names = _split_header(head[skip_rows + header_row])
     if schema is not None:
         ddl = _schema_ddl(schema, names)
     else:
-        sample = head[skip_rows + header_row + 1 :]
-        fields = next(csv.reader(sample)) if (sample and infer_schema) else []
-        ddl = _infer_ddl(names, fields)
+        sample = list(csv.reader(head[skip_rows + header_row + 1 :]))
+        ddl = _infer_ddl(names, sample if infer_schema else [])
     data = lineio.skip_lines(
         lineio.read_lines(spark, path), skip_rows + header_row + 1
     )

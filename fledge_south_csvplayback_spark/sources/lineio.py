@@ -49,7 +49,22 @@ def read_lines(spark: SparkSession, path: str) -> DataFrame:
 
 
 def head_lines(spark: SparkSession, path: str, n: int) -> list[str]:
-    """First n physical lines, driver-side (TakeOrdered over the scan)."""
+    """First n physical lines, driver-side.
+
+    Fast path: CollectLimit over the FIRST split only (filter on
+    ``_blk == 0``) — CollectLimit executes partitions in index order
+    and stops as soon as n rows arrive, so a header/sample read touches
+    one split, not the whole file (``orderBy.limit`` plans as
+    TakeOrdered, where EVERY task scans its full split to offer its
+    top-n). The ≤n collected rows are re-sorted by ``_mid`` driver-side
+    so no assumption about row arrival order remains. Falls back to
+    the full TakeOrdered only when the first split yields fewer than n
+    lines (a tiny file is single-split, so in practice only when one
+    physical line exceeds the split size — or the file really has
+    fewer than n lines, where the fallback re-reads just that file)."""
+    first = read_lines(spark, path).filter(F.col("_blk") == 0).limit(n).collect()
+    if len(first) >= n:
+        return [r.value for r in sorted(first, key=lambda r: r._mid)]
     rows = read_lines(spark, path).orderBy(*ORDER_COLS).limit(n).collect()
     return [r.value for r in rows]
 

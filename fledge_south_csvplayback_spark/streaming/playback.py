@@ -96,19 +96,24 @@ def stamp_batch(df: DataFrame, cfg: PlaybackConfig, anchor: str | None = None) -
     # that RESTARTS per partition — used alone, a multi-partition batch
     # would cluster every partition's rows near the anchor instead of
     # spreading across the second. Each partition therefore starts at
-    # its own offset, pid * (n / P̂), P̂ = defaultParallelism: a
-    # single-partition batch walks the second consecutively (offset 0,
-    # unchanged semantics), and a balanced multi-partition batch covers
-    # disjoint consecutive slices of it. All without the per-trigger
-    # driver round-trip a global row number costs (with_global_row_number
-    # collect()s partition counts; at high trigger rates that's driver
-    # chatter per micro-batch). Exact global positions stay with the
-    # oracle-checked batch T1 operator (timestamps.current_time_continuous).
-    stride = max(1, n // df.sparkSession.sparkContext.defaultParallelism)
+    # its own offset: 0 for partition 0 (a single-partition batch walks
+    # the second consecutively, unchanged semantics), xxhash64(pid) % n
+    # for the rest — a hashed offset cannot ALIGN for every partition,
+    # which equal strides do whenever pid*stride ≡ 0 (mod n) (e.g.
+    # stride = n//defaultParallelism degenerates to stride=n on
+    # local[1], putting every partition back at the anchor — the
+    # original bug). All without the per-trigger driver round-trip a
+    # global row number costs (with_global_row_number collect()s
+    # partition counts; at high trigger rates that's driver chatter per
+    # micro-batch). Exact global positions stay with the oracle-checked
+    # batch T1 operator (timestamps.current_time_continuous).
+    pid = F.spark_partition_id()
+    offset = F.when(pid == 0, F.lit(0).cast("long")).otherwise(
+        F.pmod(F.xxhash64(pid), F.lit(n)).cast("long")
+    )
     numbered = df.withColumn(
         "_k",
-        F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)
-        + F.spark_partition_id().cast("long") * stride,
+        F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1) + offset,
     )
     return numbered.withColumn(
         "timestamp",

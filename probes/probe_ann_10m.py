@@ -27,16 +27,19 @@ import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from fledge_south_csvplayback_spark.session import get_spark
+from probes._common import (
+    PROBE_ROOT,
+    probe_session,
+    shuffle_delta,
+    shuffle_write_bytes,
+)
 
-PROBE_ROOT = "/tmp/spark_graft_probe"
 DIM = 64
 
 
@@ -65,34 +68,13 @@ def gen_vectors(spark: SparkSession, n: int) -> str:
     return out
 
 
-def shuffle_write_bytes(spark: SparkSession) -> int:
-    url = spark.sparkContext.uiWebUrl
-    if not url:
-        return -1
-    app = spark.sparkContext.applicationId
-    try:
-        with urllib.request.urlopen(
-            f"{url}/api/v1/applications/{app}/stages", timeout=10
-        ) as r:
-            return sum(s.get("shuffleWriteBytes", 0) for s in json.load(r))
-    except Exception:  # noqa: BLE001 — metrics are best-effort
-        return -1
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("op", choices=["gen", "brute", "ivf", "ivf_indexed", "lsh"])
     ap.add_argument("--rows", type=int, default=10_000_000)
     args = ap.parse_args()
 
-    spark = get_spark(
-        app_name=f"probe_ann_{args.op}",
-        extra_conf={
-            "spark.ui.enabled": "true",
-            "spark.ui.showConsoleProgress": "false",
-        },
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = probe_session(f"probe_ann_{args.op}")
 
     t0 = time.perf_counter()
     sf_dir = gen_vectors(spark, args.rows)
@@ -122,7 +104,7 @@ def main() -> None:
     t0 = time.perf_counter()
     rows = builders[args.op](spark, sf_dir).collect()
     wall = round(time.perf_counter() - t0, 1)
-    shuffle = shuffle_write_bytes(spark) - shuffle_before
+    shuffle = shuffle_delta(shuffle_before, shuffle_write_bytes(spark))
 
     result = {
         "op": args.op,

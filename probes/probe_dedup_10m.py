@@ -39,17 +39,20 @@ import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fledge_south_csvplayback_spark.session import get_spark
+from probes._common import (
+    PROBE_ROOT,
+    probe_session,
+    shuffle_delta,
+    shuffle_write_bytes,
+)
 
 VOCAB = 1_000_000
-PROBE_ROOT = "/tmp/spark_graft_probe"
 
 
 def corpus_dir(n: int, words: int) -> str:
@@ -101,22 +104,6 @@ def planted_pairs(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
-def shuffle_write_bytes(spark: SparkSession) -> int:
-    """Total shuffle write bytes across all stages, from the UI REST API."""
-    url = spark.sparkContext.uiWebUrl
-    if not url:
-        return -1
-    app = spark.sparkContext.applicationId
-    try:
-        with urllib.request.urlopen(
-            f"{url}/api/v1/applications/{app}/stages", timeout=10
-        ) as r:
-            stages = json.load(r)
-        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    except Exception:  # noqa: BLE001 — metrics are best-effort, never fail a probe
-        return -1
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -132,14 +119,7 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    spark = get_spark(
-        app_name=f"probe_{args.op}",
-        extra_conf={
-            "spark.ui.enabled": "true",  # REST API is the shuffle-bytes source
-            "spark.ui.showConsoleProgress": "false",
-        },
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = probe_session(f"probe_{args.op}")
 
     t0 = time.perf_counter()
     sf_dir = gen_corpus(spark, args.rows, args.words)
@@ -170,7 +150,7 @@ def main() -> None:
     out = builders[args.op]().select("doc_a", "doc_b").cache()
     n_out = out.count()
     wall = round(time.perf_counter() - t0, 1)
-    shuffle = shuffle_write_bytes(spark) - shuffle_before
+    shuffle = shuffle_delta(shuffle_before, shuffle_write_bytes(spark))
 
     expected = planted_pairs(spark, args.rows)
     n_expected = args.rows // 1000

@@ -64,12 +64,12 @@ def test_header_at_index_with_skip(spark, fixture_dir):
 
 
 def test_fast_path_schema_is_driver_inferred(spark, fixture_dir):
-    """The no-skip fast path must pin a driver-inferred schema (one-line
-    _infer_ddl over a limit-2 head read) — never inferSchema=True, whose
-    inference is a full second distributed pass over the file (a second
-    100 TB scan at scale). _infer_ddl's type lattice is exactly
-    bigint -> double -> string, so the fixture's float channels and
-    tz-suffixed timestamp string pin the outcome."""
+    """The no-skip fast path must pin a driver-inferred schema
+    (_infer_ddl over a first-split head sample) — never
+    inferSchema=True, whose inference is a full second distributed pass
+    over the file (a second 100 TB scan at scale). _infer_ddl's type
+    lattice is exactly bigint -> double -> string, so the fixture's
+    float channels and tz-suffixed timestamp string pin the outcome."""
     df = cs.read_pick_from_file(spark, fx(fixture_dir, "vibration.csv"))
     assert [f.dataType.simpleString() for f in df.schema.fields] == [
         "double",
@@ -142,3 +142,32 @@ def test_find_csv_alphabetical_first(fixture_dir):
         "vibration.csv.bz2",
         "vibration.csv.gz",
     ]
+
+
+def test_inference_widens_over_head_sample(spark, tmp_path):
+    """A column whose first row is an int but widens to float within the
+    head sample must infer double (one-line inference silently nulled
+    the later rows — the sampled widening window is the defense)."""
+    p = str(tmp_path / "mixed.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\n2.5,y\n3,z\n")
+    df = cs.read_pick_from_file(spark, p)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "double",
+        "string",
+    ]
+    assert {r.a for r in df.collect()} == {1.0, 2.5, 3.0}
+
+
+def test_fast_path_no_inference_is_all_string(spark, tmp_path):
+    """infer_schema=False on the fast path defers entirely to the native
+    reader (all-string, no extra head job)."""
+    p = str(tmp_path / "plain.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\n")
+    df = cs.read_pick_from_file(spark, p, infer_schema=False)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "string",
+        "string",
+    ]
+    assert df.collect()[0].a == "1"

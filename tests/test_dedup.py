@@ -34,10 +34,12 @@ def test_hot_antijoin_shuffle_fallback_same_result(spark, monkeypatch):
     """When the over-cap shingle set exceeds HOT_BROADCAST_MAX the
     anti-join must fall back to a shuffle instead of forcing a broadcast
     (driver memory pressure on adversarial corpora) — with identical
-    output. Forcing the threshold to 0 exercises the fallback path on
-    the fixture corpus."""
+    output. The threshold is forced to -1, not 0: the fixture corpus
+    has no over-cap shingles (max df 9 vs cap 256), so ``hot.count()``
+    is 0 and a 0 threshold would still take the broadcast branch —
+    leaving the shuffled anti-join uncovered."""
     baseline = _pairs(dedup.dedup_minhash_lsh(spark, TEST_SF_DIR))
-    monkeypatch.setattr(dedup, "HOT_BROADCAST_MAX", 0)
+    monkeypatch.setattr(dedup, "HOT_BROADCAST_MAX", -1)
     fallback = _pairs(dedup.dedup_minhash_lsh(spark, TEST_SF_DIR))
     assert fallback == baseline
 
@@ -203,3 +205,48 @@ def test_simhash_fp_overflow_yields_null(spark, tmp_path):
     }
     assert fps[1] == (None, None)
     assert fps[2][0] is not None and fps[2][1] is not None
+
+
+def test_simhash_overflow_oracle_parity(spark, tmp_path):
+    """The oracle mirrors the NULL-fingerprint overflow contract: a
+    corpus with two IDENTICAL >65535-shingle megadocs (a Hamming-0 pair
+    if fingerprinted) plus two near-identical normal docs must yield
+    ONLY the normal pair in BOTH engines."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_harness import TABLES, compare
+
+    sf_dir = str(tmp_path)
+    mega = " ".join(f"w{i}" for i in range(70000))
+    nrm = " ".join(f"x{i}" for i in range(40))
+    docs = [
+        (1, mega),
+        (2, mega),
+        (3, nrm),
+        (4, nrm + " tail"),
+    ]
+    # single-file parquet (pyarrow, not a Spark directory) so the
+    # DuckDB side of compare() can read it; other tables symlinked in
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": [t for _, t in docs],
+                "lang": ["en"] * 4,
+                "source": ["t"] * 4,
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        f"{sf_dir}/documents.parquet",
+    )
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"{TEST_SF_DIR}/{t}.parquet", f"{sf_dir}/{t}.parquet")
+    df = dedup.dedup_simhash(spark, sf_dir)
+    got = {(r.doc_a, r.doc_b) for r in df.collect()}
+    assert got == {(3, 4)}, got
+    ok, msg = compare(df, dedup.SIMHASH_SQL, sf_dir)
+    assert ok, msg

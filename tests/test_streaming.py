@@ -59,12 +59,16 @@ def test_continuous_mode_spreads_timestamps(spark):
 def test_multi_partition_batch_spreads_across_second(spark):
     """A multi-partition micro-batch must spread across the anchor
     second, not cluster every partition's rows near the anchor: the
-    per-partition spreading id restarts at 0, so each partition gets a
-    pid * (n/P̂) starting offset. With 4 partitions of 100 rows and
-    n=2000, offsets land partitions at slots 0/62/124/186 of 2000 —
-    the max stamp must sit well past the first partition's 100-slot
-    reach."""
+    per-partition spreading id restarts at 0, so partition 0 starts at
+    slot 0 and every other partition at xxhash64(pid) % n (an equal
+    stride pid * (n/P̂) degenerates whenever pid*stride ≡ 0 mod n —
+    stride = n on local[1] put EVERY partition back at the anchor).
+    The expected slot set is recomputed here from the same formula, so
+    the assertion is exact and host-independent."""
+    from pyspark.sql import functions as F
+
     n = 2000
+    rows_per_part = 100
     cfg = _cfg(FIXTURE_MULTI, ingest_mode=IngestMode.CONTINUOUS, sample_rate=n)
     df = spark.range(400, numPartitions=4).selectExpr("id AS channel1")
     stamped = pb.stamp_batch(df, cfg, anchor="2020-01-01 00:00:00")
@@ -76,8 +80,19 @@ def test_multi_partition_batch_spreads_across_second(spark):
     ]
     step = 1_000_000 // n
     slots = {m // step for m in micros}
-    # single-partition clustering would cap the max slot at 100
-    assert max(slots) >= 150, sorted(slots)[-5:]
+    offsets = [0] + [
+        r[0]
+        for r in spark.range(1, 4)
+        .select(F.pmod(F.xxhash64(F.col("id").cast("int")), F.lit(n)))
+        .collect()
+    ]
+    expected = {
+        (off + k) % n for off in offsets for k in range(rows_per_part)
+    }
+    assert slots == expected, (sorted(slots)[:5], sorted(expected)[:5])
+    # hashed offsets must actually decorrelate the 4 partitions: the
+    # slot union is near-4x one partition's reach (allowing overlap)
+    assert len(slots) > 2 * rows_per_part
     # and the spread stays inside the anchor second
     assert 0 <= min(micros) and max(micros) < 1_000_000
 
