@@ -171,3 +171,29 @@ def test_fast_path_no_inference_is_all_string(spark, tmp_path):
         "string",
     ]
     assert df.collect()[0].a == "1"
+
+
+def test_head_lines_multi_split_first_lines_in_order(spark, tmp_path):
+    """head_lines' fast path CollectLimits over the first split only;
+    on a genuinely multi-split file it must still return exactly the
+    first n physical lines in file order (and the short-first-split
+    fallback must cover files with fewer than n lines)."""
+    from fledge_south_csvplayback_spark.sources import lineio
+
+    p = str(tmp_path / "wide.txt")
+    lines = [f"line{i:06d}," + "x" * 120 for i in range(4000)]
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+        n_splits = spark.read.text(p).rdd.getNumPartitions()
+        assert n_splits > 4, n_splits  # the test must exercise multi-split
+        assert lineio.head_lines(spark, p, 7) == lines[:7]
+        # n beyond the file: every line, still in order (fallback path)
+        small = str(tmp_path / "small.txt")
+        with open(small, "w") as f:
+            f.write("a\nb\nc\n")
+        assert lineio.head_lines(spark, small, 10) == ["a", "b", "c"]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
