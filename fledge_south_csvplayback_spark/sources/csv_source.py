@@ -17,10 +17,11 @@ Scale notes:
   parse. Everything stays in the JVM / whole-stage codegen; no Python
   RDD lambdas anywhere (plans show no ExistingRDD/PythonRDD node).
 - Schemas are always pinned at parse time (caller-supplied, or
-  inferred once driver-side from the first data line) — a single pass,
+  inferred once driver-side from a head sample) — a single pass,
   never ``inferSchema=True`` stacked under casts.
-- Header/metadata lines are fetched with a TakeOrdered K-line read —
-  driver-side K lines regardless of file size.
+- Header/metadata lines are fetched with a first-split CollectLimit
+  K-line read (full-file TakeOrdered only as the short-split
+  fallback) — driver-side K lines that read one split, not the file.
 
 Embedded newlines inside quoted fields are not supported in the
 skip-rows paths (line-oriented); the reference's pandas reader had the
@@ -74,7 +75,8 @@ def find_csv_file(csv_dir: str, pattern: str = "") -> str | None:
 # raw line access (delegates to lineio; kept as the module's public API)
 # ---------------------------------------------------------------------------
 def head_lines(spark: SparkSession, path: str, n: int) -> list[str]:
-    """First n physical lines (driver-side; TakeOrdered over the scan)."""
+    """First n physical lines (driver-side; first-split CollectLimit,
+    see ``lineio.head_lines`` for the fallback contract)."""
     return lineio.head_lines(spark, path, n)
 
 
@@ -101,6 +103,11 @@ def _infer_ddl(names: list[str], sample_rows: list[list[str]]) -> str:
     pass an explicit ``schema=`` (or ``infer_schema=False`` for
     all-string). The reference has the same wobble per 4000-row chunk
     (csvplayback.py:679-691: dtype flips between chunks).
+
+    Empty cells are NO EVIDENCE, not string evidence (Spark's own
+    inference and pandas treat them as missing): a sparse sensor gap
+    in the sample must not flip a numeric column to all-string. A
+    column with no non-empty sample cell stays string.
     """
     ranks = {"bigint": 0, "double": 1, "string": 2}
 
@@ -117,6 +124,8 @@ def _infer_ddl(names: list[str], sample_rows: list[list[str]]) -> str:
     seen = [False] * len(names)
     for row in sample_rows:
         for i, v in enumerate(row[: len(names)]):
+            if v == "":
+                continue
             seen[i] = True
             t = cell_type(v)
             if ranks[t] > ranks[types[i]]:

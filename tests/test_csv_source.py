@@ -197,3 +197,18 @@ def test_head_lines_multi_split_first_lines_in_order(spark, tmp_path):
         assert lineio.head_lines(spark, small, 10) == ["a", "b", "c"]
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_inference_skips_empty_cells(spark, tmp_path):
+    """Empty cells in the sample are missing data, not string evidence:
+    a numeric column with a sparse gap stays numeric (with NULLs), and
+    an all-empty column falls back to string."""
+    p = str(tmp_path / "gaps.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,\n,\n4,\n")
+    df = cs.read_pick_from_file(spark, p)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint",
+        "string",
+    ]
+    assert {r.a for r in df.collect()} == {1, None, 4}
