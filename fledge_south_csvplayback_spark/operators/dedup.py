@@ -784,3 +784,96 @@ tables AS (
 
 
 SIMHASH_BLOCKED_SQL = _simhash_blocked_sql()
+
+
+# --- near-dup clustering (the DELETE step of a dedup pipeline) ---------------
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in
+    any ``dedup_ngram_jaccard`` pair, labeled with its component's
+    minimum doc_id, plus ``keep`` marking the canonical representative
+    (the min) — what a training pipeline actually drops/keeps after
+    pair mining.
+
+    Iterative min-label propagation — the repo's one iterative
+    algorithm, shaped for scale:
+
+    - per iteration: one edge→label equi-join plus one (doc_id, label)
+      min-aggregation — fixed-width long columns only, never document
+      payloads;
+    - iteration count is bounded by the component DIAMETER, and near-dup
+      components are overwhelmingly small cliques (diameter 1-2, so
+      2-3 iterations; a length-k chain of distinct-but-pairwise-near
+      docs needs ~log-free k hops — ``max_iters`` caps adversarial
+      chains and raises rather than silently mislabeling);
+    - each iteration ends in an EAGER ``localCheckpoint``: without it
+      the plan doubles per iteration (the classic iterative-lineage
+      blowup) and the convergence count re-executes the whole history;
+    - convergence = a changed-label count of zero (one tiny job per
+      iteration on the checkpointed frame).
+
+    GraphFrames' alternating large-star/small-star converges in fewer
+    rounds on adversarial graphs; min-propagation keeps this
+    dependency-free and oracle-checkable (DuckDB recursive CTE builds
+    the transitive closure, ``DEDUP_CLUSTERS_SQL``). Pytest-oracle
+    (the 50-entry driver registry is full; see COVERAGE.md).
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels, edges["doc_a"] == labels["doc_id"], "inner"
+        ).select(F.col("doc_b").alias("doc_id"), "label")
+        new_labels = (
+            labels.select("doc_id", "label")
+            .union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} iterations "
+            "(adversarially long near-dup chain?)"
+        )
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({NGRAM_JACCARD_SQL}),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(s, d) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, MIN(d) AS cluster_id,
+       s = MIN(d) AS keep
+FROM reach GROUP BY s
+"""

@@ -250,3 +250,46 @@ def test_simhash_overflow_oracle_parity(spark, tmp_path):
     assert got == {(3, 4)}, got
     ok, msg = compare(df, dedup.SIMHASH_SQL, sf_dir)
     assert ok, msg
+
+
+def test_dedup_clusters_oracle_parity(spark):
+    """dedup_clusters (iterative min-label propagation) must match the
+    DuckDB recursive-CTE transitive closure on the fixture corpus —
+    pytest-oracle, same strength as the driver's check (the 50-entry
+    registry is full)."""
+    from tests.oracle_harness import compare
+
+    df = dedup.dedup_clusters(spark, TEST_SF_DIR)
+    ok, msg = compare(df, dedup.DEDUP_CLUSTERS_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_dedup_clusters_transitive_chain(spark, tmp_path):
+    """A~B and B~C with A NOT near C (below the Jaccard threshold) must
+    still land A, B, C in ONE cluster — the transitivity pair mining
+    alone cannot express. Geometry: core of 30 tokens, 4-token
+    prefix/suffix -> j(A,B)=j(B,C)=28/32=0.875 >= 0.8 but
+    j(A,C)=28/36=0.78 < 0.8."""
+    core = [f"c{k}" for k in range(30)]
+    rows = [
+        (1, " ".join([f"p{k}" for k in range(4)] + core)),
+        (2, " ".join(core)),
+        (3, " ".join(core + [f"s{k}" for k in range(4)])),
+        (4, " ".join(f"iso{k}" for k in range(25))),
+        (5, " ".join([f"iso{k}" for k in range(24)] + ["tail"])),
+        (6, " ".join(f"lone{k}" for k in range(25))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf = str(tmp_path)
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.dedup_ngram_jaccard(spark, sf).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs, pairs
+    out = {r.doc_id: (r.cluster_id, r.keep) for r in dedup.dedup_clusters(spark, sf).collect()}
+    assert out == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (4, True),
+        5: (4, False),
+    }  # doc 6 pairs with nothing and is absent
