@@ -108,7 +108,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "op",
-        choices=["gen", "minhash_lsh", "simhash", "simhash_blocked", "ngram_jaccard"],
+        choices=[
+            "gen",
+            "minhash_lsh",
+            "simhash",
+            "simhash_blocked",
+            "ngram_jaccard",
+            "clusters",
+        ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--words", type=int, default=25)
@@ -140,6 +147,11 @@ def main() -> None:
             spark, sf_dir, reproducible=args.reproducible
         ),
         "ngram_jaccard": lambda: dedup.dedup_ngram_jaccard(spark, sf_dir),
+        # clusters emit (representative, dropped-member) rows, which for
+        # this corpus's disjoint planted pairs IS the planted pair set
+        "clusters": lambda: dedup.dedup_clusters(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select(F.col("cluster_id").alias("doc_a"), F.col("doc_id").alias("doc_b")),
     }
 
     # timer wraps the BUILDER too: dedup_minhash_lsh eagerly
