@@ -1,0 +1,336 @@
+"""Corpus-curation operators: the selection half of a training-data
+pipeline (the analysis half lives in ``text.py``/``dedup.py``).
+
+Everything here is DETERMINISTIC and engine-reproducible — sampling
+decisions key off ``md5(doc_id)`` buckets, never a RNG — so the same
+corpus yields byte-identical samples on any cluster size, on re-runs,
+and in the DuckDB oracles (``tests/test_curation.py`` runs the same
+compare the driver uses; the driver registry itself is at its 50-entry
+cap, like ``winnow_fingerprint``).
+
+Scale notes (the 100 TB contract):
+
+- **hash sampling / splits / stratified sampling** are narrow
+  projections + filters: no shuffle, no state, whole-stage codegen.
+  A 1000-executor scan applies them at read speed. Sampling by hash
+  (not ``rand()``) also makes train/val/test membership STABLE as the
+  corpus grows — a doc's split never changes when other docs arrive,
+  which is what leakage-free incremental training needs.
+- **token-budget selection** is the one op that looks inherently
+  sequential (a running sum in priority order per language). The
+  naive window — ``sum over (partition by lang order by ...)`` — is a
+  scale-killer: one partition per language means ~5 tasks process
+  100 TB. Instead it runs two-pass: (1) aggregate token counts per
+  (lang, bucket) — ≤ |langs|·10000 tiny rows — and window THAT to get
+  each bucket's prefix; (2) broadcast the prefixes back and window
+  the big table partitioned by (lang, bucket), restoring ~10000×
+  the parallelism. Same semantics, pinned against the one-window
+  oracle SQL and by a plan test that forbids the lang-only window.
+
+These are gap-fill operators (the reference plugin has no corpus
+selection; its closest surface is the row-filtering in
+``process_csv_data.py``) mandated by the training-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+BUCKETS = 10000  # hash-bucket resolution: rates quantize to 1/10000
+SAMPLE_RATE = 0.25
+SPLITS = (("train", 9000), ("val", 9500), ("test", BUCKETS))
+# stratified default: downsample the dominant language, keep the rest
+STRATA_RATES = {"en": 0.25}
+STRATA_DEFAULT_RATE = 1.0
+TOKEN_BUDGET = 3000  # per-language whitespace-token budget
+
+QUALITY_MIN_TOKENS = 20
+QUALITY_MAX_TOKENS = 5000
+QUALITY_MIN_TTR = 0.3
+QUALITY_TOKEN_LEN_RANGE = (2.0, 10.0)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _bucket(col: Column) -> Column:
+    """Deterministic bucket in [0, BUCKETS): first 8 md5 hex digits of
+    the stringified key. Reproduced verbatim in DuckDB (same md5, same
+    hex slice), so every sampling decision is oracle-checkable."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % BUCKETS
+    )
+
+
+def _bucket_sql(expr: str) -> str:
+    return (
+        f"(('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {BUCKETS})"
+    )
+
+
+# --- uniform hash sample -----------------------------------------------------
+def corpus_sample(
+    spark: SparkSession, sf_dir: str, rate: float = SAMPLE_RATE
+) -> DataFrame:
+    """Uniform deterministic sample: keep docs whose hash bucket falls
+    below ``rate``. Narrow filter — no shuffle, no RNG, stable under
+    corpus growth and partitioning changes."""
+    thresh = int(rate * BUCKETS)
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("bucket", _bucket(F.col("doc_id")))
+        .filter(F.col("bucket") < thresh)
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+CORPUS_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, {_bucket_sql('doc_id')} AS bucket
+FROM documents
+WHERE {_bucket_sql('doc_id')} < {int(SAMPLE_RATE * BUCKETS)}
+"""
+
+
+# --- train/val/test split ----------------------------------------------------
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every doc a split label from its hash bucket
+    (train/val/test = 90/5/5). Membership is a pure function of
+    doc_id: adding documents later never moves an existing doc across
+    splits (no eval-set leakage on incremental ingests)."""
+    # CASE over the materialized bucket COLUMN, not the md5 expression:
+    # CollapseProject would otherwise inline one md5 per branch
+    label = F.lit(SPLITS[-1][0])
+    for name, upper in reversed(SPLITS[:-1]):
+        label = F.when(F.col("bucket") < upper, F.lit(name)).otherwise(label)
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("bucket", _bucket(F.col("doc_id")))
+        .select("doc_id", "lang", "bucket", label.alias("split"))
+    )
+
+
+def _split_case_sql() -> str:
+    branches = " ".join(
+        f"WHEN bucket < {upper} THEN '{name}'" for name, upper in SPLITS[:-1]
+    )
+    return f"CASE {branches} ELSE '{SPLITS[-1][0]}' END"
+
+
+CORPUS_SPLIT_SQL = f"""
+WITH b AS (
+    SELECT doc_id, lang, {_bucket_sql('doc_id')} AS bucket FROM documents
+)
+SELECT doc_id, lang, bucket, {_split_case_sql()} AS split FROM b
+"""
+
+
+# --- stratified (per-language) sample ----------------------------------------
+def corpus_sample_stratified(
+    spark: SparkSession,
+    sf_dir: str,
+    rates: dict[str, float] | None = None,
+    default_rate: float = STRATA_DEFAULT_RATE,
+) -> DataFrame:
+    """Per-stratum hash sample: each language keeps its own rate (the
+    default config downsamples dominant 'en' to rebalance the mix).
+    The per-lang thresholds ride in as a literal CASE — no join, still
+    a narrow filter."""
+    rates = STRATA_RATES if rates is None else rates
+    thresh = F.lit(int(default_rate * BUCKETS))
+    for lang, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col("lang") == lang, F.lit(int(rate * BUCKETS))
+        ).otherwise(thresh)
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("bucket", _bucket(F.col("doc_id")))
+        .filter(F.col("bucket") < thresh)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def _strata_case_sql() -> str:
+    branches = " ".join(
+        f"WHEN lang = '{lang}' THEN {int(rate * BUCKETS)}"
+        for lang, rate in sorted(STRATA_RATES.items())
+    )
+    return f"CASE {branches} ELSE {int(STRATA_DEFAULT_RATE * BUCKETS)} END"
+
+
+CORPUS_SAMPLE_STRATIFIED_SQL = f"""
+WITH b AS (
+    SELECT doc_id, lang, {_bucket_sql('doc_id')} AS bucket FROM documents
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < {_strata_case_sql()}
+"""
+
+
+# --- per-language token-budget selection -------------------------------------
+def corpus_token_budget(
+    spark: SparkSession, sf_dir: str, budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Select documents per language, in deterministic hash priority
+    order (bucket, doc_id), until the cumulative whitespace-token
+    count reaches ``budget`` — the domain-mixture step of a training
+    pipeline ("N tokens of each language").
+
+    Semantics: keep exactly the docs whose INCLUSIVE running token sum
+    over (bucket, doc_id) order within their language is ≤ budget —
+    one running sum, which the oracle writes as the single
+    lang-partitioned window it is. The PLAN is the two-pass version
+    (module docstring): per-(lang, bucket) token totals → tiny
+    lang-partitioned prefix window (≤ |langs|·BUCKETS rows) →
+    broadcast prefixes back → big-side window partitioned by
+    (lang, bucket). The full corpus never funnels through
+    one-partition-per-language; the only wide exchange of the big
+    table is the (lang, bucket) hash partitioning.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        _bucket(F.col("doc_id")).alias("bucket"),
+    )
+    per_bucket = docs.groupBy("lang", "bucket").agg(
+        F.sum("n_tok").alias("b_tok")
+    )
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = per_bucket.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("b_tok").over(wb), F.lit(0)).alias("pre_tok"),
+    )
+    wr = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.join(F.broadcast(prefix), ["lang", "bucket"])
+        .withColumn(
+            "cum_tok", F.col("pre_tok") + F.sum("n_tok").over(wr)
+        )
+        .filter(F.col("cum_tok") <= budget)
+        .select("doc_id", "lang", "n_tok", "cum_tok")
+    )
+
+
+CORPUS_TOKEN_BUDGET_SQL = f"""
+WITH s AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+           {_bucket_sql('doc_id')} AS bucket
+    FROM documents
+),
+c AS (
+    SELECT doc_id, lang, n_tok,
+           CAST(SUM(n_tok) OVER (
+               PARTITION BY lang ORDER BY bucket, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+    FROM s
+)
+SELECT doc_id, lang, n_tok, cum_tok FROM c WHERE cum_tok <= {TOKEN_BUDGET}
+"""
+
+
+# --- quality filter ----------------------------------------------------------
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter over the ``text_stats`` signals: token
+    count in range, type-token ratio floor (drops boilerplate /
+    repetition), mean token length in range (drops junk tokenization).
+    Emits per-rule flags plus the combined keep bit so downstream can
+    audit WHY a doc dropped. All comparisons are on round(x, 6) —
+    identical in both engines, so a doc sitting exactly on a threshold
+    cannot flip between Spark and the oracle."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    ttr = F.round(F.size(F.array_distinct(toks)) / n_tokens, 6)
+    mean_len = F.round(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / n_tokens,
+        6,
+    )
+    len_ok = (n_tokens >= QUALITY_MIN_TOKENS) & (
+        n_tokens <= QUALITY_MAX_TOKENS
+    )
+    ttr_ok = ttr >= QUALITY_MIN_TTR
+    lo, hi = QUALITY_TOKEN_LEN_RANGE
+    shape_ok = (mean_len >= lo) & (mean_len <= hi)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ttr.alias("ttr"),
+        mean_len.alias("mean_token_len"),
+        len_ok.alias("len_ok"),
+        ttr_ok.alias("ttr_ok"),
+        shape_ok.alias("shape_ok"),
+        (len_ok & ttr_ok & shape_ok).alias("keep"),
+    )
+
+
+QUALITY_FILTER_SQL = f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+m AS (
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           ROUND(len(list_distinct(t))::DOUBLE / len(t), 6) AS ttr,
+           ROUND(list_sum(list_transform(t, x -> len(x)))::DOUBLE / len(t), 6)
+               AS mean_token_len
+    FROM s
+)
+SELECT doc_id, n_tokens, ttr, mean_token_len,
+       (n_tokens >= {QUALITY_MIN_TOKENS}
+        AND n_tokens <= {QUALITY_MAX_TOKENS}) AS len_ok,
+       (ttr >= {QUALITY_MIN_TTR}) AS ttr_ok,
+       (mean_token_len >= {QUALITY_TOKEN_LEN_RANGE[0]}
+        AND mean_token_len <= {QUALITY_TOKEN_LEN_RANGE[1]}) AS shape_ok,
+       (n_tokens >= {QUALITY_MIN_TOKENS}
+        AND n_tokens <= {QUALITY_MAX_TOKENS}
+        AND ttr >= {QUALITY_MIN_TTR}
+        AND mean_token_len >= {QUALITY_TOKEN_LEN_RANGE[0]}
+        AND mean_token_len <= {QUALITY_TOKEN_LEN_RANGE[1]}) AS keep
+FROM m
+"""
+
+
+# --- dedup-applied corpus ----------------------------------------------------
+def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION side of exact dedup: the surviving corpus itself
+    (keeper = min doc_id per content hash), not just the group report
+    ``dedup_exact`` emits. One shuffle keyed by the fingerprint; both
+    window functions share that partitioning, so Spark plans a single
+    Exchange. Fingerprint cardinality ~ |docs|, so partitions stay
+    balanced at any scale (no hot keys: a fingerprint's group is the
+    copies of one document)."""
+    wf = Window.partitionBy("fingerprint")
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("fingerprint", F.md5(F.col("text")))
+        .withColumn("rn", F.row_number().over(wf.orderBy("doc_id")))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wf))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "fingerprint", "n_copies")
+    )
+
+
+CORPUS_DEDUP_APPLY_SQL = """
+SELECT doc_id, lang, source, md5(text) AS fingerprint,
+       COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""

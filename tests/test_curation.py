@@ -1,0 +1,220 @@
+"""Corpus-curation operators: DuckDB oracle parity (same compare the
+driver runs — these live outside the 50-entry driver registry, like
+``winnow_fingerprint``), semantic invariants, and the plan properties
+the 100 TB design depends on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fledge_south_csvplayback_spark.operators import curation
+from tests.conftest import ORACLE_SF_DIR, TEST_SF_DIR
+from tests.oracle_harness import compare
+
+_ORACLES = [
+    ("corpus_sample", curation.corpus_sample, curation.CORPUS_SAMPLE_SQL),
+    ("corpus_split", curation.corpus_split, curation.CORPUS_SPLIT_SQL),
+    (
+        "corpus_sample_stratified",
+        curation.corpus_sample_stratified,
+        curation.CORPUS_SAMPLE_STRATIFIED_SQL,
+    ),
+    (
+        "corpus_token_budget",
+        curation.corpus_token_budget,
+        curation.CORPUS_TOKEN_BUDGET_SQL,
+    ),
+    ("quality_filter", curation.quality_filter, curation.QUALITY_FILTER_SQL),
+    (
+        "corpus_dedup_apply",
+        curation.corpus_dedup_apply,
+        curation.CORPUS_DEDUP_APPLY_SQL,
+    ),
+]
+
+
+@pytest.mark.parametrize("name,fn,sql", _ORACLES, ids=[o[0] for o in _ORACLES])
+def test_oracle_parity(spark, name, fn, sql):
+    ok, msg = compare(fn(spark, TEST_SF_DIR), sql, TEST_SF_DIR)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize(
+    "name,fn,sql",
+    [o for o in _ORACLES if o[0] in ("corpus_token_budget", "corpus_dedup_apply")],
+    ids=["corpus_token_budget", "corpus_dedup_apply"],
+)
+def test_oracle_parity_sf001(spark, name, fn, sql):
+    """The two shuffling ops also at the driver's oracle SF."""
+    ok, msg = compare(fn(spark, ORACLE_SF_DIR), sql, ORACLE_SF_DIR)
+    assert ok, f"{name}: {msg}"
+
+
+# --- semantic invariants -----------------------------------------------------
+def test_sample_deterministic_and_ratelike(spark):
+    a = {r.doc_id for r in curation.corpus_sample(spark, TEST_SF_DIR).collect()}
+    b = {r.doc_id for r in curation.corpus_sample(spark, TEST_SF_DIR).collect()}
+    assert a == b  # hash sampling: re-runs identical, no RNG anywhere
+    total = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").count()
+    # binomial 3-sigma envelope around the nominal rate
+    rate = curation.SAMPLE_RATE
+    sigma = (total * rate * (1 - rate)) ** 0.5
+    assert abs(len(a) - total * rate) <= 3 * sigma, (len(a), total)
+
+
+def test_sample_membership_stable_under_growth(spark):
+    """A doc's sample membership is a function of doc_id alone: the
+    sample of a PREFIX of the corpus is exactly the restriction of the
+    full-corpus sample (what incremental ingest relies on)."""
+    full = {
+        r.doc_id for r in curation.corpus_sample(spark, TEST_SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    half_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 2 == 0).select("doc_id").collect()
+    }
+    # recompute the sample over the half-corpus via the same operator
+    half_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    half_docs.createOrReplaceTempView("_half")
+    sampled_half = {
+        r.doc_id
+        for r in half_docs.withColumn(
+            "bucket", curation._bucket(F.col("doc_id"))
+        )
+        .filter(F.col("bucket") < int(curation.SAMPLE_RATE * curation.BUCKETS))
+        .select("doc_id")
+        .collect()
+    }
+    assert sampled_half == full & half_ids
+
+
+def test_split_partitions_corpus(spark):
+    rows = curation.corpus_split(spark, TEST_SF_DIR).collect()
+    total = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").count()
+    assert len(rows) == total
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + 1
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"]
+    assert by_split["train"] > by_split["test"]
+
+
+def test_stratified_downsamples_named_stratum_only(spark):
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    base = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sampled = {
+        r.lang: r.n
+        for r in curation.corpus_sample_stratified(spark, TEST_SF_DIR)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, n in base.items():
+        if lang in curation.STRATA_RATES:
+            assert sampled.get(lang, 0) < n  # downsampled
+        else:
+            assert sampled.get(lang, 0) == n  # default rate 1.0 keeps all
+
+
+def test_token_budget_maximal_per_lang(spark):
+    """Selection is budget-respecting AND maximal: per language the
+    kept cumulative sum is ≤ budget, and the FIRST rejected doc in
+    priority order would have pushed it over."""
+    sel = curation.corpus_token_budget(spark, TEST_SF_DIR).collect()
+    docs = (
+        spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+            curation._bucket(F.col("doc_id")).alias("bucket"),
+        )
+        .collect()
+    )
+    kept = {r.doc_id: r for r in sel}
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert kept  # something selected
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (r.bucket, r.doc_id))
+        cum = 0
+        rejected_seen = False
+        for r in rows:
+            cum += r.n_tok
+            if cum <= curation.TOKEN_BUDGET:
+                assert r.doc_id in kept, (lang, r.doc_id)
+                assert kept[r.doc_id].cum_tok == cum
+                assert not rejected_seen  # keep-set is a prefix
+            else:
+                assert r.doc_id not in kept, (lang, r.doc_id)
+                rejected_seen = True
+
+
+def test_quality_filter_splits_corpus(spark):
+    rows = curation.quality_filter(spark, TEST_SF_DIR).collect()
+    keep = sum(1 for r in rows if r.keep)
+    assert 0 < keep < len(rows)  # thresholds bite but don't wipe out
+    for r in rows:
+        assert r.keep == (r.len_ok and r.ttr_ok and r.shape_ok)
+
+
+def test_dedup_apply_agrees_with_dedup_exact(spark):
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    groups = dedup.dedup_exact(spark, TEST_SF_DIR).collect()
+    survivors = curation.corpus_dedup_apply(spark, TEST_SF_DIR).collect()
+    assert {r.keep_doc_id for r in groups} == {r.doc_id for r in survivors}
+    by_fp = {r.fingerprint: r.n_copies for r in groups}
+    for s in survivors:
+        assert by_fp[s.fingerprint] == s.n_copies
+
+
+# --- plan properties ---------------------------------------------------------
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sample_ops_are_narrow(spark):
+    """Sampling / split / stratified are scan-side filters: no
+    Exchange, no Window, no join anywhere in the plan."""
+    for fn in (
+        curation.corpus_sample,
+        curation.corpus_split,
+        curation.corpus_sample_stratified,
+    ):
+        plan = _plan(fn(spark, TEST_SF_DIR))
+        assert "Exchange" not in plan, fn.__name__
+        assert "Window" not in plan, fn.__name__
+        assert "Join" not in plan, fn.__name__
+
+
+def test_token_budget_avoids_lang_only_window(spark):
+    """The big-side running sum must partition by (lang, bucket) — a
+    lang-only window over the full table is one task per language at
+    100 TB. The lang-only window may appear ONLY over the tiny
+    per-bucket aggregate, i.e. downstream of a HashAggregate, and the
+    prefix table must come back via a broadcast join."""
+    plan = _plan(curation.corpus_token_budget(spark, TEST_SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    windows = [
+        line for line in plan.splitlines() if "Window " in line or "Window(" in line
+    ]
+    assert windows, plan
+    big_side = [w for w in windows if "bucket" in w.split("windowspecdefinition")[-1]]
+    assert big_side, windows  # the per-row sum partitions by (lang, bucket)
+
+
+def test_dedup_apply_single_exchange(spark):
+    """Both window functions share the fingerprint partitioning: one
+    wide exchange of the docs table, not two."""
+    plan = _plan(curation.corpus_dedup_apply(spark, TEST_SF_DIR))
+    wide = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(wide) == 1, plan
