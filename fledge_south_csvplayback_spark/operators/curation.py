@@ -102,16 +102,20 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (train/val/test = 90/5/5). Membership is a pure function of
     doc_id: adding documents later never moves an existing doc across
     splits (no eval-set leakage on incremental ingests)."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("bucket", _bucket(F.col("doc_id")))
+        .select("doc_id", "lang", "bucket", _split_label().alias("split"))
+    )
+
+
+def _split_label() -> Column:
     # CASE over the materialized bucket COLUMN, not the md5 expression:
     # CollapseProject would otherwise inline one md5 per branch
     label = F.lit(SPLITS[-1][0])
     for name, upper in reversed(SPLITS[:-1]):
         label = F.when(F.col("bucket") < upper, F.lit(name)).otherwise(label)
-    return (
-        _docs(spark, sf_dir)
-        .withColumn("bucket", _bucket(F.col("doc_id")))
-        .select("doc_id", "lang", "bucket", label.alias("split"))
-    )
+    return label
 
 
 def _split_case_sql() -> str:
@@ -244,16 +248,11 @@ SELECT doc_id, lang, n_tok, cum_tok FROM c WHERE cum_tok <= {TOKEN_BUDGET}
 
 
 # --- quality filter ----------------------------------------------------------
-def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style rule filter over the ``text_stats`` signals: token
-    count in range, type-token ratio floor (drops boilerplate /
-    repetition), mean token length in range (drops junk tokenization).
-    Emits per-rule flags plus the combined keep bit so downstream can
-    audit WHY a doc dropped. All comparisons are on round(x, 6) —
-    identical in both engines, so a doc sitting exactly on a threshold
-    cannot flip between Spark and the oracle."""
-    docs = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
+def _quality_cols(text: Column) -> dict[str, Column]:
+    """The quality signals + per-rule flags as named expressions, so
+    the audit query (``quality_filter``) and the corpus materializer
+    (``write_curated_corpus``) apply literally the same rules."""
+    toks = F.split(text, " ")
     n_tokens = F.size(toks)
     ttr = F.round(F.size(F.array_distinct(toks)) / n_tokens, 6)
     mean_len = F.round(
@@ -271,15 +270,28 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttr_ok = ttr >= QUALITY_MIN_TTR
     lo, hi = QUALITY_TOKEN_LEN_RANGE
     shape_ok = (mean_len >= lo) & (mean_len <= hi)
-    return docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        ttr.alias("ttr"),
-        mean_len.alias("mean_token_len"),
-        len_ok.alias("len_ok"),
-        ttr_ok.alias("ttr_ok"),
-        shape_ok.alias("shape_ok"),
-        (len_ok & ttr_ok & shape_ok).alias("keep"),
+    return {
+        "n_tokens": n_tokens,
+        "ttr": ttr,
+        "mean_token_len": mean_len,
+        "len_ok": len_ok,
+        "ttr_ok": ttr_ok,
+        "shape_ok": shape_ok,
+        "keep": len_ok & ttr_ok & shape_ok,
+    }
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter over the ``text_stats`` signals: token
+    count in range, type-token ratio floor (drops boilerplate /
+    repetition), mean token length in range (drops junk tokenization).
+    Emits per-rule flags plus the combined keep bit so downstream can
+    audit WHY a doc dropped. All comparisons are on round(x, 6) —
+    identical in both engines, so a doc sitting exactly on a threshold
+    cannot flip between Spark and the oracle."""
+    q = _quality_cols(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(name) for name, c in q.items()]
     )
 
 
@@ -334,3 +346,45 @@ SELECT doc_id, lang, source, md5(text) AS fingerprint,
 FROM documents
 QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """
+
+
+# --- end-to-end corpus materializer ------------------------------------------
+def write_curated_corpus(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Materialize the training corpus: quality filter → exact-dedup
+    keeper → split label, written as parquet ``partitionBy(split,
+    lang)`` so every downstream trainer reading one split/language
+    opens only its own files (partition pruning — the same layout
+    lever as ``build_ivf_index``; pinned by a PartitionFilters plan
+    assert in tests).
+
+    Stage order is the cheap-first rule: the quality predicate is a
+    narrow scan-side filter, so it runs BEFORE the dedup shuffle and
+    the fingerprint exchange only carries survivors. Consequence
+    (documented semantics, shared with a filter-then-dedup pipeline
+    anywhere): the dedup keeper is the min doc_id among the
+    quality-PASSING copies of a text. At 100 TB the write's widest
+    dependency is the one fingerprint-keyed exchange; the output
+    partition count is |splits|·|langs| directories of many files
+    each, appendable on incremental ingest."""
+    wf = Window.partitionBy("fingerprint")
+    docs = _docs(spark, sf_dir)
+    curated = (
+        docs.filter(_quality_cols(F.col("text"))["keep"])
+        .withColumn("fingerprint", F.md5(F.col("text")))
+        .withColumn("rn", F.row_number().over(wf.orderBy("doc_id")))
+        .filter(F.col("rn") == 1)
+        .withColumn("bucket", _bucket(F.col("doc_id")))
+        .select(
+            "doc_id",
+            "text",
+            "source",
+            "n_chars",
+            _split_label().alias("split"),
+            "lang",
+        )
+    )
+    curated.write.mode("overwrite").partitionBy("split", "lang").parquet(
+        out_dir
+    )

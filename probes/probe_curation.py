@@ -1,0 +1,201 @@
+#!/usr/bin/env python3
+"""Scale probe for the corpus-curation operators (BASELINE.md rows).
+
+Generates a synthetic multi-language corpus with a deliberately skewed
+language mix (60% 'en' — the realistic worst case for per-language
+work), then:
+
+- ``sample``: the uniform hash sample — expected to run at scan speed
+  with ZERO shuffle (the plan test pins Exchange-free; this pins the
+  wall-clock claim).
+- ``ab``: same-session INTERLEAVED A/B (the only trustworthy
+  cross-variant comparison on this host, per BASELINE.md) of the
+  shipped two-pass ``corpus_token_budget`` against the naive
+  single-window formulation (``sum over (partition by lang order by
+  bucket, doc_id)``), which at any scale funnels each language through
+  ONE task. Asserts both variants select the identical doc set
+  (count + checksum) before reporting timings.
+
+Corpus: doc_id, lang (10-way hash: 6/10 en, 1/10 each de/es/fr/zh),
+text of W words drawn from a 1M-word vocabulary via xxhash64 literals
+(pure expressions, no driver loops). Cached under
+/tmp/spark_graft_probe/curation_<N>_<W>/ like the dedup probe corpora.
+
+Usage:
+    python probes/probe_curation.py gen    --rows 10000000
+    python probes/probe_curation.py sample --rows 10000000
+    python probes/probe_curation.py ab     --rows 10000000 --reps 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fledge_south_csvplayback_spark.operators import curation
+from probes._common import (
+    PROBE_ROOT,
+    probe_session,
+    shuffle_delta,
+    shuffle_write_bytes,
+)
+
+VOCAB = 1_000_000
+LANGS = ["en", "en", "en", "en", "en", "en", "de", "es", "fr", "zh"]
+BUDGET = 20_000_000  # tokens/lang: partial selection in every language
+
+
+def corpus_dir(n: int, words: int) -> str:
+    return f"{PROBE_ROOT}/curation_{n}_{words}"
+
+
+def gen_corpus(spark: SparkSession, n: int, words: int) -> str:
+    out = corpus_dir(n, words)
+    path = f"{out}/documents.parquet"
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return out
+    word_cols = [
+        F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.xxhash64(F.lit("cur"), F.col("doc_id"), F.lit(p)), F.lit(VOCAB)
+            ),
+        )
+        for p in range(words)
+    ]
+    lang = F.element_at(
+        F.lit(LANGS), F.pmod(F.xxhash64(F.lit("lang"), F.col("doc_id")), 10)
+        .cast("int") + 1
+    )
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"))
+        .select(
+            "doc_id",
+            lang.alias("lang"),
+            F.lit("probe").alias("source"),
+            F.concat_ws(" ", *word_cols).alias("text"),
+        )
+    )
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    return out
+
+
+def naive_token_budget(
+    spark: SparkSession, sf_dir: str, budget: int
+) -> DataFrame:
+    """The rejected formulation: one running-sum window partitioned by
+    lang alone — semantically identical, but every language's rows
+    funnel through a single task (here 6M 'en' rows through one of 32
+    cores; at 100 TB, ~60 TB through one executor thread)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        curation._bucket(F.col("doc_id")).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("bucket", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= budget)
+        .select("doc_id", "lang", "n_tok", "cum_tok")
+    )
+
+
+def checksum(df: DataFrame) -> tuple[int, int]:
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.col("doc_id") + F.col("cum_tok")), F.lit(0)).alias(
+            "s"
+        ),
+    ).collect()[0]
+    return int(r["n"]), int(r["s"])
+
+
+def timed(spark: SparkSession, df: DataFrame) -> tuple[float, int]:
+    before = shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t0, 1)
+    return wall, shuffle_delta(before, shuffle_write_bytes(spark))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("op", choices=["gen", "sample", "ab"])
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    ap.add_argument("--words", type=int, default=25)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    spark = probe_session(f"probe_curation_{args.op}")
+    t0 = time.perf_counter()
+    sf_dir = gen_corpus(spark, args.rows, args.words)
+    gen_sec = round(time.perf_counter() - t0, 1)
+    if args.op == "gen":
+        print(json.dumps({"op": "gen", "rows": args.rows, "sec": gen_sec}))
+        spark.stop()
+        return
+
+    if args.op == "sample":
+        wall, shuf = timed(spark, curation.corpus_sample(spark, sf_dir))
+        print(
+            json.dumps(
+                {
+                    "op": "sample",
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": shuf,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    # ab: interleaved naive/twopass reps in ONE session
+    two = curation.corpus_token_budget(spark, sf_dir, budget=BUDGET)
+    naive = naive_token_budget(spark, sf_dir, budget=BUDGET)
+    n2, s2 = checksum(two)
+    n1, s1 = checksum(naive)
+    assert (n1, s1) == (n2, s2), f"variant mismatch: {(n1, s1)} != {(n2, s2)}"
+    walls: dict[str, list[float]] = {"naive": [], "twopass": []}
+    shufs: dict[str, int] = {}
+    for _ in range(args.reps):
+        w, s = timed(spark, naive)
+        walls["naive"].append(w)
+        shufs["naive"] = s
+        w, s = timed(spark, two)
+        walls["twopass"].append(w)
+        shufs["twopass"] = s
+    print(
+        json.dumps(
+            {
+                "op": "token_budget_ab",
+                "rows": args.rows,
+                "budget": BUDGET,
+                "selected_rows": n2,
+                "naive_sec_min": min(walls["naive"]),
+                "twopass_sec_min": min(walls["twopass"]),
+                "naive_shuffle_bytes": shufs["naive"],
+                "twopass_shuffle_bytes": shufs["twopass"],
+                "reps": args.reps,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -208,6 +208,37 @@ def test_token_budget_avoids_lang_only_window(spark):
     assert big_side, windows  # the per-row sum partitions by (lang, bucket)
 
 
+def test_write_curated_corpus_roundtrip(spark, tmp_path):
+    """The materialized corpus is exactly (quality keepers ∩ dedup
+    winners among them) with the right split labels, and reading one
+    split prunes partitions at the scan."""
+    out = str(tmp_path / "curated")
+    curation.write_curated_corpus(spark, TEST_SF_DIR, out)
+    back = spark.read.parquet(out)
+
+    q = {r.doc_id for r in curation.quality_filter(spark, TEST_SF_DIR).collect() if r.keep}
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").collect()
+    # expected: min doc_id per text among quality-passing docs
+    best: dict[str, int] = {}
+    for r in docs:
+        if r.doc_id in q:
+            best[r.text] = min(best.get(r.text, r.doc_id), r.doc_id)
+    expected = set(best.values())
+    assert {r.doc_id for r in back.collect()} == expected
+
+    splits = {r.doc_id: r.split for r in curation.corpus_split(spark, TEST_SF_DIR).collect()}
+    for r in back.select("doc_id", "split").collect():
+        assert splits[r.doc_id] == r.split
+
+    # partition pruning: a split+lang filter must reach PartitionFilters
+    plan = _plan(
+        back.filter((F.col("split") == "train") & (F.col("lang") == "en"))
+    )
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "split" in pf and "lang" in pf, pf
+
+
 def test_dedup_apply_single_exchange(spark):
     """Both window functions share the fingerprint partitioning: one
     wide exchange of the docs table, not two."""
