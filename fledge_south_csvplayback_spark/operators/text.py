@@ -179,6 +179,65 @@ FROM documents
 """
 
 
+# --- corpus-level unigram log-probability (perplexity proxy) -----------------
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the classic LM-lite quality signal (CCNet
+    filters on a KenLM score; the unigram version is its
+    SQL-expressible core): documents made of globally rare tokens score
+    low, formulaic boilerplate scores high.
+
+    This is the repo's one corpus-global text op: the score of a doc
+    depends on every OTHER doc's tokens. Plan (read from ``explain``,
+    pinned in tests): explode tokens → count per token (map-side
+    partial agg soaks the hot stopword keys) → join the exploded
+    tokens back to their counts → per-doc average. The vocabulary
+    aggregate's Exchange is computed once and REUSED for the corpus
+    total (``ReusedExchange`` in the plan — the total is a second
+    consumer of the same shuffle, not a second scan), and the 1-row
+    total rides a broadcast nested-loop join. The vocabulary is NOT
+    broadcast-hinted for the token join: vocabularies grow with the
+    corpus (Heaps' law, unbounded at 100 TB), so AQE decides — at
+    small scale it broadcasts (observed), at large scale it falls back
+    to a shuffle join whose hot stopword keys AQE's skew handling
+    splits, costing a second shuffle of the token stream (the
+    unavoidable price of exact counts at unbounded vocabulary).
+
+    Output: (doc_id, n_tokens, mean_logprob), average over token
+    OCCURRENCES (repeats count), rounded to 6 like every float oracle
+    in this repo so cross-engine summation order cannot flip a value.
+    """
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
+TEXT_UNIGRAM_LOGPROB_SQL = """
+WITH t AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+v AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+n AS (SELECT SUM(c)::DOUBLE AS n FROM v)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(LN(v.c / n.n)), 6) AS mean_logprob
+FROM t JOIN v USING (tok) CROSS JOIN n
+GROUP BY t.doc_id
+"""
+
+
 # --- winnowing fingerprint (rolling-hash k-gram minima) ----------------------
 WINNOW_N = 3  # gram width (tokens)
 WINNOW_W = 4  # window of consecutive gram hashes per fingerprint pick

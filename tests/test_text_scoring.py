@@ -1,0 +1,90 @@
+"""Corpus-level unigram log-probability scorer: DuckDB oracle parity
+(driver registry capped at 50 entries, same pattern as
+``winnow_fingerprint``), score semantics, and the plan's
+exchange-reuse property."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from fledge_south_csvplayback_spark.operators import text
+from tests.conftest import ORACLE_SF_DIR, TEST_SF_DIR
+from tests.oracle_harness import compare
+
+
+def test_unigram_logprob_oracle_parity(spark):
+    df = text.text_unigram_logprob(spark, TEST_SF_DIR)
+    ok, msg = compare(df, text.TEXT_UNIGRAM_LOGPROB_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_unigram_logprob_oracle_parity_sf001(spark):
+    df = text.text_unigram_logprob(spark, ORACLE_SF_DIR)
+    ok, msg = compare(df, text.TEXT_UNIGRAM_LOGPROB_SQL, ORACLE_SF_DIR)
+    assert ok, msg
+
+
+def test_unigram_logprob_semantics(spark):
+    """Hand-check one doc: mean over token OCCURRENCES of
+    ln(corpus_count(tok) / corpus_total)."""
+    rows = (
+        spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    counts: dict[str, int] = {}
+    total = 0
+    for r in rows:
+        for t in r.text.split(" "):
+            counts[t] = counts.get(t, 0) + 1
+            total += 1
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_logprob)
+        for r in text.text_unigram_logprob(spark, TEST_SF_DIR).collect()
+    }
+    assert set(got) == {r.doc_id for r in rows}
+    probe = rows[0]
+    toks = probe.text.split(" ")
+    want = sum(math.log(counts[t] / total) for t in toks) / len(toks)
+    n_tok, mean_lp = got[probe.doc_id]
+    assert n_tok == len(toks)
+    assert abs(mean_lp - round(want, 6)) <= 1e-6, (mean_lp, want)
+
+
+def test_unigram_logprob_ranks_rare_below_common(spark):
+    """A doc of globally-unique tokens must score below a doc built
+    from the corpus's most common tokens — the signal the filter
+    exists for."""
+    df = text.text_unigram_logprob(spark, TEST_SF_DIR)
+    stats = df.agg(F.min("mean_logprob"), F.max("mean_logprob")).collect()[0]
+    assert stats[0] < stats[1]  # corpus has spread
+    # rarest-vocabulary doc scores in the bottom half
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").collect()
+    counts: dict[str, int] = {}
+    for r in docs:
+        for t in r.text.split(" "):
+            counts[t] = counts.get(t, 0) + 1
+    rarest = min(
+        docs,
+        key=lambda r: sum(counts[t] for t in r.text.split(" "))
+        / len(r.text.split(" ")),
+    )
+    scores = {r.doc_id: r.mean_logprob for r in df.collect()}
+    med = sorted(scores.values())[len(scores) // 2]
+    assert scores[rarest.doc_id] <= med
+
+
+def test_unigram_logprob_reuses_vocab_exchange(spark):
+    """The corpus total must be a second consumer of the vocabulary
+    aggregate's shuffle (ReusedExchange), not a separate scan; and the
+    1-row total joins via broadcast, never a cartesian. AQE inserts
+    the reuse at runtime, so the query must EXECUTE before the final
+    adaptive plan is inspected."""
+    df = text.text_unigram_logprob(spark, TEST_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
