@@ -225,3 +225,96 @@ FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# --- range join (point-in-interval) ------------------------------------------
+RANGE_WINDOW_S = 3600  # "events within 1 h after each purchase"
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    window_s: int,
+    bin_s: int | None = None,
+) -> DataFrame:
+    """Point-in-interval join: every (left, right) pair with
+    ``left_ts <= right_ts < left_ts + window_s``, without an
+    inequality join.
+
+    Spark plans a raw inequality join as BroadcastNestedLoopJoin —
+    O(|L|·|R|) comparisons, the classic range-join scale-killer. The
+    distributed pattern (Flink interval joins, Databricks range-join
+    binning) is to quantize the time axis: each left interval explodes
+    to the ``window_s/bin_s + 1`` bins it can touch, each right point
+    computes its single bin, and the bin becomes an EQUI-join key; the
+    exact predicate filters within the bin pairs. Each (left, right)
+    match meets on exactly one bin — the right row's own — so no
+    dedup is needed. Bin arithmetic is integer microseconds
+    (``unix_micros div``), immune to float boundary error.
+
+    Cost: one shuffle of each side keyed by hour-grain bins. Temporal
+    skew (hot hours) is the risk at 100 TB — shrink ``bin_s`` (more,
+    finer bins per interval) and AQE's skew-join splitting covers the
+    rest.
+    """
+    bin_s = bin_s or window_s
+    bin_us, win_us = bin_s * 1_000_000, window_s * 1_000_000
+    lb = left.withColumn(
+        "_bin",
+        F.explode(
+            F.expr(
+                f"sequence(unix_micros({left_ts}) div {bin_us}, "
+                f"(unix_micros({left_ts}) + {win_us - 1}) div {bin_us})"
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bin", F.expr(f"unix_micros({right_ts}) div {bin_us}")
+    )
+    rts, lts = F.col(right_ts), F.col(left_ts)
+    return (
+        lb.join(rb, "_bin")
+        .filter(
+            (rts >= lts)
+            & (F.unix_micros(rts) < F.unix_micros(lts) + win_us)
+        )
+        .drop("_bin")
+    )
+
+
+def events_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: how many events (any user) landed in the hour
+    after it — binned range join + per-anchor aggregate. Anchors with
+    an empty window drop (inner-join semantics, mirrored by the
+    oracle's plain inequality join)."""
+    ev = _events(spark, sf_dir)
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("anchor_id"), F.col("ts").alias("a_ts")
+    )
+    probes = ev.select("event_id", "user_id", "value", "ts")
+    joined = range_join(
+        anchors, probes, "a_ts", "ts", RANGE_WINDOW_S
+    ).filter(F.col("event_id") != F.col("anchor_id"))
+    return joined.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+EVENTS_PURCHASE_WINDOW_SQL = f"""
+WITH a AS (
+    SELECT event_id AS anchor_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT a.anchor_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM a JOIN events e
+  ON e.ts >= a.ts
+ AND e.ts < a.ts + INTERVAL {RANGE_WINDOW_S} SECOND
+ AND e.event_id <> a.anchor_id
+GROUP BY 1
+"""
