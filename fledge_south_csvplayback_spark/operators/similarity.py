@@ -642,45 +642,86 @@ def ann_cosine_topk_ivf_indexed(
     return _rank_topk(partial)
 
 
-def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+def _band_match_partial_topk(qmat: list[tuple]):
+    """mapInPandas scorer for the LSH entry: same ranking contract as
+    ``_masked_partial_topk`` (round(cosine, 6) BEFORE ranking to
+    mirror the oracle, vec_id tiebreak, self-exclusion, per-batch
+    top-k), but the candidate mask is the LSH band test — candidate x
+    matches query q iff ∃ band b: key_b(x) == key_b(q). Band keys are
+    computed ONCE per row by the Catalyst expression (bit-identical to
+    the oracle's SQL rebuild) and arrive as an ``array<int>`` column;
+    the positional comparison here is the same (band, key) equi-join
+    predicate, vectorized."""
 
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qm = np.array([q[1] for q in qmat], dtype=np.float64)
+        qn = np.array([q[2] for q in qmat], dtype=np.float64)
+        qkeys = np.array([q[3] for q in qmat], dtype=np.int64)  # |Q|×bands
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy())
+            nrm = pdf["norm"].to_numpy()
+            keys = np.stack(pdf["keys"].to_numpy()).astype(np.int64)
+            sims = np.round((m @ qm.T) / (nrm[:, None] * qn[None, :]), 6)
+            out = {"query_id": [], "vec_id": [], "cosine": []}
+            for j, (qid, _, _, _) in enumerate(qmat):
+                mask = (keys == qkeys[j][None, :]).any(axis=1) & (ids != qid)
+                if not mask.any():
+                    continue
+                cand_ids, cand_sims = ids[mask], sims[mask, j]
+                order = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
+                out["query_id"].extend([qid] * len(order))
+                out["vec_id"].extend(cand_ids[order])
+                out["cosine"].extend(cand_sims[order])
+            yield pd.DataFrame(out)
+
+    return _score
+
+
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN top-k: hyperplane band buckets as a candidate MASK
+    inside the shared mapInPandas GEMM scorer, not a join.
+
+    The previous formulation exploded each vector into its 8 band rows
+    and broadcast-joined the query buckets, then deduplicated
+    multi-band hits — an Exchange carrying (v, norm, qv, qnorm) array
+    payloads per candidate (30.2 GB measured at 10M×64-d) followed by
+    an interpreted Catalyst dot per candidate (the 297 s probe wall).
+    This version never explodes and never joins: each row keeps its 8
+    Catalyst-computed band keys (the same sequential-fold expression
+    the DuckDB oracle rebuilds, so bucket membership stays
+    bit-identical), and each Arrow batch GEMMs ALL its vectors against
+    the query matrix, applies the band-match mask per query, and emits
+    only its per-batch top-k — identical candidate set, identical
+    ranking contract, but the post-scoring exchange carries
+    ≤ batches·|Q|·k tiny rows like the brute/IVF entries.
+
+    Note the honest trade: the GEMM scores every (row, query) pair
+    before masking, so LSH no longer saves compute here — at |Q|=10 a
+    64-d GEMM is cheaper than evaluating the mask's would-be savings.
+    What the bands still buy is the *candidate semantics* (this entry
+    returns bucket-pruned results, oracle-checked) and the index
+    pattern: with a persisted band→vec layout (cf. ``build_ivf_index``)
+    a selective query reads only its buckets. For full-scan top-k at
+    scale, ``ann_cosine_topk`` is the model plan.
+    """
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
-    banded = emb.withColumn("bk", F.explode(_lsh_bands(F.col("v")))).select(
-        "vec_id", "v", "norm", "bk.band", "bk.key"
+    keyed = emb.withColumn(
+        "keys", F.transform(_lsh_bands(F.col("v")), lambda bk: bk["key"])
     )
-    queries = banded.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
-        F.col("band").alias("qband"),
-        F.col("key").alias("qkey"),
+    qmat = [
+        (r["vec_id"], list(r["v"]), r["norm"], list(r["keys"]))
+        for r in keyed.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    partial = keyed.mapInPandas(
+        _band_match_partial_topk(qmat), "query_id long, vec_id long, cosine double"
     )
-    cands = (
-        banded.join(
-            F.broadcast(queries),
-            (F.col("band") == F.col("qband"))
-            & (F.col("key") == F.col("qkey"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select("query_id", "vec_id", "v", "norm", "qv", "qnorm")
-        .dropDuplicates(["query_id", "vec_id"])  # multi-band hits collapse
-    )
-    cos = _dot(F.col("v"), F.col("qv")) / (F.col("norm") * F.col("qnorm"))
-    # rank on the rounded cosine so the oracle (whose float summation
-    # order may differ at the last ulp) ranks identically; vec_id breaks
-    # the (now more likely) exact ties deterministically
-    ranked = cands.withColumn("cosine", cos).withColumn(
-        "rank",
-        F.row_number().over(
-            W.partitionBy("query_id").orderBy(
-                F.round("cosine", 6).desc(), F.col("vec_id")
-            )
-        ),
-    )
-    return ranked.filter(F.col("rank") <= TOP_K).select(
-        "query_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
-    )
+    return _rank_topk(partial)
 
 
 def _ann_cosine_topk_lsh_sql() -> str:

@@ -57,6 +57,19 @@ def test_bruteforce_topk_is_partial_no_collect_list(spark):
             assert "v#" not in line, line
 
 
+def test_lsh_topk_is_masked_partial_no_join(spark):
+    """The LSH top-k must be the band-mask mapInPandas partial top-k:
+    no band explode, no candidate join, and no vector payload crossing
+    an exchange (the explode+join+dedup formulation shipped 30.2 GB of
+    (v, qv) arrays at 10M vectors)."""
+    plan = _plan(spark, "ann_cosine_topk_lsh")
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "Generate" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "v#" not in line and "keys#" not in line, line
+
+
 def test_cosine_pairs_scores_in_arrow_gemm(spark):
     """Pair scoring must be the grouped Arrow GEMM, not a per-pair
     Catalyst expression join (measured 2 orders of magnitude slower)."""
