@@ -388,3 +388,45 @@ def write_curated_corpus(
     curated.write.mode("overwrite").partitionBy("split", "lang").parquet(
         out_dir
     )
+
+
+# --- corpus profile (dataset card) -------------------------------------------
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language dataset card: doc/source counts, token totals, and
+    doc-length quantiles — the summary every corpus release ships.
+    One grouped aggregate (map-side partials); the exact percentiles
+    use Spark's linear-interpolated ``percentile``, the same
+    definition as DuckDB's ``quantile_cont``. Exact distincts, not
+    sketches: |langs| groups × |sources| per group is tiny state. At
+    100 TB swap ``countDistinct`` for ``approx_count_distinct`` only
+    if the distinct domain itself explodes (it is the cardinality of
+    SOURCES, not docs)."""
+    docs = _docs(spark, sf_dir).select(
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.percentile("n_tok", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("n_tok", F.lit(0.9)), 6).alias("p90_tokens"),
+    )
+
+
+CORPUS_PROFILE_SQL = """
+WITH s AS (
+    SELECT lang, source,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT source) AS n_sources,
+       ROUND(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+       ROUND(quantile_cont(n_tok, 0.9), 6) AS p90_tokens
+FROM s
+GROUP BY lang
+"""

@@ -31,6 +31,7 @@ _ORACLES = [
         curation.corpus_dedup_apply,
         curation.CORPUS_DEDUP_APPLY_SQL,
     ),
+    ("corpus_profile", curation.corpus_profile, curation.CORPUS_PROFILE_SQL),
 ]
 
 
@@ -42,8 +43,13 @@ def test_oracle_parity(spark, name, fn, sql):
 
 @pytest.mark.parametrize(
     "name,fn,sql",
-    [o for o in _ORACLES if o[0] in ("corpus_token_budget", "corpus_dedup_apply")],
-    ids=["corpus_token_budget", "corpus_dedup_apply"],
+    [
+        o
+        for o in _ORACLES
+        if o[0]
+        in ("corpus_token_budget", "corpus_dedup_apply", "corpus_profile")
+    ],
+    ids=["corpus_token_budget", "corpus_dedup_apply", "corpus_profile"],
 )
 def test_oracle_parity_sf001(spark, name, fn, sql):
     """The two shuffling ops also at the driver's oracle SF."""
