@@ -430,3 +430,48 @@ SELECT lang,
 FROM s
 GROUP BY lang
 """
+
+
+# --- near-dup-applied corpus -------------------------------------------------
+def corpus_neardup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection side of NEAR-dup removal: the corpus that
+    survives dropping every near-dup cluster member except its
+    canonical representative (``dedup_clusters``' component-min
+    keeper). Completes the pipeline pair mining → connected components
+    → surviving corpus.
+
+    The loser set is |cluster members| − |clusters| ≪ |corpus| rows of
+    one long each, so the anti-join broadcasts (AQE) and the documents
+    table never shuffles here; the real cost is the upstream pair
+    mining, measured separately (BASELINE.md 10M probes)."""
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    losers = (
+        dedup.dedup_clusters(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+def _corpus_neardup_apply_sql() -> str:
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    # reuse the clusters oracle's recursive closure; losers = members
+    # that are not their component's min
+    body = dedup.DEDUP_CLUSTERS_SQL.split("WITH RECURSIVE", 1)[1]
+    closure = body.rsplit("SELECT s AS doc_id", 1)[0].rstrip().rstrip(")") + ")"
+    return f"""
+WITH RECURSIVE{closure},
+losers AS (SELECT s AS doc_id FROM reach GROUP BY s HAVING s != MIN(d))
+SELECT d.doc_id, d.lang, d.source
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
+CORPUS_NEARDUP_APPLY_SQL = _corpus_neardup_apply_sql()

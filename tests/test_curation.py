@@ -214,6 +214,34 @@ def test_token_budget_avoids_lang_only_window(spark):
     assert big_side, windows  # the per-row sum partitions by (lang, bucket)
 
 
+def test_neardup_apply_oracle_parity(spark):
+    ok, msg = compare(
+        curation.corpus_neardup_apply(spark, TEST_SF_DIR),
+        curation.CORPUS_NEARDUP_APPLY_SQL,
+        TEST_SF_DIR,
+    )
+    assert ok, msg
+
+
+def test_neardup_apply_agrees_with_clusters(spark):
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    clusters = dedup.dedup_clusters(spark, TEST_SF_DIR).collect()
+    losers = {r.doc_id for r in clusters if not r.keep}
+    assert losers  # fixture has planted near-dups
+    all_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    got = {
+        r.doc_id
+        for r in curation.corpus_neardup_apply(spark, TEST_SF_DIR).collect()
+    }
+    assert got == all_ids - losers
+
+
 def test_write_curated_corpus_roundtrip(spark, tmp_path):
     """The materialized corpus is exactly (quality keepers ∩ dedup
     winners among them) with the right split labels, and reading one
