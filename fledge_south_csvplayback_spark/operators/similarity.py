@@ -724,6 +724,114 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(partial)
 
 
+def _bucket_row_partial_topk(qmat: list[tuple]):
+    """Scorer for the PERSISTED band index, where each row is one
+    (band, key) bucket membership instead of carrying the full 8-key
+    array: row matches query q iff q's key at the row's band equals
+    the row's key. Same ranking contract as the other scorers
+    (round(cosine, 6) before ranking, vec_id tiebreak,
+    self-exclusion, per-batch top-k)."""
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qm = np.array([q[1] for q in qmat], dtype=np.float64)
+        qn = np.array([q[2] for q in qmat], dtype=np.float64)
+        qkeys = np.array([q[3] for q in qmat], dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy())
+            nrm = pdf["norm"].to_numpy()
+            bands = pdf["band"].to_numpy().astype(np.int64)
+            key = pdf["key"].to_numpy().astype(np.int64)
+            sims = np.round((m @ qm.T) / (nrm[:, None] * qn[None, :]), 6)
+            out = {"query_id": [], "vec_id": [], "cosine": []}
+            for j, (qid, _, _, _) in enumerate(qmat):
+                mask = (qkeys[j][bands] == key) & (ids != qid)
+                if not mask.any():
+                    continue
+                cand_ids, cand_sims = ids[mask], sims[mask, j]
+                order = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
+                out["query_id"].extend([qid] * len(order))
+                out["vec_id"].extend(cand_ids[order])
+                out["cosine"].extend(cand_sims[order])
+            yield pd.DataFrame(out)
+
+    return _score
+
+
+def build_lsh_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Ingest-time LSH band index: explode every vector into its 8
+    (band, key) buckets ONCE and persist (vec_id, v, norm) parquet
+    partitioned by (band, key) — the amortized deployment the inline
+    entry's numbers call for (its residual cost is re-computing the 16
+    hyperplane dots per row per query; see ``ann_cosine_topk_lsh``).
+
+    The honest LSH-index trade, stated: storage is bands× the corpus
+    (8× here), bought back at query time by partition pruning — a
+    query probes its |bands| buckets out of bands·2^bits directories
+    (8 of 32 here), so the scan reads ~1/4 of the index and NONE of
+    the hyperplane math runs at query time. Band keys come from the
+    same Catalyst expression as the inline entry, so bucket membership
+    is bit-identical across both paths and the oracle."""
+    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    banded = emb.withColumn("bk", F.explode(_lsh_bands(F.col("v")))).select(
+        "vec_id", "v", "norm", F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    banded.write.mode("overwrite").partitionBy("band", "key").parquet(
+        index_dir
+    )
+
+
+def ann_cosine_topk_lsh_indexed(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """LSH ANN over a ``build_lsh_index`` output: read ONLY the
+    queries' band buckets (partition pruning — the (band, key) IN
+    predicate reaches PartitionFilters, pinned in tests), GEMM-score
+    the pruned candidates per batch, collapse multi-bucket hits, rank.
+
+    A vector co-bucketed with a query in several bands is read once
+    per such bucket; its GEMM cosines are identical (same vectors,
+    round(·, 6)), so the collapse is an exact groupBy max before the
+    global rank — without it a duplicate would occupy two top-k
+    slots. Not driver-registered (needs the side index); the pytest
+    asserts exact agreement with the inline ``ann_cosine_topk_lsh``."""
+    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    keyed = emb.withColumn(
+        "keys", F.transform(_lsh_bands(F.col("v")), lambda bk: bk["key"])
+    )
+    qrows = keyed.filter(F.col("vec_id") < N_QUERIES).collect()
+    qmat = [
+        (r["vec_id"], list(r["v"]), r["norm"], list(r["keys"]))
+        for r in qrows
+    ]
+    wanted = F.lit(False)
+    for _, _, _, keys in qmat:
+        for band, key in enumerate(keys):
+            wanted = wanted | (
+                (F.col("band") == band) & (F.col("key") == int(key))
+            )
+    idx = (
+        spark.read.parquet(index_dir)
+        .filter(wanted)
+        .select("vec_id", "v", "norm", "band", "key")
+    )
+    partial = idx.mapInPandas(
+        _bucket_row_partial_topk(qmat), "query_id long, vec_id long, cosine double"
+    )
+    collapsed = partial.groupBy("query_id", "vec_id").agg(
+        F.max("cosine").alias("cosine")
+    )
+    return _rank_topk(collapsed)
+
+
 def _ann_cosine_topk_lsh_sql() -> str:
     return f"""
 WITH {_banded_sql()},

@@ -129,3 +129,60 @@ def test_ivf_indexed_prunes_partitions(spark, tmp_path):
         if d.startswith("cell_id=")
     }
     assert probed and probed < on_disk, (probed, on_disk)
+
+
+def test_lsh_indexed_matches_inline(spark, tmp_path):
+    """The persisted band index (build_lsh_index +
+    ann_cosine_topk_lsh_indexed) must return exactly the inline
+    band-mask entry's rows: same Catalyst band keys, same ranking
+    contract — only where the hyperplane math runs (ingest vs query)
+    differs."""
+    index_dir = str(tmp_path / "lsh_index")
+    S.build_lsh_index(spark, TEST_SF_DIR, index_dir)
+    inline = {
+        tuple(r) for r in S.ann_cosine_topk_lsh(spark, TEST_SF_DIR).collect()
+    }
+    indexed = {
+        tuple(r)
+        for r in S.ann_cosine_topk_lsh_indexed(
+            spark, TEST_SF_DIR, index_dir
+        ).collect()
+    }
+    assert indexed == inline
+
+
+def test_lsh_indexed_prunes_partitions(spark, tmp_path):
+    """The queries' (band, key) bucket predicate must reach the scan
+    as PartitionFilters so unprobed bucket directories are never
+    opened; the probed bucket set must be a strict subset of the
+    on-disk buckets."""
+    import os
+
+    index_dir = str(tmp_path / "lsh_index")
+    S.build_lsh_index(spark, TEST_SF_DIR, index_dir)
+    df = S.ann_cosine_topk_lsh_indexed(spark, TEST_SF_DIR, index_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "band" in ln and "key" in ln
+    ]
+    assert pf, plan
+    on_disk = set()
+    for band_dir in os.listdir(index_dir):
+        if band_dir.startswith("band="):
+            b = int(band_dir.split("=")[1])
+            for key_dir in os.listdir(os.path.join(index_dir, band_dir)):
+                if key_dir.startswith("key="):
+                    on_disk.add((b, int(key_dir.split("=")[1])))
+    emb = S._emb(spark, TEST_SF_DIR)
+    from pyspark.sql import functions as F
+
+    keyed = emb.withColumn(
+        "keys", F.transform(S._lsh_bands(F.col("v")), lambda bk: bk["key"])
+    )
+    probed = set()
+    for r in keyed.filter(F.col("vec_id") < S.N_QUERIES).collect():
+        for band, key in enumerate(r["keys"]):
+            probed.add((band, key))
+    assert probed < on_disk, (len(probed), len(on_disk))
