@@ -461,12 +461,10 @@ def corpus_neardup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corpus_neardup_apply_sql() -> str:
     from fledge_south_csvplayback_spark.operators import dedup
 
-    # reuse the clusters oracle's recursive closure; losers = members
-    # that are not their component's min
-    body = dedup.DEDUP_CLUSTERS_SQL.split("WITH RECURSIVE", 1)[1]
-    closure = body.rsplit("SELECT s AS doc_id", 1)[0].rstrip().rstrip(")") + ")"
+    # composes the clusters oracle's shared closure fragment; losers =
+    # members that are not their component's min
     return f"""
-WITH RECURSIVE{closure},
+WITH RECURSIVE {dedup.CLUSTERS_CLOSURE_CTES},
 losers AS (SELECT s AS doc_id FROM reach GROUP BY s HAVING s != MIN(d))
 SELECT d.doc_id, d.lang, d.source
 FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id

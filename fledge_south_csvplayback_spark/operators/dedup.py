@@ -861,8 +861,11 @@ def dedup_clusters(
     )
 
 
-DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE pairs AS ({NGRAM_JACCARD_SQL}),
+# shared by DEDUP_CLUSTERS_SQL and curation.CORPUS_NEARDUP_APPLY_SQL —
+# both open with `WITH RECURSIVE {CLUSTERS_CLOSURE_CTES}` and then
+# aggregate `reach` their own way (no string surgery on a finished
+# statement; compose the fragment)
+CLUSTERS_CLOSURE_CTES = f"""pairs AS ({NGRAM_JACCARD_SQL}),
 edges AS (
     SELECT doc_a AS s, doc_b AS d FROM pairs
     UNION
@@ -872,7 +875,10 @@ reach(s, d) AS (
     SELECT s, s FROM (SELECT DISTINCT s FROM edges)
     UNION
     SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-)
+)"""
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {CLUSTERS_CLOSURE_CTES}
 SELECT s AS doc_id, MIN(d) AS cluster_id,
        s = MIN(d) AS keep
 FROM reach GROUP BY s

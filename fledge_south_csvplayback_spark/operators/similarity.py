@@ -10,20 +10,22 @@ Two paths, per the training-pipeline brief:
   top-k, so the post-scoring exchange carries ~batches·|Q|·k tiny
   rows — cost |Q|·N compute with N scanned once, near-zero shuffle,
   and no join operator at all (so no fact×fact cartesian either).
-- **LSH-bucketed ANN** (the selective-candidate path): 16 deterministic random
-  hyperplanes (driver-seeded, embedded as literal arrays) hashed into
-  8 bands × 2 bits; a candidate must share a band bucket with the
-  query, then exact cosine ranks the candidates. Bucket join is an
-  equi-join on (band, key) that prunes ~3/4 of exact cosines, but it
-  ships (vec, norm) per surviving candidate — 30 GB of shuffle at
-  10M×64-d vs the brute path's 40 KB (measured, recall@5 1.0) — so it
-  pays off only when buckets are genuinely selective (many queries,
-  tight bands), not for full-corpus top-k. Because the hyperplanes are
-  *literal* double arrays (not runtime hashes), the identical buckets
-  are rebuilt in the DuckDB oracle by embedding the same literals in
-  the SQL — the LSH entries are fully value-checked, with ranking on
-  round(cosine, 6) in both engines so float summation order cannot
-  reorder near-ties.
+- **LSH-bucketed ANN** (the selective-candidate semantics): 16
+  deterministic random hyperplanes (driver-seeded, embedded as literal
+  arrays) hashed into 8 bands × 2 bits; a candidate must share a band
+  bucket with the query. Since round 5 the buckets are a candidate
+  MASK inside the shared mapInPandas GEMM scorer, not a join: the
+  original explode + broadcast-join + dedup plan shipped (vec, norm)
+  arrays per candidate (30.2 GB at 10M×64-d) and paid an interpreted
+  Catalyst dot per candidate (297 s); the mask plan measured 97.8 s /
+  40 KB shuffle, recall@5 1.0, identical output. ``build_lsh_index``
+  is the amortized deployment: (band, key)-partitioned parquet whose
+  queries prune to their own buckets and run no hyperplane math.
+  Because the hyperplanes are *literal* double arrays (not runtime
+  hashes), the identical buckets are rebuilt in the DuckDB oracle by
+  embedding the same literals in the SQL — the LSH entries are fully
+  value-checked, with ranking on round(cosine, 6) in both engines so
+  float summation order cannot reorder near-ties.
 - **embedding near-dup pairs**: same hyperplane buckets, but pair
   scoring is a *within-bucket normalized GEMM* (Arrow-batched
   applyInPandas, BLAS) rather than a self-join evaluating a Catalyst
@@ -342,16 +344,37 @@ def _probe_sets(
     return probe
 
 
-def _masked_partial_topk(qmat: list[tuple]):
-    """mapInPandas scorer shared by ALL top-k entries — brute scan
-    (probe set None, no cell_id column), inline-assignment IVF, and the
-    persisted-index path: each Arrow batch (vec_id[, cell_id], v, norm)
-    GEMMs against the query matrix, masks cells outside each query's
-    probe set (when one is given), and emits only its per-batch top-k —
-    the global window then ranks ~batches·|Q|·k tiny rows. One body so
-    the shared contract (round(cosine, 6) BEFORE ranking to mirror the
-    oracles, vec_id tiebreak, self-exclusion) cannot drift between
-    entries."""
+def _masked_partial_topk(qmat: list[tuple], mode: str = "cells"):
+    """THE mapInPandas scorer behind every top-k entry — one body so
+    the ranking contract (round(cosine, 6) BEFORE ranking to mirror
+    the oracles, vec_id tiebreak, self-exclusion, per-batch top-k)
+    lives in exactly one place. Each Arrow batch GEMMs its vectors
+    against the query matrix, applies the mode's candidate mask per
+    query, and emits only its per-batch top-k; the global window ranks
+    ~batches·|Q|·k tiny rows.
+
+    ``mode`` selects how ``qmat[i][3]`` masks candidates:
+
+    - ``"cells"``: probe CELL sets (or None = unmasked brute scan);
+      the batch's optional ``cell_id`` column is tested with a
+      vectorized ``np.isin``. Used by the brute, inline-IVF, and
+      IVF-index entries.
+    - ``"band_keys"``: full per-row LSH key arrays in a ``keys``
+      column; candidate matches query q iff any band position agrees.
+      Used by the inline LSH entry (rows are whole vectors — unique
+      per batch).
+    - ``"bucket_rows"``: persisted-LSH-index rows are ONE (band, key)
+      bucket membership each; candidate matches iff q's key at the
+      row's band equals the row's key. A vector co-bucketed with q in
+      several bands has SEVERAL rows that one task may batch together,
+      so candidates are deduplicated by vec_id BEFORE the top-k
+      truncation (their rounded cosines are identical — same vector)
+      — otherwise duplicate rows eat top-k slots and can evict a
+      distinct true winner (regression-tested in
+      ``test_bucket_row_scorer_dedups_within_batch``).
+    """
+    if mode not in ("cells", "band_keys", "bucket_rows"):
+        raise ValueError(f"unknown scorer mode: {mode}")
 
     def _score(batches):
         import numpy as np
@@ -359,31 +382,52 @@ def _masked_partial_topk(qmat: list[tuple]):
 
         qm = np.array([q[1] for q in qmat], dtype=np.float64)
         qn = np.array([q[2] for q in qmat], dtype=np.float64)
-        # probe sets as sorted int arrays so the per-batch membership
-        # test is a vectorized np.isin, not a Python loop over rows —
-        # the indexed path feeds millions of rows through this scorer
-        probe_arrs = [
-            None if q[3] is None else np.array(sorted(q[3]), dtype=np.int64)
-            for q in qmat
-        ]
+        if mode == "cells":
+            # probe sets as sorted int arrays so the per-batch
+            # membership test is a vectorized np.isin, not a Python
+            # loop — the indexed path feeds millions of rows through
+            probe_arrs = [
+                None
+                if q[3] is None
+                else np.array(sorted(q[3]), dtype=np.int64)
+                for q in qmat
+            ]
+        else:
+            qkeys = np.array([q[3] for q in qmat], dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy()
-            cells = (
-                pdf["cell_id"].to_numpy() if "cell_id" in pdf.columns else None
-            )
             m = np.stack(pdf["v"].to_numpy())
             nrm = pdf["norm"].to_numpy()
+            if mode == "cells":
+                cells = (
+                    pdf["cell_id"].to_numpy()
+                    if "cell_id" in pdf.columns
+                    else None
+                )
+            elif mode == "band_keys":
+                keys = np.stack(pdf["keys"].to_numpy()).astype(np.int64)
+            else:
+                bands = pdf["band"].to_numpy().astype(np.int64)
+                key = pdf["key"].to_numpy().astype(np.int64)
             sims = np.round((m @ qm.T) / (nrm[:, None] * qn[None, :]), 6)
             out = {"query_id": [], "vec_id": [], "cosine": []}
             for j, (qid, _, _, _probes) in enumerate(qmat):
                 mask = ids != qid
-                if probe_arrs[j] is not None:
-                    mask &= np.isin(cells, probe_arrs[j])
+                if mode == "cells":
+                    if probe_arrs[j] is not None:
+                        mask &= np.isin(cells, probe_arrs[j])
+                elif mode == "band_keys":
+                    mask &= (keys == qkeys[j][None, :]).any(axis=1)
+                else:
+                    mask &= qkeys[j][bands] == key
                 if not mask.any():
                     continue
                 cand_ids, cand_sims = ids[mask], sims[mask, j]
+                if mode == "bucket_rows":
+                    cand_ids, first = np.unique(cand_ids, return_index=True)
+                    cand_sims = cand_sims[first]
                 order = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
                 out["query_id"].extend([qid] * len(order))
                 out["vec_id"].extend(cand_ids[order])
@@ -642,47 +686,6 @@ def ann_cosine_topk_ivf_indexed(
     return _rank_topk(partial)
 
 
-def _band_match_partial_topk(qmat: list[tuple]):
-    """mapInPandas scorer for the LSH entry: same ranking contract as
-    ``_masked_partial_topk`` (round(cosine, 6) BEFORE ranking to
-    mirror the oracle, vec_id tiebreak, self-exclusion, per-batch
-    top-k), but the candidate mask is the LSH band test — candidate x
-    matches query q iff ∃ band b: key_b(x) == key_b(q). Band keys are
-    computed ONCE per row by the Catalyst expression (bit-identical to
-    the oracle's SQL rebuild) and arrive as an ``array<int>`` column;
-    the positional comparison here is the same (band, key) equi-join
-    predicate, vectorized."""
-
-    def _score(batches):
-        import numpy as np
-        import pandas as pd
-
-        qm = np.array([q[1] for q in qmat], dtype=np.float64)
-        qn = np.array([q[2] for q in qmat], dtype=np.float64)
-        qkeys = np.array([q[3] for q in qmat], dtype=np.int64)  # |Q|×bands
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            m = np.stack(pdf["v"].to_numpy())
-            nrm = pdf["norm"].to_numpy()
-            keys = np.stack(pdf["keys"].to_numpy()).astype(np.int64)
-            sims = np.round((m @ qm.T) / (nrm[:, None] * qn[None, :]), 6)
-            out = {"query_id": [], "vec_id": [], "cosine": []}
-            for j, (qid, _, _, _) in enumerate(qmat):
-                mask = (keys == qkeys[j][None, :]).any(axis=1) & (ids != qid)
-                if not mask.any():
-                    continue
-                cand_ids, cand_sims = ids[mask], sims[mask, j]
-                order = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
-                out["query_id"].extend([qid] * len(order))
-                out["vec_id"].extend(cand_ids[order])
-                out["cosine"].extend(cand_sims[order])
-            yield pd.DataFrame(out)
-
-    return _score
-
-
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN top-k: hyperplane band buckets as a candidate MASK
     inside the shared mapInPandas GEMM scorer, not a join.
@@ -719,48 +722,10 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in keyed.filter(F.col("vec_id") < N_QUERIES).collect()
     ]
     partial = keyed.mapInPandas(
-        _band_match_partial_topk(qmat), "query_id long, vec_id long, cosine double"
+        _masked_partial_topk(qmat, mode="band_keys"),
+        "query_id long, vec_id long, cosine double",
     )
     return _rank_topk(partial)
-
-
-def _bucket_row_partial_topk(qmat: list[tuple]):
-    """Scorer for the PERSISTED band index, where each row is one
-    (band, key) bucket membership instead of carrying the full 8-key
-    array: row matches query q iff q's key at the row's band equals
-    the row's key. Same ranking contract as the other scorers
-    (round(cosine, 6) before ranking, vec_id tiebreak,
-    self-exclusion, per-batch top-k)."""
-
-    def _score(batches):
-        import numpy as np
-        import pandas as pd
-
-        qm = np.array([q[1] for q in qmat], dtype=np.float64)
-        qn = np.array([q[2] for q in qmat], dtype=np.float64)
-        qkeys = np.array([q[3] for q in qmat], dtype=np.int64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            m = np.stack(pdf["v"].to_numpy())
-            nrm = pdf["norm"].to_numpy()
-            bands = pdf["band"].to_numpy().astype(np.int64)
-            key = pdf["key"].to_numpy().astype(np.int64)
-            sims = np.round((m @ qm.T) / (nrm[:, None] * qn[None, :]), 6)
-            out = {"query_id": [], "vec_id": [], "cosine": []}
-            for j, (qid, _, _, _) in enumerate(qmat):
-                mask = (qkeys[j][bands] == key) & (ids != qid)
-                if not mask.any():
-                    continue
-                cand_ids, cand_sims = ids[mask], sims[mask, j]
-                order = np.lexsort((cand_ids, -cand_sims))[:TOP_K]
-                out["query_id"].extend([qid] * len(order))
-                out["vec_id"].extend(cand_ids[order])
-                out["cosine"].extend(cand_sims[order])
-            yield pd.DataFrame(out)
-
-    return _score
 
 
 def build_lsh_index(
@@ -798,11 +763,14 @@ def ann_cosine_topk_lsh_indexed(
     the pruned candidates per batch, collapse multi-bucket hits, rank.
 
     A vector co-bucketed with a query in several bands is read once
-    per such bucket; its GEMM cosines are identical (same vectors,
-    round(·, 6)), so the collapse is an exact groupBy max before the
-    global rank — without it a duplicate would occupy two top-k
-    slots. Not driver-registered (needs the side index); the pytest
-    asserts exact agreement with the inline ``ann_cosine_topk_lsh``."""
+    per such bucket, so duplicates arise at TWO levels and both are
+    handled: within one Arrow batch the scorer's ``bucket_rows`` mode
+    dedups by vec_id BEFORE truncating to top-k (or duplicate rows
+    would eat slots and could evict a distinct true winner), and
+    across batches the groupBy-max collapse merges the identical
+    rounded cosines before the global rank. Not driver-registered
+    (needs the side index); the pytest asserts exact agreement with
+    the inline ``ann_cosine_topk_lsh``."""
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
     keyed = emb.withColumn(
         "keys", F.transform(_lsh_bands(F.col("v")), lambda bk: bk["key"])
@@ -824,7 +792,8 @@ def ann_cosine_topk_lsh_indexed(
         .select("vec_id", "v", "norm", "band", "key")
     )
     partial = idx.mapInPandas(
-        _bucket_row_partial_topk(qmat), "query_id long, vec_id long, cosine double"
+        _masked_partial_topk(qmat, mode="bucket_rows"),
+        "query_id long, vec_id long, cosine double",
     )
     collapsed = partial.groupBy("query_id", "vec_id").agg(
         F.max("cosine").alias("cosine")

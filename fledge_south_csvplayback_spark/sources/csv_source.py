@@ -86,8 +86,12 @@ def _split_header(line: str) -> list[str]:
 
 
 _INFER_ORDER: tuple[tuple[str, type], ...] = (("bigint", int), ("double", float))
-# driver-side inference sample: data lines examined from the head read
-INFER_SAMPLE_LINES = 16
+# driver-side inference sample: data lines examined from the head read.
+# 128 lines is still one tiny driver-side read (the head scan touches
+# only the file's first split) while covering 8x the type-widening
+# window of the original 16 — the sample-based contract below is
+# unchanged, just harder to fall afoul of.
+INFER_SAMPLE_LINES = 128
 
 
 def _infer_ddl(names: list[str], sample_rows: list[list[str]]) -> str:

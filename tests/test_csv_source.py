@@ -159,6 +159,21 @@ def test_inference_widens_over_head_sample(spark, tmp_path):
     assert {r.a for r in df.collect()} == {1.0, 2.5, 3.0}
 
 
+def test_inference_widening_deep_in_sample(spark, tmp_path):
+    """The 128-line sample must catch a type that widens late: ints
+    for 99 rows, a float on row 100. (Beyond the sample the documented
+    sample-based contract applies; this pins the window's SIZE.)"""
+    p = str(tmp_path / "late.csv")
+    with open(p, "w") as f:
+        f.write("a\n")
+        for i in range(99):
+            f.write(f"{i}\n")
+        f.write("99.5\n")
+    df = cs.read_pick_from_file(spark, p)
+    assert df.schema.fields[0].dataType.simpleString() == "double"
+    assert df.filter("a = 99.5").count() == 1
+
+
 def test_fast_path_no_inference_is_all_string(spark, tmp_path):
     """infer_schema=False on the fast path defers entirely to the native
     reader (all-string, no extra head job)."""

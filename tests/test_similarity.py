@@ -186,3 +186,39 @@ def test_lsh_indexed_prunes_partitions(spark, tmp_path):
         for band, key in enumerate(r["keys"]):
             probed.add((band, key))
     assert probed < on_disk, (len(probed), len(on_disk))
+
+
+def test_bucket_row_scorer_dedups_within_batch():
+    """Regression (round-5 review finding): in bucket_rows mode,
+    duplicate rows of one vector inside a single Arrow batch must NOT
+    consume multiple per-batch top-k slots — without the in-batch
+    vec_id dedup, a distinct true top-k vector gets evicted and the
+    post-scorer groupBy-max collapse cannot bring it back. Drives the
+    scorer directly with one hand-built batch: vector 100 appears in 4
+    bucket rows and 5 other distinct matching vectors exist; all 5
+    slots must go to distinct vectors."""
+    import numpy as np
+    import pandas as pd
+
+    dim = 4
+    # query 0: unit x-axis; keys [0]*1 band world: band 0, key 0
+    qmat = [(0, [1.0, 0.0, 0.0, 0.0], 1.0, [0])]
+    rows = []
+
+    def vec(i, x):
+        v = np.zeros(dim)
+        v[0] = x
+        v[1] = (1 - x * x) ** 0.5
+        return {"vec_id": i, "v": v.tolist(), "norm": 1.0, "band": 0, "key": 0}
+
+    rows.extend(vec(100, 0.99) for _ in range(4))  # 4 duplicate bucket rows
+    for i, x in zip(range(101, 106), (0.9, 0.8, 0.7, 0.6, 0.5)):
+        rows.append(vec(i, x))
+    batch = pd.DataFrame(rows)
+    out = pd.concat(
+        list(S._masked_partial_topk(qmat, mode="bucket_rows")([batch]))
+    )
+    got = list(out["vec_id"])
+    assert len(got) == S.TOP_K
+    assert len(set(got)) == S.TOP_K  # all distinct
+    assert got == [100, 101, 102, 103, 104]
