@@ -473,3 +473,29 @@ WHERE l.doc_id IS NULL
 
 
 CORPUS_NEARDUP_APPLY_SQL = _corpus_neardup_apply_sql()
+
+
+# --- group (cluster) sampling by source --------------------------------------
+def corpus_sample_by_source(
+    spark: SparkSession, sf_dir: str, rate: float = SAMPLE_RATE
+) -> DataFrame:
+    """Cluster sampling: keep or drop whole SOURCES, not individual
+    docs — the leakage-avoidance variant (documents from one source
+    are correlated; doc-level sampling puts near-copies of a held-out
+    doc into training). The bucket keys off ``md5(source)``, so a
+    source's membership is stable and every doc of a kept source
+    stays. Same narrow no-shuffle plan as ``corpus_sample``."""
+    thresh = int(rate * BUCKETS)
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("src_bucket", _bucket(F.col("source")))
+        .filter(F.col("src_bucket") < thresh)
+        .select("doc_id", "lang", "source", "src_bucket")
+    )
+
+
+CORPUS_SAMPLE_BY_SOURCE_SQL = f"""
+SELECT doc_id, lang, source, {_bucket_sql('source')} AS src_bucket
+FROM documents
+WHERE {_bucket_sql('source')} < {int(SAMPLE_RATE * BUCKETS)}
+"""

@@ -18,6 +18,7 @@ Usage:
     python probes/probe_ann_10m.py brute --rows 10000000
     python probes/probe_ann_10m.py ivf   --rows 10000000
     python probes/probe_ann_10m.py lsh   --rows 10000000
+    python probes/probe_ann_10m.py lsh_indexed --rows 10000000
 """
 
 from __future__ import annotations
@@ -70,7 +71,10 @@ def gen_vectors(spark: SparkSession, n: int) -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("op", choices=["gen", "brute", "ivf", "ivf_indexed", "lsh"])
+    ap.add_argument(
+        "op",
+        choices=["gen", "brute", "ivf", "ivf_indexed", "lsh", "lsh_indexed"],
+    )
     ap.add_argument("--rows", type=int, default=10_000_000)
     args = ap.parse_args()
 
@@ -100,6 +104,14 @@ def main() -> None:
         builders["ivf_indexed"] = (
             lambda s, d: similarity.ann_cosine_topk_ivf_indexed(s, d, index_dir)
         )
+    elif args.op == "lsh_indexed":
+        index_dir = f"{sf_dir}/lsh_index"
+        t0 = time.perf_counter()
+        similarity.build_lsh_index(spark, sf_dir, index_dir)
+        build_sec = round(time.perf_counter() - t0, 1)
+        builders["lsh_indexed"] = (
+            lambda s, d: similarity.ann_cosine_topk_lsh_indexed(s, d, index_dir)
+        )
     shuffle_before = shuffle_write_bytes(spark)
     t0 = time.perf_counter()
     rows = builders[args.op](spark, sf_dir).collect()
@@ -117,7 +129,7 @@ def main() -> None:
     }
     if build_sec is not None:
         result["index_build_sec"] = build_sec
-    if args.op in ("ivf", "ivf_indexed", "lsh"):
+    if args.op in ("ivf", "ivf_indexed", "lsh", "lsh_indexed"):
         # recall@k vs the brute-force operator run in the same session
         truth = {
             (r["query_id"], r["vec_id"])

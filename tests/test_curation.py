@@ -32,6 +32,11 @@ _ORACLES = [
         curation.CORPUS_DEDUP_APPLY_SQL,
     ),
     ("corpus_profile", curation.corpus_profile, curation.CORPUS_PROFILE_SQL),
+    (
+        "corpus_sample_by_source",
+        curation.corpus_sample_by_source,
+        curation.CORPUS_SAMPLE_BY_SOURCE_SQL,
+    ),
 ]
 
 
@@ -160,6 +165,27 @@ def test_token_budget_maximal_per_lang(spark):
                 rejected_seen = True
 
 
+def test_sample_by_source_is_all_or_nothing(spark):
+    """Cluster sampling keeps whole sources: every source is either
+    fully in or fully out, and at least one of each exists."""
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    per_source = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    sampled = {
+        r.source: r.n
+        for r in curation.corpus_sample_by_source(spark, TEST_SF_DIR)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sampled  # some source kept
+    assert set(sampled) < set(per_source)  # some source dropped
+    for src, n in sampled.items():
+        assert n == per_source[src]  # kept sources are whole
+
+
 def test_quality_filter_splits_corpus(spark):
     rows = curation.quality_filter(spark, TEST_SF_DIR).collect()
     keep = sum(1 for r in rows if r.keep)
@@ -191,6 +217,7 @@ def test_sample_ops_are_narrow(spark):
         curation.corpus_sample,
         curation.corpus_split,
         curation.corpus_sample_stratified,
+        curation.corpus_sample_by_source,
     ):
         plan = _plan(fn(spark, TEST_SF_DIR))
         assert "Exchange" not in plan, fn.__name__
