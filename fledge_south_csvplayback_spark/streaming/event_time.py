@@ -110,3 +110,20 @@ def running_totals_stateful(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch left-joins the
+    static dimension (user profile, device registry, …).
+
+    The dim is explicitly ``broadcast()``-hinted: Spark re-plans the
+    join per micro-batch, and without the hint a large-looking static
+    side makes EVERY micro-batch pay a shuffled join — the classic
+    streaming-enrichment scale trap. A dim too big to broadcast
+    belongs in a state store (``applyInPandasWithState``) or a
+    key-value lookup, not a per-batch shuffle. Left join: an event
+    with no dim row flows through with nulls rather than being
+    dropped mid-stream."""
+    return _ltz(stream, "ts").join(F.broadcast(dim), on, "left")

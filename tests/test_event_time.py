@@ -161,3 +161,46 @@ def test_checkpoint_recovery_no_reprocessing(spark, tmp_path, event_files):
     # aggregation state came back from the checkpoint and only the new
     # file was read on top of it
     assert total_after == total_first + 7
+
+
+def test_enrich_stream_matches_batch_left_join(spark, tmp_path, event_files):
+    """Stream-static broadcast enrichment: streamed result equals the
+    batch left join, including events whose key misses the dim."""
+    schema = spark.read.parquet(event_files).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_files)
+    )
+    batch_events = _events(spark, TEST_SF_DIR)
+    # static dim covering only even user_ids so the left-join nulls path runs
+    dim = (
+        batch_events.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("segment", (F.col("user_id") % 3).cast("long"))
+    )
+    enriched = et.enrich_stream(stream, dim).select(
+        "event_id", "user_id", "segment"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_id: r.segment
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    want = {
+        r.event_id: r.segment
+        for r in batch_events.join(dim, "user_id", "left")
+        .select("event_id", "segment")
+        .collect()
+    }
+    assert got == want
+    assert None in set(got.values())  # the miss path was exercised
