@@ -499,3 +499,53 @@ SELECT doc_id, lang, source, {_bucket_sql('source')} AS src_bucket
 FROM documents
 WHERE {_bucket_sql('source')} < {int(SAMPLE_RATE * BUCKETS)}
 """
+
+
+# --- incremental-ingest dedup ------------------------------------------------
+INGEST_SPLIT_ID = 400  # docs with doc_id >= this play the "new batch"
+
+
+def corpus_incremental_dedup(
+    spark: SparkSession, sf_dir: str, split_id: int = INGEST_SPLIT_ID
+) -> DataFrame:
+    """Production ingest shape: which NEW documents survive dedup
+    against an EXISTING corpus plus within-batch dedup? (Batch = docs
+    with doc_id >= ``split_id``, corpus = the rest — a deterministic
+    split so the op is oracle-checkable on one table.)
+
+    Plan: the corpus side reduces to DISTINCT fingerprints BEFORE the
+    anti-join — the join's build side is |unique texts| hashes, not
+    the corpus — then a fingerprint-window keeps the min doc_id within
+    the new batch. Both shuffles are keyed by the content hash; the
+    corpus is scanned once, projected to one md5 column (column
+    pruning reaches the scan). At a real 100 TB ingest the corpus
+    fingerprint set is a maintained table, not a rescan — this op IS
+    the maintenance step: its survivors' fingerprints are the rows you
+    append to that set."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "fingerprint", F.md5(F.col("text"))
+    )
+    corpus_fps = (
+        docs.filter(F.col("doc_id") < split_id).select("fingerprint").distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= split_id)
+    wf = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        batch.join(corpus_fps, "fingerprint", "left_anti")
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "fingerprint")
+    )
+
+
+CORPUS_INCREMENTAL_DEDUP_SQL = f"""
+WITH d AS (SELECT *, md5(text) AS fingerprint FROM documents),
+corpus_fps AS (
+    SELECT DISTINCT fingerprint FROM d WHERE doc_id < {INGEST_SPLIT_ID}
+)
+SELECT doc_id, lang, source, fingerprint
+FROM d
+WHERE doc_id >= {INGEST_SPLIT_ID}
+  AND fingerprint NOT IN (SELECT fingerprint FROM corpus_fps)
+QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+"""

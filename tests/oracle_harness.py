@@ -10,6 +10,7 @@ hash-style mismatches surface locally before the driver sees them.
 from __future__ import annotations
 
 import math
+import os
 from datetime import datetime, timezone
 from decimal import Decimal
 
@@ -33,8 +34,15 @@ def duckdb_run(sql: str, sf_dir: str):
     con = duckdb.connect()
     try:
         for t in TABLES:
+            # fixture dirs may carry only the table under test, and a
+            # Spark-written table is a DIRECTORY of part files
+            p = f"{sf_dir}/{t}.parquet"
+            if not os.path.exists(p):
+                continue
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]

@@ -205,6 +205,47 @@ def test_dedup_apply_agrees_with_dedup_exact(spark):
         assert by_fp[s.fingerprint] == s.n_copies
 
 
+def test_incremental_dedup_oracle_parity(spark):
+    ok, msg = compare(
+        curation.corpus_incremental_dedup(spark, TEST_SF_DIR),
+        curation.CORPUS_INCREMENTAL_DEDUP_SQL,
+        TEST_SF_DIR,
+    )
+    assert ok, msg
+
+
+def test_incremental_dedup_planted_dups(spark, tmp_path):
+    """The driver corpus has no exact dups, so this plants them: a new
+    batch containing a corpus duplicate, a within-batch duplicate
+    pair, and a fresh doc — only the fresh doc and the first copy of
+    the batch-internal pair survive. Runs against a tmp documents
+    table through the same oracle compare."""
+    rows = [
+        (0, "alpha text", "en", "s1", 10),
+        (1, "beta text", "en", "s1", 9),
+        (400, "alpha text", "en", "s2", 10),  # dup of corpus doc 0
+        (401, "gamma text", "en", "s2", 10),  # fresh
+        (402, "delta text", "en", "s2", 10),  # first of batch pair
+        (403, "delta text", "en", "s2", 10),  # second of batch pair
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id
+        for r in curation.corpus_incremental_dedup(spark, sf_dir).collect()
+    }
+    assert got == {401, 402}
+    ok, msg = compare(
+        curation.corpus_incremental_dedup(spark, sf_dir),
+        curation.CORPUS_INCREMENTAL_DEDUP_SQL,
+        sf_dir,
+    )
+    assert ok, msg
+
+
 # --- plan properties ---------------------------------------------------------
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()

@@ -82,3 +82,44 @@ def test_range_join_no_nested_loop(spark):
         .toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_range_join_randomized_vs_reference(spark):
+    """Randomized adversarial check (seeded, deterministic): the
+    binned plan must equal an O(n^2) Python reference on timestamps
+    engineered to sit on/near bin and window boundaries, across
+    window/bin combinations including bin sizes that do not divide the
+    window. (Per-example hypothesis would spawn a Spark job per draw;
+    one seeded dataset per parameterization keeps the same coverage at
+    3 jobs.)"""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(42)
+    base = datetime(2024, 3, 1)
+    # cluster timestamps around multiples of 600s with jitter in
+    # {-1us, 0, +1us, random} so bin/window edges are hit constantly
+    stamps = []
+    for i in range(160):
+        anchor_s = rng.randrange(0, 48) * 600
+        jitter = rng.choice([-1, 0, 1, rng.randrange(-5_000_000, 5_000_000)])
+        stamps.append(base + timedelta(seconds=anchor_s, microseconds=jitter))
+    anchors = [(i, stamps[i]) for i in range(50)]
+    probes = [(100 + i, s) for i, s in enumerate(stamps)]
+    adf = spark.createDataFrame(anchors, "anchor_id long, a_ts timestamp")
+    pdf = spark.createDataFrame(probes, "event_id long, ts timestamp")
+
+    for window_s, bin_s in ((600, None), (600, 450), (900, 247)):
+        got = {
+            (r.anchor_id, r.event_id)
+            for r in events.range_join(
+                adf, pdf, "a_ts", "ts", window_s, bin_s=bin_s
+            ).collect()
+        }
+        want = {
+            (aid, eid)
+            for aid, a_ts in anchors
+            for eid, ts in probes
+            if a_ts <= ts < a_ts + timedelta(seconds=window_s)
+        }
+        assert got == want, (window_s, bin_s, len(got), len(want))
