@@ -246,6 +246,28 @@ def test_incremental_dedup_planted_dups(spark, tmp_path):
     assert ok, msg
 
 
+def test_curation_ops_on_empty_corpus(spark, tmp_path):
+    """Every curation op must return an empty frame (not crash) on an
+    empty documents table — the first micro-batch of a new pipeline is
+    often exactly this."""
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    for fn in (
+        curation.corpus_sample,
+        curation.corpus_split,
+        curation.corpus_sample_stratified,
+        curation.corpus_sample_by_source,
+        curation.corpus_token_budget,
+        curation.quality_filter,
+        curation.corpus_dedup_apply,
+        curation.corpus_profile,
+        curation.corpus_incremental_dedup,
+    ):
+        assert fn(spark, sf_dir).count() == 0, fn.__name__
+
+
 # --- plan properties ---------------------------------------------------------
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
