@@ -820,8 +820,29 @@ def dedup_clusters(
     (the 50-entry driver registry is full; see COVERAGE.md).
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    return connected_components(pairs, "doc_a", "doc_b", "doc_id", max_iters)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Min-label propagation over an undirected pair graph, shared by
+    the text-side ``dedup_clusters`` and the embedding-side
+    ``similarity.embedding_clusters``. Returns (id_col, cluster_id,
+    keep) where cluster_id is the component's minimum id and keep
+    marks the representative. See ``dedup_clusters`` for the
+    scale/convergence rationale (fixed-width label columns, eager
+    localCheckpoint per iteration, diameter-bounded iteration count,
+    raise on non-convergence)."""
+    edges = pairs.select(
+        F.col(a_col).alias("doc_a"), F.col(b_col).alias("doc_b")
+    )
+    edges = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
@@ -851,11 +872,11 @@ def dedup_clusters(
             break
     else:
         raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iters} iterations "
-            "(adversarially long near-dup chain?)"
+            f"connected_components did not converge in {max_iters} "
+            "iterations (adversarially long chain?)"
         )
     return labels.select(
-        "doc_id",
+        F.col("doc_id").alias(id_col),
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).alias("keep"),
     )

@@ -827,3 +827,40 @@ SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= {TOP_K}
 
 
 ANN_COSINE_TOPK_LSH_SQL = _ann_cosine_topk_lsh_sql()
+
+
+# --- embedding near-dup clusters ---------------------------------------------
+def embedding_clusters(
+    spark: SparkSession, sf_dir: str, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over the embedding near-dup pair graph
+    (``embedding_cosine_pairs``) — the vector-space mirror of
+    ``dedup.dedup_clusters``: every vector in any above-threshold
+    pair, labeled with its component's min vec_id, keep = the
+    representative. The same shared min-label propagation runs on the
+    pair output; the oracle rebuilds the identical pairs (literal
+    hyperplanes) and closes them with a recursive CTE."""
+    from fledge_south_csvplayback_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = embedding_cosine_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    return connected_components(pairs, "vec_a", "vec_b", "vec_id", max_iters)
+
+
+EMBEDDING_CLUSTERS_SQL = f"""
+WITH RECURSIVE p AS ({EMBEDDING_COSINE_PAIRS_SQL}),
+edges AS (
+    SELECT vec_a AS s, vec_b AS d FROM p
+    UNION
+    SELECT vec_b, vec_a FROM p
+),
+reach(s, d) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS vec_id, MIN(d) AS cluster_id,
+       s = MIN(d) AS keep
+FROM reach GROUP BY s
+"""

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from fledge_south_csvplayback_spark.operators import similarity as S
 from tests.conftest import TEST_SF_DIR
+from tests.oracle_harness import compare
 
 
 def test_lsh_recall_vs_bruteforce(spark):
@@ -222,3 +223,31 @@ def test_bucket_row_scorer_dedups_within_batch():
     assert len(got) == S.TOP_K
     assert len(set(got)) == S.TOP_K  # all distinct
     assert got == [100, 101, 102, 103, 104]
+
+
+def test_embedding_clusters_oracle_parity(spark):
+    ok, msg = compare(
+        S.embedding_clusters(spark, TEST_SF_DIR),
+        S.EMBEDDING_CLUSTERS_SQL,
+        TEST_SF_DIR,
+    )
+    assert ok, msg
+
+
+def test_embedding_clusters_cover_pairs(spark):
+    """Every mined pair must be co-clustered, and each cluster's keep
+    row must be its minimum member."""
+    pairs = S.embedding_cosine_pairs(spark, TEST_SF_DIR).collect()
+    assert pairs
+    labels = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in S.embedding_clusters(spark, TEST_SF_DIR).collect()
+    }
+    for p in pairs:
+        assert labels[p.vec_a][0] == labels[p.vec_b][0], p
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (cid, _) in labels.items():
+        by_cluster.setdefault(cid, []).append(vid)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        assert labels[cid][1] is True
