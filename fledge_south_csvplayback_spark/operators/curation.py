@@ -321,22 +321,31 @@ FROM m
 
 
 # --- dedup-applied corpus ----------------------------------------------------
-def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SELECTION side of exact dedup: the surviving corpus itself
-    (keeper = min doc_id per content hash), not just the group report
-    ``dedup_exact`` emits. One shuffle keyed by the fingerprint; both
-    window functions share that partitioning, so Spark plans a single
-    Exchange. Fingerprint cardinality ~ |docs|, so partitions stay
-    balanced at any scale (no hot keys: a fingerprint's group is the
-    copies of one document)."""
+def _keep_first_per_fingerprint(docs: DataFrame) -> DataFrame:
+    """Shared keep-first window: adds ``fingerprint`` (md5 of text) and
+    ``n_copies``, keeps the min-doc_id row per fingerprint — one
+    fingerprint-keyed exchange; both window functions share its
+    partitioning. Used by the dedup-applied corpus, the materializer,
+    and the incremental ingest so the keeper rule cannot drift (unused
+    output columns are pruned by Catalyst at each call site)."""
     wf = Window.partitionBy("fingerprint")
     return (
-        _docs(spark, sf_dir)
-        .withColumn("fingerprint", F.md5(F.col("text")))
+        docs.withColumn("fingerprint", F.md5(F.col("text")))
         .withColumn("rn", F.row_number().over(wf.orderBy("doc_id")))
         .withColumn("n_copies", F.count(F.lit(1)).over(wf))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "fingerprint", "n_copies")
+        .drop("rn")
+    )
+
+
+def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION side of exact dedup: the surviving corpus itself
+    (keeper = min doc_id per content hash), not just the group report
+    ``dedup_exact`` emits. Fingerprint cardinality ~ |docs|, so
+    partitions stay balanced at any scale (no hot keys: a
+    fingerprint's group is the copies of one document)."""
+    return _keep_first_per_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "fingerprint", "n_copies"
     )
 
 
@@ -368,13 +377,10 @@ def write_curated_corpus(
     dependency is the one fingerprint-keyed exchange; the output
     partition count is |splits|·|langs| directories of many files
     each, appendable on incremental ingest."""
-    wf = Window.partitionBy("fingerprint")
-    docs = _docs(spark, sf_dir)
     curated = (
-        docs.filter(_quality_cols(F.col("text"))["keep"])
-        .withColumn("fingerprint", F.md5(F.col("text")))
-        .withColumn("rn", F.row_number().over(wf.orderBy("doc_id")))
-        .filter(F.col("rn") == 1)
+        _keep_first_per_fingerprint(
+            _docs(spark, sf_dir).filter(_quality_cols(F.col("text"))["keep"])
+        )
         .withColumn("bucket", _bucket(F.col("doc_id")))
         .select(
             "doc_id",
@@ -529,12 +535,9 @@ def corpus_incremental_dedup(
         docs.filter(F.col("doc_id") < split_id).select("fingerprint").distinct()
     )
     batch = docs.filter(F.col("doc_id") >= split_id)
-    wf = Window.partitionBy("fingerprint").orderBy("doc_id")
-    return (
-        batch.join(corpus_fps, "fingerprint", "left_anti")
-        .withColumn("rn", F.row_number().over(wf))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "fingerprint")
+    survivors = batch.join(corpus_fps, "fingerprint", "left_anti")
+    return _keep_first_per_fingerprint(survivors).select(
+        "doc_id", "lang", "source", "fingerprint"
     )
 
 

@@ -882,21 +882,26 @@ def connected_components(
     )
 
 
-# shared by DEDUP_CLUSTERS_SQL and curation.CORPUS_NEARDUP_APPLY_SQL —
-# both open with `WITH RECURSIVE {CLUSTERS_CLOSURE_CTES}` and then
-# aggregate `reach` their own way (no string surgery on a finished
-# statement; compose the fragment)
-CLUSTERS_CLOSURE_CTES = f"""pairs AS ({NGRAM_JACCARD_SQL}),
+def closure_ctes(pairs_sql: str, a_col: str, b_col: str) -> str:
+    """Recursive-CTE transitive closure over an undirected pair graph —
+    the oracle twin of ``connected_components``. Consumers open with
+    `WITH RECURSIVE {closure_ctes(...)}` and aggregate `reach` their
+    own way (DEDUP_CLUSTERS_SQL, curation.CORPUS_NEARDUP_APPLY_SQL,
+    similarity.EMBEDDING_CLUSTERS_SQL)."""
+    return f"""pairs AS ({pairs_sql}),
 edges AS (
-    SELECT doc_a AS s, doc_b AS d FROM pairs
+    SELECT {a_col} AS s, {b_col} AS d FROM pairs
     UNION
-    SELECT doc_b, doc_a FROM pairs
+    SELECT {b_col}, {a_col} FROM pairs
 ),
 reach(s, d) AS (
     SELECT s, s FROM (SELECT DISTINCT s FROM edges)
     UNION
     SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
 )"""
+
+
+CLUSTERS_CLOSURE_CTES = closure_ctes(NGRAM_JACCARD_SQL, "doc_a", "doc_b")
 
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE {CLUSTERS_CLOSURE_CTES}

@@ -848,19 +848,15 @@ def embedding_clusters(
     return connected_components(pairs, "vec_a", "vec_b", "vec_id", max_iters)
 
 
-EMBEDDING_CLUSTERS_SQL = f"""
-WITH RECURSIVE p AS ({EMBEDDING_COSINE_PAIRS_SQL}),
-edges AS (
-    SELECT vec_a AS s, vec_b AS d FROM p
-    UNION
-    SELECT vec_b, vec_a FROM p
-),
-reach(s, d) AS (
-    SELECT s, s FROM (SELECT DISTINCT s FROM edges)
-    UNION
-    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
-)
+def _embedding_clusters_sql() -> str:
+    from fledge_south_csvplayback_spark.operators.dedup import closure_ctes
+
+    return f"""
+WITH RECURSIVE {closure_ctes(EMBEDDING_COSINE_PAIRS_SQL, "vec_a", "vec_b")}
 SELECT s AS vec_id, MIN(d) AS cluster_id,
        s = MIN(d) AS keep
 FROM reach GROUP BY s
 """
+
+
+EMBEDDING_CLUSTERS_SQL = _embedding_clusters_sql()
