@@ -552,3 +552,59 @@ WHERE doc_id >= {INGEST_SPLIT_ID}
   AND fingerprint NOT IN (SELECT fingerprint FROM corpus_fps)
 QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
 """
+
+
+# --- adaptive (per-language quantile) quality filter -------------------------
+ADAPTIVE_QUANTILES = (0.05, 0.95)  # drop each language's length tails
+
+
+def quality_filter_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-dependent quality filter: keep docs whose token count lies
+    within their OWN language's [p5, p95] — fixed global thresholds
+    misfire when languages tokenize differently (zh 'words' vs de
+    compounds). Two-pass shape shared with ``corpus_token_budget``:
+    the per-language quantiles are a |langs|-row aggregate, broadcast
+    back onto the corpus as a map-side join — the corpus itself never
+    shuffles. Quantiles use the linear-interpolated ``percentile``
+    (same definition as DuckDB's ``quantile_cont``), rounded to 6 so
+    the boundary comparison cannot flip between engines."""
+    lo_q, hi_q = ADAPTIVE_QUANTILES
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    bounds = docs.groupBy("lang").agg(
+        F.round(F.percentile("n_tok", F.lit(lo_q)), 6).alias("lo"),
+        F.round(F.percentile("n_tok", F.lit(hi_q)), 6).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            "lo",
+            "hi",
+            ((F.col("n_tok") >= F.col("lo")) & (F.col("n_tok") <= F.col("hi")))
+            .alias("keep"),
+        )
+    )
+
+
+QUALITY_FILTER_ADAPTIVE_SQL = f"""
+WITH s AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+    FROM documents
+),
+b AS (
+    SELECT lang,
+           ROUND(quantile_cont(n_tok, {ADAPTIVE_QUANTILES[0]}), 6) AS lo,
+           ROUND(quantile_cont(n_tok, {ADAPTIVE_QUANTILES[1]}), 6) AS hi
+    FROM s GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.n_tok, b.lo, b.hi,
+       (s.n_tok >= b.lo AND s.n_tok <= b.hi) AS keep
+FROM s JOIN b USING (lang)
+"""

@@ -37,6 +37,11 @@ _ORACLES = [
         curation.corpus_sample_by_source,
         curation.CORPUS_SAMPLE_BY_SOURCE_SQL,
     ),
+    (
+        "quality_filter_adaptive",
+        curation.quality_filter_adaptive,
+        curation.QUALITY_FILTER_ADAPTIVE_SQL,
+    ),
 ]
 
 
@@ -203,6 +208,30 @@ def test_dedup_apply_agrees_with_dedup_exact(spark):
     by_fp = {r.fingerprint: r.n_copies for r in groups}
     for s in survivors:
         assert by_fp[s.fingerprint] == s.n_copies
+
+
+def test_adaptive_filter_bounds_are_per_lang(spark):
+    """The thresholds must differ across languages (that's the point),
+    every language keeps ~90% of its docs, and the corpus-side plan
+    has no wide exchange — the bounds come back via broadcast."""
+    df = curation.quality_filter_adaptive(spark, TEST_SF_DIR)
+    rows = df.collect()
+    bounds = {(r.lang): (r.lo, r.hi) for r in rows}
+    assert len(set(bounds.values())) > 1
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.keep)
+    for lang, keeps in by_lang.items():
+        frac = sum(keeps) / len(keeps)
+        assert 0.7 <= frac <= 1.0, (lang, frac)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the only hashpartitioning exchange allowed is the tiny per-lang
+    # aggregate feeding the bounds, never the docs side
+    wide = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert all("doc_id" not in ln for ln in wide), wide
 
 
 def test_incremental_dedup_oracle_parity(spark):
