@@ -134,7 +134,7 @@ def timed(spark: SparkSession, df: DataFrame) -> tuple[float, int]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("op", choices=["gen", "sample", "ab"])
+    ap.add_argument("op", choices=["gen", "sample", "ab", "dedup_apply"])
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--words", type=int, default=25)
     ap.add_argument("--reps", type=int, default=2)
@@ -146,6 +146,25 @@ def main() -> None:
     gen_sec = round(time.perf_counter() - t0, 1)
     if args.op == "gen":
         print(json.dumps({"op": "gen", "rows": args.rows, "sec": gen_sec}))
+        spark.stop()
+        return
+
+    if args.op == "dedup_apply":
+        # keep-first window over the full corpus: one fingerprint-keyed
+        # exchange of 10M rows (text column included in the shuffle -
+        # the honest cost of windowing the document payload; a
+        # fingerprint-only pre-pass would scan twice instead)
+        wall, shuf = timed(spark, curation.corpus_dedup_apply(spark, sf_dir))
+        print(
+            json.dumps(
+                {
+                    "op": "dedup_apply",
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": shuf,
+                }
+            )
+        )
         spark.stop()
         return
 
