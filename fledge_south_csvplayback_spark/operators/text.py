@@ -316,3 +316,61 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp"),
     )
     return fp.distinct()
+
+
+# --- corpus-wide top-k n-grams -----------------------------------------------
+TOP_NGRAMS_N = 2
+TOP_NGRAMS_K = 20
+
+
+def text_top_ngrams(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = TOP_NGRAMS_N,
+    k: int = TOP_NGRAMS_K,
+) -> DataFrame:
+    """Corpus-wide heavy hitters: the k most frequent token n-grams —
+    the profiling pass behind stop-gram lists, boilerplate detection,
+    and tokenizer-merge seeding. Plan: per-doc n-gram arrays (pure
+    Catalyst, let-bound token array like ``dedup.shingles``), explode,
+    one count aggregate (map-side partials absorb the hot grams — the
+    aggregate IS the skew handling), then a global ``TakeOrdered(k)``
+    — no full sort, each partition ships only its own top k.
+    Deterministic tie order: count DESC, gram ASC, in both engines."""
+    toks = F.split(F.col("text"), " ")
+
+    def build(t: Column) -> Column:
+        def gram(i: Column) -> Column:
+            parts = [F.element_at(t, i + j) for j in range(n)]
+            return F.concat_ws(" ", *parts)
+
+        return F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram)
+
+    grams = F.element_at(F.transform(F.array(toks), build), 1)
+    docs = _docs(spark, sf_dir).filter(F.size(F.split(F.col("text"), " ")) >= n)
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(k)
+    )
+
+
+TEXT_TOP_NGRAMS_SQL = f"""
+WITH t AS (
+    SELECT string_split(text, ' ') AS toks FROM documents
+    WHERE len(string_split(text, ' ')) >= {TOP_NGRAMS_N}
+),
+g AS (
+    SELECT unnest(list_transform(
+        generate_series(1, len(toks) - {TOP_NGRAMS_N - 1}),
+        i -> list_aggregate(toks[i:i+{TOP_NGRAMS_N - 1}], 'string_agg', ' ')
+    )) AS gram
+    FROM t
+)
+SELECT gram, COUNT(*) AS cnt
+FROM g GROUP BY gram
+ORDER BY cnt DESC, gram
+LIMIT {TOP_NGRAMS_K}
+"""

@@ -88,3 +88,24 @@ def test_unigram_logprob_reuses_vocab_exchange(spark):
     assert "ReusedExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+
+
+def test_top_ngrams_oracle_parity(spark):
+    ok, msg = compare(
+        text.text_top_ngrams(spark, TEST_SF_DIR),
+        text.TEXT_TOP_NGRAMS_SQL,
+        TEST_SF_DIR,
+    )
+    assert ok, msg
+
+
+def test_top_ngrams_takeordered_not_full_sort(spark):
+    """The global top-k must be TakeOrdered (each partition ships only
+    its own k), never a full sort followed by a limit."""
+    plan = (
+        text.text_top_ngrams(spark, TEST_SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
