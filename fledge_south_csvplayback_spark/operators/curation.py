@@ -195,6 +195,19 @@ def corpus_token_budget(
     one-partition-per-language; the only wide exchange of the big
     table is the (lang, bucket) hash partitioning.
     """
+    return (
+        _running_token_sum(spark, sf_dir)
+        .filter(F.col("cum_tok") <= budget)
+        .select("doc_id", "lang", "n_tok", "cum_tok")
+    )
+
+
+def _running_token_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language INCLUSIVE running token sum in deterministic hash
+    priority order (bucket, doc_id) — the two-pass scalable plan (see
+    module docstring) shared by ``corpus_token_budget`` (filters on
+    it) and ``corpus_pack_batches`` (bins it). Output: (doc_id, lang,
+    n_tok, bucket, cum_tok)."""
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
@@ -219,13 +232,8 @@ def corpus_token_budget(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        docs.join(F.broadcast(prefix), ["lang", "bucket"])
-        .withColumn(
-            "cum_tok", F.col("pre_tok") + F.sum("n_tok").over(wr)
-        )
-        .filter(F.col("cum_tok") <= budget)
-        .select("doc_id", "lang", "n_tok", "cum_tok")
+    return docs.join(F.broadcast(prefix), ["lang", "bucket"]).withColumn(
+        "cum_tok", F.col("pre_tok") + F.sum("n_tok").over(wr)
     )
 
 
@@ -607,4 +615,55 @@ b AS (
 SELECT s.doc_id, s.lang, s.n_tok, b.lo, b.hi,
        (s.n_tok >= b.lo AND s.n_tok <= b.hi) AS keep
 FROM s JOIN b USING (lang)
+"""
+
+
+# --- training-batch packing --------------------------------------------------
+BATCH_TOKENS = 1000  # tokens per training micro-batch
+
+
+def corpus_pack_batches(
+    spark: SparkSession, sf_dir: str, batch_tokens: int = BATCH_TOKENS
+) -> DataFrame:
+    """Pack documents into ~equal-token training batches per language:
+    batch_id = the doc's STARTING token offset (cum_tok − n_tok) div
+    ``batch_tokens``, over the same deterministic hash priority order
+    as ``corpus_token_budget`` (same shared two-pass running sum —
+    still no one-partition-per-language window).
+
+    This is offset binning, not bin-packing: a doc starting near a
+    boundary overflows its batch rather than opening a new one, so
+    batches are ~batch_tokens ± one doc — the standard approximation
+    for forming token-budget micro-batches at corpus scale (exact
+    first-fit packing is inherently sequential). Deterministic:
+    re-runs and engine replays produce identical assignments."""
+    return (
+        _running_token_sum(spark, sf_dir)
+        .withColumn(
+            "batch_id",
+            ((F.col("cum_tok") - F.col("n_tok")) / batch_tokens).cast(
+                "bigint"
+            ),
+        )
+        .select("doc_id", "lang", "n_tok", "cum_tok", "batch_id")
+    )
+
+
+CORPUS_PACK_BATCHES_SQL = f"""
+WITH s AS (
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+           {_bucket_sql('doc_id')} AS bucket
+    FROM documents
+),
+c AS (
+    SELECT doc_id, lang, n_tok,
+           CAST(SUM(n_tok) OVER (
+               PARTITION BY lang ORDER BY bucket, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+    FROM s
+)
+SELECT doc_id, lang, n_tok, cum_tok,
+       CAST(FLOOR((cum_tok - n_tok) / {BATCH_TOKENS}.0) AS BIGINT) AS batch_id
+FROM c
 """

@@ -42,6 +42,11 @@ _ORACLES = [
         curation.quality_filter_adaptive,
         curation.QUALITY_FILTER_ADAPTIVE_SQL,
     ),
+    (
+        "corpus_pack_batches",
+        curation.corpus_pack_batches,
+        curation.CORPUS_PACK_BATCHES_SQL,
+    ),
 ]
 
 
@@ -208,6 +213,26 @@ def test_dedup_apply_agrees_with_dedup_exact(spark):
     by_fp = {r.fingerprint: r.n_copies for r in groups}
     for s in survivors:
         assert by_fp[s.fingerprint] == s.n_copies
+
+
+def test_pack_batches_shape(spark):
+    """Batch ids are contiguous from 0 per language, every batch
+    except the last holds ≥ batch_tokens − max_doc tokens, and none
+    exceeds batch_tokens + max_doc (offset binning's overflow bound)."""
+    rows = curation.corpus_pack_batches(spark, TEST_SF_DIR).collect()
+    by_lang: dict[str, dict[int, int]] = {}
+    max_doc = max(r.n_tok for r in rows)
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.batch_id, 0)
+        by_lang[r.lang][r.batch_id] += r.n_tok
+    B = curation.BATCH_TOKENS
+    for lang, batches in by_lang.items():
+        ids = sorted(batches)
+        assert ids == list(range(len(ids))), lang  # contiguous from 0
+        for bid in ids[:-1]:
+            assert batches[bid] >= B - max_doc, (lang, bid, batches[bid])
+        for bid in ids:
+            assert batches[bid] <= B + max_doc, (lang, bid, batches[bid])
 
 
 def test_adaptive_filter_bounds_are_per_lang(spark):
