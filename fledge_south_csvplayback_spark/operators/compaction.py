@@ -43,6 +43,21 @@ def input_bytes(path: str) -> int:
     return total
 
 
+def partition_cols(path: str) -> list[str]:
+    """Hive partition columns of a parquet directory, outermost first,
+    discovered from the ``k=v`` directory names (the same layout
+    ``spark.read.parquet`` infers partition columns from)."""
+    cols: list[str] = []
+    cur = path
+    while os.path.isdir(cur):
+        sub = [d for d in os.listdir(cur) if "=" in d and os.path.isdir(os.path.join(cur, d))]
+        if not sub:
+            break
+        cols.append(sub[0].split("=", 1)[0])
+        cur = os.path.join(cur, sub[0])
+    return cols
+
+
 def compact_parquet(
     spark: SparkSession,
     in_dir: str,
@@ -50,18 +65,25 @@ def compact_parquet(
     target_bytes: int = DEFAULT_TARGET_BYTES,
 ) -> int:
     """Rewrite ``in_dir`` into ``out_dir`` as ~``target_bytes`` files;
-    returns the output file count. ``repartition(n)`` (round-robin,
-    not keyed) spreads rows evenly regardless of input skew — a
-    coalesce() would glue whole input partitions and inherit their
-    size imbalance, and can starve parallelism below the cluster's
-    core count during the write."""
+    returns the output data-file count.
+
+    Flat input: ``repartition(n)`` (round-robin, not keyed) spreads
+    rows evenly regardless of input skew — a coalesce() would glue
+    whole input partitions and inherit their size imbalance, and can
+    starve parallelism below the cluster's core count during the
+    write. Hive-partitioned input: the discovered partition layout is
+    PRESERVED (flattening it would silently cost every downstream
+    reader its partition pruning), and the pre-write repartition keys
+    on the partition columns so each value's rows land in one task —
+    one output file per value, not n×|values| fragments. A huge
+    single partition value then compacts to one large file; split it
+    by adding a salt column to the layout, not here."""
     n = max(1, math.ceil(input_bytes(in_dir) / target_bytes))
     df = spark.read.parquet(in_dir)
-    df.repartition(n).write.mode("overwrite").parquet(out_dir)
-    return len(
-        [
-            f
-            for f in os.listdir(out_dir)
-            if f.endswith(".parquet")
-        ]
-    )
+    pcols = partition_cols(in_dir)
+    writer = df.repartition(n, *pcols) if pcols else df.repartition(n)
+    writer.write.mode("overwrite").partitionBy(*pcols).parquet(out_dir)
+    total = 0
+    for root, _dirs, files in os.walk(out_dir):
+        total += sum(1 for f in files if f.endswith(".parquet"))
+    return total

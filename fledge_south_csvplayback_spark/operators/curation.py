@@ -337,9 +337,13 @@ def _keep_first_per_fingerprint(docs: DataFrame) -> DataFrame:
     and the incremental ingest so the keeper rule cannot drift (unused
     output columns are pruned by Catalyst at each call site)."""
     wf = Window.partitionBy("fingerprint")
+    if "fingerprint" not in docs.columns:
+        # only hash when the caller hasn't already (the incremental
+        # path computes it for its anti-join; re-hashing here would be
+        # a second md5 pass over every surviving document's text)
+        docs = docs.withColumn("fingerprint", F.md5(F.col("text")))
     return (
-        docs.withColumn("fingerprint", F.md5(F.col("text")))
-        .withColumn("rn", F.row_number().over(wf.orderBy("doc_id")))
+        docs.withColumn("rn", F.row_number().over(wf.orderBy("doc_id")))
         .withColumn("n_copies", F.count(F.lit(1)).over(wf))
         .filter(F.col("rn") == 1)
         .drop("rn")
@@ -554,11 +558,16 @@ WITH d AS (SELECT *, md5(text) AS fingerprint FROM documents),
 corpus_fps AS (
     SELECT DISTINCT fingerprint FROM d WHERE doc_id < {INGEST_SPLIT_ID}
 )
-SELECT doc_id, lang, source, fingerprint
+-- NOT EXISTS, not NOT IN: a NULL fingerprint in corpus_fps would make
+-- NOT IN yield NULL for every row (dropping everything) while Spark's
+-- left_anti ignores NULL build-side keys
+SELECT d.doc_id, d.lang, d.source, d.fingerprint
 FROM d
-WHERE doc_id >= {INGEST_SPLIT_ID}
-  AND fingerprint NOT IN (SELECT fingerprint FROM corpus_fps)
-QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+WHERE d.doc_id >= {INGEST_SPLIT_ID}
+  AND NOT EXISTS (
+      SELECT 1 FROM corpus_fps c WHERE c.fingerprint = d.fingerprint
+  )
+QUALIFY row_number() OVER (PARTITION BY d.fingerprint ORDER BY d.doc_id) = 1
 """
 
 
@@ -626,26 +635,34 @@ def corpus_pack_batches(
     spark: SparkSession, sf_dir: str, batch_tokens: int = BATCH_TOKENS
 ) -> DataFrame:
     """Pack documents into ~equal-token training batches per language:
-    batch_id = the doc's STARTING token offset (cum_tok − n_tok) div
-    ``batch_tokens``, over the same deterministic hash priority order
-    as ``corpus_token_budget`` (same shared two-pass running sum —
-    still no one-partition-per-language window).
+    the raw bin is the doc's STARTING token offset (cum_tok − n_tok)
+    div ``batch_tokens``, over the same deterministic hash priority
+    order as ``corpus_token_budget`` (same shared two-pass running sum
+    — still no one-partition-per-language window over the corpus).
 
     This is offset binning, not bin-packing: a doc starting near a
     boundary overflows its batch rather than opening a new one, so
     batches are ~batch_tokens ± one doc — the standard approximation
     for forming token-budget micro-batches at corpus scale (exact
-    first-fit packing is inherently sequential). Deterministic:
-    re-runs and engine replays produce identical assignments."""
-    return (
-        _running_token_sum(spark, sf_dir)
-        .withColumn(
-            "batch_id",
-            ((F.col("cum_tok") - F.col("n_tok")) / batch_tokens).cast(
-                "bigint"
-            ),
-        )
-        .select("doc_id", "lang", "n_tok", "cum_tok", "batch_id")
+    first-fit packing is inherently sequential). A doc LONGER than
+    ``batch_tokens`` makes its successor's raw bin skip values, so raw
+    bins are dense-ranked into contiguous batch_ids per language —
+    the rank window runs over the DISTINCT (lang, raw bin) set
+    (≤ total_tokens/batch_tokens tiny rows), broadcast back; the
+    corpus itself never re-shuffles. Deterministic: re-runs and
+    engine replays produce identical assignments."""
+    raw = _running_token_sum(spark, sf_dir).withColumn(
+        "raw_bid",
+        ((F.col("cum_tok") - F.col("n_tok")) / batch_tokens).cast("bigint"),
+    )
+    wd = Window.partitionBy("lang").orderBy("raw_bid")
+    dense = (
+        raw.select("lang", "raw_bid")
+        .distinct()
+        .withColumn("batch_id", (F.dense_rank().over(wd) - 1).cast("bigint"))
+    )
+    return raw.join(F.broadcast(dense), ["lang", "raw_bid"]).select(
+        "doc_id", "lang", "n_tok", "cum_tok", "batch_id"
     )
 
 
@@ -664,6 +681,9 @@ c AS (
     FROM s
 )
 SELECT doc_id, lang, n_tok, cum_tok,
-       CAST(FLOOR((cum_tok - n_tok) / {BATCH_TOKENS}.0) AS BIGINT) AS batch_id
+       CAST(DENSE_RANK() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(FLOOR((cum_tok - n_tok) / {BATCH_TOKENS}.0) AS BIGINT)
+       ) - 1 AS BIGINT) AS batch_id
 FROM c
 """

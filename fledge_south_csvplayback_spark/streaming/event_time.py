@@ -125,5 +125,7 @@ def enrich_stream(
     belongs in a state store (``applyInPandasWithState``) or a
     key-value lookup, not a per-batch shuffle. Left join: an event
     with no dim row flows through with nulls rather than being
-    dropped mid-stream."""
-    return _ltz(stream, "ts").join(F.broadcast(dim), on, "left")
+    dropped mid-stream. No event-time cast here — the join is generic
+    over streams with or without a timestamp column; watermarked
+    consumers downstream apply their own ``ensure_ltz``."""
+    return stream.join(F.broadcast(dim), on, "left")

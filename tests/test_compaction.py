@@ -39,3 +39,46 @@ def test_compaction_target_sizing(spark, tmp_path):
         spark, src, str(tmp_path / "many"), target_bytes=16 * 1024
     )
     assert many > 1
+
+
+def test_compaction_preserves_hive_partitioning(spark, tmp_path):
+    """Regression (round-5 review finding): compacting a
+    partitionBy layout must PRESERVE it — flattening silently costs
+    every downstream reader its partition pruning — and must not
+    explode into n×|values| fragments (the pre-write repartition keys
+    on the partition columns)."""
+    import os
+
+    src = str(tmp_path / "part_src")
+    out = str(tmp_path / "part_out")
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    docs.repartition(16).write.partitionBy("lang").parquet(src)
+    assert compaction.partition_cols(src) == ["lang"]
+
+    compaction.compact_parquet(spark, src, out)
+    langs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert langs == {
+        f"lang={r.lang}" for r in docs.select("lang").distinct().collect()
+    }
+    # one file per partition value (keyed repartition), not fragments
+    for d in langs:
+        files = [
+            f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+    # pruning works on the compacted layout
+    plan = (
+        spark.read.parquet(out)
+        .filter("lang = 'en'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    # same rows
+    a = sorted(tuple(r) for r in docs.select("doc_id", "lang").collect())
+    b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select("doc_id", "lang").collect()
+    )
+    assert a == b

@@ -235,6 +235,45 @@ def test_pack_batches_shape(spark):
             assert batches[bid] <= B + max_doc, (lang, bid, batches[bid])
 
 
+def test_pack_batches_contiguous_with_long_doc(spark, tmp_path):
+    """Regression (round-5 review finding): a doc LONGER than
+    batch_tokens makes raw offset bins skip values; the dense-rank
+    compaction must still yield contiguous batch ids. Checked against
+    a Python reference on a planted corpus."""
+    rows = [
+        (i, " ".join(["w"] * n), "en", "s", 1)
+        for i, n in enumerate((30, 200, 30, 40, 30))
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id: r.batch_id
+        for r in curation.corpus_pack_batches(
+            spark, sf_dir, batch_tokens=50
+        ).collect()
+    }
+    # python reference: hash priority order, raw offset bins, dense ids
+    import hashlib
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % curation.BUCKETS
+
+    order = sorted(got, key=lambda d: (bucket(d), d))
+    sizes = {r[0]: len(r[1].split(" ")) for r in rows}
+    cum, raw = 0, {}
+    for d in order:
+        raw[d] = cum // 50
+        cum += sizes[d]
+    dense_map = {b: i for i, b in enumerate(sorted(set(raw.values())))}
+    want = {d: dense_map[b] for d, b in raw.items()}
+    assert got == want
+    ids = sorted(set(got.values()))
+    assert ids == list(range(len(ids)))  # contiguous despite the long doc
+
+
 def test_adaptive_filter_bounds_are_per_lang(spark):
     """The thresholds must differ across languages (that's the point),
     every language keeps ~90% of its docs, and the corpus-side plan
@@ -249,14 +288,17 @@ def test_adaptive_filter_bounds_are_per_lang(spark):
     for lang, keeps in by_lang.items():
         frac = sum(keeps) / len(keeps)
         assert 0.7 <= frac <= 1.0, (lang, frac)
-    plan = _plan(df)
+    # plan from a FRESH frame: after collect(), the adaptive plan
+    # string shows the same exchange twice (query stage + original)
+    plan = _plan(curation.quality_filter_adaptive(spark, TEST_SF_DIR))
     assert "BroadcastHashJoin" in plan
-    # the only hashpartitioning exchange allowed is the tiny per-lang
-    # aggregate feeding the bounds, never the docs side
+    # exactly ONE hashpartitioning exchange: the tiny per-lang bounds
+    # aggregate. A docs-side shuffle (sort-merge join fallback) would
+    # add a second.
     wide = [
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
-    assert all("doc_id" not in ln for ln in wide), wide
+    assert len(wide) == 1, wide
 
 
 def test_incremental_dedup_oracle_parity(spark):
@@ -318,6 +360,8 @@ def test_curation_ops_on_empty_corpus(spark, tmp_path):
         curation.corpus_dedup_apply,
         curation.corpus_profile,
         curation.corpus_incremental_dedup,
+        curation.quality_filter_adaptive,
+        curation.corpus_pack_batches,
     ):
         assert fn(spark, sf_dir).count() == 0, fn.__name__
 
