@@ -134,7 +134,9 @@ def timed(spark: SparkSession, df: DataFrame) -> tuple[float, int]:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("op", choices=["gen", "sample", "ab", "dedup_apply"])
+    ap.add_argument(
+        "op", choices=["gen", "sample", "ab", "dedup_apply", "pack"]
+    )
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--words", type=int, default=25)
     ap.add_argument("--reps", type=int, default=2)
@@ -159,6 +161,25 @@ def main() -> None:
             json.dumps(
                 {
                     "op": "dedup_apply",
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": shuf,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "pack":
+        # shared two-pass running sum + dense-rank of the tiny distinct
+        # bin set: proves the contiguity fix stays cheap at 10M
+        wall, shuf = timed(
+            spark, curation.corpus_pack_batches(spark, sf_dir)
+        )
+        print(
+            json.dumps(
+                {
+                    "op": "pack",
                     "rows": args.rows,
                     "sec": wall,
                     "shuffle_bytes": shuf,
