@@ -347,9 +347,11 @@ def _pair_counts(sh: DataFrame, hot: DataFrame | None = None) -> DataFrame:
 
 # --- MinHash + LSH -----------------------------------------------------------
 def minhash_signatures(idx: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
-    """Per-doc MinHash signature as one aggregation over the inverted
-    index: min of seeded xxhash64 per permutation — map-side partial
-    aggregation, one shuffle keyed by doc_id, no per-row array passes."""
+    """Per-doc MinHash signature (Broder, "On the resemblance and
+    containment of documents", SEQUENCES '97) as one aggregation over
+    the inverted index: min of seeded xxhash64 per permutation —
+    map-side partial aggregation, one shuffle keyed by doc_id, no
+    per-row array passes."""
     return idx.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64("s", F.lit(p))).alias(f"_mh{p}")
@@ -450,8 +452,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_fp(
     spark: SparkSession, sf_dir: str, reproducible: bool
 ) -> DataFrame:
-    """64-bit SimHash fingerprints as two 32-bit halves:
-    (doc_id, fp_lo, fp_hi). Shared by both candidate schemes
+    """64-bit SimHash fingerprints (Charikar, "Similarity estimation
+    techniques from rounding algorithms", STOC '02) as two 32-bit
+    halves: (doc_id, fp_lo, fp_hi). Shared by both candidate schemes
     (``dedup_simhash`` 8-band, ``dedup_simhash_blocked`` m-block
     tables); see ``dedup_simhash`` for the reproducible-vs-production
     hash tradeoff."""

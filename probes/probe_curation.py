@@ -25,6 +25,8 @@ Usage:
     python probes/probe_curation.py gen    --rows 10000000
     python probes/probe_curation.py sample --rows 10000000
     python probes/probe_curation.py ab     --rows 10000000 --reps 2
+    python probes/probe_curation.py dedup_apply --rows 10000000
+    python probes/probe_curation.py pack   --rows 10000000
 """
 
 from __future__ import annotations
