@@ -27,8 +27,13 @@ Scale notes (the 100 TB contract):
   the parallelism. Same semantics, pinned against the one-window
   oracle SQL and by a plan test that forbids the lang-only window.
 
-These are gap-fill operators (the reference plugin has no corpus
-selection; its closest surface is the row-filtering in
+The suite: uniform/stratified/cluster hash sampling, train/val/test
+splits, per-language token budgets and batch packing (shared two-pass
+running sum), fixed and per-language-adaptive quality filters, exact
+dedup applied to the corpus (full, incremental-ingest, and near-dup
+cluster variants), a dataset-card profile, and the end-to-end
+materializer. These are gap-fill operators (the reference plugin has
+no corpus selection; its closest surface is the row-filtering in
 ``process_csv_data.py``) mandated by the training-pipeline brief.
 """
 

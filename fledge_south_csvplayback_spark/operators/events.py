@@ -14,6 +14,10 @@ operators a complete engine needs, written scale-first:
 - **props extraction**: ``from_json`` on the JSON props column (F7).
 - **hourly rollup**: event-time tumbling window aggregation
   (``F.window``) — the batch twin of the streaming watermarked window.
+- **multi-granularity rollup**: hour/day/all-time per event_type in one
+  GROUPING SETS pass (single scan, single exchange).
+- **range join**: point-in-interval joins as bin equi-joins (never a
+  BroadcastNestedLoopJoin), with the purchase-window query on top.
 """
 
 from __future__ import annotations
