@@ -692,3 +692,79 @@ SELECT doc_id, lang, n_tok, cum_tok,
        ) - 1 AS BIGINT) AS batch_id
 FROM c
 """
+
+
+# --- eval-set decontamination ------------------------------------------------
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark/eval contamination report: near-dup pairs that CROSS
+    the train/eval boundary — a training doc sharing ≥ threshold
+    n-gram Jaccard with a val/test doc leaks the eval set into
+    training. Pure composition: the exact posting-list pair miner
+    (``dedup_ngram_jaccard``) joined to the hash split labels on both
+    sides, keeping pairs whose sides land in different splits. The
+    label table is (doc_id, split) longs+enum — broadcast onto the
+    tiny pair set; all heavy lifting (and its df-cap scale bounds)
+    lives in the pair miner.
+
+    Output: (train_doc, eval_doc, eval_split, jaccard) — oriented so
+    the training-side doc is first whatever order the miner emitted.
+    """
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    pairs = dedup.dedup_ngram_jaccard(spark, sf_dir)
+    labels = corpus_split(spark, sf_dir).select("doc_id", "split")
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    x = (
+        pairs.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .filter(
+            ((F.col("split_a") == "train") & (F.col("split_b") != "train"))
+            | ((F.col("split_b") == "train") & (F.col("split_a") != "train"))
+        )
+    )
+    train_first = F.col("split_a") == "train"
+    return x.select(
+        F.when(train_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "train_doc"
+        ),
+        F.when(train_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "eval_doc"
+        ),
+        F.when(train_first, F.col("split_b"))
+        .otherwise(F.col("split_a"))
+        .alias("eval_split"),
+        "jaccard",
+    )
+
+
+def _corpus_contamination_sql() -> str:
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    return f"""
+WITH pairs AS ({dedup.NGRAM_JACCARD_SQL}),
+labels AS (
+    SELECT doc_id, {_split_case_sql().replace("bucket", _bucket_sql("doc_id"))} AS split
+    FROM documents
+),
+x AS (
+    SELECT p.doc_a, p.doc_b, p.jaccard, a.split AS split_a, b.split AS split_b
+    FROM pairs p
+    JOIN labels a ON p.doc_a = a.doc_id
+    JOIN labels b ON p.doc_b = b.doc_id
+    WHERE (a.split = 'train' AND b.split != 'train')
+       OR (b.split = 'train' AND a.split != 'train')
+)
+SELECT CASE WHEN split_a = 'train' THEN doc_a ELSE doc_b END AS train_doc,
+       CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END AS eval_doc,
+       CASE WHEN split_a = 'train' THEN split_b ELSE split_a END AS eval_split,
+       jaccard
+FROM x
+"""
+
+
+CORPUS_CONTAMINATION_SQL = _corpus_contamination_sql()

@@ -374,3 +374,59 @@ FROM g GROUP BY gram
 ORDER BY cnt DESC, gram
 LIMIT {TOP_NGRAMS_K}
 """
+
+
+# --- PII redaction -----------------------------------------------------------
+# Java-regex / RE2 compatible (no lookaround): both engines match the
+# same spans, so the redaction is oracle-checkable
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_DIGITS_RE = r"\d{7,}"  # phone/account-number-ish runs
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus PII scrub: emails → <EMAIL>, IPv4s → <IP>,
+    7+-digit runs → <NUM>, with per-class counts for audit. Rules are
+    applied in that fixed order in BOTH engines (an IP's octets must
+    not be half-eaten by the digit rule), every pattern avoids
+    lookaround so Java regex and RE2 agree on spans, and everything is
+    codegen'd ``regexp_replace``/``regexp_count`` — a narrow
+    scan-speed projection at any scale."""
+    docs = _docs(spark, sf_dir)
+    n_email = F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE))
+    step1 = F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.regexp_count(step1, F.lit(PII_IPV4_RE))
+    step2 = F.regexp_replace(step1, PII_IPV4_RE, "<IP>")
+    n_num = F.regexp_count(step2, F.lit(PII_DIGITS_RE))
+    step3 = F.regexp_replace(step2, PII_DIGITS_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        step3.alias("text_redacted"),
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_num.alias("n_numbers"),
+    )
+
+
+TEXT_REDACT_PII_SQL = rf"""
+WITH s1 AS (
+    SELECT doc_id, text,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INTEGER)
+               AS n_emails,
+           regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+    FROM documents
+),
+s2 AS (
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1, '{PII_IPV4_RE}')) AS INTEGER)
+               AS n_ips,
+           regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') AS t2
+    FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '{PII_DIGITS_RE}', '<NUM>', 'g') AS text_redacted,
+       n_emails, n_ips,
+       CAST(len(regexp_extract_all(t2, '{PII_DIGITS_RE}')) AS INTEGER)
+           AS n_numbers
+FROM s2
+"""

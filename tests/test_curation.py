@@ -471,3 +471,35 @@ def test_dedup_apply_single_exchange(spark):
         if "Exchange hashpartitioning" in line
     ]
     assert len(wide) == 1, plan
+
+
+def test_contamination_oracle_parity(spark):
+    ok, msg = compare(
+        curation.corpus_contamination(spark, TEST_SF_DIR),
+        curation.CORPUS_CONTAMINATION_SQL,
+        TEST_SF_DIR,
+    )
+    assert ok, msg
+
+
+def test_contamination_pairs_cross_splits(spark):
+    """Every reported pair must have its train side in 'train' and its
+    eval side elsewhere, and be a genuine near-dup pair from the
+    miner; the fixture's planted dups make the report non-empty."""
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    rows = curation.corpus_contamination(spark, TEST_SF_DIR).collect()
+    assert rows
+    splits = {
+        r.doc_id: r.split
+        for r in curation.corpus_split(spark, TEST_SF_DIR).collect()
+    }
+    mined = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in dedup.dedup_ngram_jaccard(spark, TEST_SF_DIR).collect()
+    }
+    for r in rows:
+        assert splits[r.train_doc] == "train"
+        assert splits[r.eval_doc] != "train"
+        assert r.eval_split == splits[r.eval_doc]
+        assert frozenset((r.train_doc, r.eval_doc)) in mined
