@@ -768,3 +768,149 @@ FROM x
 
 
 CORPUS_CONTAMINATION_SQL = _corpus_contamination_sql()
+
+
+# --- fixed-length training-sequence chunking ---------------------------------
+CHUNK_TOKENS = 64  # tokens per training chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = 64 - 48)
+
+
+def corpus_chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Slice every document into fixed-length training sequences: chunk
+    ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)``, so
+    consecutive chunks overlap by ``chunk_tokens - stride`` tokens (the
+    standard sliding-window context packing; ``stride == chunk_tokens``
+    is the non-overlapping special case). The chunk count is chosen so
+    the final chunk reaches the last token and no start lies beyond the
+    text: ``1 + ceil(max(0, n - chunk_tokens) / stride)``.
+
+    Entirely narrow — token array, ``posexplode`` of the start
+    sequence, ``slice`` + ``array_join`` per chunk. No shuffle at any
+    corpus size (pinned): a 1000-executor scan chunks at read speed,
+    and output rows inherit the input's partitioning for a downstream
+    writer. Every doc yields ≥1 chunk (an empty text is one empty
+    chunk), so no corpus row silently disappears.
+    """
+    c, s = chunk_tokens, stride
+    if not (0 < s <= c):
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = F.split(F.col("text"), " ")
+    extra = F.greatest(F.lit(0), F.size(toks) - c)
+    n_chunks = 1 + F.floor((extra + (s - 1)) / s).cast("int")
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("_start") * s + 1, c)
+    return base.select(
+        "doc_id",
+        "lang",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def _chunk_sql(chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE) -> str:
+    c, s = chunk_tokens, stride
+    return f"""
+WITH d AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS toks,
+           1 + (GREATEST(0, len(string_split(text, ' ')) - {c}) + {s - 1}) // {s}
+               AS n_chunks
+    FROM documents
+),
+e AS (
+    SELECT doc_id, lang, toks, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+    FROM d
+)
+SELECT doc_id, lang, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(toks[chunk_id * {s} + 1 : chunk_id * {s} + {c}]) AS BIGINT)
+           AS n_chunk_tokens,
+       array_to_string(toks[chunk_id * {s} + 1 : chunk_id * {s} + {c}], ' ')
+           AS chunk_text
+FROM e
+"""
+
+
+CORPUS_CHUNK_SQL = _chunk_sql()
+
+
+# --- mixture / temperature sampling weights ----------------------------------
+MIXTURE_ALPHA = 0.5  # temperature exponent: 1.0 = natural, 0.0 = uniform
+
+
+def corpus_mixture_weights(
+    spark: SparkSession, sf_dir: str, alpha: float = MIXTURE_ALPHA
+) -> DataFrame:
+    """Per-language mixture weights for temperature-scaled corpus
+    sampling (the multinomial ``p_i^alpha`` rebalancing of Conneau &
+    Lample 2019 / XLM-R: alpha=1 keeps the natural distribution,
+    alpha→0 flattens toward uniform, boosting low-resource languages).
+    For each language: natural token share ``p_raw``, rebalanced share
+    ``p_sampled = p^alpha / Σ p^alpha``, and ``rate = p_sampled /
+    p_raw`` — the up/down-sampling multiplier to feed a sampler
+    (rates ≤ 1 drop straight into ``corpus_sample_stratified``'s
+    per-language rate map; rates > 1 mean repeating the stratum
+    ``rate`` epochs, which hash-sampling alone cannot express).
+
+    Plan: ONE aggregate over the corpus (map-side partials reduce each
+    task to ≤ |langs| rows before the 8-byte-key Exchange), then both
+    normalizers (token total, Σ p^alpha) are whole-table window sums
+    over the |langs|-row RESULT — the ``corpus_token_budget`` rule: an
+    unpartitioned window is legal only over a driver-bounded
+    aggregate, never the corpus. The first branched-aggregates draft
+    of this op re-scanned the corpus 2-3× (AQE reused only some of
+    the exchanges — read from the POST-execution plan); this shape
+    scans it exactly once by construction (pinned in tests)."""
+    a = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    whole = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(whole).cast("double")
+    b = a.withColumn("p", p).withColumn(
+        "zs", F.sum(F.pow(F.col("p"), F.lit(alpha))).over(whole)
+    )
+    q = F.pow(F.col("p"), F.lit(alpha)) / F.col("zs")
+    return b.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("p"), 6).alias("p_raw"),
+        F.round(q, 6).alias("p_sampled"),
+        F.round(q / F.col("p"), 6).alias("rate"),
+    )
+
+
+def _mixture_sql(alpha: float = MIXTURE_ALPHA) -> str:
+    return f"""
+WITH a AS (
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+),
+b AS (SELECT a.*, n_tokens / (SUM(n_tokens) OVER ())::DOUBLE AS p FROM a),
+c AS (SELECT b.*, SUM(pow(p, {alpha})) OVER () AS zs FROM b)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+       ROUND(p, 6) AS p_raw,
+       ROUND(pow(p, {alpha}) / zs, 6) AS p_sampled,
+       ROUND(pow(p, {alpha}) / zs / p, 6) AS rate
+FROM c
+"""
+
+
+CORPUS_MIXTURE_SQL = _mixture_sql()

@@ -408,6 +408,160 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- intra-document repetition signals ---------------------------------------
+REPETITION_N = 2  # token n-gram width for the gram-repetition metrics
+
+
+def text_repetition(
+    spark: SparkSession, sf_dir: str, n: int = REPETITION_N
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", App. A1.1): machine-generated and
+    boilerplate pages repeat themselves; natural text mostly doesn't.
+    Per document:
+
+    - ``dup_line_frac``: fraction of line instances whose exact line
+      value occurs ≥2 times in the document (ALL instances of a
+      repeated line count, matching the Gopher definition);
+    - ``dup_line_char_frac``: same, weighted by line length in chars;
+    - ``top_gram_char_frac``: char mass (count × gram length) of the
+      most-covering token n-gram over total chars;
+    - ``dup_gram_char_frac``: summed char mass of every n-gram seen
+      ≥2 times over total chars, clipped to 1.0 — overlapping
+      occurrences double-count chars, so this is the cheap upper
+      bound of Gopher's overlap-exact metric (deterministic and
+      identical in both engines, which exactness would not be).
+
+    Plan, built for long documents: lines and n-grams are tagged and
+    exploded in ONE pass (no per-doc quadratic array scans — a
+    ``filter(arr, x -> count-in-arr)`` nested-lambda version is
+    O(distinct·len) per row and dies on 100k-token docs), then two
+    hash aggregates: (doc_id, kind, item) occurrence counts, then the
+    per-doc rollup. Both keys are fine-grained (no skew: the hottest
+    key is one gram in one doc), partial aggregation soaks repeats
+    map-side, and everything between scan and result is codegen'd —
+    exactly two Exchanges at any corpus size (pinned in tests).
+    """
+    toks = F.split(F.col("text"), " ")
+
+    def build(t: Column) -> Column:
+        def gram(i: Column) -> Column:
+            return F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            )
+
+        return F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram)
+
+    grams = F.when(
+        F.size(toks) >= n, F.element_at(F.transform(F.array(toks), build), 1)
+    ).otherwise(F.array().cast("array<string>"))
+    tag = lambda kind, it: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"), it.alias("item")
+    )
+    exploded = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(
+            F.concat(
+                F.transform(F.split(F.col("text"), "\n"), lambda l: tag("line", l)),
+                F.transform(grams, lambda g: tag("gram", g)),
+            )
+        ).alias("e"),
+    )
+    per_item = exploded.groupBy(
+        "doc_id", F.col("e.kind").alias("kind"), F.col("e.item").alias("item")
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.first("n_chars").alias("n_chars"))
+
+    mass = (F.col("cnt") * F.length("item")).cast("double")
+    line, dup = F.col("kind") == "line", F.col("cnt") >= 2
+    gram_ = F.col("kind") == "gram"
+    rolled = per_item.groupBy("doc_id").agg(
+        F.first("n_chars").cast("double").alias("n_chars"),
+        F.sum(F.when(line, F.col("cnt"))).alias("n_lines"),
+        F.sum(F.when(line & dup, F.col("cnt")).otherwise(F.lit(0))).alias("dup_lines"),
+        F.sum(F.when(line, mass)).alias("line_mass"),
+        F.sum(F.when(line & dup, mass).otherwise(F.lit(0.0))).alias("dup_line_mass"),
+        F.max(F.when(gram_, mass)).alias("top_gram_mass"),
+        F.sum(F.when(gram_ & dup, mass).otherwise(F.lit(0.0))).alias("dup_gram_mass"),
+    )
+
+    def frac(num: Column, den: Column) -> Column:
+        # guard with an outer when, not coalesce-around-least: least()
+        # IGNORES nulls in both engines, so least(1.0, null-ratio)
+        # silently yields 1.0 instead of falling through to the default
+        return F.round(
+            F.when(
+                den > 0,
+                F.least(F.lit(1.0), F.coalesce(num, F.lit(0.0)) / den),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    return rolled.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        frac(F.col("dup_lines").cast("double"), F.col("n_lines").cast("double")).alias(
+            "dup_line_frac"
+        ),
+        frac(F.col("dup_line_mass"), F.col("line_mass")).alias("dup_line_char_frac"),
+        frac(F.col("top_gram_mass"), F.col("n_chars")).alias("top_gram_char_frac"),
+        frac(F.col("dup_gram_mass"), F.col("n_chars")).alias("dup_gram_char_frac"),
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH d AS (
+    SELECT doc_id, len(text) AS n_chars,
+           string_split(text, chr(10)) AS lines,
+           string_split(text, ' ') AS toks
+    FROM documents
+),
+e AS (
+    SELECT doc_id, n_chars, 'line' AS kind, unnest(lines) AS item FROM d
+    UNION ALL
+    SELECT doc_id, n_chars, 'gram' AS kind,
+           unnest(list_transform(
+               generate_series(1, len(toks) - {REPETITION_N - 1}),
+               i -> list_aggregate(toks[i:i+{REPETITION_N - 1}], 'string_agg', ' ')
+           )) AS item
+    FROM d WHERE len(toks) >= {REPETITION_N}
+),
+c AS (
+    SELECT doc_id, kind, item, COUNT(*) AS cnt, ANY_VALUE(n_chars) AS n_chars
+    FROM e GROUP BY 1, 2, 3
+),
+a AS (
+    SELECT doc_id,
+           ANY_VALUE(n_chars)::DOUBLE AS n_chars,
+           SUM(CASE WHEN kind = 'line' THEN cnt END) AS n_lines,
+           SUM(CASE WHEN kind = 'line' AND cnt >= 2 THEN cnt ELSE 0 END) AS dup_lines,
+           SUM(CASE WHEN kind = 'line' THEN cnt * len(item) END)::DOUBLE AS line_mass,
+           SUM(CASE WHEN kind = 'line' AND cnt >= 2 THEN cnt * len(item)
+                    ELSE 0 END)::DOUBLE AS dup_line_mass,
+           MAX(CASE WHEN kind = 'gram' THEN cnt * len(item) END)::DOUBLE
+               AS top_gram_mass,
+           SUM(CASE WHEN kind = 'gram' AND cnt >= 2 THEN cnt * len(item) END)::DOUBLE
+               AS dup_gram_mass
+    FROM c GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       ROUND(CASE WHEN n_lines > 0
+                  THEN LEAST(1.0, dup_lines::DOUBLE / n_lines)
+                  ELSE 0.0 END, 6) AS dup_line_frac,
+       ROUND(CASE WHEN line_mass > 0
+                  THEN LEAST(1.0, dup_line_mass / line_mass)
+                  ELSE 0.0 END, 6) AS dup_line_char_frac,
+       ROUND(CASE WHEN n_chars > 0
+                  THEN LEAST(1.0, COALESCE(top_gram_mass, 0) / n_chars)
+                  ELSE 0.0 END, 6) AS top_gram_char_frac,
+       ROUND(CASE WHEN n_chars > 0
+                  THEN LEAST(1.0, COALESCE(dup_gram_mass, 0) / n_chars)
+                  ELSE 0.0 END, 6) AS dup_gram_char_frac
+FROM a
+"""
+
+
 TEXT_REDACT_PII_SQL = rf"""
 WITH s1 AS (
     SELECT doc_id, text,

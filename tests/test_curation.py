@@ -503,3 +503,146 @@ def test_contamination_pairs_cross_splits(spark):
         assert splits[r.eval_doc] != "train"
         assert r.eval_split == splits[r.eval_doc]
         assert frozenset((r.train_doc, r.eval_doc)) in mined
+
+
+# --- fixed-length training-sequence chunking ---------------------------------
+def test_chunk_documents_oracle_parity(spark):
+    df = curation.corpus_chunk_documents(spark, TEST_SF_DIR)
+    ok, msg = compare(df, curation.CORPUS_CHUNK_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_chunk_documents_oracle_parity_sf001(spark):
+    df = curation.corpus_chunk_documents(spark, ORACLE_SF_DIR)
+    ok, msg = compare(df, curation.CORPUS_CHUNK_SQL, ORACLE_SF_DIR)
+    assert ok, msg
+
+
+def test_chunk_documents_invariants(spark):
+    """Window algebra on real data: every non-final chunk is exactly
+    chunk_tokens long, consecutive chunks overlap by chunk_tokens -
+    stride, the final chunk reaches the last token, and no chunk
+    starts beyond the text."""
+    c, s = curation.CHUNK_TOKENS, curation.CHUNK_STRIDE
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").collect()
+    }
+    rows = curation.corpus_chunk_documents(spark, TEST_SF_DIR).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        toks = docs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in chunks] == list(range(len(chunks)))
+        for r in chunks[:-1]:
+            assert r.n_chunk_tokens == c
+        last = chunks[-1]
+        start = last.chunk_id * s
+        assert start < max(1, len(toks))  # no start beyond the text
+        assert start + last.n_chunk_tokens == len(toks)  # reaches the end
+        for r in chunks:
+            assert r.chunk_text == " ".join(toks[r.chunk_id * s : r.chunk_id * s + c])
+
+
+def test_chunk_documents_planted_and_custom_params(spark, tmp_path):
+    """c=4, s=3 on a 10-token doc: starts 0/3/6, last chunk covers
+    tokens 6..9; a 2-token doc yields one short chunk; the custom-param
+    SQL builder mirrors the same geometry."""
+    rows = [
+        (0, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "en", "s", 1),
+        (1, "a b", "en", "s", 1),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    df = curation.corpus_chunk_documents(spark, sf_dir, chunk_tokens=4, stride=3)
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in df.collect()
+    }
+    assert got == {
+        (0, 0): (4, "t0 t1 t2 t3"),
+        (0, 1): (4, "t3 t4 t5 t6"),
+        (0, 2): (4, "t6 t7 t8 t9"),
+        (1, 0): (2, "a b"),
+    }
+    ok, msg = compare(df, curation._chunk_sql(4, 3), sf_dir)
+    assert ok, msg
+
+
+def test_chunk_documents_nonoverlap_reconstructs(spark):
+    """stride == chunk_tokens: chunks partition the token stream, so
+    joining them back yields the original text byte-for-byte."""
+    c = curation.CHUNK_TOKENS
+    df = curation.corpus_chunk_documents(spark, TEST_SF_DIR, c, c)
+    rebuilt = {
+        r.doc_id: r.txt
+        for r in df.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ).chunk_text,
+                " ",
+            ).alias("txt")
+        )
+        .collect()
+    }
+    want = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").collect()
+    }
+    assert rebuilt == want
+
+
+def test_chunk_documents_plan_is_narrow(spark):
+    plan = _plan(curation.corpus_chunk_documents(spark, TEST_SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+# --- mixture / temperature sampling weights ----------------------------------
+def test_mixture_weights_oracle_parity(spark):
+    df = curation.corpus_mixture_weights(spark, TEST_SF_DIR)
+    ok, msg = compare(df, curation.CORPUS_MIXTURE_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_mixture_weights_oracle_parity_sf001(spark):
+    df = curation.corpus_mixture_weights(spark, ORACLE_SF_DIR)
+    ok, msg = compare(df, curation.CORPUS_MIXTURE_SQL, ORACLE_SF_DIR)
+    assert ok, msg
+
+
+def test_mixture_weights_semantics(spark):
+    """Rebalanced shares sum to 1; alpha=1 is the identity mixture
+    (every rate 1.0); alpha<1 up-weights every minority language and
+    down-weights the majority one."""
+    rows = curation.corpus_mixture_weights(spark, TEST_SF_DIR).collect()
+    assert abs(sum(r.p_sampled for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.p_raw for r in rows) - 1.0) < 1e-4
+    major = max(rows, key=lambda r: r.p_raw)
+    assert major.rate < 1.0
+    for r in rows:
+        if r.lang != major.lang:
+            assert r.rate > 1.0 or abs(r.p_raw - major.p_raw) < 1e-6, r
+    ident = curation.corpus_mixture_weights(spark, TEST_SF_DIR, alpha=1.0)
+    assert all(abs(r.rate - 1.0) < 1e-6 for r in ident.collect())
+    ok, msg = compare(ident, curation._mixture_sql(1.0), TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_mixture_weights_single_scan(spark):
+    """The corpus is read exactly once: both normalizers are windows
+    over the |langs|-row aggregate, not branched re-aggregations (the
+    branched draft re-scanned the corpus 2-3x even under AQE reuse).
+    Executed first — AQE's final plan is what counts."""
+    df = curation.corpus_mixture_weights(spark, TEST_SF_DIR)
+    df.collect()
+    plan = _plan(df).split("Initial Plan")[0]
+    assert plan.count("Scan parquet") == 1, plan

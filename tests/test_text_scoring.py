@@ -146,3 +146,66 @@ def test_redact_pii_planted(spark, tmp_path):
         text.text_redact_pii(spark, sf_dir), text.TEXT_REDACT_PII_SQL, sf_dir
     )
     assert ok, msg
+
+
+# --- intra-document repetition signals ---------------------------------------
+def test_repetition_oracle_parity(spark):
+    df = text.text_repetition(spark, TEST_SF_DIR)
+    ok, msg = compare(df, text.TEXT_REPETITION_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_repetition_oracle_parity_sf001(spark):
+    df = text.text_repetition(spark, ORACLE_SF_DIR)
+    ok, msg = compare(df, text.TEXT_REPETITION_SQL, ORACLE_SF_DIR)
+    assert ok, msg
+
+
+def test_repetition_planted(spark, tmp_path):
+    """Hand-computed repetition fractions, including the three edge
+    cases: duplicated lines (testdata has none — no newlines), an
+    empty document (every denominator 0), and a gram whose char mass
+    exceeds n_chars (the clip to 1.0)."""
+    rows = [
+        (0, "aa\naa\nbb", "en", "s", 1),   # 2 of 3 lines duplicated
+        (1, "a b a b c", "en", "s", 1),    # "a b" twice: mass 6 of 9
+        (2, "", "en", "s", 1),             # all denominators zero
+        (3, "w w w w", "en", "s", 1),      # "w w" x3: mass 9 > 7 chars
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id: (
+            r.n_lines,
+            r.dup_line_frac,
+            r.dup_line_char_frac,
+            r.top_gram_char_frac,
+            r.dup_gram_char_frac,
+        )
+        for r in text.text_repetition(spark, sf_dir).collect()
+    }
+    assert got[0] == (3, 0.666667, 0.666667, 0.0, 0.0)
+    assert got[1] == (1, 0.0, 0.0, 0.666667, 0.666667)
+    assert got[2] == (1, 0.0, 0.0, 0.0, 0.0)
+    assert got[3] == (1, 0.0, 0.0, 1.0, 1.0)
+    ok, msg = compare(
+        text.text_repetition(spark, sf_dir), text.TEXT_REPETITION_SQL, sf_dir
+    )
+    assert ok, msg
+
+
+def test_repetition_plan_two_exchanges(spark):
+    """One tagged explode + two hash aggregates: exactly the
+    (doc_id, kind, item) and doc_id Exchanges — no join, no window,
+    no per-doc quadratic array scan hiding as a third shuffle."""
+    plan = text.text_repetition(
+        spark, TEST_SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(exchanges) == 2, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
