@@ -914,3 +914,54 @@ FROM c
 
 
 CORPUS_MIXTURE_SQL = _mixture_sql()
+
+
+# --- sketch-based dataset card (the 100 TB profile path) ---------------------
+SKETCH_RSD = 0.05  # HLL++ relative standard deviation
+SKETCH_PCT_ACCURACY = 10000  # percentile_approx accuracy knob
+
+
+def corpus_profile_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    rsd: float = SKETCH_RSD,
+    accuracy: int = SKETCH_PCT_ACCURACY,
+) -> DataFrame:
+    """The mergeable-sketch variant of ``corpus_profile`` — what the
+    dataset card costs at 100 TB. The exact profile's ``percentile``
+    buffers every per-group value and ``countDistinct`` expands the
+    aggregate key space to |group|×|domain|; both are fine for
+    bounded domains and explode for unbounded ones. Here every
+    statistic is a bounded-state mergeable sketch, so the whole card
+    stays one map-side-partial aggregate no matter the corpus:
+
+    - ``approx_n_sources``: HyperLogLog++ (``approx_count_distinct``,
+      ~1.04/rsd² registers per group);
+    - ``approx_unique_docs``: HLL++ over the content fingerprint —
+      the DEDUP-CARDINALITY PREVIEW: how many docs would survive
+      exact dedup, estimated in one scan without the dedup shuffle;
+    - ``p50/p90_tokens``: ``percentile_approx`` (Greenwald-Khanna
+      variant, state bounded by the accuracy knob; returns a real
+      element of the distribution, not an interpolation — hence no
+      DuckDB hash-oracle: this op is tolerance-checked against the
+      exact profile in pytest, the documented weaker gate for
+      genuinely approximate operators).
+    """
+    docs = _docs(spark, sf_dir).select(
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.approx_count_distinct("source", rsd).alias("approx_n_sources"),
+        F.approx_count_distinct("fp", rsd).alias("approx_unique_docs"),
+        F.percentile_approx("n_tok", F.lit(0.5), F.lit(accuracy)).alias(
+            "p50_tokens"
+        ),
+        F.percentile_approx("n_tok", F.lit(0.9), F.lit(accuracy)).alias(
+            "p90_tokens"
+        ),
+    )

@@ -78,6 +78,54 @@ def stream_dedup_exact(
     )
 
 
+def session_windows(
+    stream: DataFrame,
+    gap: str = "4 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based session windows per user via ``session_window`` — the
+    built-in streaming equivalent of the batch ``events.sessionize``
+    lag-window operator: consecutive events of a user belong to one
+    session while each inter-event gap stays under ``gap``; the window
+    end is last-event-ts + gap. Unlike fixed windows, open sessions
+    MERGE when a late event bridges two of them — the state store
+    handles the merge, and the watermark closes (and evicts) sessions
+    once event time passes their end, bounding state by the number of
+    OPEN sessions rather than all history. Verified behavior note:
+    session windows drop watermark-late input rows even in *complete*
+    output mode (plain windowed aggs don't) — pick the watermark from
+    the real out-of-orderness of the source, not as a formality.
+    Per-key state is tiny
+    (start/end/aggregates), so the scale risk is key skew — one
+    pathological user with a never-closing session — not volume.
+
+    Boundary semantics vs the batch operator: ``sessionize`` starts a
+    new session when a gap is strictly greater than the threshold,
+    ``session_window`` already splits at exactly the threshold; the
+    two agree whenever no gap equals the threshold to the microsecond
+    (asserted against real data in tests).
+
+    Works identically over a batch DataFrame (``session_window`` is a
+    regular grouping expression; the watermark is a streaming-only
+    hint) — the convergence test runs THIS function both ways."""
+    return (
+        _ltz(stream, "ts")
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def running_totals_stateful(stream: DataFrame) -> DataFrame:
     """Per-user running (count, value-sum) via applyInPandasWithState.
 

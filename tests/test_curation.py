@@ -646,3 +646,58 @@ def test_mixture_weights_single_scan(spark):
     df.collect()
     plan = _plan(df).split("Initial Plan")[0]
     assert plan.count("Scan parquet") == 1, plan
+
+
+# --- sketch-based dataset card -----------------------------------------------
+def test_profile_sketch_tolerances(spark):
+    """Approximate card vs the exact one: HLL++ distincts within the
+    3-sigma band of the configured rsd, approximate percentiles are
+    real elements of each group's distribution and land within 10% of
+    the interpolated exact quantiles, counts/sums exact."""
+    exact = {
+        r.lang: r for r in curation.corpus_profile(spark, TEST_SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    uniq = {
+        r.lang: r.n
+        for r in docs.groupBy("lang")
+        .agg(F.countDistinct(F.md5(F.col("text").cast("binary"))).alias("n"))
+        .collect()
+    }
+    toks = {
+        lang: sorted(
+            r.n
+            for r in docs.filter(F.col("lang") == lang)
+            .select(F.size(F.split(F.col("text"), " ")).alias("n"))
+            .collect()
+        )
+        for lang in exact
+    }
+    rsd = curation.SKETCH_RSD
+    rows = curation.corpus_profile_sketch(spark, TEST_SF_DIR).collect()
+    assert {r.lang for r in rows} == set(exact)
+    for r in rows:
+        e = exact[r.lang]
+        assert r.n_docs == e.n_docs
+        assert r.total_tokens == e.total_tokens
+        assert abs(r.approx_n_sources - e.n_sources) <= max(
+            2, 3 * rsd * e.n_sources
+        )
+        assert abs(r.approx_unique_docs - uniq[r.lang]) <= max(
+            2, 3 * rsd * uniq[r.lang]
+        )
+        assert r.p50_tokens in toks[r.lang]  # a real element, not interpolated
+        assert r.p90_tokens in toks[r.lang]
+        assert abs(r.p50_tokens - e.p50_tokens) <= max(2, 0.1 * e.p50_tokens)
+        assert abs(r.p90_tokens - e.p90_tokens) <= max(2, 0.1 * e.p90_tokens)
+
+
+def test_profile_sketch_single_aggregate_plan(spark):
+    """The whole card is ONE grouped aggregate: one scan, one
+    Exchange on lang, no join/window/second pass."""
+    df = curation.corpus_profile_sketch(spark, TEST_SF_DIR)
+    df.collect()
+    plan = _plan(df).split("Initial Plan")[0]
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan

@@ -204,3 +204,64 @@ def test_enrich_stream_matches_batch_left_join(spark, tmp_path, event_files):
     }
     assert got == want
     assert None in set(got.values())  # the miss path was exercised
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path, event_files):
+    """Streaming session windows (merges across micro-batches included)
+    converge to the identical batch session_window result, and agree
+    with the batch lag-window sessionize on session counts per user."""
+    schema = spark.read.parquet(event_files).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_files)
+    )
+    # the fixture files are in random ts order, so a tight watermark
+    # would drop genuinely-late rows (session windows filter late data
+    # even in complete mode); a horizon wider than the fixture's time
+    # range makes the convergence exact
+    _run_available_now(
+        et.session_windows(stream, watermark="365 days"), tmp_path, "sess_win"
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in et.session_windows(
+            spark.read.parquet(event_files), watermark="365 days"
+        ).collect()
+    }
+    assert got == want
+    # total events conserved
+    ev = _events(spark, TEST_SF_DIR)
+    assert sum(v[0] for v in got.values()) == ev.count()
+
+    # agrees with the lag-window sessionize when no gap sits exactly on
+    # the threshold (the documented boundary difference)
+    from fledge_south_csvplayback_spark.operators import events as ev_ops
+
+    gap_s = 4 * 3600
+    w = F.unix_micros(F.col("ts")) - F.unix_micros(
+        F.lag("ts").over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                "user_id"
+            ).orderBy("ts")
+        )
+    )
+    exact = ev.select(w.alias("gap")).filter(
+        F.col("gap") == gap_s * 1_000_000
+    ).count()
+    assert exact == 0, "fixture has an exactly-threshold gap; pick another gap"
+    sess_counts = {
+        r.user_id: r.n
+        for r in ev_ops.sessionize(ev, "user_id", "ts", gap_s)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n"))
+        .collect()
+    }
+    win_counts: dict[int, int] = {}
+    for (user_id, _s, _e), _v in got.items():
+        win_counts[user_id] = win_counts.get(user_id, 0) + 1
+    assert win_counts == sess_counts
