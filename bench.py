@@ -72,6 +72,8 @@ HEADLINE = [
     "text_unigram_logprob",  # corpus-global unigram LM scoring
     "events_purchase_window",  # binned range join + per-anchor agg
     "events_multi_rollup",  # GROUPING SETS hour/day/all rollup
+    "text_repetition",  # tagged line+gram explode, two hash aggs
+    "corpus_chunk_documents",  # narrow sliding-window chunking
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -82,6 +84,8 @@ EXTRA_QUERIES = {
     "text_unigram_logprob": text.text_unigram_logprob,
     "events_purchase_window": events.events_purchase_window,
     "events_multi_rollup": events.events_multi_rollup,
+    "text_repetition": text.text_repetition,
+    "corpus_chunk_documents": curation.corpus_chunk_documents,
 }
 
 

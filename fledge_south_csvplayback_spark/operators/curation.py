@@ -965,3 +965,78 @@ def corpus_profile_sketch(
             "p90_tokens"
         ),
     )
+
+
+def corpus_resample(
+    spark: SparkSession, sf_dir: str, alpha: float = MIXTURE_ALPHA
+) -> DataFrame:
+    """Apply ``corpus_mixture_weights`` to the corpus: emit each doc
+    ``floor(rate)`` times plus one extra copy for the hash-selected
+    ``frac(rate)`` slice — deterministic epoch expansion, so the
+    materialized stream's per-language token mass approaches the
+    temperature-rebalanced target (upsampled languages repeat, the
+    downsampled one thins; a doc's copy count is a pure function of
+    (corpus totals, doc_id) — stable across runs and cluster layouts).
+    The fractional-slice bucket is salted (``md5('rs'||doc_id)``)
+    so resample membership never correlates with the un-salted
+    ``corpus_split``/``corpus_sample`` buckets (the same doc_ids
+    getting both 'the extra epoch' and 'the test split' would bias
+    every downstream eval).
+
+    Plan: the |langs|-row weight table (one aggregate scan) broadcasts
+    onto a second corpus scan; the expansion is a narrow
+    explode — two scans total, no wide shuffle of documents, output
+    size = Σ n_copies. Output: (doc_id, lang, epoch) with epoch in
+    [1, n_copies]."""
+    weights = corpus_mixture_weights(spark, sf_dir, alpha).select("lang", "rate")
+    salted = _bucket(F.concat(F.lit("rs"), F.col("doc_id").cast("string")))
+    whole = F.floor(F.col("rate")).cast("long")
+    frac_thresh = F.floor((F.col("rate") - F.floor(F.col("rate"))) * BUCKETS)
+    n_copies = whole + F.when(F.col("b") < frac_thresh, 1).otherwise(0)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", salted.alias("b"))
+        .join(F.broadcast(weights), "lang")
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies"))
+            ).alias("epoch"),
+        )
+    )
+
+
+def _resample_sql(alpha: float = MIXTURE_ALPHA) -> str:
+    return f"""
+WITH a AS (
+    SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+),
+b AS (SELECT a.*, n_tokens / (SUM(n_tokens) OVER ())::DOUBLE AS p FROM a),
+w AS (
+    SELECT lang,
+           ROUND(pow(p, {alpha}) / (SUM(pow(p, {alpha})) OVER ()) / p, 6) AS rate
+    FROM b
+),
+d AS (
+    SELECT doc_id, lang,
+           {_bucket_sql("'rs' || CAST(doc_id AS VARCHAR)")} AS bkt
+    FROM documents
+),
+e AS (
+    SELECT d.doc_id, d.lang,
+           CAST(FLOOR(w.rate) AS BIGINT)
+           + CASE WHEN d.bkt < FLOOR((w.rate - FLOOR(w.rate)) * {BUCKETS})
+                  THEN 1 ELSE 0 END AS n_copies
+    FROM d JOIN w USING (lang)
+)
+SELECT doc_id, lang,
+       CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
+FROM e WHERE n_copies >= 1
+"""
+
+
+CORPUS_RESAMPLE_SQL = _resample_sql()

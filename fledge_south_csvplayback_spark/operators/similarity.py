@@ -860,3 +860,114 @@ FROM reach GROUP BY s
 
 
 EMBEDDING_CLUSTERS_SQL = _embedding_clusters_sql()
+
+
+# --- distributed PCA over the embedding column -------------------------------
+PCA_K = 8
+
+
+def pca_model(
+    spark: SparkSession, sf_dir: str, k: int = PCA_K
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit PCA via the one-pass moment sketch — the covariance route
+    that scales to any row count because per-task state is d² doubles,
+    never the data: each Arrow batch contributes (n, Σx, flattened
+    Σxxᵀ) partials; the ≤ #tasks partial rows are reduced on the
+    driver (metadata-scale, same class as the IVF centroid collect);
+    the d×d covariance ``Σxxᵀ/n − μμᵀ`` is eigendecomposed with
+    ``numpy.linalg.eigh``. Deterministic output: eigh's ascending
+    eigenvalues are reversed for the top-k, and each component's sign
+    is fixed so its largest-|coordinate| entry is positive (sign is
+    the one genuine ambiguity of PCA; pinning it makes the model — and
+    the SQL oracle built from it — reproducible).
+
+    Returns (mean, components [k×d, row-major], explained_variance
+    [k eigenvalues]).
+    """
+    import numpy as np
+
+    def _moments(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "s": [m.sum(axis=0).tolist()],
+                    "ss": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        _emb(spark, sf_dir)
+        .mapInPandas(_moments, "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    n = sum(p["n"] for p in parts)
+    s = np.sum([p["s"] for p in parts], axis=0)
+    ss = np.sum([p["ss"] for p in parts], axis=0)
+    d = len(s)
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = []
+    variances = []
+    for idx in range(d - 1, d - 1 - k, -1):
+        vec = evecs[:, idx]
+        if vec[int(np.argmax(np.abs(vec)))] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+        variances.append(float(evals[idx]))
+    return [float(x) for x in mean], comps, variances
+
+
+def embedding_pca(
+    spark: SparkSession, sf_dir: str, k: int = PCA_K
+) -> DataFrame:
+    """Project every embedding onto its corpus's top-k principal
+    components (dimensionality reduction ahead of clustering /
+    visualization / cheaper ANN). Two phases:
+
+    1. fit — ``pca_model``'s one-pass moment sketch (see there);
+    2. transform — the k×d component matrix and the k precomputed
+       ``μ·c_j`` offsets ship as LITERALS, so the projection is a pure
+       Catalyst expression (one ``zip_with``/``aggregate`` dot per
+       component), codegen'd at scan speed: zero shuffle, zero Python
+       in the per-row path (pinned in tests).
+
+    Output: (vec_id, pc array<double> of length k), each coordinate
+    rounded to 6 like every cross-engine float in this repo.
+    """
+    mean, comps, _ = pca_model(spark, sf_dir, k)
+    mean_dots = [sum(m * c for m, c in zip(mean, comp)) for comp in comps]
+    projections = [
+        F.round(
+            _dot(F.col("v"), F.array(*[F.lit(x) for x in comp])) - F.lit(md),
+            6,
+        )
+        for comp, md in zip(comps, mean_dots)
+    ]
+    return _emb(spark, sf_dir).select(
+        "vec_id", F.array(*projections).alias("pc")
+    )
+
+
+def _pca_sql(mean: list[float], comps: list[list[float]]) -> str:
+    """DuckDB oracle for the transform phase, built from the SAME
+    fitted model literals (the fit itself is numpy-deterministic, so
+    cross-engine agreement of the projection is the meaningful
+    check)."""
+    cols = []
+    for comp, md in zip(
+        comps, [sum(m * c for m, c in zip(mean, comp)) for comp in comps]
+    ):
+        lit = "[" + ", ".join(repr(x) for x in comp) + "]"
+        cols.append(
+            "ROUND(list_dot_product(list_transform(embedding, x -> "
+            f"CAST(x AS DOUBLE)), {lit}) - ({md!r}), 6)"
+        )
+    return f"SELECT vec_id, [{', '.join(cols)}] AS pc FROM embeddings"

@@ -413,7 +413,10 @@ REPETITION_N = 2  # token n-gram width for the gram-repetition metrics
 
 
 def text_repetition(
-    spark: SparkSession, sf_dir: str, n: int = REPETITION_N
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = REPETITION_N,
+    hashed: bool = False,
 ) -> DataFrame:
     """Gopher-style intra-document repetition signals (Rae et al. 2021,
     "Scaling Language Models", App. A1.1): machine-generated and
@@ -441,6 +444,15 @@ def text_repetition(
     key is one gram in one doc), partial aggregation soaks repeats
     map-side, and everything between scan and result is codegen'd —
     exactly two Exchanges at any corpus size (pinned in tests).
+
+    ``hashed=True`` is the production shuffle-size knob (the
+    ``dedup_simhash`` ``reproducible`` precedent): the first Exchange
+    carries ``xxhash64(item)`` + precomputed length instead of the
+    gram string, cutting the 10M probe's 9.1 GB string-keyed shuffle
+    to fixed-width keys. Identical results unless xxhash64 collides
+    WITHIN one document (merging two of its distinct grams — ~1e-9
+    per doc at 100k grams); the oracle keeps the default string path,
+    and pytest pins hashed == unhashed on fixtures.
     """
     toks = F.split(F.col("text"), " ")
 
@@ -468,11 +480,22 @@ def text_repetition(
             )
         ).alias("e"),
     )
-    per_item = exploded.groupBy(
-        "doc_id", F.col("e.kind").alias("kind"), F.col("e.item").alias("item")
-    ).agg(F.count(F.lit(1)).alias("cnt"), F.first("n_chars").alias("n_chars"))
+    # project BEFORE the aggregate: with hashed=True the string item
+    # never reaches the Exchange, only its 8-byte hash + length
+    keyed = exploded.select(
+        "doc_id",
+        "n_chars",
+        F.col("e.kind").alias("kind"),
+        (F.xxhash64("e.item") if hashed else F.col("e.item")).alias("item_key"),
+        F.length("e.item").alias("item_len"),
+    )
+    per_item = keyed.groupBy("doc_id", "kind", "item_key").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("item_len").alias("item_len"),
+        F.first("n_chars").alias("n_chars"),
+    )
 
-    mass = (F.col("cnt") * F.length("item")).cast("double")
+    mass = (F.col("cnt") * F.col("item_len")).cast("double")
     line, dup = F.col("kind") == "line", F.col("cnt") >= 2
     gram_ = F.col("kind") == "gram"
     rolled = per_item.groupBy("doc_id").agg(

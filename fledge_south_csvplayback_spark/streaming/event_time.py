@@ -7,6 +7,12 @@ complete engine needs the watermarked event-time surface:
   late data beyond the bound is dropped, state is evicted, and the
   result converges to the batch ``events_hourly_rollup`` over the same
   rows (asserted in tests).
+- ``session_windows``: gap-based per-user sessions via
+  ``session_window`` — open sessions merge across micro-batches in
+  the state store, the watermark closes and evicts them.
+- ``stream_stream_range_join``: watermarked stream-stream inner join
+  with a time-range bound — the range predicate is what makes both
+  sides' buffered state evictable.
 - ``running_totals_stateful``: a custom stateful operator via
   ``applyInPandasWithState`` — per-key running totals kept in
   GroupState across micro-batches (the shape any bespoke streaming
@@ -124,6 +130,59 @@ def session_windows(
             "total_value",
         )
     )
+
+
+def stream_stream_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join with a time-range bound:
+    each left event pairs with the right events of the same key that
+    occur in ``[left.ts, left.ts + within]`` — the streaming analog of
+    the batch ``events.range_join`` (attribution: clicks within an
+    hour of the impression, purchases within a day of the click, …).
+
+    Why the range condition is mandatory, not decorative: a
+    stream-stream equi-join must buffer BOTH sides in the state store,
+    and without a time bound neither side is ever evictable — state
+    grows with the whole stream. With watermarks on both inputs plus
+    the range predicate, Spark derives each side's eviction horizon
+    (left rows age out once the right watermark passes ``l_ts +
+    within``; right rows once the left watermark passes ``r_ts``), so
+    state is bounded by rate × (watermark + within) regardless of
+    total volume. Output columns are prefixed ``l_``/``r_`` — a
+    self-join of one logical stream (view→click) would collide
+    otherwise.
+    """
+    l = (  # noqa: E741 — l/r mirror the output column prefixes
+        _ltz(left, "ts")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias(key),
+            F.col("ts").alias("l_ts"),
+            F.col("event_type").alias("l_type"),
+            F.col("value").alias("l_value"),
+        )
+    )
+    r = (
+        _ltz(right, "ts")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col(key).alias(f"r_{key}"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_type").alias("r_type"),
+            F.col("value").alias("r_value"),
+        )
+    )
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(f"r_{key}")
 
 
 def running_totals_stateful(stream: DataFrame) -> DataFrame:

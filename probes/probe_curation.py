@@ -137,7 +137,17 @@ def timed(spark: SparkSession, df: DataFrame) -> tuple[float, int]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "op", choices=["gen", "sample", "ab", "dedup_apply", "pack"]
+        "op",
+        choices=[
+            "gen",
+            "sample",
+            "ab",
+            "dedup_apply",
+            "pack",
+            "repetition",
+            "repetition_ab",
+            "chunk",
+        ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--words", type=int, default=25)
@@ -182,6 +192,91 @@ def main() -> None:
             json.dumps(
                 {
                     "op": "pack",
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": shuf,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "repetition":
+        # one tagged explode (24 grams + 1 line per 25-word doc: ~250M
+        # exploded rows at 10M docs) + two fine-grained hash aggregates
+        from fledge_south_csvplayback_spark.operators import text as text_ops
+
+        wall, shuf = timed(spark, text_ops.text_repetition(spark, sf_dir))
+        print(
+            json.dumps(
+                {
+                    "op": "repetition",
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": shuf,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "repetition_ab":
+        # same-session interleaved A/B (BASELINE.md noise protocol):
+        # string-keyed vs xxhash64-keyed first Exchange; value equality
+        # asserted on a checksum before any timing is trusted
+        from fledge_south_csvplayback_spark.operators import text as text_ops
+
+        plain = text_ops.text_repetition(spark, sf_dir, hashed=False)
+        fast = text_ops.text_repetition(spark, sf_dir, hashed=True)
+
+        def rep_checksum(df: DataFrame) -> tuple:
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("top_gram_char_frac"), 3).alias("a"),
+                F.round(F.sum("dup_gram_char_frac"), 3).alias("b"),
+            ).collect()[0]
+            return int(r["n"]), float(r["a"]), float(r["b"])
+
+        c1, c2 = rep_checksum(plain), rep_checksum(fast)
+        assert c1 == c2, f"hashed mismatch: {c1} != {c2}"
+        walls = {"string": [], "hashed": []}
+        shufs = {}
+        for _ in range(args.reps):
+            w, s = timed(spark, plain)
+            walls["string"].append(w)
+            shufs["string"] = s
+            w, s = timed(spark, fast)
+            walls["hashed"].append(w)
+            shufs["hashed"] = s
+        print(
+            json.dumps(
+                {
+                    "op": "repetition_ab",
+                    "rows": args.rows,
+                    "string_sec_min": min(walls["string"]),
+                    "hashed_sec_min": min(walls["hashed"]),
+                    "string_shuffle_bytes": shufs["string"],
+                    "hashed_shuffle_bytes": shufs["hashed"],
+                    "reps": args.reps,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "chunk":
+        # 8-token chunks, stride 6 over 25-word docs: ~4 chunks/doc so
+        # the posexplode actually fans out; must stay scan-speed narrow
+        wall, shuf = timed(
+            spark,
+            curation.corpus_chunk_documents(
+                spark, sf_dir, chunk_tokens=8, stride=6
+            ),
+        )
+        print(
+            json.dumps(
+                {
+                    "op": "chunk",
                     "rows": args.rows,
                     "sec": wall,
                     "shuffle_bytes": shuf,

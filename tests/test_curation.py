@@ -701,3 +701,79 @@ def test_profile_sketch_single_aggregate_plan(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+# --- temperature-applied resampling ------------------------------------------
+def test_resample_oracle_parity(spark):
+    df = curation.corpus_resample(spark, TEST_SF_DIR)
+    ok, msg = compare(df, curation.CORPUS_RESAMPLE_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_resample_oracle_parity_sf001(spark):
+    df = curation.corpus_resample(spark, ORACLE_SF_DIR)
+    ok, msg = compare(df, curation.CORPUS_RESAMPLE_SQL, ORACLE_SF_DIR)
+    assert ok, msg
+
+
+def test_resample_semantics(spark):
+    """Epoch structure (each kept doc has epochs 1..n exactly), copy
+    counts match the weight table's floor(rate)/frac(rate) split,
+    alpha=1 reproduces the corpus exactly once, and the fractional
+    slice uses the SALTED bucket (not the split/sample bucket)."""
+    import math
+
+    rates = {
+        r.lang: r.rate
+        for r in curation.corpus_mixture_weights(spark, TEST_SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    rows = curation.corpus_resample(spark, TEST_SF_DIR).collect()
+    epochs: dict[int, list[int]] = {}
+    langs: dict[int, str] = {}
+    for r in rows:
+        epochs.setdefault(r.doc_id, []).append(r.epoch)
+        langs[r.doc_id] = r.lang
+    for doc_id, es in epochs.items():
+        assert sorted(es) == list(range(1, len(es) + 1)), doc_id
+    # per-language totals decompose as floor(rate)*n + |frac slice|
+    n_by_lang: dict[str, int] = {}
+    for r in docs.select("doc_id", "lang").collect():
+        n_by_lang[r.lang] = n_by_lang.get(r.lang, 0) + 1
+    got_by_lang: dict[str, int] = {}
+    for doc_id, es in epochs.items():
+        got_by_lang[langs[doc_id]] = got_by_lang.get(langs[doc_id], 0) + len(es)
+    # the fractional slice is a FIXED deterministic draw — recompute it
+    # exactly with the same salted-md5 rule rather than a statistical
+    # tolerance (the sf0.001 'de' slice genuinely lands 3.2 sigma low)
+    import hashlib
+
+    def salted_bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"rs{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) % curation.BUCKETS
+
+    slice_hits: dict[str, int] = {}
+    for r in docs.select("doc_id", "lang").collect():
+        frac = rates[r.lang] - math.floor(rates[r.lang])
+        if salted_bucket(r.doc_id) < math.floor(frac * curation.BUCKETS):
+            slice_hits[r.lang] = slice_hits.get(r.lang, 0) + 1
+    for lang, rate in rates.items():
+        whole = int(math.floor(rate))
+        extra = got_by_lang.get(lang, 0) - whole * n_by_lang[lang]
+        assert extra == slice_hits.get(lang, 0), (lang, extra)
+    # alpha=1: identity mixture, corpus reproduced exactly once
+    ident = curation.corpus_resample(spark, TEST_SF_DIR, alpha=1.0)
+    assert [r.epoch for r in ident.collect()] == [1] * docs.count()
+    ok, msg = compare(ident, curation._resample_sql(1.0), TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_resample_bucket_is_salted(spark):
+    """The fractional-copy slice must not reuse the split/sample
+    bucket: the salted and unsalted bucket disagree on essentially
+    every doc (equal only by 1/BUCKETS hash coincidence)."""
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    b = curation._bucket(F.col("doc_id"))
+    bs = curation._bucket(F.concat(F.lit("rs"), F.col("doc_id").cast("string")))
+    same = docs.filter(b == bs).count()
+    assert same <= max(2, docs.count() // 1000), same

@@ -251,3 +251,71 @@ def test_embedding_clusters_cover_pairs(spark):
     for cid, members in by_cluster.items():
         assert cid == min(members)
         assert labels[cid][1] is True
+
+
+# --- distributed PCA ---------------------------------------------------------
+def test_pca_matches_exact_numpy(spark):
+    """The one-pass moment sketch reproduces exact in-memory PCA:
+    same covariance eigenvalues, orthonormal components, identical
+    projections under the shared sign rule."""
+    import numpy as np
+
+    mean, comps, var = S.pca_model(spark, TEST_SF_DIR, k=4)
+    x = np.array(
+        [
+            list(r.embedding)
+            for r in spark.read.parquet(
+                f"{TEST_SF_DIR}/embeddings.parquet"
+            ).collect()
+        ],
+        dtype=np.float64,
+    )
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / len(x)
+    evals, evecs = np.linalg.eigh(cov)
+    assert np.allclose(mean, mu, atol=1e-9)
+    for j in range(4):
+        want_val = evals[-1 - j]
+        vec = evecs[:, -1 - j]
+        if vec[int(np.argmax(np.abs(vec)))] < 0:
+            vec = -vec
+        assert abs(var[j] - want_val) < 1e-9
+        assert np.allclose(comps[j], vec, atol=1e-8)
+    # orthonormality and descending variance
+    c = np.array(comps)
+    assert np.allclose(c @ c.T, np.eye(4), atol=1e-8)
+    assert var == sorted(var, reverse=True)
+    # empirical variance of each projected coordinate equals its eigenvalue
+    pcs = np.array(
+        [r.pc for r in S.embedding_pca(spark, TEST_SF_DIR, k=4).collect()]
+    )
+    assert np.allclose(pcs.var(axis=0), var, atol=1e-4)
+
+
+def test_pca_projection_oracle_parity(spark):
+    mean, comps, _ = S.pca_model(spark, TEST_SF_DIR)
+    df = S.embedding_pca(spark, TEST_SF_DIR)
+    ok, msg = compare(df, S._pca_sql(mean, comps), TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_pca_projection_oracle_parity_sf001(spark):
+    sf = "/root/testdata/sf0.01"
+    mean, comps, _ = S.pca_model(spark, sf)
+    df = S.embedding_pca(spark, sf)
+    ok, msg = compare(df, S._pca_sql(mean, comps), sf)
+    assert ok, msg
+
+
+def test_pca_transform_plan_is_narrow(spark):
+    """The transform phase is literal-matrix Catalyst math: scan +
+    project, no Exchange, no Python in the per-row path."""
+    plan = (
+        S.embedding_pca(spark, TEST_SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan

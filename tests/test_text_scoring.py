@@ -209,3 +209,39 @@ def test_repetition_plan_two_exchanges(spark):
     assert len(exchanges) == 2, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_repetition_hashed_equals_string_path(spark, tmp_path):
+    """hashed=True (xxhash64 shuffle keys) must reproduce the string
+    path exactly on the driver corpus and on the planted edge cases."""
+    rows = [
+        (0, "aa\naa\nbb", "en", "s", 1),
+        (1, "a b a b c", "en", "s", 1),
+        (2, "", "en", "s", 1),
+        (3, "w w w w", "en", "s", 1),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    for d in (TEST_SF_DIR, sf_dir):
+        plain = sorted(
+            map(tuple, text.text_repetition(spark, d, hashed=False).collect())
+        )
+        fast = sorted(
+            map(tuple, text.text_repetition(spark, d, hashed=True).collect())
+        )
+        assert plain == fast, d
+
+
+def test_repetition_hashed_ships_no_strings(spark):
+    """With hashed=True the first Exchange's schema must not contain
+    the gram string — only the 8-byte hash and the precomputed
+    length cross the wire."""
+    plan = text.text_repetition(
+        spark, TEST_SF_DIR, hashed=True
+    )._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "item_key" in line or "doc_id" in line, line
+            assert "item#" not in line, line  # raw gram column never shuffles
