@@ -702,8 +702,10 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     training. Pure composition: the exact posting-list pair miner
     (``dedup_ngram_jaccard``) joined to the hash split labels on both
     sides, keeping pairs whose sides land in different splits. The
-    label table is (doc_id, split) longs+enum — broadcast onto the
-    tiny pair set; all heavy lifting (and its df-cap scale bounds)
+    broadcast side is the PAIR SET — df-cap-bounded and tiny — never
+    the label table, which is one row per document and corpus-sized
+    (broadcasting it inverts the scale contract: past the 8 GB
+    broadcast limit the job dies; pinned in tests). All heavy lifting
     lives in the pair miner.
 
     Output: (train_doc, eval_doc, eval_split, jaccard) — oriented so
@@ -719,9 +721,9 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     lb = labels.select(
         F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
     )
+    joined_a = la.join(F.broadcast(pairs), "doc_a")  # pair-sized result
     x = (
-        pairs.join(F.broadcast(la), "doc_a")
-        .join(F.broadcast(lb), "doc_b")
+        lb.join(F.broadcast(joined_a), "doc_b")
         .filter(
             ((F.col("split_a") == "train") & (F.col("split_b") != "train"))
             | ((F.col("split_b") == "train") & (F.col("split_a") != "train"))
@@ -1011,16 +1013,7 @@ def corpus_resample(
 
 def _resample_sql(alpha: float = MIXTURE_ALPHA) -> str:
     return f"""
-WITH a AS (
-    SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-    FROM documents GROUP BY 1
-),
-b AS (SELECT a.*, n_tokens / (SUM(n_tokens) OVER ())::DOUBLE AS p FROM a),
-w AS (
-    SELECT lang,
-           ROUND(pow(p, {alpha}) / (SUM(pow(p, {alpha})) OVER ()) / p, 6) AS rate
-    FROM b
-),
+WITH w AS (SELECT lang, rate FROM ({_mixture_sql(alpha)})),
 d AS (
     SELECT doc_id, lang,
            {_bucket_sql("'rs' || CAST(doc_id AS VARCHAR)")} AS bkt

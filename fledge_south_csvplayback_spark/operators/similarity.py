@@ -907,10 +907,16 @@ def pca_model(
         .mapInPandas(_moments, "n long, s array<double>, ss array<double>")
         .collect()
     )
+    if not parts:
+        raise ValueError("pca_model: embeddings table is empty")
     n = sum(p["n"] for p in parts)
     s = np.sum([p["s"] for p in parts], axis=0)
     ss = np.sum([p["ss"] for p in parts], axis=0)
     d = len(s)
+    if not 0 < k <= d:
+        # negative indices would silently wrap around and re-emit the
+        # top eigenvectors as duplicate "extra" components
+        raise ValueError(f"pca_model: need 0 < k <= dim, got k={k}, dim={d}")
     mean = s / n
     cov = ss.reshape(d, d) / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)

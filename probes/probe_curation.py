@@ -238,7 +238,12 @@ def main() -> None:
             return int(r["n"]), float(r["a"]), float(r["b"])
 
         c1, c2 = rep_checksum(plain), rep_checksum(fast)
-        assert c1 == c2, f"hashed mismatch: {c1} != {c2}"
+        # row counts exact; the 10M-row double sums get a tolerance —
+        # the two plans reduce in different orders, so a sum landing on
+        # a rounding boundary would flip the last digit spuriously
+        # (pytest pins exact row-level equality on fixtures)
+        assert c1[0] == c2[0], f"hashed row count mismatch: {c1} != {c2}"
+        assert abs(c1[1] - c2[1]) < 0.01 and abs(c1[2] - c2[2]) < 0.01, (c1, c2)
         walls = {"string": [], "hashed": []}
         shufs = {}
         for _ in range(args.reps):

@@ -777,3 +777,24 @@ def test_resample_bucket_is_salted(spark):
     bs = curation._bucket(F.concat(F.lit("rs"), F.col("doc_id").cast("string")))
     same = docs.filter(b == bs).count()
     assert same <= max(2, docs.count() // 1000), same
+
+
+def test_contamination_broadcasts_pairs_not_labels(spark):
+    """Scale contract: the broadcast build sides must be the
+    df-cap-bounded pair set (identified by its jaccard column), never
+    the corpus-sized per-document label table."""
+    import contextlib
+    import io
+
+    df = curation.corpus_contamination(spark, TEST_SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    blocks = plan.split("\n\n")
+    bcast_nodes = [
+        b for b in blocks if b.lstrip().startswith("(") and "BroadcastExchange" in b.splitlines()[0]
+    ]
+    assert bcast_nodes, plan
+    for b in bcast_nodes:
+        assert "jaccard" in b, b  # build side carries the pair column

@@ -319,3 +319,12 @@ def test_pca_transform_plan_is_narrow(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_pca_rejects_bad_k(spark):
+    """k > dim must raise, not silently wrap numpy's negative indices
+    into duplicated components."""
+    import pytest
+
+    with pytest.raises(ValueError, match="k <= dim"):
+        S.pca_model(spark, TEST_SF_DIR, k=80)
