@@ -74,6 +74,7 @@ HEADLINE = [
     "events_multi_rollup",  # GROUPING SETS hour/day/all rollup
     "text_repetition",  # tagged line+gram explode, two hash aggs
     "corpus_chunk_documents",  # narrow sliding-window chunking
+    "events_funnel",  # stacked running windows, Exchange-once funnel
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -86,6 +87,7 @@ EXTRA_QUERIES = {
     "events_multi_rollup": events.events_multi_rollup,
     "text_repetition": text.text_repetition,
     "corpus_chunk_documents": curation.corpus_chunk_documents,
+    "events_funnel": events.events_funnel,
 }
 
 

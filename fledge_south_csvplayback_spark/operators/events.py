@@ -18,6 +18,9 @@ operators a complete engine needs, written scale-first:
   GROUPING SETS pass (single scan, single exchange).
 - **range join**: point-in-interval joins as bin equi-joins (never a
   BroadcastNestedLoopJoin), with the purchase-window query on top.
+- **funnel**: view→click→purchase step completion via stacked running
+  windows over one (user_id; ts, event_id) sort — Exchange-once,
+  step-count-invariant, no self-joins.
 """
 
 from __future__ import annotations
@@ -379,4 +382,102 @@ SELECT CASE WHEN GROUPING(hour) = 0 THEN 'hour'
        COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
 FROM e
 GROUP BY GROUPING SETS ((hour, event_type), (day, event_type), (event_type))
+"""
+
+
+# --- multi-step funnel -------------------------------------------------------
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: the first ``view``, the
+    first ``click`` STRICTLY after that view, the first ``purchase``
+    strictly after that click — the product-analytics staple that
+    looks like three self-joins but must not be one.
+
+    Plan, one shuffle total: partition by user, order by (ts,
+    event_id) — the tiebreaker makes frame contents deterministic in
+    both engines — then two stacked running windows over the SAME
+    frame (no second sort or exchange): ``rv`` = running min view ts
+    qualifies clicks; ``rc`` = running min qualified-click ts
+    qualifies purchases (a purchase after the running-min click is
+    exactly a purchase after the FIRST qualified click). The per-user
+    rollup then reuses the window's hash partitioning, so the whole
+    funnel is Exchange-once (pinned in tests). Self-join or
+    inequality-join formulations shuffle the events table once per
+    step and explode on hot users; this shape is step-count-invariant.
+
+    Output: (user_id, view_ts, click_ts, purchase_ts, steps) with
+    nulls from the first uncompleted step and ``steps`` in 0..3.
+    """
+    s1, s2, s3 = FUNNEL_STEPS
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "event_type")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    rv = F.min(F.when(F.col("event_type") == s1, F.col("ts"))).over(w)
+    with_rv = ev.withColumn("rv", rv)
+    c_ok = (
+        (F.col("event_type") == s2)
+        & F.col("rv").isNotNull()
+        & (F.col("ts") > F.col("rv"))
+    )
+    rc = F.min(F.when(c_ok, F.col("ts"))).over(w)
+    with_rc = with_rv.withColumn("c_ok", c_ok).withColumn("rc", rc)
+    p_ok = (
+        (F.col("event_type") == s3)
+        & F.col("rc").isNotNull()
+        & (F.col("ts") > F.col("rc"))
+    )
+    rolled = with_rc.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == s1, F.col("ts"))).alias("view_ts"),
+        F.min(F.when(F.col("c_ok"), F.col("ts"))).alias("click_ts"),
+        F.min(F.when(p_ok, F.col("ts"))).alias("purchase_ts"),
+    )
+    steps = (
+        F.col("view_ts").isNotNull().cast("int")
+        + F.col("click_ts").isNotNull().cast("int")
+        + F.col("purchase_ts").isNotNull().cast("int")
+    )
+    return rolled.select(
+        "user_id", "view_ts", "click_ts", "purchase_ts", steps.alias("steps")
+    )
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH e AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+    FROM events
+),
+r1 AS (
+    SELECT *,
+           MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS rv
+    FROM e
+),
+r2 AS (
+    SELECT *,
+           event_type = '{FUNNEL_STEPS[1]}' AND rv IS NOT NULL AND ts > rv
+               AS c_ok,
+           MIN(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' AND rv IS NOT NULL
+                         AND ts > rv THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS rc
+    FROM r1
+),
+a AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts END) AS view_ts,
+           MIN(CASE WHEN c_ok THEN ts END) AS click_ts,
+           MIN(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' AND rc IS NOT NULL
+                         AND ts > rc THEN ts END) AS purchase_ts
+    FROM r2 GROUP BY user_id
+)
+SELECT user_id, view_ts, click_ts, purchase_ts,
+       CAST((view_ts IS NOT NULL)::INT + (click_ts IS NOT NULL)::INT
+            + (purchase_ts IS NOT NULL)::INT AS INTEGER) AS steps
+FROM a
 """

@@ -53,3 +53,76 @@ def test_multi_rollup_single_pass(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Union" not in plan
     assert plan.count("FileScan parquet") <= 1
+
+
+# --- multi-step funnel -------------------------------------------------------
+def test_funnel_oracle_parity(spark):
+    df = events.events_funnel(spark, TEST_SF_DIR)
+    ok, msg = compare(df, events.EVENTS_FUNNEL_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_funnel_oracle_parity_sf001(spark):
+    df = events.events_funnel(spark, ORACLE_SF_DIR)
+    ok, msg = compare(df, events.EVENTS_FUNNEL_SQL, ORACLE_SF_DIR)
+    assert ok, msg
+
+
+def test_funnel_planted_partial_funnels(spark, tmp_path):
+    """The driver corpus converts every user 3/3, so the ordering and
+    strictness rules are pinned on planted partial funnels: steps
+    break at a missing view, an out-of-order click, a purchase before
+    the qualified click, and same-instant events (strictly-after)."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: clean 3-step conversion
+        (1, t(1), 1, "view", 1.0, "{}"),
+        (2, t(2), 1, "click", 1.0, "{}"),
+        (3, t(3), 1, "purchase", 1.0, "{}"),
+        # u2: early click ignored; same-ts click as view ignored
+        # (strict >); purchase BEFORE the qualified click -> steps 2
+        (4, t(1), 2, "click", 1.0, "{}"),
+        (5, t(2), 2, "view", 1.0, "{}"),
+        (6, t(2), 2, "click", 1.0, "{}"),
+        (7, t(3), 2, "purchase", 1.0, "{}"),
+        (8, t(4), 2, "click", 1.0, "{}"),
+        # u3: purchase only -> steps 0
+        (9, t(1), 3, "purchase", 1.0, "{}"),
+        # u4: click before the only view -> steps 1
+        (10, t(4), 4, "click", 1.0, "{}"),
+        (11, t(5), 4, "view", 1.0, "{}"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r.user_id: (r.view_ts, r.click_ts, r.purchase_ts, r.steps)
+        for r in events.events_funnel(spark, sf_dir).collect()
+    }
+    assert got[1] == (t(1), t(2), t(3), 3)
+    assert got[2] == (t(2), t(4), None, 2)
+    assert got[3] == (None, None, None, 0)
+    assert got[4] == (t(5), None, None, 1)
+    ok, msg = compare(
+        events.events_funnel(spark, sf_dir), events.EVENTS_FUNNEL_SQL, sf_dir
+    )
+    assert ok, msg
+
+
+def test_funnel_single_exchange_plan(spark):
+    """One shuffle for the whole funnel: both running windows share
+    the (user_id; ts, event_id) sort, and the per-user rollup reuses
+    the window's partitioning."""
+    df = events.events_funnel(spark, TEST_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "Initial Plan"
+    )[0]
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1, plan
+    assert "Join" not in plan, plan
