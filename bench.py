@@ -75,6 +75,7 @@ HEADLINE = [
     "text_repetition",  # tagged line+gram explode, two hash aggs
     "corpus_chunk_documents",  # narrow sliding-window chunking
     "events_funnel",  # stacked running windows, Exchange-once funnel
+    "text_bm25_topk",  # two-scan zero-shuffle keyword search
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -88,6 +89,7 @@ EXTRA_QUERIES = {
     "text_repetition": text.text_repetition,
     "corpus_chunk_documents": curation.corpus_chunk_documents,
     "events_funnel": events.events_funnel,
+    "text_bm25_topk": text.text_bm25_topk,
 }
 
 

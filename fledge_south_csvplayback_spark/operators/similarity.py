@@ -977,3 +977,128 @@ def _pca_sql(mean: list[float], comps: list[list[float]]) -> str:
             f"CAST(x AS DOUBLE)), {lit}) - ({md!r}), 6)"
         )
     return f"SELECT vec_id, [{', '.join(cols)}] AS pc FROM embeddings"
+
+
+# --- k-means over the embedding column ---------------------------------------
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def kmeans_fit(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> tuple[list[list[float]], list[float]]:
+    """Distributed Lloyd's k-means — the canonical iterative algorithm
+    done Spark-first: per iteration the k×d centroid matrix rides into
+    a ``mapInPandas`` closure (driver-resident literals, the IVF
+    pattern), each Arrow batch GEMMs its rows against the centroids
+    and emits k partial rows (cluster, count, Σx, Σ‖x−c‖²); the
+    ≤ batches·k partials reduce on the driver. Per iteration the data
+    is SCANNED once and never shuffled — the only cross-node traffic
+    is k·d floats down and batches·k·d partials up, so iteration cost
+    is scan-bound at any corpus size.
+
+    Determinism: init is the first k vectors by vec_id (the IVF
+    centroid rule), assignment ties break to the lowest cluster id
+    (``np.argmin`` first-minimum), and an emptied cluster keeps its
+    previous centroid. No RNG anywhere — two runs, any partitioning,
+    same model (pinned in tests against a pure-numpy replica).
+
+    Returns (centroids k×d, inertia per iteration — Σ of squared
+    distances to each point's assigned centroid at that iteration's
+    START, so the list is non-increasing).
+    """
+    import numpy as np
+
+    if iters < 1 or k < 1:
+        raise ValueError("kmeans_fit: need k >= 1 and iters >= 1")
+    emb = _emb(spark, sf_dir)
+    init_rows = sorted(
+        (r["vec_id"], list(r["v"]))
+        for r in emb.filter(F.col("vec_id") < k).collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"kmeans_fit: need {k} seed vectors, got {len(init_rows)}")
+    cents = np.array([v for _, v in init_rows], dtype=np.float64)
+    inertia: list[float] = []
+    for _ in range(iters):
+        c = cents  # bind the CURRENT iteration's matrix into the closure
+
+        def _partials(batches, c=c):
+            import numpy as np
+            import pandas as pd
+
+            kk, _ = c.shape
+            c_sq = (c * c).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["v"].to_numpy())
+                # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c): skip ||x||^2
+                d2 = c_sq[None, :] - 2.0 * (m @ c.T)
+                a = np.argmin(d2, axis=1)
+                full = d2[np.arange(len(m)), a] + (m * m).sum(axis=1)
+                cnt = np.bincount(a, minlength=kk)
+                sums = np.zeros_like(c)
+                np.add.at(sums, a, m)
+                err = np.bincount(a, weights=full, minlength=kk)
+                yield pd.DataFrame(
+                    {
+                        "cid": np.arange(kk),
+                        "n": cnt,
+                        "s": list(sums),
+                        "err": err,
+                    }
+                )
+
+        parts = emb.mapInPandas(
+            _partials, "cid long, n long, s array<double>, err double"
+        ).collect()
+        n = np.zeros(k)
+        s = np.zeros_like(cents)
+        err = 0.0
+        for p in parts:
+            n[p["cid"]] += p["n"]
+            s[p["cid"]] += np.asarray(p["s"])
+            err += p["err"]
+        inertia.append(float(err))
+        nonempty = n > 0
+        cents = np.where(nonempty[:, None], s / np.maximum(n, 1)[:, None], cents)
+    return [[float(x) for x in row] for row in cents], inertia
+
+
+def embedding_kmeans(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Assign every embedding to its fitted k-means cluster. The fit is
+    ``kmeans_fit``; the final assignment is one more narrow
+    ``mapInPandas`` GEMM pass — no shuffle (pinned in tests).
+
+    Output: (vec_id, cluster_id, sq_dist rounded to 6)."""
+    import numpy as np
+
+    cents, _ = kmeans_fit(spark, sf_dir, k, iters)
+    c = np.array(cents, dtype=np.float64)
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        c_sq = (c * c).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            d2 = c_sq[None, :] - 2.0 * (m @ c.T)
+            a = np.argmin(d2, axis=1)
+            full = d2[np.arange(len(m)), a] + (m * m).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster_id": a,
+                    "sq_dist": np.round(np.maximum(full, 0.0), 6),
+                }
+            )
+
+    return _emb(spark, sf_dir).mapInPandas(
+        _assign, "vec_id long, cluster_id long, sq_dist double"
+    )

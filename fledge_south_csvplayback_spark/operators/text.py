@@ -13,6 +13,9 @@ whole-stage codegen and scales embarrassingly):
   other classes).
 - **fingerprint**: md5 over normalized text — the canonical
   content-defined document fingerprint used by exact dedup.
+- **corpus-level**: unigram log-prob scoring, top-k n-grams, BM25
+  keyword search, Gopher repetition signals, PII redaction,
+  winnowing fingerprints.
 """
 
 from __future__ import annotations
@@ -607,3 +610,131 @@ SELECT doc_id,
            AS n_numbers
 FROM s2
 """
+
+
+# --- BM25 keyword search -----------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "window")
+BM25_TOPK = 10
+
+
+def text_bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k keyword search (Robertson/Sparck Jones idf, k1/b
+    length normalization) — the retrieval primitive of a corpus
+    engine, shaped around the fact that a keyword query is a SMALL
+    LITERAL term set: per-document term frequencies are |Q| codegen'd
+    ``size(filter(tokens, = term))`` projections, never an explode.
+
+    Plan (read from ``explain`` after execution, pinned in tests):
+    scan 1 aggregates the corpus statistics — N, avgdl, and each
+    term's document frequency — into ONE row (map-side partials, a
+    SinglePartition exchange of one row per task); scan 2 broadcasts
+    that row back, filters to docs with ≥1 query hit, computes the
+    full BM25 sum as a projection, and ships per-partition top-k
+    through a ``TakeOrderedAndProject``. Two scans, zero wide
+    shuffle, no join of posting lists. (The classic explode →
+    tf/df-aggregate → join formulation was measured at THREE full
+    scans here: column pruning specializes each branch's subtree, so
+    Spark cannot reuse the tf exchange the way ``text_unigram_logprob``
+    does — and its df join shuffles |hits| rows besides.)
+
+    Ranking ties: ROUND(score, 6) DESC then doc_id ASC in both
+    engines. Docs with no query term are filtered out (they score 0).
+
+    Output: (doc_id, score) — the k best-matching documents.
+    """
+    toks = F.split(F.col("text"), " ")
+
+    def tf_col(term: str, j: int) -> Column:
+        # a separate function, not a default-arg lambda: F.filter treats
+        # a two-parameter lambda as (element, index) and would bind the
+        # index column over the captured term
+        return (
+            F.size(F.filter(toks, lambda t: t == F.lit(term)))
+            .cast("double")
+            .alias(f"tf_{j}")
+        )
+
+    tf_cols = [tf_col(term, j) for j, term in enumerate(query)]
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.size(toks).cast("double").alias("dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{j}") > 0).cast("double")).alias(f"df_{j}")
+            for j in range(len(query))
+        ],
+    )
+    contribs = []
+    for j in range(len(query)):
+        tf, df = F.col(f"tf_{j}"), F.col(f"df_{j}")
+        idf = F.log(F.lit(1.0) + (F.col("n") - df + 0.5) / (df + 0.5))
+        contribs.append(
+            F.when(
+                tf > 0,
+                idf
+                * tf
+                * (k1 + 1)
+                / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+            ).otherwise(F.lit(0.0))
+        )
+    any_hit = None
+    for j in range(len(query)):
+        cond = F.col(f"tf_{j}") > 0
+        any_hit = cond if any_hit is None else (any_hit | cond)
+    score = F.round(sum(contribs[1:], contribs[0]), 6)
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def _bm25_sql(
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    tf_exprs = ",\n           ".join(
+        f"len(list_filter(t, x -> x = '{w}'))::DOUBLE AS tf_{j}"
+        for j, w in enumerate(query)
+    )
+    df_exprs = ", ".join(
+        f"SUM((tf_{j} > 0)::INT)::DOUBLE AS df_{j}" for j in range(len(query))
+    )
+    contribs = " + ".join(
+        f"(CASE WHEN tf_{j} > 0 THEN LN(1 + (s.n - s.df_{j} + 0.5) / (s.df_{j} + 0.5))"
+        f" * tf_{j} * ({k1} + 1)"
+        f" / (tf_{j} + {k1} * (1 - {b} + {b} * dl / s.avgdl)) ELSE 0.0 END)"
+        for j in range(len(query))
+    )
+    any_hit = " OR ".join(f"tf_{j} > 0" for j in range(len(query)))
+    return f"""
+WITH base AS (
+    SELECT doc_id, len(t)::DOUBLE AS dl,
+           {tf_exprs}
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+s AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl, {df_exprs} FROM base)
+SELECT doc_id, ROUND({contribs}, 6) AS score
+FROM base CROSS JOIN s
+WHERE {any_hit}
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+TEXT_BM25_SQL = _bm25_sql()

@@ -328,3 +328,69 @@ def test_pca_rejects_bad_k(spark):
 
     with pytest.raises(ValueError, match="k <= dim"):
         S.pca_model(spark, TEST_SF_DIR, k=80)
+
+
+# --- k-means -----------------------------------------------------------------
+def test_kmeans_matches_numpy_replica(spark):
+    """The distributed fit is EXACTLY Lloyd's with first-k init and
+    first-minimum ties: a pure-numpy replica over the collected table
+    reproduces centroids and per-iteration inertia."""
+    import numpy as np
+
+    k, iters = 4, 3
+    rows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in spark.read.parquet(
+            f"{TEST_SF_DIR}/embeddings.parquet"
+        ).collect()
+    )
+    x = np.array([v for _, v in rows], dtype=np.float64)
+    cents = np.array([v for vid, v in rows if vid < k], dtype=np.float64)
+    want_inertia = []
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        want_inertia.append(float(d2[np.arange(len(x)), a].sum()))
+        for j in range(k):
+            if (a == j).any():
+                cents[j] = x[a == j].mean(axis=0)
+    got_cents, got_inertia = S.kmeans_fit(spark, TEST_SF_DIR, k=k, iters=iters)
+    assert np.allclose(got_inertia, want_inertia, rtol=1e-9)
+    assert np.allclose(got_cents, cents, atol=1e-9)
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark):
+    c1, i1 = S.kmeans_fit(spark, TEST_SF_DIR)
+    c2, i2 = S.kmeans_fit(spark, TEST_SF_DIR)
+    assert c1 == c2 and i1 == i2  # no RNG, partitioning-independent
+    assert all(b <= a + 1e-9 for a, b in zip(i1, i1[1:]))  # Lloyd's descent
+
+
+def test_kmeans_assignment_is_nearest_final_centroid(spark):
+    import numpy as np
+
+    cents, _ = S.kmeans_fit(spark, TEST_SF_DIR)
+    c = np.array(cents)
+    got = {
+        r.vec_id: (r.cluster_id, r.sq_dist)
+        for r in S.embedding_kmeans(spark, TEST_SF_DIR).collect()
+    }
+    rows = spark.read.parquet(f"{TEST_SF_DIR}/embeddings.parquet").collect()
+    assert len(got) == len(rows)
+    for r in rows:
+        v = np.array([float(x) for x in r.embedding])
+        d2 = ((c - v) ** 2).sum(axis=1)
+        cid = int(np.argmin(d2))
+        assert got[r.vec_id][0] == cid, r.vec_id
+        assert abs(got[r.vec_id][1] - round(float(d2[cid]), 6)) <= 1e-6
+
+
+def test_kmeans_assignment_plan_is_narrow(spark):
+    plan = (
+        S.embedding_kmeans(spark, TEST_SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan

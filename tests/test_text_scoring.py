@@ -245,3 +245,84 @@ def test_repetition_hashed_ships_no_strings(spark):
         if "Exchange hashpartitioning" in line:
             assert "item_key" in line or "doc_id" in line, line
             assert "item#" not in line, line  # raw gram column never shuffles
+
+
+# --- BM25 keyword search -----------------------------------------------------
+def test_bm25_oracle_parity(spark):
+    df = text.text_bm25_topk(spark, TEST_SF_DIR)
+    ok, msg = compare(df, text.TEXT_BM25_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_bm25_oracle_parity_sf001(spark):
+    df = text.text_bm25_topk(spark, ORACLE_SF_DIR)
+    ok, msg = compare(df, text.TEXT_BM25_SQL, ORACLE_SF_DIR)
+    assert ok, msg
+
+
+def test_bm25_planted_hand_computed(spark, tmp_path):
+    """Exact BM25 on a corpus small enough to compute by hand: known
+    tf/df/dl/avgdl through the Robertson idf and k1/b normalization;
+    zero-hit docs excluded; repetition beats single mention; rare term
+    outranks common term."""
+    import math
+
+    rows = [
+        (0, "spark join other words here", "en", "s", 1),   # both terms once
+        (1, "spark spark spark pad pad", "en", "s", 1),     # tf=3 one term
+        (2, "join alone pad pad pad", "en", "s", 1),        # rarer? see df
+        (3, "no relevant words at all", "en", "s", 1),      # zero hits
+        (4, "spark pad pad pad pad", "en", "s", 1),         # tf=1 one term
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    q = ("spark", "join")
+    got = {
+        r.doc_id: r.score
+        for r in text.text_bm25_topk(spark, sf_dir, query=q, k=10).collect()
+    }
+    assert 3 not in got  # zero-hit doc never surfaces
+    n, avgdl = 5.0, 5.0
+    dfreq = {"spark": 3.0, "join": 2.0}
+    k1, b = text.BM25_K1, text.BM25_B
+
+    def bm25(tf_by_term, dl):
+        s = 0.0
+        for term, tf in tf_by_term.items():
+            if tf > 0:
+                idf = math.log(1 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return round(s, 6)
+
+    assert got[0] == bm25({"spark": 1, "join": 1}, 5)
+    assert got[1] == bm25({"spark": 3}, 5)
+    assert got[2] == bm25({"join": 1}, 5)
+    assert got[4] == bm25({"spark": 1}, 5)
+    assert got[1] > got[4]  # repetition beats single mention
+    assert got[2] > got[4]  # rarer term (higher idf) beats commoner
+    ok, msg = compare(
+        text.text_bm25_topk(spark, sf_dir, query=q, k=10),
+        text._bm25_sql(query=q, k=10),
+        sf_dir,
+    )
+    assert ok, msg
+
+
+def test_bm25_plan_two_scans_no_wide_shuffle(spark):
+    """The literal-query shape: one stats scan + one scoring scan,
+    ZERO wide exchanges, no explode, top-k via TakeOrderedAndProject
+    (the posting-list formulation measured 3 scans + 3 hash exchanges
+    because column pruning defeats tf-exchange reuse)."""
+    df = text.text_bm25_topk(spark, TEST_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "Initial Plan"
+    )[0]
+    assert plan.count("Scan parquet") == 2, plan
+    assert not any(
+        "Exchange hashpartitioning" in line for line in plan.splitlines()
+    ), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Generate" not in plan, plan
