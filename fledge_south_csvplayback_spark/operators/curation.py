@@ -1033,3 +1033,78 @@ FROM e WHERE n_copies >= 1
 
 
 CORPUS_RESAMPLE_SQL = _resample_sql()
+
+
+# --- full Gopher filter: stats rules + repetition rules ----------------------
+GOPHER_MAX_DUP_LINE_FRAC = 0.30  # Rae et al. 2021 App. A1.1
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_TOP_GRAM_CHAR_FRAC = 0.20
+# our dup-gram metric is the clipped char-mass UPPER BOUND (overlap
+# double-counts), so its ceiling is looser than Gopher's overlap-exact
+# 5-gram thresholds
+GOPHER_MAX_DUP_GRAM_CHAR_FRAC = 0.60
+
+
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher-style document filter: the ``quality_filter``
+    stats rules (token range, TTR floor, token shape) AND the
+    ``text_repetition`` rules (duplicate-line fraction/char-mass, top
+    and duplicated n-gram char fractions) — the composition a real
+    pipeline runs, kept as one operator so the keep bit and the
+    per-family audit flags stay consistent.
+
+    Plan: the repetition pipeline's final aggregate is already
+    hash-partitioned by doc_id; the stats side is a narrow per-row
+    projection of the same table, so the join costs one extra
+    doc_id-shuffle of that narrow flag stream — nothing new is
+    quadratic or corpus-global. Thresholds compare round(x, 6) values
+    exactly like both source operators, so no engine-boundary flips.
+
+    Output: (doc_id, stats_ok, line_rep_ok, gram_rep_ok, keep)."""
+    from fledge_south_csvplayback_spark.operators import text as text_ops
+
+    stats = quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("stats_ok")
+    )
+    rep = text_ops.text_repetition(spark, sf_dir)
+    line_ok = (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC) & (
+        F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC
+    )
+    gram_ok = (F.col("top_gram_char_frac") <= GOPHER_MAX_TOP_GRAM_CHAR_FRAC) & (
+        F.col("dup_gram_char_frac") <= GOPHER_MAX_DUP_GRAM_CHAR_FRAC
+    )
+    return (
+        rep.join(stats, "doc_id")
+        .select(
+            "doc_id",
+            "stats_ok",
+            line_ok.alias("line_rep_ok"),
+            gram_ok.alias("gram_rep_ok"),
+            (F.col("stats_ok") & line_ok & gram_ok).alias("keep"),
+        )
+    )
+
+
+def _gopher_sql() -> str:
+    from fledge_south_csvplayback_spark.operators import text as text_ops
+
+    return f"""
+WITH rep AS ({text_ops.TEXT_REPETITION_SQL}),
+q AS ({QUALITY_FILTER_SQL}),
+j AS (
+    SELECT rep.doc_id, q.keep AS stats_ok,
+           (rep.dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}
+            AND rep.dup_line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC})
+               AS line_rep_ok,
+           (rep.top_gram_char_frac <= {GOPHER_MAX_TOP_GRAM_CHAR_FRAC}
+            AND rep.dup_gram_char_frac <= {GOPHER_MAX_DUP_GRAM_CHAR_FRAC})
+               AS gram_rep_ok
+    FROM rep JOIN q ON rep.doc_id = q.doc_id
+)
+SELECT doc_id, stats_ok, line_rep_ok, gram_rep_ok,
+       (stats_ok AND line_rep_ok AND gram_rep_ok) AS keep
+FROM j
+"""
+
+
+QUALITY_FILTER_GOPHER_SQL = _gopher_sql()

@@ -147,6 +147,7 @@ def main() -> None:
             "repetition",
             "repetition_ab",
             "chunk",
+            "bm25",
         ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
@@ -263,6 +264,28 @@ def main() -> None:
                     "string_shuffle_bytes": shufs["string"],
                     "hashed_shuffle_bytes": shufs["hashed"],
                     "reps": args.reps,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "bm25":
+        # two scans, zero wide shuffle: the claim to verify at 10M is
+        # that wall tracks scan speed and shuffle stays ~0
+        from fledge_south_csvplayback_spark.operators import text as text_ops
+
+        wall, shuf = timed(
+            spark,
+            text_ops.text_bm25_topk(spark, sf_dir, query=("w1", "w2", "w3")),
+        )
+        print(
+            json.dumps(
+                {
+                    "op": "bm25",
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": shuf,
                 }
             )
         )

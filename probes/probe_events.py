@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Scale probe for the event operators (BASELINE.md rows).
+
+Synthetic 10M-row events table: 1M users, 5 event types, timestamps
+hash-spread over 30 days — all deterministic xxhash64 expressions, no
+driver loops. Ops:
+
+- ``funnel``: ``events_funnel`` — the Exchange-once stacked-window
+  funnel; the claim to verify at 10M is ONE shuffle of the events
+  table and nothing quadratic in events-per-user.
+
+Usage:
+    python probes/probe_events.py gen    --rows 10000000
+    python probes/probe_events.py funnel --rows 10000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from fledge_south_csvplayback_spark.operators import events
+from probes._common import (
+    PROBE_ROOT,
+    probe_session,
+    shuffle_delta,
+    shuffle_write_bytes,
+)
+
+TYPES = ["view", "click", "purchase", "signup", "error"]
+USERS = 1_000_000
+SPAN_S = 30 * 24 * 3600  # 30 days
+
+
+def events_dir(n: int) -> str:
+    return f"{PROBE_ROOT}/events_{n}"
+
+
+def gen_events(spark: SparkSession, n: int) -> str:
+    out = events_dir(n)
+    path = f"{out}/events.parquet"
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return out
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("event_id"))
+        .select(
+            "event_id",
+            F.timestamp_seconds(
+                F.lit(1700000000)
+                + F.pmod(F.xxhash64(F.lit("ts"), F.col("event_id")), SPAN_S)
+            ).alias("ts"),
+            F.pmod(F.xxhash64(F.lit("u"), F.col("event_id")), USERS).alias(
+                "user_id"
+            ),
+            F.element_at(
+                F.lit(TYPES),
+                F.pmod(F.xxhash64(F.lit("t"), F.col("event_id")), 5).cast("int")
+                + 1,
+            ).alias("event_type"),
+            (
+                F.pmod(F.xxhash64(F.lit("v"), F.col("event_id")), 10000) / 100.0
+            ).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("op", choices=["gen", "funnel"])
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    args = ap.parse_args()
+
+    spark = probe_session(f"probe_events_{args.op}")
+    t0 = time.perf_counter()
+    sf_dir = gen_events(spark, args.rows)
+    gen_sec = round(time.perf_counter() - t0, 1)
+    if args.op == "gen":
+        print(json.dumps({"op": "gen", "rows": args.rows, "sec": gen_sec}))
+        spark.stop()
+        return
+
+    before = shuffle_write_bytes(spark)
+    t0 = time.perf_counter()
+    df = events.events_funnel(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t0, 1)
+    shuf = shuffle_delta(before, shuffle_write_bytes(spark))
+    steps = {r["steps"]: r["n"] for r in df.groupBy("steps").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(
+        json.dumps(
+            {
+                "op": "funnel",
+                "rows": args.rows,
+                "users": USERS,
+                "sec": wall,
+                "shuffle_bytes": shuf,
+                "steps_hist": steps,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

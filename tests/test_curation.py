@@ -798,3 +798,53 @@ def test_contamination_broadcasts_pairs_not_labels(spark):
     assert bcast_nodes, plan
     for b in bcast_nodes:
         assert "jaccard" in b, b  # build side carries the pair column
+
+
+# --- full Gopher filter ------------------------------------------------------
+def test_gopher_filter_oracle_parity(spark):
+    df = curation.quality_filter_gopher(spark, TEST_SF_DIR)
+    ok, msg = compare(df, curation.QUALITY_FILTER_GOPHER_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_gopher_filter_oracle_parity_sf001(spark):
+    df = curation.quality_filter_gopher(spark, ORACLE_SF_DIR)
+    ok, msg = compare(df, curation.QUALITY_FILTER_GOPHER_SQL, ORACLE_SF_DIR)
+    assert ok, msg
+
+
+def test_gopher_filter_composition(spark, tmp_path):
+    """keep = stats AND repetition; the stats family agrees with
+    quality_filter; a heavily repetitive doc with healthy stats is
+    dropped by the repetition family alone."""
+    rows = {
+        r.doc_id: r for r in curation.quality_filter_gopher(spark, TEST_SF_DIR).collect()
+    }
+    stats = {
+        r.doc_id: r.keep for r in curation.quality_filter(spark, TEST_SF_DIR).collect()
+    }
+    assert set(rows) == set(stats)
+    for doc_id, r in rows.items():
+        assert r.stats_ok == stats[doc_id]
+        assert r.keep == (r.stats_ok and r.line_rep_ok and r.gram_rep_ok)
+    # planted: 60 tokens, fine TTR... no — make repetition the ONLY
+    # violation: healthy varied words but one line repeated 5 times
+    uniq = " ".join(f"tok{i}ab" for i in range(40))
+    text_rep = "\n".join(["dup line content here now"] * 5) + "\n" + uniq
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(0, text_rep, "en", "s", 1), (1, uniq + " " + " ".join(f"z{i}qx" for i in range(20)), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id: (r.stats_ok, r.line_rep_ok, r.keep)
+        for r in curation.quality_filter_gopher(spark, sf_dir).collect()
+    }
+    assert got[0][1] is False and got[0][2] is False  # repetition kills it
+    assert got[1] == (True, True, True)
+    ok, msg = compare(
+        curation.quality_filter_gopher(spark, sf_dir),
+        curation.QUALITY_FILTER_GOPHER_SQL,
+        sf_dir,
+    )
+    assert ok, msg
