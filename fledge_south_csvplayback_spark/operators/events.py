@@ -21,6 +21,8 @@ operators a complete engine needs, written scale-first:
 - **funnel**: view→click→purchase step completion via stacked running
   windows over one (user_id; ts, event_id) sort — Exchange-once,
   step-count-invariant, no self-joins.
+- **retention**: ISO-week cohort matrix from a running first-event
+  window — the same one-exchange family, no cohort-agg-plus-join.
 """
 
 from __future__ import annotations
@@ -480,4 +482,66 @@ SELECT user_id, view_ts, click_ts, purchase_ts,
        CAST((view_ts IS NOT NULL)::INT + (click_ts IS NOT NULL)::INT
             + (purchase_ts IS NOT NULL)::INT AS INTEGER) AS steps
 FROM a
+"""
+
+
+# --- cohort retention --------------------------------------------------------
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the other product-analytics staple
+    next to the funnel: users are cohorted by the ISO week of their
+    FIRST event; for every later week each cohort's distinct active
+    users are counted at their week offset.
+
+    Plan: the per-user cohort comes from a running window over one
+    user_id exchange (same partitioning family as funnel/sessionize —
+    no separate first-event aggregate plus join back, which would
+    shuffle events twice); the (cohort_week, week_offset) rollup is a
+    standard two-phase distinct aggregate. Both engines truncate weeks
+    to ISO Monday, so cohort keys agree cross-engine.
+
+    Output: (cohort_week, week_offset, n_users), offset 0 = the
+    cohort's own first week.
+    """
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    with_cohort = ev.withColumn(
+        "cohort_week", F.date_trunc("week", F.min("ts").over(w))
+    ).withColumn("event_week", F.date_trunc("week", F.col("ts")))
+    offset = (
+        F.datediff(F.to_date("event_week"), F.to_date("cohort_week")) / 7
+    ).cast("int")
+    return (
+        with_cohort.select(
+            "user_id",
+            # DATE, matching DuckDB's date_trunc('week', ts) return type
+            F.to_date("cohort_week").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH e AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+c AS (
+    SELECT user_id,
+           date_trunc('week', MIN(ts) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+           )) AS cohort_week,
+           date_trunc('week', ts) AS event_week
+    FROM e
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, event_week) / 7 AS INTEGER)
+           AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM c
+GROUP BY 1, 2
 """

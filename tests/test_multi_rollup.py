@@ -126,3 +126,51 @@ def test_funnel_single_exchange_plan(spark):
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(ex) == 1, plan
     assert "Join" not in plan, plan
+
+
+# --- cohort retention --------------------------------------------------------
+def test_retention_oracle_parity(spark):
+    df = events.events_retention(spark, TEST_SF_DIR)
+    ok, msg = compare(df, events.EVENTS_RETENTION_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_retention_oracle_parity_sf001(spark):
+    df = events.events_retention(spark, ORACLE_SF_DIR)
+    ok, msg = compare(df, events.EVENTS_RETENTION_SQL, ORACLE_SF_DIR)
+    assert ok, msg
+
+
+def test_retention_semantics(spark, tmp_path):
+    """Planted cohorts: a user active in its first and third week
+    counts at offsets 0 and 2 only; distinct users, not events; a
+    later-joining user forms its own cohort; every user contributes
+    to its cohort's offset 0."""
+    import datetime as dt
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    day = dt.timedelta(days=1)
+    week = dt.timedelta(days=7)
+    rows = [
+        (1, mon + day, 1, "view", 1.0, "{}"),           # u1 cohort wk0
+        (2, mon + day + day, 1, "view", 1.0, "{}"),     # same week, distinct once
+        (3, mon + 2 * week + day, 1, "view", 1.0, "{}"),  # offset 2
+        (4, mon + week, 2, "view", 1.0, "{}"),          # u2 cohort wk1
+        (5, mon + week + 3 * day, 2, "view", 1.0, "{}"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in events.events_retention(spark, sf_dir).collect()
+    }
+    wk0, wk1 = mon.date(), (mon + week).date()
+    assert got == {(wk0, 0): 1, (wk0, 2): 1, (wk1, 0): 1}
+    ok, msg = compare(
+        events.events_retention(spark, sf_dir), events.EVENTS_RETENTION_SQL, sf_dir
+    )
+    assert ok, msg
