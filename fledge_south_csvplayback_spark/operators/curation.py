@@ -1060,6 +1060,14 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic or corpus-global. Thresholds compare round(x, 6) values
     exactly like both source operators, so no engine-boundary flips.
 
+    Every document gets a verdict: the stats side (one row per doc)
+    LEFT-joins the repetition table, which has no row for a NULL-text
+    doc (its tagged explode is explode(NULL)) — missing repetition
+    evidence passes those families, and the final keep is
+    coalesced to False so a NULL-text doc is dropped, never silently
+    absent from the report (an inner join omitted such docs
+    entirely; pinned by the planted NULL-text test).
+
     Output: (doc_id, stats_ok, line_rep_ok, gram_rep_ok, keep)."""
     from fledge_south_csvplayback_spark.operators import text as text_ops
 
@@ -1067,20 +1075,26 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("keep").alias("stats_ok")
     )
     rep = text_ops.text_repetition(spark, sf_dir)
-    line_ok = (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC) & (
-        F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC
+    line_ok = F.coalesce(
+        (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC),
+        F.lit(True),
     )
-    gram_ok = (F.col("top_gram_char_frac") <= GOPHER_MAX_TOP_GRAM_CHAR_FRAC) & (
-        F.col("dup_gram_char_frac") <= GOPHER_MAX_DUP_GRAM_CHAR_FRAC
+    gram_ok = F.coalesce(
+        (F.col("top_gram_char_frac") <= GOPHER_MAX_TOP_GRAM_CHAR_FRAC)
+        & (F.col("dup_gram_char_frac") <= GOPHER_MAX_DUP_GRAM_CHAR_FRAC),
+        F.lit(True),
     )
     return (
-        rep.join(stats, "doc_id")
+        stats.join(rep, "doc_id", "left")
         .select(
             "doc_id",
             "stats_ok",
             line_ok.alias("line_rep_ok"),
             gram_ok.alias("gram_rep_ok"),
-            (F.col("stats_ok") & line_ok & gram_ok).alias("keep"),
+            F.coalesce(F.col("stats_ok") & line_ok & gram_ok, F.lit(False)).alias(
+                "keep"
+            ),
         )
     )
 
@@ -1092,17 +1106,17 @@ def _gopher_sql() -> str:
 WITH rep AS ({text_ops.TEXT_REPETITION_SQL}),
 q AS ({QUALITY_FILTER_SQL}),
 j AS (
-    SELECT rep.doc_id, q.keep AS stats_ok,
-           (rep.dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}
-            AND rep.dup_line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC})
-               AS line_rep_ok,
-           (rep.top_gram_char_frac <= {GOPHER_MAX_TOP_GRAM_CHAR_FRAC}
-            AND rep.dup_gram_char_frac <= {GOPHER_MAX_DUP_GRAM_CHAR_FRAC})
-               AS gram_rep_ok
-    FROM rep JOIN q ON rep.doc_id = q.doc_id
+    SELECT q.doc_id, q.keep AS stats_ok,
+           COALESCE(rep.dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}
+                    AND rep.dup_line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC},
+                    TRUE) AS line_rep_ok,
+           COALESCE(rep.top_gram_char_frac <= {GOPHER_MAX_TOP_GRAM_CHAR_FRAC}
+                    AND rep.dup_gram_char_frac <= {GOPHER_MAX_DUP_GRAM_CHAR_FRAC},
+                    TRUE) AS gram_rep_ok
+    FROM q LEFT JOIN rep ON rep.doc_id = q.doc_id
 )
 SELECT doc_id, stats_ok, line_rep_ok, gram_rep_ok,
-       (stats_ok AND line_rep_ok AND gram_rep_ok) AS keep
+       COALESCE(stats_ok AND line_rep_ok AND gram_rep_ok, FALSE) AS keep
 FROM j
 """
 

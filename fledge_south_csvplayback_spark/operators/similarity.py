@@ -1012,13 +1012,13 @@ def kmeans_fit(
     if iters < 1 or k < 1:
         raise ValueError("kmeans_fit: need k >= 1 and iters >= 1")
     emb = _emb(spark, sf_dir)
-    init_rows = sorted(
-        (r["vec_id"], list(r["v"]))
-        for r in emb.filter(F.col("vec_id") < k).collect()
-    )
+    # first k rows ORDERED by vec_id (ids need not be dense from 0;
+    # a vec_id < k filter under-collects on sparse ids and over-collects
+    # on duplicates, corrupting the fixed-size driver merge)
+    init_rows = emb.orderBy("vec_id").limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(f"kmeans_fit: need {k} seed vectors, got {len(init_rows)}")
-    cents = np.array([v for _, v in init_rows], dtype=np.float64)
+    cents = np.array([list(r["v"]) for r in init_rows], dtype=np.float64)
     inertia: list[float] = []
     for _ in range(iters):
         c = cents  # bind the CURRENT iteration's matrix into the closure

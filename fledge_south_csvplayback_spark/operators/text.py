@@ -651,6 +651,8 @@ def text_bm25_topk(
 
     Output: (doc_id, score) — the k best-matching documents.
     """
+    if not query:
+        raise ValueError("text_bm25_topk: need at least one query term")
     toks = F.split(F.col("text"), " ")
 
     def tf_col(term: str, j: int) -> Column:
@@ -708,8 +710,12 @@ def _bm25_sql(
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> str:
+    if not query:
+        raise ValueError("_bm25_sql: need at least one query term")
     tf_exprs = ",\n           ".join(
-        f"len(list_filter(t, x -> x = '{w}'))::DOUBLE AS tf_{j}"
+        "len(list_filter(t, x -> x = '{w}'))::DOUBLE AS tf_{j}".format(
+            w=w.replace("'", "''"), j=j  # escape quotes for the SQL literal
+        )
         for j, w in enumerate(query)
     )
     df_exprs = ", ".join(

@@ -827,8 +827,8 @@ def test_gopher_filter_composition(spark, tmp_path):
     for doc_id, r in rows.items():
         assert r.stats_ok == stats[doc_id]
         assert r.keep == (r.stats_ok and r.line_rep_ok and r.gram_rep_ok)
-    # planted: 60 tokens, fine TTR... no — make repetition the ONLY
-    # violation: healthy varied words but one line repeated 5 times
+    # make repetition the ONLY violation: healthy varied words (stats
+    # rules pass) but one line repeated 5 times
     uniq = " ".join(f"tok{i}ab" for i in range(40))
     text_rep = "\n".join(["dup line content here now"] * 5) + "\n" + uniq
     sf_dir = str(tmp_path)
@@ -842,6 +842,33 @@ def test_gopher_filter_composition(spark, tmp_path):
     }
     assert got[0][1] is False and got[0][2] is False  # repetition kills it
     assert got[1] == (True, True, True)
+    ok, msg = compare(
+        curation.quality_filter_gopher(spark, sf_dir),
+        curation.QUALITY_FILTER_GOPHER_SQL,
+        sf_dir,
+    )
+    assert ok, msg
+
+
+def test_gopher_filter_null_text_gets_verdict(spark, tmp_path):
+    """A NULL-text doc has no repetition row (explode(NULL) drops it);
+    the left join + coalesce must still emit a verdict row with
+    keep=False rather than silently omitting the doc."""
+    rows = [
+        (0, None, "en", "s", 0),
+        (1, " ".join(f"tok{i}xy" for i in range(40)), "en", "s", 1),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r.doc_id: (r.keep, r.line_rep_ok, r.gram_rep_ok)
+        for r in curation.quality_filter_gopher(spark, sf_dir).collect()
+    }
+    assert set(got) == {0, 1}  # the NULL doc is present
+    assert got[0][0] is False  # and dropped, not null/absent
+    assert got[1][0] is True
     ok, msg = compare(
         curation.quality_filter_gopher(spark, sf_dir),
         curation.QUALITY_FILTER_GOPHER_SQL,

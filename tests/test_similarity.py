@@ -345,12 +345,15 @@ def test_kmeans_matches_numpy_replica(spark):
         ).collect()
     )
     x = np.array([v for _, v in rows], dtype=np.float64)
-    cents = np.array([v for vid, v in rows if vid < k], dtype=np.float64)
+    cents = np.array([v for _, v in rows[:k]], dtype=np.float64)  # first k by vec_id
     want_inertia = []
     for _ in range(iters):
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # the operator's expanded form (||c||^2 - 2 x.c), not direct
+        # subtraction: near-equidistant points must tie-break identically
+        d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
         a = np.argmin(d2, axis=1)
-        want_inertia.append(float(d2[np.arange(len(x)), a].sum()))
+        full = d2[np.arange(len(x)), a] + (x * x).sum(axis=1)
+        want_inertia.append(float(full.sum()))
         for j in range(k):
             if (a == j).any():
                 cents[j] = x[a == j].mean(axis=0)

@@ -326,3 +326,30 @@ def test_bm25_plan_two_scans_no_wide_shuffle(spark):
     ), plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="query term"):
+        text.text_bm25_topk(spark, TEST_SF_DIR, query=())
+    with pytest.raises(ValueError, match="query term"):
+        text._bm25_sql(query=())
+
+
+def test_bm25_quoted_term_oracle_parity(spark, tmp_path):
+    """A query term containing an apostrophe must survive the SQL
+    literal (escaped) so parity holds for legitimate tokens."""
+    rows = [
+        (0, "don't panic it says", "en", "s", 1),
+        (1, "plain words only here", "en", "s", 1),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    q = ("don't", "panic")
+    df = text.text_bm25_topk(spark, sf_dir, query=q, k=5)
+    assert {r.doc_id for r in df.collect()} == {0}
+    ok, msg = compare(df, text._bm25_sql(query=q, k=5), sf_dir)
+    assert ok, msg
