@@ -73,7 +73,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "op",
-        choices=["gen", "brute", "ivf", "ivf_indexed", "lsh", "lsh_indexed"],
+        choices=[
+            "gen",
+            "brute",
+            "ivf",
+            "ivf_indexed",
+            "lsh",
+            "lsh_indexed",
+            "pca",
+            "kmeans",
+        ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
     args = ap.parse_args()
@@ -89,6 +98,66 @@ def main() -> None:
         return
 
     from fledge_south_csvplayback_spark.operators import similarity
+
+    if args.op == "pca":
+        # fit = one moment-sketch pass (d^2 per-task state); transform =
+        # literal-matrix projection materialized through a noop write
+        shuffle_before = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        mean, comps, var = similarity.pca_model(spark, sf_dir)
+        fit_sec = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        similarity.embedding_pca(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        # embedding_pca refits internally, so subtract one fit cost for
+        # the transform-only number
+        total = round(time.perf_counter() - t0, 1)
+        print(
+            json.dumps(
+                {
+                    "op": "pca",
+                    "rows": args.rows,
+                    "fit_sec": fit_sec,
+                    "fit_plus_transform_sec": total,
+                    "shuffle_bytes": shuffle_delta(
+                        shuffle_before, shuffle_write_bytes(spark)
+                    ),
+                    "top_variance": round(var[0], 6),
+                    "gen_sec": gen_sec,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "kmeans":
+        shuffle_before = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        cents, inertia = similarity.kmeans_fit(spark, sf_dir)
+        wall = round(time.perf_counter() - t0, 1)
+        print(
+            json.dumps(
+                {
+                    "op": "kmeans",
+                    "rows": args.rows,
+                    "k": similarity.KMEANS_K,
+                    "iters": similarity.KMEANS_ITERS,
+                    "fit_sec": wall,
+                    "sec_per_iter": round(wall / similarity.KMEANS_ITERS, 1),
+                    "shuffle_bytes": shuffle_delta(
+                        shuffle_before, shuffle_write_bytes(spark)
+                    ),
+                    "inertia_first_last": [
+                        round(inertia[0], 1),
+                        round(inertia[-1], 1),
+                    ],
+                    "gen_sec": gen_sec,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     builders = {
         "brute": similarity.ann_cosine_topk,
