@@ -798,15 +798,28 @@ def corpus_chunk_documents(
     writer. Every doc yields ≥1 chunk (an empty text is one empty
     chunk), so no corpus row silently disappears.
     """
+    return _chunk_docs(_docs(spark, sf_dir), chunk_tokens, stride)
+
+
+def _chunk_docs(
+    docs: DataFrame,
+    chunk_tokens: int,
+    stride: int,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Chunking body over an arbitrary docs DataFrame (doc_id, lang,
+    text [, passthrough…]) — shared by the standalone operator and the
+    end-to-end ``write_training_corpus`` materializer."""
     c, s = chunk_tokens, stride
     if not (0 < s <= c):
         raise ValueError("need 0 < stride <= chunk_tokens")
     toks = F.split(F.col("text"), " ")
     extra = F.greatest(F.lit(0), F.size(toks) - c)
     n_chunks = 1 + F.floor((extra + (s - 1)) / s).cast("int")
-    base = _docs(spark, sf_dir).select(
+    base = docs.select(
         "doc_id",
         "lang",
+        *passthrough,
         toks.alias("toks"),
         F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "_start"),
     )
@@ -814,6 +827,7 @@ def corpus_chunk_documents(
     return base.select(
         "doc_id",
         "lang",
+        *passthrough,
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
@@ -1122,3 +1136,54 @@ FROM j
 
 
 QUALITY_FILTER_GOPHER_SQL = _gopher_sql()
+
+
+# --- end-to-end training-corpus materializer ---------------------------------
+def write_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> None:
+    """The whole curation pipeline as one materializer: full Gopher
+    filter (stats + repetition) → exact-dedup keeper → near-dup
+    cluster-loser removal → hash split label → fixed-length sequence
+    chunking → parquet ``partitionBy(split, lang)``. A trainer reading
+    one split/language opens only its own files (partition pruning,
+    pinned in tests), and every stage is one of this module's
+    independently oracle-checked operators — the composition adds no
+    new math, only stage order.
+
+    Stage-order semantics (documented, cheap-first): the Gopher keep
+    bit gates BEFORE the fingerprint exchange, so the dedup keeper is
+    the min doc_id among Gopher-passing copies; near-dup losers are
+    mined on the FULL corpus (the pair miner's df-cap already bounds
+    it) and anti-joined as a tiny broadcast loser set — identical to
+    ``corpus_neardup_apply``. Chunking is narrow, so the write's
+    widest dependencies remain the fingerprint exchange and the pair
+    miner. Split labels come from the UN-salted doc_id bucket,
+    identical to ``corpus_split`` — chunks of one doc can never
+    straddle splits."""
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    keep = (
+        quality_filter_gopher(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    survivors = _keep_first_per_fingerprint(
+        _docs(spark, sf_dir).join(keep, "doc_id")
+    )
+    losers = (
+        dedup.dedup_clusters(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    labeled = (
+        survivors.join(losers, "doc_id", "left_anti")
+        .withColumn("bucket", _bucket(F.col("doc_id")))
+        .select("doc_id", "lang", "text", _split_label().alias("split"))
+    )
+    chunks = _chunk_docs(labeled, chunk_tokens, stride, passthrough=("split",))
+    chunks.write.mode("overwrite").partitionBy("split", "lang").parquet(out_dir)

@@ -875,3 +875,58 @@ def test_gopher_filter_null_text_gets_verdict(spark, tmp_path):
         sf_dir,
     )
     assert ok, msg
+
+
+# --- end-to-end training-corpus materializer ---------------------------------
+def test_write_training_corpus_roundtrip(spark, tmp_path):
+    """The materializer is exactly the composition of the
+    independently-tested stages: surviving doc set == gopher-keep ∘
+    dedup-keeper ∘ neardup-loser-removal, split labels match
+    corpus_split, chunks reconstruct their doc (non-overlap config),
+    and the (split, lang) layout prunes at read time."""
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    out = str(tmp_path / "train_corpus")
+    c = curation.CHUNK_TOKENS
+    curation.write_training_corpus(spark, TEST_SF_DIR, out, c, c)
+    got = spark.read.parquet(out)
+
+    keep = {
+        r.doc_id
+        for r in curation.quality_filter_gopher(spark, TEST_SF_DIR)
+        .filter(F.col("keep"))
+        .collect()
+    }
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    kept_docs = docs.filter(F.col("doc_id").isin(keep))
+    dedup_keepers = {
+        r.doc_id for r in curation._keep_first_per_fingerprint(kept_docs).collect()
+    }
+    losers = {
+        r.doc_id
+        for r in dedup.dedup_clusters(spark, TEST_SF_DIR)
+        .filter(~F.col("keep"))
+        .collect()
+    }
+    want_ids = dedup_keepers - losers
+    assert {r.doc_id for r in got.select("doc_id").distinct().collect()} == want_ids
+
+    splits = {
+        r.doc_id: r.split for r in curation.corpus_split(spark, TEST_SF_DIR).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in got.collect():
+        assert r.split == splits[r.doc_id]
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert " ".join(r.chunk_text for r in chunks) == texts[doc_id]
+
+    # layout: reading one split/lang prunes to its own directory
+    pruned = spark.read.parquet(out).filter(
+        (F.col("split") == "train") & (F.col("lang") == "en")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "split" in plan, plan
+    assert {(r.split, r.lang) for r in pruned.collect()} <= {("train", "en")}
