@@ -23,6 +23,8 @@ operators a complete engine needs, written scale-first:
   step-count-invariant, no self-joins.
 - **retention**: ISO-week cohort matrix from a running first-event
   window — the same one-exchange family, no cohort-agg-plus-join.
+- **pivot/unpivot**: explicit-domain conditional-count pivot (one
+  Exchange, not DataFrame.pivot's two) and its lossless stack melt.
 """
 
 from __future__ import annotations
@@ -544,4 +546,75 @@ SELECT cohort_week,
        COUNT(DISTINCT user_id) AS n_users
 FROM c
 GROUP BY 1, 2
+"""
+
+
+# --- pivot / unpivot ---------------------------------------------------------
+PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity matrix: one row per user, one count
+    column per event type, with the type list EXPLICIT (a discovered
+    domain means an extra distinct-scan job, and attacker-controlled
+    values would mint unbounded columns). Implemented as |types|
+    conditional counts in ONE grouped aggregate — NOT via
+    ``DataFrame.pivot``, which even with literal values compiles to a
+    (user_id, event_type) aggregate followed by a PivotFirst
+    re-aggregation: two Exchanges where one suffices (measured on this
+    plan; the single-Exchange property is pinned in tests).
+
+    Output: (user_id, n_view, n_click, n_purchase, n_signup, n_error).
+    """
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1))
+            .cast("bigint")
+            .alias(f"n_{t}")
+            for t in PIVOT_TYPES
+        ]
+    )
+
+
+EVENTS_TYPE_PIVOT_SQL = f"""
+SELECT user_id,
+       {", ".join(
+           "CAST(COUNT(CASE WHEN event_type = '" + t + "' THEN 1 END) AS BIGINT)"
+           " AS n_" + t
+           for t in PIVOT_TYPES
+       )}
+FROM events
+GROUP BY user_id
+"""
+
+
+def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse: melt the wide activity matrix back to long
+    (user_id, event_type, n) rows via ``stack`` — a pure narrow
+    projection over the pivoted aggregate (no extra shuffle; the
+    explode multiplies rows by |types|). Zero-count cells are kept:
+    the wide form is dense, so the long form says so explicitly —
+    dropping them would make pivot∘unpivot lossy.
+
+    Roundtrip contract (pinned in tests): unpivot(pivot(events))
+    filtered to n > 0 equals the plain (user_id, event_type) count
+    aggregate."""
+    wide = events_type_pivot(spark, sf_dir)
+    pairs = ", ".join(f"'{t}', n_{t}" for t in PIVOT_TYPES)
+    return wide.select(
+        "user_id",
+        F.expr(
+            f"stack({len(PIVOT_TYPES)}, {pairs}) AS (event_type, n)"
+        ),
+    ).select("user_id", "event_type", F.col("n").cast("bigint").alias("n"))
+
+
+EVENTS_TYPE_UNPIVOT_SQL = f"""
+WITH wide AS ({EVENTS_TYPE_PIVOT_SQL})
+SELECT user_id, t.event_type, t.n
+FROM wide,
+     LATERAL (VALUES {", ".join(
+         "('" + t + "', n_" + t + ")" for t in PIVOT_TYPES
+     )}) AS t(event_type, n)
 """

@@ -174,3 +174,57 @@ def test_retention_semantics(spark, tmp_path):
         events.events_retention(spark, sf_dir), events.EVENTS_RETENTION_SQL, sf_dir
     )
     assert ok, msg
+
+
+# --- pivot / unpivot ---------------------------------------------------------
+def test_pivot_oracle_parity(spark):
+    df = events.events_type_pivot(spark, TEST_SF_DIR)
+    ok, msg = compare(df, events.EVENTS_TYPE_PIVOT_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_pivot_oracle_parity_sf001(spark):
+    df = events.events_type_pivot(spark, ORACLE_SF_DIR)
+    ok, msg = compare(df, events.EVENTS_TYPE_PIVOT_SQL, ORACLE_SF_DIR)
+    assert ok, msg
+
+
+def test_unpivot_oracle_parity(spark):
+    df = events.events_type_unpivot(spark, TEST_SF_DIR)
+    ok, msg = compare(df, events.EVENTS_TYPE_UNPIVOT_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_pivot_unpivot_roundtrip(spark):
+    """unpivot(pivot(events)) with zero cells dropped equals the plain
+    (user_id, event_type) count aggregate."""
+    long = {
+        (r.user_id, r.event_type): r.n
+        for r in events.events_type_unpivot(spark, TEST_SF_DIR)
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    from fledge_south_csvplayback_spark.operators.events import _events
+
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in _events(spark, TEST_SF_DIR)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert long == want
+
+
+def test_pivot_single_exchange(spark):
+    """The conditional-count formulation: one grouped aggregate, one
+    Exchange — DataFrame.pivot's PivotFirst two-exchange plan is the
+    documented rejected alternative."""
+    df = events.events_type_pivot(spark, TEST_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "Initial Plan"
+    )[0]
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(ex) == 1, plan
+    assert "PivotFirst" not in plan, plan
