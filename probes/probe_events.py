@@ -78,7 +78,7 @@ def gen_events(spark: SparkSession, n: int) -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("op", choices=["gen", "funnel"])
+    ap.add_argument("op", choices=["gen", "funnel", "retention", "pivot"])
     ap.add_argument("--rows", type=int, default=10_000_000)
     args = ap.parse_args()
 
@@ -88,6 +88,30 @@ def main() -> None:
     gen_sec = round(time.perf_counter() - t0, 1)
     if args.op == "gen":
         print(json.dumps({"op": "gen", "rows": args.rows, "sec": gen_sec}))
+        spark.stop()
+        return
+
+    if args.op in ("retention", "pivot"):
+        fn = {
+            "retention": events.events_retention,
+            "pivot": events.events_type_pivot,
+        }[args.op]
+        before = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 1)
+        print(
+            json.dumps(
+                {
+                    "op": args.op,
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": shuffle_delta(
+                        before, shuffle_write_bytes(spark)
+                    ),
+                }
+            )
+        )
         spark.stop()
         return
 
