@@ -65,7 +65,7 @@ HEADLINE = [
     "embedding_cosine_pairs",  # hyperplane-LSH near-dup pairs
     "events_hourly_rollup",  # window-bucketed aggregation
     "clean_interpolate_linear",  # window-fill cleaning suite
-    "dedup_simhash",  # bit-vote fingerprint + band join
+    "dedup_simhash",  # bit-vote fingerprint + blocked candidate tables (Manku)
     "ann_cosine_topk_lsh",  # band-mask partial top-k (rewritten round 5)
     "corpus_token_budget",  # two-pass per-language budget selection
     "corpus_dedup_apply",  # dedup-applied corpus (fingerprint window)

@@ -744,3 +744,137 @@ LIMIT {k}
 
 
 TEXT_BM25_SQL = _bm25_sql()
+
+# --- corpus-wide repeated-line removal (boilerplate scrub) -------------------
+# A line repeated across this many DISTINCT documents is boilerplate.
+# 2 is the CCNet/"deduplicate paragraphs" setting (drop anything shared
+# verbatim by another doc) and the most oracle-interesting default on
+# the fixture corpora; production web pipelines raise it (RefinedWeb
+# drops only lines shared by a large doc fraction) via the min_df arg.
+BOILERPLATE_MIN_DF = 2
+# The boilerplate line set (df >= min_df) is usually tiny — natural
+# corpora share few verbatim lines, and each key is one line string —
+# but the bound is corpus-dependent, so the broadcast is GUARDED like
+# dedup.HOT_BROADCAST_MAX: cache + count (the df aggregation runs once
+# either way), broadcast under the cap, shuffled left join above it.
+BOILERPLATE_BROADCAST_MAX = 2_000_000
+
+
+def text_boilerplate_scrub(
+    spark: SparkSession,
+    sf_dir: str,
+    min_df: int = BOILERPLATE_MIN_DF,
+    hashed: bool = False,
+) -> DataFrame:
+    """Corpus-wide repeated-LINE removal — the CCNet §4.1 / RefinedWeb
+    line-dedup boilerplate scrub (Wenzek et al. 2020, "CCNet";
+    Penedo et al. 2023, "The RefinedWeb Dataset"): nav bars, cookie
+    banners and footers repeat VERBATIM across documents, so any line
+    whose corpus-wide document frequency reaches ``min_df`` is dropped
+    from every document. Complements ``text_repetition``, which only
+    measures repetition WITHIN a document.
+
+    Returns one row per document: (doc_id, n_lines, removed_lines,
+    removed_chars, text_cleaned) — text_cleaned is the document with
+    boilerplate lines deleted, remaining lines rejoined in original
+    order ('' when everything was boilerplate), and the removed_*
+    columns are the per-doc audit trail a curation pipeline logs.
+
+    Plan, built to never join the corpus to itself (pinned in
+    tests/test_plans.py):
+
+    - **df pass**: ``array_distinct`` collapses within-doc repeats
+      INSIDE the row (a doc repeating its own nav bar 50x is intra-doc
+      repetition, not corpus boilerplate — and the collapse also means
+      the explode ships each distinct line once), then one
+      fine-grained groupBy(line) count — Exchange #1, map-side partial
+      aggregation soaking cross-doc repeats per task;
+    - **scrub pass**: the df >= min_df line set — small by
+      construction, it holds only lines ALREADY shared across docs —
+      is broadcast (guarded by BOILERPLATE_BROADCAST_MAX, shuffled
+      left join fallback) against the posexploded line instances; the
+      per-doc reassembly sorts (pos, line) structs inside
+      ``collect_list`` output and rejoins — Exchange #2 on doc_id.
+
+    Two shuffle Exchanges at any corpus size, both on fine-grained
+    keys (a line value / a doc_id — no skew beyond a pathological
+    one-line corpus, which min_df-removal then empties anyway).
+
+    ``hashed=True`` is the production shuffle-size knob (the
+    ``text_repetition`` precedent): both the df aggregation and the
+    broadcast membership set carry ``xxhash64(line)`` 8-byte keys
+    instead of line strings. A cross-doc collision could then scrub an
+    innocent line (~1e-19·pairs; the oracle keeps the string path, and
+    pytest pins hashed == unhashed on the fixtures).
+    """
+    docs = _docs(spark, sf_dir)
+    lines = F.split(F.col("text"), "\n")
+
+    def key(c):
+        return F.xxhash64(c) if hashed else c
+
+    boiler = (
+        docs.select(F.explode(F.array_distinct(lines)).alias("line"))
+        .groupBy(key(F.col("line")).alias("line_key"))
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("line_key")
+        .cache()
+    )
+    small = boiler.count() <= BOILERPLATE_BROADCAST_MAX
+    marked = boiler.withColumn("is_boiler", F.lit(True))
+    inst = docs.select("doc_id", F.posexplode(lines).alias("pos", "line"))
+    joined = inst.join(
+        F.broadcast(marked) if small else marked,
+        key(F.col("line")) == F.col("line_key"),
+        "left",
+    )
+    is_b = F.coalesce(F.col("is_boiler"), F.lit(False))
+    kept = F.when(~is_b, F.struct("pos", "line"))  # null (skipped) when boiler
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(is_b.cast("bigint")).alias("removed_lines"),
+        F.sum(F.when(is_b, F.length("line")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("removed_chars"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("text_cleaned"),
+    )
+
+
+def _boilerplate_sql(min_df: int = BOILERPLATE_MIN_DF) -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+),
+boiler AS (
+    SELECT line FROM (
+        SELECT unnest(list_distinct(lines)) AS line FROM d
+    ) GROUP BY 1 HAVING COUNT(*) >= {min_df}
+),
+inst AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(lines)),
+                  i -> struct_pack(pos := i, line := lines[i])),
+                  recursive := true)
+    FROM d
+),
+m AS (
+    SELECT i.doc_id, i.pos, i.line, b.line IS NOT NULL AS is_b
+    FROM inst i LEFT JOIN boiler b ON i.line = b.line
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_lines,
+       SUM(CASE WHEN is_b THEN 1 ELSE 0 END)::BIGINT AS removed_lines,
+       SUM(CASE WHEN is_b THEN len(line) ELSE 0 END)::BIGINT AS removed_chars,
+       COALESCE(string_agg(CASE WHEN NOT is_b THEN line END, chr(10)
+                           ORDER BY pos), '') AS text_cleaned
+FROM m GROUP BY doc_id
+"""
+
+
+TEXT_BOILERPLATE_SQL = _boilerplate_sql()

@@ -53,7 +53,13 @@ register(
 register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
 register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.NGRAM_JACCARD_SQL)
 register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.NGRAM_JACCARD_SQL)
-register("dedup_simhash", dedup.dedup_simhash, dedup.SIMHASH_SQL)
+# The registered SimHash entry is the BLOCKED (Manku WWW'07) candidate
+# scheme: the classic 8-band join's 256-value keyspace makes candidates
+# ~N²/64 on uniform fingerprints (measured quadratic in BASELINE.md),
+# so no registered plan should carry it at scale. The classic
+# `dedup.dedup_simhash` stays public + pytest-oracle-checked for the
+# higher-recall Hamming-6..12 niche (documented ≤~1e5 docs).
+register("dedup_simhash", dedup.dedup_simhash_blocked, dedup.SIMHASH_BLOCKED_SQL)
 
 # --- text analysis (documents table) ----------------------------------------
 register("text_stats", text.text_stats, text.TEXT_STATS_SQL)

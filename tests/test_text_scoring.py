@@ -6,6 +6,7 @@ exchange-reuse property."""
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import functions as F
 
@@ -353,3 +354,123 @@ def test_bm25_quoted_term_oracle_parity(spark, tmp_path):
     assert {r.doc_id for r in df.collect()} == {0}
     ok, msg = compare(df, text._bm25_sql(query=q, k=5), sf_dir)
     assert ok, msg
+
+
+# --- corpus-wide boilerplate (repeated-line) scrub ---------------------------
+def test_boilerplate_oracle_parity(spark):
+    df = text.text_boilerplate_scrub(spark, TEST_SF_DIR)
+    ok, msg = compare(df, text.TEXT_BOILERPLATE_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_boilerplate_oracle_parity_sf001(spark):
+    df = text.text_boilerplate_scrub(spark, ORACLE_SF_DIR)
+    ok, msg = compare(df, text.TEXT_BOILERPLATE_SQL, ORACLE_SF_DIR)
+    assert ok, msg
+
+
+_BOILER_DOCS = [
+    # nav + cookie banner shared by 3 docs (df=3) around unique bodies
+    (0, "NAV Home About\nunique zero body\nCOOKIE accept all"),
+    (1, "NAV Home About\nunique one body\nCOOKIE accept all"),
+    (2, "COOKIE accept all\nmiddle two text\nNAV Home About"),
+    # doc made ENTIRELY of boilerplate -> text_cleaned = ''
+    (3, "NAV Home About\nCOOKIE accept all"),
+    # within-doc repeats of a corpus-unique line must NOT count toward
+    # df (array_distinct collapse): df=1 here, nothing removed
+    (4, "only in four\nonly in four\nonly in four"),
+    # single-line doc, no newline at all
+    (5, "a lone single line document"),
+]
+
+
+def _planted_dir(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(_BOILER_DOCS, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def test_boilerplate_planted(spark, tmp_path):
+    """Hand-computed scrub on a planted shared-boilerplate corpus, plus
+    the same DuckDB compare on the planted table."""
+    sf_dir = _planted_dir(spark, tmp_path)
+    out = {
+        r.doc_id: r
+        for r in text.text_boilerplate_scrub(spark, sf_dir, min_df=3).collect()
+    }
+    assert set(out) == set(range(6))
+    nav, cookie = "NAV Home About", "COOKIE accept all"
+    assert out[0].text_cleaned == "unique zero body"
+    assert out[0].n_lines == 3 and out[0].removed_lines == 2
+    assert out[0].removed_chars == len(nav) + len(cookie)
+    assert out[2].text_cleaned == "middle two text"
+    # all-boilerplate doc is emptied but still present with its audit
+    assert out[3].text_cleaned == "" and out[3].removed_lines == 2
+    # within-doc repetition alone never triggers corpus removal
+    assert out[4].text_cleaned == "only in four\nonly in four\nonly in four"
+    assert out[4].removed_lines == 0
+    assert out[5].text_cleaned == "a lone single line document"
+    ok, msg = compare(
+        text.text_boilerplate_scrub(spark, sf_dir, min_df=3),
+        text._boilerplate_sql(min_df=3),
+        sf_dir,
+    )
+    assert ok, msg
+
+
+def test_boilerplate_hashed_equals_string_path(spark, tmp_path):
+    """hashed=True ships xxhash64(line) keys through the df aggregation
+    and the membership set instead of line strings — output must be
+    identical on the fixture corpora."""
+    sf_dir = _planted_dir(spark, tmp_path)
+    for d, df_min in ((TEST_SF_DIR, 2), (sf_dir, 3)):
+        s = {
+            tuple(r)
+            for r in text.text_boilerplate_scrub(
+                spark, d, min_df=df_min
+            ).collect()
+        }
+        h = {
+            tuple(r)
+            for r in text.text_boilerplate_scrub(
+                spark, d, min_df=df_min, hashed=True
+            ).collect()
+        }
+        assert s == h
+
+
+def test_boilerplate_broadcast_fallback_same_result(spark, monkeypatch):
+    """Above BOILERPLATE_BROADCAST_MAX the membership join must fall
+    back to a shuffle with identical output (forced to -1: the fixture
+    boiler set is small, so 0 would still broadcast)."""
+    base = {
+        tuple(r)
+        for r in text.text_boilerplate_scrub(spark, TEST_SF_DIR).collect()
+    }
+    monkeypatch.setattr(text, "BOILERPLATE_BROADCAST_MAX", -1)
+    fb = {
+        tuple(r)
+        for r in text.text_boilerplate_scrub(spark, TEST_SF_DIR).collect()
+    }
+    assert fb == base
+
+
+def test_boilerplate_plan_two_exchanges_no_self_join(spark):
+    """The scrub never joins the corpus to itself: one fine-grained
+    line-df aggregation Exchange, a guarded BroadcastHashJoin for the
+    membership set, one doc_id reassembly Exchange — exactly two
+    shuffle Exchanges at any corpus size."""
+    df = text.text_boilerplate_scrub(spark, TEST_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the cached df-aggregation subplan prints its Final AND Initial
+    # sections, so count distinct partitioning KEYS, not Exchange lines:
+    # exactly the line-df key and the doc_id reassembly key
+    keys = {
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
+    }
+    assert keys == {"line", "doc_id"}, (keys, plan)
