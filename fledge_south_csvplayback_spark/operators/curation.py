@@ -1159,12 +1159,19 @@ def write_training_corpus(
     bit gates BEFORE the fingerprint exchange, so the dedup keeper is
     the min doc_id among Gopher-passing copies; near-dup losers are
     mined on the FULL corpus (the pair miner's df-cap already bounds
-    it) and anti-joined as a tiny broadcast loser set — identical to
-    ``corpus_neardup_apply``. Chunking is narrow, so the write's
-    widest dependencies remain the fingerprint exchange and the pair
-    miner. Split labels come from the UN-salted doc_id bucket,
-    identical to ``corpus_split`` — chunks of one doc can never
-    straddle splits."""
+    it) and anti-joined as a tiny broadcast loser set. Unlike
+    ``corpus_neardup_apply``'s min-of-cluster rule, the cluster
+    representative here is RE-ELECTED among Gopher-passing members
+    (min doc_id of those): with the global min-doc member possibly
+    quality-filtered away, keeping its ``keep`` bit would drop every
+    surviving member and silently erase the cluster's content from the
+    training corpus — a cluster now vanishes only when ALL its members
+    fail quality, which is quality's verdict, not dedup's. Chunking is
+    narrow, so the write's widest dependencies remain the fingerprint
+    exchange and the pair miner (the election adds one aggregation
+    over the tiny cluster-member table). Split labels come from the
+    UN-salted doc_id bucket, identical to ``corpus_split`` — chunks of
+    one doc can never straddle splits."""
     from fledge_south_csvplayback_spark.operators import dedup
 
     keep = (
@@ -1175,9 +1182,17 @@ def write_training_corpus(
     survivors = _keep_first_per_fingerprint(
         _docs(spark, sf_dir).join(keep, "doc_id")
     )
-    losers = (
+    qualified = (
         dedup.dedup_clusters(spark, sf_dir)
-        .filter(~F.col("keep"))
+        .select("doc_id", "cluster_id")
+        .join(keep, "doc_id")
+    )
+    elected = qualified.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("rep_id")
+    )
+    losers = (
+        qualified.join(elected, "cluster_id")
+        .filter(F.col("doc_id") != F.col("rep_id"))
         .select("doc_id")
     )
     labeled = (

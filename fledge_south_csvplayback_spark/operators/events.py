@@ -68,6 +68,19 @@ def asof_join(
     first at equal timestamps so ties count as 'prior or equal',
     matching ASOF semantics — then carry right values forward with
     ignore-nulls ``last`` and keep the left rows.
+
+    Ties among MULTIPLE right rows at the same (key, ts) are broken
+    deterministically: the window order appends the right-value columns
+    themselves, so ``last`` picks the row with the greatest
+    (right_cols...) tuple — equivalent to pre-reducing the right side
+    with max(struct(right_cols)) per (key, ts), but without that
+    reduction's extra (key, ts) Exchange (the tiebreak rides the sort
+    the window already does). Oracles must mirror the same rule by
+    reducing their right side with per-column max at equal (key, ts)
+    (see EVENTS_ASOF_SQL) — identical unless a duplicate-ts group mixes
+    NULL and non-NULL right values, where ignore-nulls carry-forward
+    falls back per COLUMN to an earlier row (documented, fixture-pinned
+    in tests/test_event_time.py::test_asof_duplicate_ts_deterministic).
     """
     lt = left.withColumn("_side", F.lit(1))
     rt = right.withColumn("_side", F.lit(0))
@@ -86,7 +99,7 @@ def asof_join(
     )
     w = (
         W.partitionBy(on)
-        .orderBy(ts_col, "_side")
+        .orderBy(ts_col, "_side", *[f"_r_{c}" for c in right_cols])
         .rowsBetween(W.unboundedPreceding, 0)
     )
     carried = [
@@ -125,8 +138,8 @@ SELECT a.event_id, a.user_id, a.ts,
        b.ts AS last_click_ts, b.value AS last_click_value
 FROM (SELECT event_id, user_id, ts, value FROM events
       WHERE event_type = 'purchase') a
-ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                WHERE event_type = 'click') b
+ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts) b
   ON a.user_id = b.user_id AND a.ts >= b.ts
 """
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from fledge_south_csvplayback_spark.operators import compaction
 from tests.conftest import TEST_SF_DIR
 
@@ -81,4 +83,58 @@ def test_compaction_preserves_hive_partitioning(spark, tmp_path):
         tuple(r)
         for r in spark.read.parquet(out).select("doc_id", "lang").collect()
     )
+    assert a == b
+
+
+def test_compaction_rejects_remote_uri_and_missing_path(tmp_path):
+    """The local-FS sizing walkers must fail loudly on paths they
+    cannot see (a remote URI silently sized at 0 bytes used to degrade
+    to repartition(1) with a flattened layout)."""
+    import pytest
+
+    for bad in ("s3://bucket/data", "hdfs://nn/data", str(tmp_path / "nope")):
+        with pytest.raises(ValueError):
+            compaction.input_bytes(bad)
+        with pytest.raises(ValueError):
+            compaction.partition_cols(bad)
+
+
+def test_compaction_splits_oversized_partition_value(spark, tmp_path):
+    """target_bytes must apply INSIDE a hive layout: a partition value
+    bigger than the target splits into multiple ~target files via the
+    bounded content-hash salt, while small values keep one file each."""
+    import os
+
+    src = str(tmp_path / "skew_src")
+    out = str(tmp_path / "skew_out")
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    # make one value ('big') carry ~32x the data of the others
+    skewed = docs.withColumn(
+        "part",
+        (F.col("doc_id") % 32 == 0).cast("string"),
+    ).withColumn(
+        "part", F.when(F.col("part") == "true", F.lit("small")).otherwise("big")
+    )
+    skewed.repartition(8).write.partitionBy("part").parquet(src)
+
+    sizes = compaction._leaf_sizes(src, ["part"])
+    big_bytes = sizes[("big",)]
+    target = big_bytes // 4  # 'big' should split into ~4-5 files
+    assert sizes[("small",)] <= target  # 'small' stays single-file
+
+    compaction.compact_parquet(spark, src, out, target_bytes=target)
+    big_files = [
+        f for f in os.listdir(os.path.join(out, "part=big"))
+        if f.endswith(".parquet")
+    ]
+    small_files = [
+        f for f in os.listdir(os.path.join(out, "part=small"))
+        if f.endswith(".parquet")
+    ]
+    assert len(big_files) >= 3, big_files
+    assert len(small_files) == 1, small_files
+    # same rows, no salt column in the output schema
+    assert spark.read.parquet(out).columns == spark.read.parquet(src).columns
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert a == b

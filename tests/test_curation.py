@@ -881,9 +881,12 @@ def test_gopher_filter_null_text_gets_verdict(spark, tmp_path):
 def test_write_training_corpus_roundtrip(spark, tmp_path):
     """The materializer is exactly the composition of the
     independently-tested stages: surviving doc set == gopher-keep ∘
-    dedup-keeper ∘ neardup-loser-removal, split labels match
-    corpus_split, chunks reconstruct their doc (non-overlap config),
-    and the (split, lang) layout prunes at read time."""
+    dedup-keeper ∘ neardup-loser-removal (with the cluster
+    representative re-elected among quality-passing members, so a
+    cluster whose min-doc representative failed Gopher still keeps one
+    member), split labels match corpus_split, chunks reconstruct their
+    doc (non-overlap config), and the (split, lang) layout prunes at
+    read time."""
     from fledge_south_csvplayback_spark.operators import dedup
 
     out = str(tmp_path / "train_corpus")
@@ -902,11 +905,14 @@ def test_write_training_corpus_roundtrip(spark, tmp_path):
     dedup_keepers = {
         r.doc_id for r in curation._keep_first_per_fingerprint(kept_docs).collect()
     }
+    # replica of the re-election: per cluster, min doc_id among
+    # quality-PASSING members wins; the rest are losers
+    members: dict[int, list[int]] = {}
+    for r in dedup.dedup_clusters(spark, TEST_SF_DIR).collect():
+        if r.doc_id in keep:
+            members.setdefault(r.cluster_id, []).append(r.doc_id)
     losers = {
-        r.doc_id
-        for r in dedup.dedup_clusters(spark, TEST_SF_DIR)
-        .filter(~F.col("keep"))
-        .collect()
+        d for ms in members.values() for d in ms if d != min(ms)
     }
     want_ids = dedup_keepers - losers
     assert {r.doc_id for r in got.select("doc_id").distinct().collect()} == want_ids
@@ -930,3 +936,47 @@ def test_write_training_corpus_roundtrip(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "split" in plan, plan
     assert {(r.split, r.lang) for r in pruned.collect()} <= {("train", "en")}
+
+
+def test_training_corpus_reelects_cluster_representative(spark, tmp_path):
+    """A near-dup cluster whose min-doc_id member FAILS quality must
+    still contribute its best quality-passing member to the training
+    corpus (the representative is re-elected among Gopher-passing
+    members); previously the whole cluster's content vanished."""
+    words = [f"w{i:02d}xx" for i in range(40)]
+    base = " ".join(words)
+    docs = [
+        # doc 0: near-dup of doc 1 (shares all of base's shingles) with
+        # heavy gram spam appended -> fails the Gopher repetition gate
+        (0, base + " " + " ".join(["spam"] * 60), "en", "web", 0),
+        (1, base, "en", "web", 0),
+        # quality-passing filler, not near anything
+        (2, " ".join(f"z{i:02d}ab" for i in range(30)), "en", "web", 0),
+        (3, " ".join(f"q{i:02d}cd" for i in range(30)), "en", "web", 0),
+    ]
+    sf_dir = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    gopher = {
+        r.doc_id: r.keep
+        for r in curation.quality_filter_gopher(spark, sf_dir).collect()
+    }
+    assert gopher[0] is False and gopher[1] is True, gopher
+
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    clusters = {
+        r.doc_id: r.cluster_id for r in dedup.dedup_clusters(spark, sf_dir).collect()
+    }
+    assert clusters.get(0) == clusters.get(1) == 0, clusters
+
+    out = str(tmp_path / "train")
+    curation.write_training_corpus(spark, sf_dir, out)
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert 1 in got, got  # the re-elected representative survives
+    assert 0 not in got

@@ -324,3 +324,31 @@ def test_stream_stream_range_join_matches_batch(spark, tmp_path, event_files):
     }
     assert len(want) > 0  # the fixture actually exercises the join
     assert got == want
+
+
+def test_asof_duplicate_ts_deterministic(spark, tmp_path):
+    """Multiple right rows sharing (key, ts) must resolve
+    deterministically: the window order's right-struct tiebreaker picks
+    the greatest (ts, value) tuple, mirroring the oracle's per-(key,ts)
+    MAX reduction — so the driver hash compare cannot flake if the
+    events fixture ever gains duplicate (user_id, ts) click rows."""
+    from datetime import datetime
+
+    from fledge_south_csvplayback_spark.operators.events import asof_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 1, 13, 0, 0)
+    left = spark.createDataFrame(
+        [(100, 7, t1)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        # three clicks at the SAME (user_id, ts): max value must win
+        [(7, t0, 1.0), (7, t0, 9.0), (7, t0, 4.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = asof_join(
+        left, right, on="user_id", ts_col="ts", right_cols=["ts", "value"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0].asof_value == 9.0
+    assert out[0].asof_ts == t0
