@@ -199,3 +199,30 @@ SELECT ts, temp, pressure,
 FROM read_csv('{_fx("metadata_header.csv")}', skip=3, header=false,
     columns={{'ts': 'VARCHAR', 'temp': 'DOUBLE', 'pressure': 'DOUBLE'}})
 """
+
+
+def csv_directory_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 directory discovery + S3 compressed-codec scans folded into
+    ONE registered entry (round-6 registry rotation, see COVERAGE.md:
+    the driver caps CORRECTNESS at 50 rows, and these two fixture
+    scans verify adjacent §2.1 surface — merging them freed the slot
+    the corpus-wide boilerplate scrub now occupies). The ``src`` tag
+    keeps every constituent scan distinguishable in the hash compare;
+    the unmerged callables stay public and pytest-covered."""
+    d = csv_directory_union(spark, sf_dir).withColumnRenamed("src_file", "src")
+    c = csv_compressed_codecs(spark, sf_dir).withColumnRenamed("codec", "src")
+    return d.unionByName(c)
+
+
+CSV_DIRECTORY_CODECS_SQL = f"""
+SELECT channel1, channel2, user_ts,
+       string_split(filename, '/')[-1] AS src
+FROM read_csv('{_fx("multi")}/*.csv', header=true, filename=true,
+    columns={{'channel1': 'DOUBLE', 'channel2': 'DOUBLE', 'user_ts': 'VARCHAR'}})
+UNION ALL
+SELECT *, 'gz' AS src FROM read_csv('{_fx("vibration.csv.gz")}', header=true,
+    columns={{'channel1': 'DOUBLE', 'channel2': 'DOUBLE', 'user_ts': 'VARCHAR'}})
+UNION ALL
+SELECT *, 'bz2' AS src FROM read_csv('{_fx("vibration.csv")}', header=true,
+    columns={{'channel1': 'DOUBLE', 'channel2': 'DOUBLE', 'user_ts': 'VARCHAR'}})
+"""

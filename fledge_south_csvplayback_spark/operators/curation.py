@@ -60,6 +60,64 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# --- pluggable token counting ------------------------------------------------
+# Every budget/mixture operator counts tokens through ONE expression so
+# the counting rule is a corpus-wide config, not a per-operator accident.
+# Real pipelines budget TOKENIZER tokens; with no tokenizer in-engine,
+# the methods are the standard proxies.
+TOKEN_COUNT_METHODS = ("whitespace", "chars4", "regex")
+
+
+def token_count(text, method: str = "whitespace"):
+    """Per-document token-count expression (Catalyst, codegen'd):
+
+    - ``whitespace``: ``size(split(text, ' '))`` — the historical
+      default, byte-identical to every pre-existing oracle;
+    - ``chars4``: ``ceil(len/4)`` — the chars-per-token rule of thumb
+      for BPE vocabularies (OpenAI's documented ~4 chars/token
+      heuristic); cheapest, tokenizer-free, language-rough;
+    - ``regex``: BPE-ish class runs — letter runs + digit runs +
+      symbol runs (``text_token_classes``' decomposition), a closer
+      proxy when punctuation-heavy text would fool whitespace counts.
+
+    The DuckDB twin is ``token_count_sql``; both must change together
+    (pinned by the non-default-method oracle pytest)."""
+    if method == "whitespace":
+        return F.size(F.split(text, " "))
+    if method == "chars4":
+        return F.ceil(F.length(text) / 4).cast("int")
+    if method == "regex":
+        from fledge_south_csvplayback_spark.operators import text as text_ops
+
+        return (
+            F.regexp_count(text, F.lit(text_ops.WORD_RE))
+            + F.regexp_count(text, F.lit(text_ops.NUM_RE))
+            + F.regexp_count(text, F.lit(r"[^a-z0-9\s]+"))
+        ).cast("int")
+    raise ValueError(
+        f"unknown token-count method {method!r}; one of {TOKEN_COUNT_METHODS}"
+    )
+
+
+def token_count_sql(expr: str, method: str = "whitespace") -> str:
+    """DuckDB twin of ``token_count`` (same INTEGER result type)."""
+    if method == "whitespace":
+        return f"CAST(len(string_split({expr}, ' ')) AS INTEGER)"
+    if method == "chars4":
+        return f"CAST(ceil(len({expr}) / 4.0) AS INTEGER)"
+    if method == "regex":
+        from fledge_south_csvplayback_spark.operators import text as text_ops
+
+        return (
+            f"CAST(len(regexp_extract_all({expr}, '{text_ops.WORD_RE}'))"
+            f" + len(regexp_extract_all({expr}, '{text_ops.NUM_RE}'))"
+            f" + len(regexp_extract_all({expr}, '[^a-z0-9\\s]+')) AS INTEGER)"
+        )
+    raise ValueError(
+        f"unknown token-count method {method!r}; one of {TOKEN_COUNT_METHODS}"
+    )
+
+
 def _bucket(col: Column) -> Column:
     """Deterministic bucket in [0, BUCKETS): first 8 md5 hex digits of
     the stringified key. Reproduced verbatim in DuckDB (same md5, same
@@ -182,7 +240,10 @@ WHERE bucket < {_strata_case_sql()}
 
 # --- per-language token-budget selection -------------------------------------
 def corpus_token_budget(
-    spark: SparkSession, sf_dir: str, budget: int = TOKEN_BUDGET
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = TOKEN_BUDGET,
+    token_method: str = "whitespace",
 ) -> DataFrame:
     """Select documents per language, in deterministic hash priority
     order (bucket, doc_id), until the cumulative whitespace-token
@@ -199,24 +260,30 @@ def corpus_token_budget(
     (lang, bucket). The full corpus never funnels through
     one-partition-per-language; the only wide exchange of the big
     table is the (lang, bucket) hash partitioning.
+
+    ``token_method`` swaps the counting rule (see ``token_count``);
+    the default keeps every existing oracle byte-identical, and the
+    ``chars4`` variant is oracle-checked via ``_token_budget_sql``.
     """
     return (
-        _running_token_sum(spark, sf_dir)
+        _running_token_sum(spark, sf_dir, method=token_method)
         .filter(F.col("cum_tok") <= budget)
         .select("doc_id", "lang", "n_tok", "cum_tok")
     )
 
 
-def _running_token_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _running_token_sum(
+    spark: SparkSession, sf_dir: str, method: str = "whitespace"
+) -> DataFrame:
     """Per-language INCLUSIVE running token sum in deterministic hash
     priority order (bucket, doc_id) — the two-pass scalable plan (see
     module docstring) shared by ``corpus_token_budget`` (filters on
     it) and ``corpus_pack_batches`` (bins it). Output: (doc_id, lang,
-    n_tok, bucket, cum_tok)."""
+    n_tok, bucket, cum_tok). ``method`` is the ``token_count`` rule."""
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
-        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        token_count(F.col("text"), method).alias("n_tok"),
         _bucket(F.col("doc_id")).alias("bucket"),
     )
     per_bucket = docs.groupBy("lang", "bucket").agg(
@@ -242,10 +309,11 @@ def _running_token_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CORPUS_TOKEN_BUDGET_SQL = f"""
+def _token_budget_sql(method: str = "whitespace") -> str:
+    return f"""
 WITH s AS (
     SELECT doc_id, lang,
-           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+           {token_count_sql('text', method)} AS n_tok,
            {_bucket_sql('doc_id')} AS bucket
     FROM documents
 ),
@@ -258,6 +326,9 @@ c AS (
 )
 SELECT doc_id, lang, n_tok, cum_tok FROM c WHERE cum_tok <= {TOKEN_BUDGET}
 """
+
+
+CORPUS_TOKEN_BUDGET_SQL = _token_budget_sql()
 
 
 # --- quality filter ----------------------------------------------------------
@@ -809,7 +880,15 @@ def _chunk_docs(
 ) -> DataFrame:
     """Chunking body over an arbitrary docs DataFrame (doc_id, lang,
     text [, passthrough…]) — shared by the standalone operator and the
-    end-to-end ``write_training_corpus`` materializer."""
+    end-to-end ``write_training_corpus`` materializer.
+
+    Chunk boundaries are deliberately WHITESPACE positions regardless
+    of the ``token_count`` method configured for budgets/mixtures: a
+    boundary must be a realizable split point in the text, and
+    ``chars4``/``regex`` counts are size ESTIMATES with no positions
+    to cut at. Budget selection and chunk sizing may therefore use
+    different units — the same situation as a real pipeline budgeting
+    tokenizer tokens but storing whitespace-delimited text."""
     c, s = chunk_tokens, stride
     if not (0 < s <= c):
         raise ValueError("need 0 < stride <= chunk_tokens")
@@ -864,7 +943,10 @@ MIXTURE_ALPHA = 0.5  # temperature exponent: 1.0 = natural, 0.0 = uniform
 
 
 def corpus_mixture_weights(
-    spark: SparkSession, sf_dir: str, alpha: float = MIXTURE_ALPHA
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = MIXTURE_ALPHA,
+    token_method: str = "whitespace",
 ) -> DataFrame:
     """Per-language mixture weights for temperature-scaled corpus
     sampling (the multinomial ``p_i^alpha`` rebalancing of Conneau &
@@ -891,7 +973,7 @@ def corpus_mixture_weights(
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(F.split(F.col("text"), " ")))
+            F.sum(token_count(F.col("text"), token_method))
             .cast("bigint")
             .alias("n_tokens"),
         )
@@ -912,11 +994,13 @@ def corpus_mixture_weights(
     )
 
 
-def _mixture_sql(alpha: float = MIXTURE_ALPHA) -> str:
+def _mixture_sql(
+    alpha: float = MIXTURE_ALPHA, method: str = "whitespace"
+) -> str:
     return f"""
 WITH a AS (
     SELECT lang, COUNT(*) AS n_docs,
-           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           CAST(SUM({token_count_sql('text', method)}) AS BIGINT) AS n_tokens
     FROM documents GROUP BY 1
 ),
 b AS (SELECT a.*, n_tokens / (SUM(n_tokens) OVER ())::DOUBLE AS p FROM a),

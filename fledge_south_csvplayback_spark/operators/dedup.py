@@ -214,12 +214,17 @@ def shingle_strings(text: Column, n: int = NGRAM) -> Column:
     return F.element_at(F.transform(F.array(F.split(text, " ")), build), 1)
 
 
+def _shingled_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) over an arbitrary documents frame — shared by the
+    whole-corpus miners and the incremental-ingest corpus/batch sides
+    so shingle sets can never drift between them."""
+    return docs.filter(
+        F.size(F.split(F.col("text"), " ")) >= NGRAM  # cheap predicate
+    ).select("doc_id", shingles(F.col("text")).alias("sh"))
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _docs(spark, sf_dir)
-        .filter(F.size(F.split(F.col("text"), " ")) >= NGRAM)  # cheap predicate
-        .select("doc_id", shingles(F.col("text")).alias("sh"))
-    )
+    return _shingled_docs(_docs(spark, sf_dir))
 
 
 # oracle used by both the exact-Jaccard and the LSH operator (see module
@@ -360,6 +365,30 @@ def minhash_signatures(idx: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
     )
 
 
+def _lsh_band_table(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows from a MinHash signature frame — one
+    banding definition shared by the inline miner, the persisted
+    near-dup index, and the ingest batch side (a per-doc function of
+    the signature alone, so corpus membership cannot change it)."""
+    rows = MINHASH_PERMS // LSH_BANDS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"_mh{b * rows + r}") for r in range(rows)]
+                        ).alias("key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard.
 
@@ -377,26 +406,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixture corpora: every exact pair clears j>=0.9 or is found by
     LSH anyway.
     """
-    rows = MINHASH_PERMS // LSH_BANDS
     sh = _shingled(spark, sf_dir)
     idx = sh.select("doc_id", F.explode("sh").alias("s"))
-    sig = minhash_signatures(idx)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"_mh{b * rows + r}") for r in range(rows)]
-                        ).alias("key"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    bands = _lsh_band_table(minhash_signatures(idx))
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -912,3 +924,161 @@ SELECT s AS doc_id, MIN(d) AS cluster_id,
        s = MIN(d) AS keep
 FROM reach GROUP BY s
 """
+
+
+# --- incremental near-dup ingest ---------------------------------------------
+# Deterministic corpus/batch split for the oracle-checkable entry: docs
+# with doc_id >= this play the "new batch" (the curation module's
+# INGEST_SPLIT_ID convention).
+NEARDUP_INGEST_SPLIT = 400
+
+
+def build_neardup_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    max_doc_id: int | None = None,
+) -> None:
+    """Persist the near-dup mining state of a corpus — the index a
+    100 TB pipeline maintains so an ingest batch NEVER re-mines the
+    existing corpus. Three tables under ``index_dir``:
+
+    - ``bands``: the MinHash-LSH (doc_id, band, key) rows — what a new
+      batch probes for cross candidates (same ``_lsh_band_table`` as
+      the inline miner, so candidate semantics cannot drift);
+    - ``shingles``: (doc_id, sh array<long>) — the verification side:
+      exact Jaccard of a cross candidate needs the corpus doc's
+      shingle set, and storing it (≈ 8 bytes/token) beats re-shingling
+      the document payload at every ingest;
+    - ``shingle_df``: (s, df) per-shingle document frequency — lets an
+      ingest rebuild the COMBINED-corpus df cap with only a broadcast
+      of the batch's df (see ``neardup_ingest``), keeping the cap
+      semantics identical to the full-corpus miner's.
+
+    ``max_doc_id`` restricts the indexed corpus (used by tests to
+    stage the corpus/batch split on one table). Maintenance contract:
+    after an ingest is accepted, append the batch's rows to all three
+    tables (each is a per-doc / per-shingle increment — nothing global
+    needs recomputation).
+    """
+    docs = _docs(spark, sf_dir)
+    if max_doc_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc_id)
+    _shingled_docs(docs).write.mode("overwrite").parquet(
+        f"{index_dir}/shingles"
+    )
+    idx = (
+        spark.read.parquet(f"{index_dir}/shingles")
+        .select("doc_id", F.explode("sh").alias("s"))
+    )
+    _lsh_band_table(minhash_signatures(idx)).write.mode("overwrite").parquet(
+        f"{index_dir}/bands"
+    )
+    idx.groupBy("s").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/shingle_df")
+
+
+def neardup_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    split_id: int = NEARDUP_INGEST_SPLIT,
+) -> DataFrame:
+    """Near-dup pairs an ingest batch introduces — against the EXISTING
+    corpus (via the persisted ``build_neardup_index``) and within
+    itself — without re-mining the corpus. Output: exactly the
+    full-corpus ``dedup_minhash_lsh`` pairs that touch a batch doc
+    (pinned by the agreement pytest), i.e. (doc_a, doc_b, jaccard)
+    with doc_b in the batch.
+
+    Work shape (the reason this op exists): every SHUFFLE is
+    batch-sized or candidate-sized —
+
+    - batch shingling/signatures/bands: one pass over the batch;
+    - cross candidates: the batch's band rows BROADCAST against a scan
+      of the index's band table — the corpus is scanned, never
+      shuffled, and at a bucketed/partitioned band layout the scan
+      prunes too;
+    - the df cap: the batch's per-shingle df (tiny) broadcast against
+      a scan of the index's ``shingle_df``, rebuilding the
+      combined-corpus hot set exactly (corpus df + batch df > CAP ⇔
+      the full miner's cap verdict on the union corpus);
+    - verification: the shared ``_pair_counts`` posting-list
+      intersector over ONLY the candidate docs' shingle rows (index
+      rows semi-joined by the broadcast candidate set + the batch's).
+
+    The full miner re-run costs O(corpus) shuffle per ingest; this
+    costs O(batch + candidates) shuffle plus corpus-scan probes.
+    """
+    batch_sh = _shingled_docs(
+        _docs(spark, sf_dir).filter(F.col("doc_id") >= split_id)
+    ).cache()
+    batch_idx = batch_sh.select("doc_id", F.explode("sh").alias("s"))
+    batch_bands = _lsh_band_table(minhash_signatures(batch_idx))
+    batch_bands = batch_bands.cache()
+    batch_bands.count()  # materialize: probed twice (cross + within)
+
+    idx_bands = spark.read.parquet(f"{index_dir}/bands")
+    a, b = idx_bands.alias("a"), batch_bands.alias("b")
+    cross = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa, wb = batch_bands.alias("a"), batch_bands.alias("b")
+    within = (
+        wa.join(
+            wb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # disjoint by construction (cross has doc_a < split <= doc_b)
+    cands = cross.union(within).cache()
+    cands.count()  # materialize: feeds the doc slice AND the final join
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select("doc_b"))
+        .distinct()
+    )
+    slice_sh = (
+        spark.read.parquet(f"{index_dir}/shingles")
+        .join(F.broadcast(cand_docs), "doc_id", "semi")
+        .unionByName(batch_sh.join(F.broadcast(cand_docs), "doc_id", "semi"))
+    )
+    # combined-corpus df cap: corpus df (persisted) + batch df (tiny)
+    batch_df = batch_idx.groupBy("s").agg(F.count(F.lit(1)).alias("bdf"))
+    batch_df = batch_df.cache()
+    idx_df = spark.read.parquet(f"{index_dir}/shingle_df")
+    hot = (
+        idx_df.join(F.broadcast(batch_df), "s", "left")
+        .filter(
+            (F.col("df") + F.coalesce(F.col("bdf"), F.lit(0)))
+            > SHINGLE_DF_CAP
+        )
+        .select("s")
+        .union(
+            batch_df.filter(F.col("bdf") > SHINGLE_DF_CAP).select("s")
+        )
+        .distinct()
+    )
+    pairs = _pair_counts(slice_sh, hot=hot).join(
+        F.broadcast(cands), ["doc_a", "doc_b"]
+    )
+    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return pairs.filter(j >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
+    )

@@ -344,7 +344,38 @@ def _probe_sets(
     return probe
 
 
-def _masked_partial_topk(qmat: list[tuple], mode: str = "cells"):
+def _np_band_keys_fn():
+    """Factory for the vectorized hyperplane band-key packer: one GEMM
+    against the plane matrix, sign bits packed per band — the numpy
+    twin of ``_lsh_bands``'s Catalyst fold (same planes, same ``>= 0``
+    sign rule, same bit weights; identical keys modulo the documented
+    last-ulp summation-order caveat at an exact-zero dot).
+
+    A FACTORY, not a module-level function, on purpose: the scorer
+    closure ships to Python workers via cloudpickle, which serializes
+    references to module-level functions BY REFERENCE (an import on
+    the worker) — and the driver contract runs these closures on
+    workers that do not have this package on their PYTHONPATH. A
+    dynamically-created function pickles by value, like the rest of
+    the closure (caught by the driver-style verify run, not pytest,
+    whose cwd makes the package importable)."""
+
+    def nk(m, planes):
+        import numpy as np
+
+        per_band = LSH_PLANES // LSH_BANDS
+        bits = (m @ planes.T) >= 0
+        w = 1 << np.arange(per_band, dtype=np.int64)
+        return (
+            (bits.reshape(len(m), LSH_BANDS, per_band) * w)
+            .sum(axis=2)
+            .astype(np.int64)
+        )
+
+    return nk
+
+
+def _masked_partial_topk(qmat: list[tuple], mode: str = "cells", planes=None):
     """THE mapInPandas scorer behind every top-k entry — one body so
     the ranking contract (round(cosine, 6) BEFORE ranking to mirror
     the oracles, vec_id tiebreak, self-exclusion, per-batch top-k)
@@ -362,7 +393,11 @@ def _masked_partial_topk(qmat: list[tuple], mode: str = "cells"):
     - ``"band_keys"``: full per-row LSH key arrays in a ``keys``
       column; candidate matches query q iff any band position agrees.
       Used by the inline LSH entry (rows are whole vectors — unique
-      per batch).
+      per batch). With ``planes`` set (the production
+      ``reproducible=False`` knob) the key arrays are instead computed
+      INSIDE the batch by ``_np_band_keys`` — one extra 16-plane GEMM
+      per batch replaces 16 interpreted Catalyst dots per row, and no
+      ``keys`` column is needed in the input.
     - ``"bucket_rows"``: persisted-LSH-index rows are ONE (band, key)
       bucket membership each; candidate matches iff q's key at the
       row's band equals the row's key. A vector co-bucketed with q in
@@ -375,6 +410,7 @@ def _masked_partial_topk(qmat: list[tuple], mode: str = "cells"):
     """
     if mode not in ("cells", "band_keys", "bucket_rows"):
         raise ValueError(f"unknown scorer mode: {mode}")
+    np_band_keys = _np_band_keys_fn() if planes is not None else None
 
     def _score(batches):
         import numpy as np
@@ -407,7 +443,11 @@ def _masked_partial_topk(qmat: list[tuple], mode: str = "cells"):
                     else None
                 )
             elif mode == "band_keys":
-                keys = np.stack(pdf["keys"].to_numpy()).astype(np.int64)
+                keys = (
+                    np_band_keys(m, planes)
+                    if planes is not None
+                    else np.stack(pdf["keys"].to_numpy()).astype(np.int64)
+                )
             else:
                 bands = pdf["band"].to_numpy().astype(np.int64)
                 key = pdf["key"].to_numpy().astype(np.int64)
@@ -583,13 +623,39 @@ FROM r WHERE rank <= {TOP_K}
 
 
 def build_ivf_index(
-    spark: SparkSession, sf_dir: str, index_dir: str, cells: int = IVF_CELLS
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    cells: int = IVF_CELLS,
+    centroids: str = "head",
+    kmeans_iters: int = 5,
 ) -> None:
     """Ingest-time IVF index: assign every vector to its coarse cell
     ONCE and persist (vec_id, v, norm, cell_id) parquet partitioned by
     cell_id — the amortized deployment the inline entry's probe numbers
     call for (assignment re-done per query costs more than the GEMM it
     prunes; see ``ann_cosine_topk_ivf``).
+
+    ``centroids`` selects the coarse quantizer:
+
+    - ``"head"``: the deterministic first-``cells``-vectors rule the
+      inline oracle-checked entry uses — cells are whatever the data's
+      head happened to be, so cell populations are as balanced as the
+      corpus is isotropic, and recall at small nprobe suffers when it
+      isn't (recall@5 0.76 at nprobe 4/16 on the 10M isotropic probe).
+    - ``"kmeans"``: the PRODUCTION path — ``kmeans_fit`` Lloyd's
+      centroids (k=cells, ``kmeans_iters`` scan-bound iterations, no
+      RNG, see its docstring), which place cells where the density is
+      and are what IVF means in a real deployment (IVFADC of Jégou
+      et al., "Product quantization for nearest neighbor search",
+      TPAMI 2011, uses exactly a k-means coarse quantizer).
+
+    Either way the chosen centroids are PERSISTED with the index under
+    ``{index_dir}/_centroids`` (underscore-prefixed, so a plain
+    ``spark.read.parquet(index_dir)`` of the data never sees it) and
+    the query path reads them back — index and query can no longer
+    disagree about the quantizer, and a kmeans index needs no re-fit
+    at query time.
 
     Assignment here is a BLAS GEMM over Arrow batches (m @ centroids.T,
     argmax), not the inline interpreted-expression argmax — at ingest
@@ -602,15 +668,26 @@ def build_ivf_index(
     directories across the cluster store, and adding vectors is an
     append to their cell partitions.
     """
+    import math as _math
+
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
-    cent_rows = (
-        emb.filter(
-            (F.col("vec_id") >= N_QUERIES)
-            & (F.col("vec_id") < N_QUERIES + cells)
+    if centroids == "head":
+        cent_rows = (
+            emb.filter(
+                (F.col("vec_id") >= N_QUERIES)
+                & (F.col("vec_id") < N_QUERIES + cells)
+            )
+            .collect()
         )
-        .collect()
-    )
-    cents = sorted((r["vec_id"], list(r["v"]), r["norm"]) for r in cent_rows)
+        cents = sorted((r["vec_id"], list(r["v"]), r["norm"]) for r in cent_rows)
+    elif centroids == "kmeans":
+        cmat, _inertia = kmeans_fit(spark, sf_dir, k=cells, iters=kmeans_iters)
+        cents = [
+            (cid, cv, _math.sqrt(sum(x * x for x in cv)))
+            for cid, cv in enumerate(cmat)
+        ]
+    else:
+        raise ValueError(f"unknown centroids mode: {centroids!r}")
 
     def _assign(batches):
         import numpy as np
@@ -638,6 +715,13 @@ def build_ivf_index(
         _assign, "vec_id long, v array<double>, norm double, cell_id long"
     )
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(index_dir)
+    # AFTER the data write: overwriting index_dir would wipe a
+    # previously-written sidecar (underscore prefix keeps it invisible
+    # to plain reads of the data directory)
+    spark.createDataFrame(
+        [(cid, cv, cn) for cid, cv, cn in cents],
+        "cell_id long, cv array<double>, cn double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_centroids")
 
 
 def ann_cosine_topk_ivf_indexed(
@@ -645,7 +729,6 @@ def ann_cosine_topk_ivf_indexed(
     sf_dir: str,
     index_dir: str,
     nprobe: int = IVF_NPROBE,
-    cells: int = IVF_CELLS,
 ) -> DataFrame:
     """IVF ANN over a ``build_ivf_index`` output: read ONLY the probed
     cells (partition pruning — the scan's PartitionFilters carry the
@@ -653,9 +736,11 @@ def ann_cosine_topk_ivf_indexed(
     per-batch partial top-k as the inline entry. Not registered with
     the driver (needs a side index and the 50-entry cap is full); the
     pytest asserts exact agreement with ``ann_cosine_topk_ivf`` plus
-    the pruned scan. Queries and centroids are re-collected from the
-    base table by the same deterministic rule, so both paths probe the
-    same cells.
+    the pruned scan. Queries are re-collected from the base table;
+    CENTROIDS come from the index's persisted ``_centroids`` table
+    (written by ``build_ivf_index`` for both the head rule and the
+    kmeans production path), so index and query always probe the same
+    quantizer and a kmeans index needs no re-fit at query time.
 
     A last-ulp caveat, accepted by design: ingest assignment sums dot
     products in BLAS order while the inline entry's Catalyst expression
@@ -665,12 +750,14 @@ def ann_cosine_topk_ivf_indexed(
     surface it.
     """
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
-    head = {
-        r["vec_id"]: (list(r["v"]), r["norm"])
-        for r in emb.filter(F.col("vec_id") < N_QUERIES + cells).collect()
-    }
-    cents = [(cid, *head[cid]) for cid in range(N_QUERIES, N_QUERIES + cells)]
-    queries = [(qid, *head[qid]) for qid in range(N_QUERIES)]
+    queries = [
+        (r["vec_id"], list(r["v"]), r["norm"])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    ]
+    cents = sorted(
+        (r["cell_id"], list(r["cv"]), r["cn"])
+        for r in spark.read.parquet(f"{index_dir}/_centroids").collect()
+    )
     probe_cells = _probe_sets(queries, cents, nprobe)
     qmat = [(qid, qv, qn, set(probe_cells[qid])) for qid, qv, qn in queries]
 
@@ -686,7 +773,9 @@ def ann_cosine_topk_ivf_indexed(
     return _rank_topk(partial)
 
 
-def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_cosine_topk_lsh(
+    spark: SparkSession, sf_dir: str, reproducible: bool = True
+) -> DataFrame:
     """LSH ANN top-k: hyperplane band buckets as a candidate MASK
     inside the shared mapInPandas GEMM scorer, not a join.
 
@@ -712,18 +801,45 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: with a persisted band→vec layout (cf. ``build_ivf_index``)
     a selective query reads only its buckets. For full-scan top-k at
     scale, ``ann_cosine_topk`` is the model plan.
+
+    ``reproducible=True`` (the registered entry) computes each row's 8
+    band keys as Catalyst fold expressions so the DuckDB oracle can
+    rebuild bucket membership bit-for-bit — 16 interpreted hyperplane
+    dots per row, the entry's residual cost (97.8 s vs the brute
+    scan's 8.8 s at 10M). ``reproducible=False`` is the production
+    knob (the ``dedup_simhash`` precedent): the plane matrix rides
+    into the scorer closure and every batch computes its keys with one
+    extra BLAS GEMM (``_np_band_keys``) — no Catalyst band math, no
+    ``keys`` column. Same sign rule on the same plane literals, so
+    keys are identical except at an exact-zero dot (last-ulp
+    summation-order caveat, as the IVF index documents); pytest pins
+    knob == default on the fixture corpora.
     """
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
-    keyed = emb.withColumn(
-        "keys", F.transform(_lsh_bands(F.col("v")), lambda bk: bk["key"])
-    )
-    qmat = [
-        (r["vec_id"], list(r["v"]), r["norm"], list(r["keys"]))
-        for r in keyed.filter(F.col("vec_id") < N_QUERIES).collect()
-    ]
+    if reproducible:
+        keyed = emb.withColumn(
+            "keys", F.transform(_lsh_bands(F.col("v")), lambda bk: bk["key"])
+        )
+        qmat = [
+            (r["vec_id"], list(r["v"]), r["norm"], list(r["keys"]))
+            for r in keyed.filter(F.col("vec_id") < N_QUERIES).collect()
+        ]
+        scorer = _masked_partial_topk(qmat, mode="band_keys")
+    else:
+        import numpy as np
+
+        planes = np.array(_hyperplanes(), dtype=np.float64)
+        qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+        qm = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
+        qkeys = _np_band_keys_fn()(qm, planes)
+        qmat = [
+            (r["vec_id"], list(r["v"]), r["norm"], [int(x) for x in qkeys[i]])
+            for i, r in enumerate(qrows)
+        ]
+        keyed = emb
+        scorer = _masked_partial_topk(qmat, mode="band_keys", planes=planes)
     partial = keyed.mapInPandas(
-        _masked_partial_topk(qmat, mode="band_keys"),
-        "query_id long, vec_id long, cosine double",
+        scorer, "query_id long, vec_id long, cosine double"
     )
     return _rank_topk(partial)
 

@@ -980,3 +980,39 @@ def test_training_corpus_reelects_cluster_representative(spark, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert 1 in got, got  # the re-elected representative survives
     assert 0 not in got
+
+
+# --- pluggable token counting ------------------------------------------------
+def test_token_budget_chars4_oracle_parity(spark):
+    """The non-default token-count method, oracle-checked end-to-end:
+    Spark's chars4 budget selection vs DuckDB rebuilding the same
+    ceil(len/4) counts (the whitespace default's byte-identical oracle
+    is already pinned by test_oracle_parity)."""
+    df = curation.corpus_token_budget(spark, TEST_SF_DIR, token_method="chars4")
+    ok, msg = compare(df, curation._token_budget_sql("chars4"), TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_mixture_weights_regex_oracle_parity(spark):
+    df = curation.corpus_mixture_weights(
+        spark, TEST_SF_DIR, token_method="regex"
+    )
+    ok, msg = compare(df, curation._mixture_sql(method="regex"), TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_token_count_default_sql_unchanged():
+    """The builder must regenerate the historical default SQL exactly —
+    the guarantee that threading the method through changed nothing
+    for every registered oracle."""
+    assert "len(string_split(text, ' '))" in curation.CORPUS_TOKEN_BUDGET_SQL
+    assert "len(string_split(text, ' '))" in curation.CORPUS_MIXTURE_SQL
+
+
+def test_token_count_rejects_unknown_method():
+    import pytest
+
+    with pytest.raises(ValueError):
+        curation.token_count(F.col("text"), "bpe")
+    with pytest.raises(ValueError):
+        curation.token_count_sql("text", "bpe")

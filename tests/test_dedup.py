@@ -293,3 +293,63 @@ def test_dedup_clusters_transitive_chain(spark, tmp_path):
         4: (4, True),
         5: (4, False),
     }  # doc 6 pairs with nothing and is absent
+
+
+def test_neardup_ingest_agrees_with_full_miner(spark, tmp_path):
+    """Incremental ingest over the persisted band index must return
+    EXACTLY the full-corpus miner's pairs that touch a batch doc —
+    same candidates (shared banding), same verification (shared
+    _pair_counts with the combined-corpus df cap). The sf0.001 split
+    at 400 exercises both categories (9 cross, 1 within-batch)."""
+    index_dir = str(tmp_path / "nd_index")
+    split = dedup.NEARDUP_INGEST_SPLIT
+    dedup.build_neardup_index(spark, TEST_SF_DIR, index_dir, max_doc_id=split)
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.neardup_ingest(spark, TEST_SF_DIR, index_dir).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_minhash_lsh(spark, TEST_SF_DIR).collect()
+        if r.doc_b >= split
+    }
+    assert got == want
+    assert any(a < split for a, _, _ in got)  # cross pairs exercised
+    assert any(a >= split for a, _, _ in got)  # within-batch exercised
+
+
+def test_neardup_ingest_planted_categories(spark, tmp_path):
+    """Planted corpus/batch fixture: a batch doc near-duping a corpus
+    doc is found (cross), two near-dup batch docs are found (within),
+    a batch doc duplicating nothing yields no pair, and corpus-corpus
+    pairs are NOT re-reported."""
+    words = [f"tok{i:03d}" for i in range(60)]
+    base_a = " ".join(words)
+    base_b = " ".join(f"oth{i:03d}" for i in range(60))
+    swap = lambda s: " ".join(  # noqa: E731
+        s.split(" ")[:-2] + ["endx", "endy"]
+    )
+    docs = [
+        (0, base_a, "en", "web", 0),          # corpus
+        (1, swap(base_a), "en", "web", 0),    # corpus near-dup of 0
+        (2, base_b, "en", "web", 0),          # corpus, unrelated
+        (500, swap(base_b), "en", "web", 0),  # batch ~ corpus doc 2 (cross)
+        (501, " ".join(f"new{i:03d}" for i in range(60)), "en", "web", 0),
+        (502, swap(" ".join(f"new{i:03d}" for i in range(60))), "en", "web", 0),
+        (503, " ".join(f"solo{i:03d}" for i in range(60)), "en", "web", 0),
+    ]
+    sf_dir = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    index_dir = str(tmp_path / "nd_index")
+    dedup.build_neardup_index(spark, sf_dir, index_dir, max_doc_id=400)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.neardup_ingest(spark, sf_dir, index_dir, split_id=400).collect()
+    }
+    assert got == {(2, 500), (501, 502)}, got

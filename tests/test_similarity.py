@@ -397,3 +397,73 @@ def test_kmeans_assignment_plan_is_narrow(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_lsh_production_keys_match_reproducible(spark):
+    """reproducible=False computes band keys as a per-batch numpy GEMM
+    (no Catalyst hyperplane dots, no keys column) — same planes, same
+    sign rule, so output must equal the registered path on the fixture
+    corpus (modulo the documented exact-zero-dot last-ulp caveat, which
+    no fixture vector exhibits)."""
+    rep = {tuple(r) for r in S.ann_cosine_topk_lsh(spark, TEST_SF_DIR).collect()}
+    prod = {
+        tuple(r)
+        for r in S.ann_cosine_topk_lsh(
+            spark, TEST_SF_DIR, reproducible=False
+        ).collect()
+    }
+    assert rep == prod
+
+
+def test_ivf_index_kmeans_centroids(spark, tmp_path):
+    """The kmeans production quantizer: build_ivf_index persists its
+    fitted centroids with the index, the query path reads them back,
+    and probing ALL cells must reproduce the brute-force top-k exactly
+    (the quantizer partitions the corpus, so a full probe loses
+    nothing) — the plumbing-exactness gate. A partial probe must stay
+    well-formed and deterministic across rebuilds."""
+    index_dir = str(tmp_path / "ivf_kmeans")
+    S.build_ivf_index(
+        spark, TEST_SF_DIR, index_dir, centroids="kmeans", kmeans_iters=3
+    )
+    # _centroids is invisible to a plain read of the data
+    assert set(spark.read.parquet(index_dir).columns) == {
+        "vec_id", "v", "norm", "cell_id"
+    }
+    brute = {tuple(r) for r in S.ann_cosine_topk(spark, TEST_SF_DIR).collect()}
+    full = {
+        tuple(r)
+        for r in S.ann_cosine_topk_ivf_indexed(
+            spark, TEST_SF_DIR, index_dir, nprobe=S.IVF_CELLS
+        ).collect()
+    }
+    assert full == brute
+    part1 = sorted(
+        tuple(r)
+        for r in S.ann_cosine_topk_ivf_indexed(
+            spark, TEST_SF_DIR, index_dir, nprobe=4
+        ).collect()
+    )
+    index_dir2 = str(tmp_path / "ivf_kmeans2")
+    S.build_ivf_index(
+        spark, TEST_SF_DIR, index_dir2, centroids="kmeans", kmeans_iters=3
+    )
+    part2 = sorted(
+        tuple(r)
+        for r in S.ann_cosine_topk_ivf_indexed(
+            spark, TEST_SF_DIR, index_dir2, nprobe=4
+        ).collect()
+    )
+    assert part1 == part2  # no RNG anywhere: rebuild reproduces exactly
+    # partial probe recall vs brute ground truth stays useful
+    hits = len(set(part1) & brute)
+    assert hits / len(brute) >= 0.5, hits / len(brute)
+
+
+def test_ivf_index_rejects_unknown_centroid_mode(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        S.build_ivf_index(
+            spark, TEST_SF_DIR, str(tmp_path / "x"), centroids="magic"
+        )
