@@ -76,6 +76,8 @@ HEADLINE = [
     "corpus_chunk_documents",  # narrow sliding-window chunking
     "events_funnel",  # stacked running windows, Exchange-once funnel
     "text_bm25_topk",  # two-scan zero-shuffle keyword search
+    "text_boilerplate_scrub",  # corpus-wide repeated-line removal (round 6)
+    "text_repeated_span_scrub",  # ExactSubstr repeated-span removal (round 6)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -90,6 +92,7 @@ EXTRA_QUERIES = {
     "corpus_chunk_documents": curation.corpus_chunk_documents,
     "events_funnel": events.events_funnel,
     "text_bm25_topk": text.text_bm25_topk,
+    "text_repeated_span_scrub": text.text_repeated_span_scrub,
 }
 
 

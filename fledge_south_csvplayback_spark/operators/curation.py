@@ -1286,3 +1286,114 @@ def write_training_corpus(
     )
     chunks = _chunk_docs(labeled, chunk_tokens, stride, passthrough=("split",))
     chunks.write.mode("overwrite").partitionBy("split", "lang").parquet(out_dir)
+
+
+# --- model-based quality scoring (hashed linear classifier) ------------------
+# Feature hashing dimension for the bag-of-tokens classifier. 1024 is
+# plenty for the deterministic stand-in weights; a real fasttext-style
+# model would use 2^18+ buckets and its trained vector here.
+QMODEL_DIM = 1024
+QMODEL_KEEP_THRESHOLD = 0.5
+
+
+def _qmodel_weights(dim: int = QMODEL_DIM) -> tuple[list[float], float]:
+    """Deterministic stand-in weights: w[b] derives from md5 of the
+    bucket index, uniform in (-1, 1), bias 0. A real deployment
+    replaces this with its trained classifier's hashed weights — the
+    SCORING path below is the production artifact (one literal array,
+    pure codegen); the weights are data."""
+    import hashlib
+
+    ws = []
+    for b in range(dim):
+        h = int(hashlib.md5(f"qw:{b}".encode()).hexdigest()[:8], 16)
+        ws.append(round((h % 2001 - 1000) / 1000.0, 6))
+    return ws, 0.0
+
+
+def quality_model_score(
+    spark: SparkSession,
+    sf_dir: str,
+    weights: list[float] | None = None,
+    bias: float | None = None,
+    dim: int = QMODEL_DIM,
+) -> DataFrame:
+    """Model-based quality scoring — the classifier stage every major
+    curation pipeline runs after the rule filters (CCNet's fasttext
+    LM-vs-crawl classifier; Dolma and RefinedWeb ship fasttext quality
+    models): ``sigmoid(bias + mean over tokens of w[h(token)])`` over
+    a hashed bag-of-tokens, emitting (doc_id, n_tokens, score, keep).
+
+    Spark-first shape: the weight vector rides in as ONE nested-array
+    literal (the IVF-centroid pattern) and the whole score is a
+    codegen'd expression — token hash → bucket → ``element_at`` into
+    the literal → mean → sigmoid. No UDF, no join, no shuffle: the
+    plan is scan + project at any corpus size, exactly like the rule
+    filters it sits beside.
+
+    The bucket hash is the md5 ``_bucket`` scheme (not xxhash64) so
+    DuckDB rebuilds identical bucket ids and the operator is fully
+    value-checked (QUALITY_MODEL_SQL embeds the same weight literals).
+    The default weights are a deterministic md5-derived stand-in
+    (documented in ``_qmodel_weights``); pass a trained model's
+    ``weights``/``bias`` for production — the expression is unchanged.
+    """
+    if weights is None:
+        weights, default_bias = _qmodel_weights(dim)
+        if bias is None:
+            bias = default_bias
+    elif bias is None:
+        bias = 0.0
+    if len(weights) != dim:
+        raise ValueError(f"need exactly {dim} weights, got {len(weights)}")
+    w_lit = F.lit([float(x) for x in weights])
+    toks = F.split(F.col("text"), " ")
+
+    def bucket(t: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim
+        )
+
+    tok_sum = F.aggregate(
+        F.transform(toks, lambda t: F.element_at(w_lit, (bucket(t) + 1).cast("int"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(toks)
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + tok_sum / n))), 6
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        score.alias("score"),
+        (score >= QMODEL_KEEP_THRESHOLD).alias("keep"),
+    )
+
+
+def _quality_model_sql(
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    dim: int = QMODEL_DIM,
+) -> str:
+    if weights is None:
+        weights, bias = _qmodel_weights(dim)
+    lit = "[" + ", ".join(repr(float(x)) for x in weights) + "]"
+    bucket = f"(('0x' || substr(md5(t), 1, 8))::BIGINT % {dim})"
+    return f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+m AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           list_sum(list_transform(toks,
+               t -> ({lit}::DOUBLE[])[{bucket} + 1])) AS tok_sum
+    FROM s
+)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       ROUND(1.0 / (1.0 + exp(-({bias} + tok_sum / n_tokens))), 6) AS score,
+       ROUND(1.0 / (1.0 + exp(-({bias} + tok_sum / n_tokens))), 6)
+           >= {QMODEL_KEEP_THRESHOLD} AS keep
+FROM m
+"""
+
+
+QUALITY_MODEL_SQL = _quality_model_sql()

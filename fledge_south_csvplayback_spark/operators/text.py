@@ -878,3 +878,182 @@ FROM m GROUP BY doc_id
 
 
 TEXT_BOILERPLATE_SQL = _boilerplate_sql()
+
+
+# --- corpus-wide repeated-span removal (ExactSubstr dedup) -------------------
+# Window width in tokens: a span of this many consecutive tokens that
+# occurs >= SPAN_MIN_COUNT times ANYWHERE in the corpus (across docs or
+# within one) is removed from every document. Lee et al. 2022 use
+# 50-token windows on web corpora; the default here is sized for the
+# fixture corpora (25-60-token docs) and is a parameter everywhere.
+SPAN_TOKENS = 10
+SPAN_MIN_COUNT = 2
+SPAN_BROADCAST_MAX = 2_000_000
+
+
+def text_repeated_span_scrub(
+    spark: SparkSession,
+    sf_dir: str,
+    w: int = SPAN_TOKENS,
+    min_count: int = SPAN_MIN_COUNT,
+    hashed: bool = False,
+) -> DataFrame:
+    """Corpus-wide repeated-SPAN removal — the ExactSubstr deduplication
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): any window of ``w`` consecutive tokens occurring
+    ``min_count``+ times in the whole corpus (across documents OR
+    within one) marks its token positions for removal in every
+    occurrence. Catches what line- and document-level dedup both miss:
+    quoted paragraphs, templated passages, and licence blocks embedded
+    mid-document. Complements ``text_boilerplate_scrub`` (verbatim
+    LINES shared across docs) the way ExactSubstr complements CCNet
+    line dedup in real pipelines.
+
+    Returns (doc_id, n_tokens, removed_tokens, text_cleaned):
+    text_cleaned is the document with covered tokens deleted (kept
+    tokens rejoined with single spaces — whitespace runs are not
+    preserved through token-level surgery), plus the audit counts a
+    curation pipeline logs. Docs shorter than ``w`` tokens pass
+    through untouched.
+
+    Plan (the reference implementation builds a corpus-wide suffix
+    array — a batch-job shape; this is the Spark-native windowed-hash
+    equivalent):
+
+    1. posexplode each doc's w-gram windows → (doc_id, pos, gram) —
+       one pass, grams built by index slicing (no quadratic re-split);
+    2. one fine-grained groupBy(gram) occurrence count — Exchange #1 —
+       keeping keys with count >= min_count (the repeated-span
+       vocabulary, small on mostly-unique corpora);
+    3. instance hits: the window rows re-joined to the repeated
+       vocabulary (shuffle equi-join on the gram key — Exchange #2/#3,
+       both sides fine-grained) → per-doc sorted start positions —
+       Exchange #4 on doc_id, hit docs only;
+    4. reassembly: the documents table LEFT-joins the per-doc starts —
+       via a GUARDED broadcast (``SPAN_BROADCAST_MAX``, shuffle
+       fallback) since only docs CONTAINING repeated spans appear —
+       and a per-row expression drops token i iff some start s has
+       s <= i < s+w. That membership test is O(len·|starts|) per doc
+       (|starts| ≤ len, so worst-case quadratic per DOC on a fully
+       duplicated long doc — bounded, local, and linear in the common
+       case; a merged-interval pass would need per-row sorted-scan
+       state Catalyst HOFs cannot express without a UDF).
+
+    The corpus text itself crosses an Exchange ONLY in the shuffle
+    fallback; in the guarded common case the wide exchanges carry gram
+    keys and (doc_id, pos) longs. ``hashed=True`` is the production
+    knob (``text_boilerplate_scrub`` precedent): window keys become
+    ``xxhash64(gram)`` 8-byte longs in Exchanges #1-#3; a collision
+    can only ADD a false repeated span (~1e-19·pairs); the oracle
+    keeps the string path, pytest pins hashed == default.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+
+    def key(c):
+        return F.xxhash64(c) if hashed else c
+
+    def build_grams(t):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - (w - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(w)]
+            ),
+        )
+
+    # let-bind the token array so split runs once per row; the length
+    # guard matters: sequence(1, non-positive) DESCENDS in Spark, so an
+    # unguarded short doc would build grams at negative indices
+    grams = F.when(
+        F.size(toks) >= w,
+        F.element_at(F.transform(F.array(toks), lambda t: build_grams(t)), 1),
+    ).otherwise(F.array().cast("array<string>"))
+    windows = docs.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select("doc_id", "pos", key(F.col("gram")).alias("gram_key"))
+
+    repeated = (
+        windows.groupBy("gram_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gram_key")
+    )
+    starts = (
+        windows.join(repeated, "gram_key")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+        .cache()
+    )
+    small = starts.count() <= SPAN_BROADCAST_MAX
+    joined = docs.join(
+        F.broadcast(starts) if small else starts, "doc_id", "left"
+    )
+
+    # NULL text normalizes to an empty token list in BOTH engines
+    # (n_tokens 0, text_cleaned '') — and the empty guard matters
+    # twice over: sequence(1, 0) DESCENDS in Spark
+    t = F.coalesce(F.split(F.col("text"), " "), F.array().cast("array<string>"))
+    s_arr = F.coalesce(F.col("starts"), F.array().cast("array<integer>"))
+    idx_all = F.when(
+        F.size(t) > 0, F.sequence(F.lit(1), F.size(t))
+    ).otherwise(F.array().cast("array<integer>"))
+    # token index i (1-based to match posexplode's 0-based pos + 1) is
+    # covered iff some start s (0-based) satisfies s < i <= s + w
+    kept_idx = F.filter(
+        idx_all,
+        lambda i: ~F.exists(s_arr, lambda s: (i > s) & (i <= s + w)),
+    )
+    kept = F.transform(kept_idx, lambda i: F.element_at(t, i))
+    return joined.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        (F.size(t) - F.size(kept_idx)).cast("bigint").alias("removed_tokens"),
+        F.array_join(kept, " ").alias("text_cleaned"),
+    )
+
+
+def _span_scrub_sql(
+    w: int = SPAN_TOKENS, min_count: int = SPAN_MIN_COUNT
+) -> str:
+    gram = f"list_aggregate(t[i:i+{w - 1}], 'string_agg', ' ')"
+    # starts are emitted 0-BASED (pos := i - 1) to match Spark's
+    # posexplode; the cover test below is then identical in both
+    # engines: token index i (1-based) is covered iff i > s AND
+    # i <= s + w. The test is nested list lambdas, not a correlated
+    # subquery — DuckDB lambdas cannot contain subqueries.
+    return f"""
+WITH d AS (
+    SELECT doc_id, COALESCE(string_split(text, ' '), []) AS t FROM documents
+),
+win AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(t) - {w - 1}),
+               i -> struct_pack(pos := i - 1, gram := {gram})),
+               recursive := true)
+    FROM d WHERE len(t) >= {w}
+),
+rep AS (SELECT gram FROM win GROUP BY gram HAVING COUNT(*) >= {min_count}),
+hits AS (
+    SELECT w.doc_id, list_sort(list(w.pos)) AS starts
+    FROM win w JOIN rep r ON w.gram = r.gram
+    GROUP BY w.doc_id
+),
+k AS (
+    SELECT d.doc_id, d.t,
+           list_filter(generate_series(1, len(d.t)),
+               i -> len(list_filter(COALESCE(h.starts, []),
+                        s -> i > s AND i <= s + {w})) = 0) AS kept
+    FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(kept) AS BIGINT) AS removed_tokens,
+       -- array_to_string([]) is NULL in DuckDB; Spark's array_join is ''
+       COALESCE(array_to_string(list_transform(kept, i -> t[i]), ' '), '')
+           AS text_cleaned
+FROM k
+"""
+
+
+TEXT_SPAN_SCRUB_SQL = _span_scrub_sql()

@@ -1,0 +1,100 @@
+"""JSONL (newline-delimited JSON) document source — the standard
+interchange format for LLM training corpora (one document object per
+line; what CommonCrawl-derived releases like C4/RefinedWeb/Dolma ship).
+
+An engine extension, not reference surface (the reference is a CSV
+plugin; see SURVEY §2 ABSENT annotations): a user pointing this engine
+at a real corpus gets a first-class reader with the same design rules
+as the CSV layer —
+
+- **schema is always pinned**: callers pass the document schema (or
+  use :data:`DOCUMENTS_SCHEMA`); ``inferSchema``-style sampling over
+  100 TB of JSONL is a full extra pass and is deliberately not
+  offered. Extra keys in the JSON are simply not materialized
+  (column pruning reaches the scan's ReadSchema).
+- **codecs are native**: ``.gz``/``.bz2``/``.zst`` files decode in the
+  scan like the CSV paths (per-file splits for non-splittable codecs —
+  the standard many-files-per-shard corpus layout parallelizes by
+  file count, which is exactly how these corpora are published).
+- **malformed lines are an audit trail, not a crash**: PERMISSIVE
+  parsing keeps corrupt lines in ``_corrupt_record`` (select it via
+  ``keep_corrupt=True``) so a curation pipeline can count/quarantine
+  them; ``mode="FAILFAST"`` is the strict knob.
+
+``write_jsonl`` is the matching sink (one JSON object per line,
+optionally compressed) so curated corpora round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# the documents-table schema as JSONL (matches the parquet fixtures)
+DOCUMENTS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+_CORRUPT = "_corrupt_record"
+
+
+def read_jsonl_documents(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_SCHEMA,
+    mode: str = "PERMISSIVE",
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Read a JSONL corpus with a pinned schema.
+
+    ``keep_corrupt=True`` appends the ``_corrupt_record`` column
+    (NULL for clean rows, the raw line for malformed ones) — the
+    quarantine pattern: a malformed line yields NULLs in every data
+    column plus the original text for audit. With the default
+    ``keep_corrupt=False`` the corrupt column is dropped and
+    malformed lines surface as all-NULL rows under PERMISSIVE or an
+    error under FAILFAST.
+    """
+    full = f"{schema}, {_CORRUPT} string"
+    reader = (
+        spark.read.schema(full)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+    )
+    df = reader.json(path)
+    return df if keep_corrupt else df.drop(_CORRUPT)
+
+
+def jsonl_corrupt_report(
+    spark: SparkSession, path: str, schema: str = DOCUMENTS_SCHEMA
+) -> DataFrame:
+    """One row: (n_rows, n_corrupt) — the ingest health check a
+    pipeline logs before accepting a shard batch.
+
+    Built on a text scan + ``from_json`` rather than the JSON reader:
+    Spark disallows queries that reference ONLY ``_corrupt_record``
+    over a raw JSON source (the pruned plan would re-parse just to
+    find failures — QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the
+    documented cache() workaround is exactly wrong at corpus scale.
+    The text-scan formulation is one pass, no cache, same parser."""
+    parsed = F.from_json(
+        F.col("value"),
+        f"{schema}, {_CORRUPT} string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
+    )
+    return spark.read.text(path).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(parsed[_CORRUPT]).alias("n_corrupt"),
+    )
+
+
+def write_jsonl(
+    df: DataFrame, out_dir: str, compression: str | None = "gzip"
+) -> None:
+    """Write a corpus as JSONL shards (one object per line), gzip by
+    default — the format corpora are published in. Spark writes one
+    shard per partition; size shards upstream with
+    ``repartition``/``compact_parquet``-style math."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(out_dir)

@@ -78,7 +78,9 @@ def main() -> None:
             "brute",
             "ivf",
             "ivf_indexed",
+            "ivf_kmeans_indexed",
             "lsh",
+            "lsh_prod",
             "lsh_indexed",
             "pca",
             "kmeans",
@@ -163,6 +165,10 @@ def main() -> None:
         "brute": similarity.ann_cosine_topk,
         "ivf": similarity.ann_cosine_topk_ivf,
         "lsh": similarity.ann_cosine_topk_lsh,
+        # the production band-key knob: numpy GEMM keys in the scorer
+        "lsh_prod": lambda s, d: similarity.ann_cosine_topk_lsh(
+            s, d, reproducible=False
+        ),
     }
     build_sec = None
     if args.op == "ivf_indexed":
@@ -171,6 +177,19 @@ def main() -> None:
         similarity.build_ivf_index(spark, sf_dir, index_dir)
         build_sec = round(time.perf_counter() - t0, 1)
         builders["ivf_indexed"] = (
+            lambda s, d: similarity.ann_cosine_topk_ivf_indexed(s, d, index_dir)
+        )
+    elif args.op == "ivf_kmeans_indexed":
+        # the production quantizer: kmeans cells (k = IVF_CELLS) wired
+        # into the persisted index; recall measured at the same
+        # nprobe/cells as the head-rule index for the comparison row
+        index_dir = f"{sf_dir}/ivf_kmeans_index"
+        t0 = time.perf_counter()
+        similarity.build_ivf_index(
+            spark, sf_dir, index_dir, centroids="kmeans", kmeans_iters=5
+        )
+        build_sec = round(time.perf_counter() - t0, 1)
+        builders["ivf_kmeans_indexed"] = (
             lambda s, d: similarity.ann_cosine_topk_ivf_indexed(s, d, index_dir)
         )
     elif args.op == "lsh_indexed":
@@ -198,7 +217,10 @@ def main() -> None:
     }
     if build_sec is not None:
         result["index_build_sec"] = build_sec
-    if args.op in ("ivf", "ivf_indexed", "lsh", "lsh_indexed"):
+    if args.op in (
+        "ivf", "ivf_indexed", "ivf_kmeans_indexed", "lsh", "lsh_prod",
+        "lsh_indexed",
+    ):
         # recall@k vs the brute-force operator run in the same session
         truth = {
             (r["query_id"], r["vec_id"])

@@ -115,6 +115,8 @@ def main() -> None:
             "simhash_blocked",
             "ngram_jaccard",
             "clusters",
+            "neardup_ingest",
+            "span_scrub",
         ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
@@ -137,6 +139,98 @@ def main() -> None:
         return
 
     from fledge_south_csvplayback_spark.operators import dedup
+
+    if args.op == "span_scrub":
+        # ExactSubstr repeated-span removal on the planted-dup corpus:
+        # every planted pair shares its full 25-token base text, so all
+        # 16 w=10 windows repeat and coverage is exactly the 25 base
+        # tokens in BOTH members; the appended tail word survives.
+        # Expected removal is therefore deterministic: 25 tokens x 2K
+        # docs — asserted, so the throughput row cannot measure a no-op
+        # (1M-word vocab makes accidental 10-gram repeats negligible).
+        from fledge_south_csvplayback_spark.operators import text as text_ops
+
+        k = args.rows // 1000
+        shuffle_before = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        agg = (
+            text_ops.text_repeated_span_scrub(
+                spark, sf_dir, hashed=args.reproducible is False
+            )
+            .agg(
+                F.sum("n_tokens").alias("tokens"),
+                F.sum("removed_tokens").alias("removed"),
+            )
+            .collect()[0]
+        )
+        wall = round(time.perf_counter() - t0, 1)
+        shuffle = shuffle_delta(shuffle_before, shuffle_write_bytes(spark))
+        expected = 2 * k * args.words
+        print(
+            json.dumps(
+                {
+                    "op": args.op,
+                    "rows": args.rows,
+                    "hashed": args.reproducible is False,
+                    "gen_sec": gen_sec,
+                    "wall_sec": wall,
+                    "docs_per_sec": round(args.rows / wall, 1) if wall else None,
+                    "shuffle_bytes": shuffle,
+                    "tokens": agg["tokens"],
+                    "removed_tokens": agg["removed"],
+                    "expected_removed": expected,
+                    "exact": agg["removed"] == expected,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "neardup_ingest":
+        # corpus = all docs below the planted-dup block, batch = the
+        # planted dups themselves -> every cross pair is a planted pair
+        # and the probe's recall is the planted recall. The index build
+        # is timed separately (it is the amortized ingest-time cost);
+        # the ingest row is the per-batch maintenance number the op
+        # exists for — compare its shuffle bytes with the full miner's
+        # corpus-sized row above it in BASELINE.md.
+        k = args.rows // 1000
+        split = args.rows - k
+        index_dir = f"{sf_dir}/neardup_index"
+        t0 = time.perf_counter()
+        dedup.build_neardup_index(spark, sf_dir, index_dir, max_doc_id=split)
+        build_sec = round(time.perf_counter() - t0, 1)
+        shuffle_before = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        out = (
+            dedup.neardup_ingest(spark, sf_dir, index_dir, split_id=split)
+            .select("doc_a", "doc_b")
+            .cache()
+        )
+        n_out = out.count()
+        wall = round(time.perf_counter() - t0, 1)
+        shuffle = shuffle_delta(shuffle_before, shuffle_write_bytes(spark))
+        expected = planted_pairs(spark, args.rows)
+        n_hit = out.join(expected, ["doc_a", "doc_b"]).count()
+        print(
+            json.dumps(
+                {
+                    "op": args.op,
+                    "rows": args.rows,
+                    "batch_docs": k,
+                    "gen_sec": gen_sec,
+                    "index_build_sec": build_sec,
+                    "ingest_wall_sec": wall,
+                    "ingest_shuffle_bytes": shuffle,
+                    "out_pairs": n_out,
+                    "planted": k,
+                    "recall": round(n_hit / k, 4) if k else None,
+                    "false_pos": n_out - n_hit,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     builders = {
         "minhash_lsh": lambda: dedup.dedup_minhash_lsh(spark, sf_dir),

@@ -474,3 +474,100 @@ def test_boilerplate_plan_two_exchanges_no_self_join(spark):
         for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
     }
     assert keys == {"line", "doc_id"}, (keys, plan)
+
+
+# --- corpus-wide repeated-span (ExactSubstr) scrub ---------------------------
+def test_span_scrub_oracle_parity(spark):
+    df = text.text_repeated_span_scrub(spark, TEST_SF_DIR)
+    ok, msg = compare(df, text.TEXT_SPAN_SCRUB_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_span_scrub_oracle_parity_sf001(spark):
+    df = text.text_repeated_span_scrub(spark, ORACLE_SF_DIR)
+    ok, msg = compare(df, text.TEXT_SPAN_SCRUB_SQL, ORACLE_SF_DIR)
+    assert ok, msg
+
+
+_SPAN_DOCS = [
+    # docs 0/1 share the 10-token run 'a..j' mid-document
+    (0, "a b c d e f g h i j k l"),
+    (1, "x1 x2 a b c d e f g h i j zz"),
+    # within-doc repetition of a 10-gram (u1..u10 twice) counts too
+    (2, " ".join([f"u{i}" for i in range(1, 11)] * 2 + ["tail"])),
+    # unique doc and short doc pass through untouched
+    (3, " ".join(f"v{i}" for i in range(1, 12))),
+    (4, "short doc here"),
+]
+
+
+def _span_dir(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(d, t) for d, t in _SPAN_DOCS], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def test_span_scrub_planted(spark, tmp_path):
+    """Hand-computed ExactSubstr behavior on a planted corpus: the
+    shared 10-gram vanishes from BOTH docs, a within-doc repeated
+    10-gram is fully covered (both occurrences + the straddling
+    windows), unique and short docs are untouched — and the same
+    DuckDB compare passes on the planted table."""
+    sf_dir = _span_dir(spark, tmp_path)
+    out = {
+        r.doc_id: r
+        for r in text.text_repeated_span_scrub(spark, sf_dir).collect()
+    }
+    assert out[0].text_cleaned == "k l"
+    assert out[0].removed_tokens == 10
+    assert out[1].text_cleaned == "x1 x2 zz"
+    # doc 2: u1..u10 u1..u10 tail — every window of the first 20
+    # tokens is repeated-or-overlapping? the repeated gram 'u1..u10'
+    # occurs at starts 0 and 10, covering tokens 1..20; 'tail' survives
+    assert out[2].text_cleaned == "tail"
+    assert out[2].removed_tokens == 20
+    assert out[3].text_cleaned == _SPAN_DOCS[3][1]
+    assert out[4].text_cleaned == "short doc here"
+    ok, msg = compare(
+        text.text_repeated_span_scrub(spark, sf_dir),
+        text.TEXT_SPAN_SCRUB_SQL,
+        sf_dir,
+    )
+    assert ok, msg
+
+
+def test_span_scrub_hashed_equals_default(spark, tmp_path):
+    sf_dir = _span_dir(spark, tmp_path)
+    for d in (TEST_SF_DIR, sf_dir):
+        a = {
+            tuple(r)
+            for r in text.text_repeated_span_scrub(spark, d).collect()
+        }
+        b = {
+            tuple(r)
+            for r in text.text_repeated_span_scrub(
+                spark, d, hashed=True
+            ).collect()
+        }
+        assert a == b
+
+
+def test_span_scrub_plan_shape(spark):
+    """Wide exchanges carry gram keys / (doc_id, pos) longs / the
+    per-doc starts — and the reassembly joins the documents table via
+    the guarded broadcast, so the corpus text crosses no Exchange."""
+    df = text.text_repeated_span_scrub(spark, TEST_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    keys = {
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
+    }
+    assert keys <= {"gram_key", "doc_id"}, keys
+    # the text column must not appear in any Exchange's output schema
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "text#" not in ln, ln
