@@ -972,14 +972,25 @@ def text_repeated_span_scrub(
         "doc_id", F.posexplode(grams).alias("pos", "gram")
     ).select("doc_id", "pos", key(F.col("gram")).alias("gram_key"))
 
+    # The repeated-span vocabulary is SMALL on mostly-unique corpora
+    # (only keys with cnt >= min_count survive), so it gets the same
+    # guarded-broadcast treatment as the reassembly: broadcasting it
+    # into the hit join removes the WINDOWS side's exchange — the big
+    # one, 160M gram-keyed rows at the 10M probe (measured A/B in
+    # BASELINE.md). The cache is the dedup-module policy: the returned
+    # frame is lazy, the safe release point unknowable, the table tiny.
     repeated = (
         windows.groupBy("gram_key")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
         .select("gram_key")
+        .cache()
     )
+    rep_small = repeated.count() <= SPAN_BROADCAST_MAX
     starts = (
-        windows.join(repeated, "gram_key")
+        windows.join(
+            F.broadcast(repeated) if rep_small else repeated, "gram_key"
+        )
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
         .cache()
