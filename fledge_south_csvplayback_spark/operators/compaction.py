@@ -22,15 +22,11 @@ from __future__ import annotations
 import math
 import os
 import re
-from urllib.parse import unquote
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
-# Hive's directory name for a NULL partition value
-_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 
@@ -87,26 +83,6 @@ def partition_cols(path: str) -> list[str]:
     return cols
 
 
-def _leaf_sizes(path: str, pcols: list[str]) -> dict[tuple[str, ...], int]:
-    """Bytes per partition-value tuple, walking the hive layout; value
-    strings are URL-decoded like Spark decodes them (``%20`` etc.);
-    NULL values keep the ``__HIVE_DEFAULT_PARTITION__`` sentinel."""
-    out: dict[tuple[str, ...], int] = {}
-
-    def rec(cur: str, vals: list[str]) -> None:
-        if len(vals) == len(pcols):
-            out[tuple(vals)] = input_bytes(cur)
-            return
-        pref = pcols[len(vals)] + "="
-        for d in os.listdir(cur):
-            full = os.path.join(cur, d)
-            if os.path.isdir(full) and d.startswith(pref):
-                rec(full, vals + [unquote(d[len(pref):])])
-
-    rec(path, [])
-    return out
-
-
 def compact_parquet(
     spark: SparkSession,
     in_dir: str,
@@ -127,45 +103,31 @@ def compact_parquet(
     one output file per value, not n×|values| fragments.
 
     ``target_bytes`` also bounds file sizes WITHIN the partitioned
-    layout: values whose on-disk bytes exceed the target get a bounded
-    deterministic salt — ``pmod(xxhash64(data cols), ceil(bytes /
-    target))`` — appended to the repartition keys, splitting only the
-    oversized values into ~target-sized files while under-target
-    values keep salt 0 and stay one file each. The salt column is
-    dropped before the write (it exists to place rows, not to be
-    stored). Deterministic (content-hash, no RNG); the per-value split
-    is approximate — hash placement spreads rows ~evenly, compression
-    may vary per bucket."""
-    n = max(1, math.ceil(input_bytes(in_dir) / target_bytes))
+    layout, via the writer's ``maxRecordsPerFile`` rather than a salt
+    column: records-per-target is estimated from the input's measured
+    bytes/record (the row count is a parquet-footer aggregate, not a
+    data scan), and the writer then rolls a new file whenever a task's
+    output exceeds it — an oversized partition value splits into
+    ~target files EXACTLY (a salt hashed into the task count collides
+    and under-splits; measured ~0.63k distinct slots for k salt
+    values, leaving files near 2× target), while under-target values
+    still produce one file each. The estimate assumes output
+    compression tracks input compression — true for a same-codec
+    parquet rewrite."""
+    total_bytes = input_bytes(in_dir)
+    n = max(1, math.ceil(total_bytes / target_bytes))
     df = spark.read.parquet(in_dir)
     pcols = partition_cols(in_dir)
-    if pcols:
-        over = {
-            vals: math.ceil(b / target_bytes)
-            for vals, b in _leaf_sizes(in_dir, pcols).items()
-            if b > target_bytes
-        }
-        if over:
-            data_cols = [c for c in df.columns if c not in pcols]
-            h = F.xxhash64(*data_cols)
-            salt = F.lit(0)
-            for vals, k in over.items():
-                cond = F.lit(True)
-                for p, v in zip(pcols, vals):
-                    cond = cond & (
-                        F.col(p).isNull()
-                        if v == _HIVE_NULL
-                        else (F.col(p).cast("string") == F.lit(v))
-                    )
-                salt = F.when(cond, F.pmod(h, F.lit(k))).otherwise(salt)
-            writer = df.withColumn("_salt", salt).repartition(
-                n, *pcols, "_salt"
-            ).drop("_salt")
-        else:
-            writer = df.repartition(n, *pcols)
+    n_records = df.count()  # parquet metadata-only aggregate
+    if n_records > 0 and total_bytes > 0:
+        per_record = max(1.0, total_bytes / n_records)
+        max_records = max(1, int(target_bytes / per_record))
     else:
-        writer = df.repartition(n)
-    writer.write.mode("overwrite").partitionBy(*pcols).parquet(out_dir)
+        max_records = 0  # empty input: no bound needed
+    writer = (df.repartition(n, *pcols) if pcols else df.repartition(n)).write
+    if max_records:
+        writer = writer.option("maxRecordsPerFile", max_records)
+    writer.mode("overwrite").partitionBy(*pcols).parquet(out_dir)
     total = 0
     for root, _dirs, files in os.walk(out_dir):
         total += sum(1 for f in files if f.endswith(".parquet"))

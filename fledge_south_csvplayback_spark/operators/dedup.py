@@ -1011,19 +1011,39 @@ def neardup_ingest(
     The full miner re-run costs O(corpus) shuffle per ingest; this
     costs O(batch + candidates) shuffle plus corpus-scan probes.
     """
+    def bounded(t: DataFrame, n: int) -> DataFrame:
+        # every broadcast here is GUARDED (the HOT_BROADCAST_MAX
+        # policy): batch tables are "tiny" only for sane batch sizes,
+        # and a multi-million-doc ingest must degrade to a shuffle,
+        # not a broadcast OOM
+        return F.broadcast(t) if n <= HOT_BROADCAST_MAX else t
+
     batch_sh = _shingled_docs(
         _docs(spark, sf_dir).filter(F.col("doc_id") >= split_id)
     ).cache()
     batch_idx = batch_sh.select("doc_id", F.explode("sh").alias("s"))
     batch_bands = _lsh_band_table(minhash_signatures(batch_idx))
     batch_bands = batch_bands.cache()
-    batch_bands.count()  # materialize: probed twice (cross + within)
+    n_bands = batch_bands.count()  # materialize: probed twice
 
-    idx_bands = spark.read.parquet(f"{index_dir}/bands")
+    # The index tables are filtered to PRE-split docs: an index built
+    # over the whole table (no max_doc_id) would otherwise feed the
+    # batch docs' rows in from BOTH sides — doubling posting-list
+    # intersection counts (jaccard > 1) and duplicating batch-batch
+    # candidates. With the filter, an index that happens to contain
+    # batch rows still yields the correct pair set; only the persisted
+    # shingle-df (unfilterable — it has no doc_id) then over-counts
+    # batch contributions, which can only make the boilerplate cap
+    # STRICTER, never wrong. Build the index over the corpus as it
+    # existed before the batch (max_doc_id) for exact full-miner
+    # agreement.
+    idx_bands = spark.read.parquet(f"{index_dir}/bands").filter(
+        F.col("doc_id") < split_id
+    )
     a, b = idx_bands.alias("a"), batch_bands.alias("b")
     cross = (
         a.join(
-            F.broadcast(b),
+            bounded(b, n_bands),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1048,23 +1068,26 @@ def neardup_ingest(
     )
     # disjoint by construction (cross has doc_a < split <= doc_b)
     cands = cross.union(within).cache()
-    cands.count()  # materialize: feeds the doc slice AND the final join
+    n_cands = cands.count()  # materialize: feeds the slice AND the final join
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .union(cands.select("doc_b"))
         .distinct()
     )
+    cand_b = bounded(cand_docs, 2 * n_cands)
     slice_sh = (
         spark.read.parquet(f"{index_dir}/shingles")
-        .join(F.broadcast(cand_docs), "doc_id", "semi")
-        .unionByName(batch_sh.join(F.broadcast(cand_docs), "doc_id", "semi"))
+        .filter(F.col("doc_id") < split_id)
+        .join(cand_b, "doc_id", "semi")
+        .unionByName(batch_sh.join(cand_b, "doc_id", "semi"))
     )
-    # combined-corpus df cap: corpus df (persisted) + batch df (tiny)
+    # combined-corpus df cap: corpus df (persisted) + batch df
     batch_df = batch_idx.groupBy("s").agg(F.count(F.lit(1)).alias("bdf"))
     batch_df = batch_df.cache()
+    n_bdf = batch_df.count()  # materialize: hot's two branches race it
     idx_df = spark.read.parquet(f"{index_dir}/shingle_df")
     hot = (
-        idx_df.join(F.broadcast(batch_df), "s", "left")
+        idx_df.join(bounded(batch_df, n_bdf), "s", "left")
         .filter(
             (F.col("df") + F.coalesce(F.col("bdf"), F.lit(0)))
             > SHINGLE_DF_CAP
@@ -1076,7 +1099,7 @@ def neardup_ingest(
         .distinct()
     )
     pairs = _pair_counts(slice_sh, hot=hot).join(
-        F.broadcast(cands), ["doc_a", "doc_b"]
+        bounded(cands, n_cands), ["doc_a", "doc_b"]
     )
     j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return pairs.filter(j >= JACCARD_THRESHOLD).select(

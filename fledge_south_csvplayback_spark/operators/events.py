@@ -71,16 +71,22 @@ def asof_join(
 
     Ties among MULTIPLE right rows at the same (key, ts) are broken
     deterministically: the window order appends the right-value columns
-    themselves, so ``last`` picks the row with the greatest
-    (right_cols...) tuple — equivalent to pre-reducing the right side
-    with max(struct(right_cols)) per (key, ts), but without that
-    reduction's extra (key, ts) Exchange (the tiebreak rides the sort
-    the window already does). Oracles must mirror the same rule by
-    reducing their right side with per-column max at equal (key, ts)
-    (see EVENTS_ASOF_SQL) — identical unless a duplicate-ts group mixes
-    NULL and non-NULL right values, where ignore-nulls carry-forward
-    falls back per COLUMN to an earlier row (documented, fixture-pinned
-    in tests/test_event_time.py::test_asof_duplicate_ts_deterministic).
+    themselves, so ``last`` picks the row with the LEXICOGRAPHICALLY
+    greatest (right_cols...) tuple — equivalent to pre-reducing the
+    right side with max(struct(right_cols)) per (key, ts), but without
+    that reduction's extra (key, ts) Exchange (the tiebreak rides the
+    sort the window already does). Oracles must mirror the TUPLE rule:
+    reduce the right side per (key, ts) with max(struct)/arg-max —
+    which collapses to a plain per-column MAX only when at most one
+    right column varies within a tie group (EVENTS_ASOF_SQL's case:
+    its ts column is the group key, so MAX(value) IS the tuple max).
+    With two-plus varying columns a per-column MAX mixes rows —
+    (1,9),(2,0) would reduce to (2,9) while the tuple rule carries
+    (2,0) — so multi-column oracles must not use it. Remaining caveat
+    either way: a tie group mixing NULL and non-NULL right values
+    falls back per COLUMN to an earlier row via ignore-nulls
+    carry-forward (documented, fixture-pinned in
+    tests/test_event_time.py::test_asof_duplicate_ts_deterministic).
     """
     lt = left.withColumn("_side", F.lit(1))
     rt = right.withColumn("_side", F.lit(0))

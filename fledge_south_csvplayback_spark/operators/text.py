@@ -808,7 +808,12 @@ def text_boilerplate_scrub(
     pytest pins hashed == unhashed on the fixtures).
     """
     docs = _docs(spark, sf_dir)
-    lines = F.split(F.col("text"), "\n")
+    # NULL text normalizes to '' = one empty line, so every document
+    # appears in the output (posexplode of a NULL array would silently
+    # drop the doc — review finding); empty lines participate in df
+    # like any line value (blank separators shared corpus-wide ARE
+    # boilerplate under this definition, mirrored in the oracle)
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
 
     def key(c):
         return F.xxhash64(c) if hashed else c
@@ -849,7 +854,8 @@ def text_boilerplate_scrub(
 def _boilerplate_sql(min_df: int = BOILERPLATE_MIN_DF) -> str:
     return f"""
 WITH d AS (
-    SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+    SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS lines
+    FROM documents
 ),
 boiler AS (
     SELECT line FROM (

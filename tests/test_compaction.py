@@ -99,10 +99,23 @@ def test_compaction_rejects_remote_uri_and_missing_path(tmp_path):
             compaction.partition_cols(bad)
 
 
+def _leaf_bytes(src, leaf):
+    import os
+
+    d = os.path.join(src, leaf)
+    return sum(
+        os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
 def test_compaction_splits_oversized_partition_value(spark, tmp_path):
     """target_bytes must apply INSIDE a hive layout: a partition value
     bigger than the target splits into multiple ~target files via the
-    bounded content-hash salt, while small values keep one file each."""
+    writer's maxRecordsPerFile bound (a salt hashed into the task
+    count collides and under-splits — review finding), while small
+    values keep one file each."""
     import os
 
     src = str(tmp_path / "skew_src")
@@ -117,10 +130,9 @@ def test_compaction_splits_oversized_partition_value(spark, tmp_path):
     )
     skewed.repartition(8).write.partitionBy("part").parquet(src)
 
-    sizes = compaction._leaf_sizes(src, ["part"])
-    big_bytes = sizes[("big",)]
+    big_bytes = _leaf_bytes(src, "part=big")
     target = big_bytes // 4  # 'big' should split into ~4-5 files
-    assert sizes[("small",)] <= target  # 'small' stays single-file
+    assert _leaf_bytes(src, "part=small") <= target  # 'small' stays single-file
 
     compaction.compact_parquet(spark, src, out, target_bytes=target)
     big_files = [

@@ -353,3 +353,44 @@ def test_neardup_ingest_planted_categories(spark, tmp_path):
         for r in dedup.neardup_ingest(spark, sf_dir, index_dir, split_id=400).collect()
     }
     assert got == {(2, 500), (501, 502)}, got
+
+
+def test_neardup_ingest_tolerates_full_table_index(spark, tmp_path):
+    """Regression (review finding): an index built over the WHOLE
+    table (no max_doc_id — the obvious misuse) used to feed batch docs
+    in from both sides, doubling intersection counts (jaccard > 1) and
+    duplicating candidates. The ingest now filters the index's bands
+    and shingles to pre-split docs, so the pair set still matches the
+    full miner and every jaccard stays <= 1."""
+    index_dir = str(tmp_path / "nd_index_full")
+    split = dedup.NEARDUP_INGEST_SPLIT
+    dedup.build_neardup_index(spark, TEST_SF_DIR, index_dir)  # no max_doc_id
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.neardup_ingest(spark, TEST_SF_DIR, index_dir).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_minhash_lsh(spark, TEST_SF_DIR).collect()
+        if r.doc_b >= split
+    }
+    assert got == want
+    assert all(j <= 1.0 for _, _, j in got)
+
+
+def test_neardup_ingest_broadcast_fallback_same_result(spark, tmp_path, monkeypatch):
+    """Above HOT_BROADCAST_MAX every batch-side broadcast must fall
+    back to a shuffle with identical output."""
+    index_dir = str(tmp_path / "nd_index_fb")
+    split = dedup.NEARDUP_INGEST_SPLIT
+    dedup.build_neardup_index(spark, TEST_SF_DIR, index_dir, max_doc_id=split)
+    base = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.neardup_ingest(spark, TEST_SF_DIR, index_dir).collect()
+    }
+    monkeypatch.setattr(dedup, "HOT_BROADCAST_MAX", -1)
+    fb = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.neardup_ingest(spark, TEST_SF_DIR, index_dir).collect()
+    }
+    assert fb == base

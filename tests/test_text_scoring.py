@@ -571,3 +571,28 @@ def test_span_scrub_plan_shape(spark):
     for ln in plan.splitlines():
         if "Exchange" in ln:
             assert "text#" not in ln, ln
+
+
+def test_boilerplate_null_text_doc_kept(spark, tmp_path):
+    """A NULL-text document must still appear in the scrub output (as
+    one empty line, nothing removed at high min_df) — review finding:
+    posexplode of the un-coalesced split silently dropped it."""
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "keep me\nNAV bar"), (1, None), (2, "NAV bar\nother")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in text.text_boilerplate_scrub(spark, sf_dir, min_df=2).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[1].n_lines == 1 and out[1].removed_lines == 0
+    assert out[1].text_cleaned == ""
+    assert out[0].text_cleaned == "keep me"  # NAV bar df=2 -> removed
+    ok, msg = compare(
+        text.text_boilerplate_scrub(spark, sf_dir, min_df=2),
+        text._boilerplate_sql(min_df=2),
+        sf_dir,
+    )
+    assert ok, msg
