@@ -1218,3 +1218,233 @@ def embedding_kmeans(
     return _emb(spark, sf_dir).mapInPandas(
         _assign, "vec_id long, cluster_id long, sq_dist double"
     )
+
+
+# --- product quantization (IVFADC's fine quantizer) --------------------------
+# 64-d -> PQ_M subspaces of 8 dims, PQ_K centroids each: codes are
+# PQ_M small ints (8 bytes as int8s vs 256 bytes of float32 vector) —
+# the 32x storage compression that makes billion-vector ANN serving
+# fit in memory (Jégou, Douze & Schmid, "Product quantization for
+# nearest neighbor search", TPAMI 2011).
+PQ_M = 8
+PQ_K = 16
+PQ_ITERS = 5
+
+
+def pq_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+):
+    """Fit the PQ codebooks: an independent k-means per coordinate
+    subspace, all M subspaces trained in ONE scan per iteration (the
+    ``kmeans_fit`` shape — broadcast codebooks into the closure, each
+    Arrow batch GEMMs its reshaped rows against every subspace's
+    centroids and emits ≤ batches·m·k partial rows, driver merge).
+    Zero shuffle, scan-bound per iteration at any corpus size.
+
+    Determinism (the ``kmeans_fit`` rules, per subspace): init is the
+    first k vectors' subvectors by vec_id, assignment ties take the
+    lowest centroid id (np.argmin first-minimum), an emptied centroid
+    keeps its previous value, no RNG anywhere — pinned against a pure
+    numpy replica in tests.
+
+    Returns (codebooks m×k×(dim/m) as nested lists, inertia per
+    iteration — non-increasing).
+    """
+    import numpy as np
+
+    if iters < 1 or m < 1 or k < 1:
+        raise ValueError("pq_fit: need m, k, iters >= 1")
+    emb = _emb(spark, sf_dir)
+    init_rows = emb.orderBy("vec_id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"pq_fit: need {k} seed vectors, got {len(init_rows)}")
+    dim = len(list(init_rows[0]["v"]))
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    # (m, k, d_sub): subspace j seeded with the first k vectors' j-th slice
+    cents = np.array(
+        [[list(r["v"])[j * d_sub : (j + 1) * d_sub] for r in init_rows] for j in range(m)],
+        dtype=np.float64,
+    )
+    inertia: list[float] = []
+    for _ in range(iters):
+        c = cents
+
+        def _partials(batches, c=c, m=m, k=k, d_sub=d_sub):
+            import numpy as np
+            import pandas as pd
+
+            c_sq = (c * c).sum(axis=2)  # (m, k)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["v"].to_numpy()).reshape(-1, m, d_sub)
+                n = x.shape[0]
+                out_j, out_c, out_n, out_s, out_e = [], [], [], [], []
+                for j in range(m):
+                    d2 = c_sq[j][None, :] - 2.0 * (x[:, j, :] @ c[j].T)
+                    a = np.argmin(d2, axis=1)
+                    full = d2[np.arange(n), a] + (x[:, j, :] ** 2).sum(axis=1)
+                    cnt = np.bincount(a, minlength=k)
+                    sums = np.zeros((k, d_sub))
+                    np.add.at(sums, a, x[:, j, :])
+                    err = np.bincount(a, weights=full, minlength=k)
+                    out_j.extend([j] * k)
+                    out_c.extend(range(k))
+                    out_n.extend(cnt)
+                    out_s.extend(list(sums))
+                    out_e.extend(err)
+                yield pd.DataFrame(
+                    {"j": out_j, "cid": out_c, "n": out_n, "s": out_s, "err": out_e}
+                )
+
+        parts = emb.mapInPandas(
+            _partials, "j long, cid long, n long, s array<double>, err double"
+        ).collect()
+        n_acc = np.zeros((m, k))
+        s_acc = np.zeros_like(cents)
+        err = 0.0
+        for p in parts:
+            n_acc[p["j"], p["cid"]] += p["n"]
+            s_acc[p["j"], p["cid"]] += np.asarray(p["s"])
+            err += p["err"]
+        inertia.append(float(err))
+        nonempty = n_acc > 0
+        cents = np.where(
+            nonempty[:, :, None],
+            s_acc / np.maximum(n_acc, 1)[:, :, None],
+            cents,
+        )
+    books = [[[float(x) for x in row] for row in cents[j]] for j in range(m)]
+    return books, inertia
+
+
+def build_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> None:
+    """Encode every vector to its PQ codes ONCE and persist
+    (vec_id, codes array of M small ints) — 8 bytes of payload per
+    vector instead of 256, the compressed representation ADC scoring
+    reads. Codebooks persist under ``{index_dir}/_codebooks`` (the
+    IVF ``_centroids`` sidecar pattern: underscore-prefixed, written
+    AFTER the data so overwrite cannot wipe it, read back at query
+    time so index and query can never disagree about the quantizer).
+
+    Encoding is one mapInPandas pass: reshape, per-subspace argmin
+    against the broadcast codebooks — scan-bound, no shuffle.
+    """
+    import numpy as np
+
+    books, _ = pq_fit(spark, sf_dir, m, k, iters)
+    c = np.array(books, dtype=np.float64)  # (m, k, d_sub)
+    d_sub = c.shape[2]
+
+    def _encode(batches, c=c, m=m, d_sub=d_sub):
+        import numpy as np
+        import pandas as pd
+
+        c_sq = (c * c).sum(axis=2)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy()).reshape(-1, m, d_sub)
+            codes = np.empty((x.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                d2 = c_sq[j][None, :] - 2.0 * (x[:, j, :] @ c[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    emb = _emb(spark, sf_dir)
+    emb.mapInPandas(_encode, "vec_id long, codes array<int>").write.mode(
+        "overwrite"
+    ).parquet(index_dir)
+    spark.createDataFrame(
+        [(j, cid, [float(x) for x in c[j, cid]]) for j in range(m) for cid in range(c.shape[1])],
+        "j long, cid long, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_codebooks")
+
+
+def ann_cosine_topk_pq_indexed(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over a
+    ``build_pq_index``: queries stay full-precision, candidates are
+    scored from their 8-byte codes via per-query lookup tables —
+    LUT[j][c] = dot(q_j, codebook[j][c]) — so a candidate's
+    approximate dot product is M table lookups and its reconstruction
+    norm is exact (subspaces are disjoint coordinates, so
+    ‖x̂‖² = Σ_j ‖c_{j,code_j}‖² with no cross terms):
+    cosine ≈ Σ_j LUT[j][code_j] / (‖q‖·‖x̂‖).
+
+    The scan reads ONLY (vec_id, codes) — 8 bytes of payload per
+    vector, never the embedding column — and the scorer is the same
+    per-batch partial top-k contract as every other entry (round 6,
+    vec_id tiebreak, batches·|Q|·k rows to the global window).
+    Approximate by construction (quantization error), so the gate is
+    recall vs the in-session brute ground truth (pytest floor at
+    fixture scale, measured at 10M in BASELINE.md), not an equality
+    oracle — the documented weaker gate, like k-means.
+    """
+    import numpy as np
+
+    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    cb = spark.read.parquet(f"{index_dir}/_codebooks").collect()
+    m = 1 + max(r["j"] for r in cb)
+    k = 1 + max(r["cid"] for r in cb)
+    c = np.zeros((m, k, len(cb[0]["cv"])))
+    for r in cb:
+        c[r["j"], r["cid"]] = r["cv"]
+    d_sub = c.shape[2]
+    qm = np.array([list(r["v"]) for r in qrows]).reshape(-1, m, d_sub)
+    qn = np.array([r["norm"] for r in qrows])
+    qids = np.array([r["vec_id"] for r in qrows])
+    # per-query LUTs (|Q|, m, k) + exact reconstruction norms (m, k)
+    luts = np.einsum("qjd,jkd->qjk", qm, c)
+    recon_sq = (c * c).sum(axis=2)  # (m, k)
+
+    def _score(batches, luts=luts, recon_sq=recon_sq, qn=qn, qids=qids, m=m):
+        import numpy as np
+        import pandas as pd
+
+        top_k = 5  # TOP_K inlined: closures must not touch module globals
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            jj = np.arange(m)
+            # luts[:, jj, codes]: basic first axis (|Q|) + adjacent
+            # advanced axes broadcast to (n, m) -> (|Q|, n, m); sum
+            # the subspace axis and transpose to the (n, |Q|) layout
+            # the shared ranking code below expects
+            dots = luts[:, jj, codes].sum(axis=2).T
+            xnorm = np.sqrt(recon_sq[jj, codes].sum(axis=1))
+            sims = np.round(dots / (xnorm[:, None] * qn[None, :] + 1e-300), 6)
+            out = {"query_id": [], "vec_id": [], "cosine": []}
+            for qi, qid in enumerate(qids):
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], sims[mask, qi]
+                order = np.lexsort((cand_ids, -cand_sims))[:top_k]
+                out["query_id"].extend([qid] * len(order))
+                out["vec_id"].extend(cand_ids[order])
+                out["cosine"].extend(cand_sims[order])
+            yield pd.DataFrame(out)
+
+    codes_df = spark.read.parquet(index_dir).select("vec_id", "codes")
+    partial = codes_df.mapInPandas(
+        _score, "query_id long, vec_id long, cosine double"
+    )
+    return _rank_topk(partial)

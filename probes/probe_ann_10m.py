@@ -82,6 +82,7 @@ def main() -> None:
             "lsh",
             "lsh_prod",
             "lsh_indexed",
+            "pq_indexed",
             "pca",
             "kmeans",
         ],
@@ -192,6 +193,36 @@ def main() -> None:
         builders["ivf_kmeans_indexed"] = (
             lambda s, d: similarity.ann_cosine_topk_ivf_indexed(s, d, index_dir)
         )
+    elif args.op == "pq_indexed":
+        # ADC over 8-byte codes: the compressed-serving deployment.
+        # Recall on this corpus is a property of the CORPUS (isotropic
+        # random vectors are PQ's worst case — no structure to
+        # quantize; see the pytest docstring) — reported honestly, the
+        # throughput/size numbers are the point.
+        import os as _os
+
+        index_dir = f"{sf_dir}/pq_index"
+        t0 = time.perf_counter()
+        similarity.build_pq_index(spark, sf_dir, index_dir)
+        build_sec = round(time.perf_counter() - t0, 1)
+        idx_bytes = sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(index_dir)
+            for f in fs
+            if f.endswith(".parquet") and "_codebooks" not in r
+        )
+        raw = f"{sf_dir}/embeddings.parquet"
+        raw_bytes = sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(raw)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        print(json.dumps({"pq_index_bytes": idx_bytes, "raw_bytes": raw_bytes,
+                          "compression": round(raw_bytes / idx_bytes, 1)}))
+        builders["pq_indexed"] = (
+            lambda s, d: similarity.ann_cosine_topk_pq_indexed(s, d, index_dir)
+        )
     elif args.op == "lsh_indexed":
         index_dir = f"{sf_dir}/lsh_index"
         t0 = time.perf_counter()
@@ -219,7 +250,7 @@ def main() -> None:
         result["index_build_sec"] = build_sec
     if args.op in (
         "ivf", "ivf_indexed", "ivf_kmeans_indexed", "lsh", "lsh_prod",
-        "lsh_indexed",
+        "lsh_indexed", "pq_indexed",
     ):
         # recall@k vs the brute-force operator run in the same session
         truth = {

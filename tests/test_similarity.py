@@ -467,3 +467,120 @@ def test_ivf_index_rejects_unknown_centroid_mode(spark, tmp_path):
         S.build_ivf_index(
             spark, TEST_SF_DIR, str(tmp_path / "x"), centroids="magic"
         )
+
+
+def test_pq_fit_matches_numpy_replica(spark):
+    """pq_fit == an independent pure-numpy Lloyd per subspace with the
+    same deterministic rules — the iterative-op gate (the kmeans
+    precedent): no RNG, first-minimum ties, empty keeps previous."""
+    import numpy as np
+
+    m, k, iters = 4, 8, 3
+    books, inertia = S.pq_fit(spark, TEST_SF_DIR, m=m, k=k, iters=iters)
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["v"]])
+        for r in S._emb(spark, TEST_SF_DIR).collect()
+    )
+    x = np.array([v for _, v in rows]).reshape(len(rows), m, -1)
+    d_sub = x.shape[2]
+    cents = np.array(
+        [[v[j * d_sub : (j + 1) * d_sub] for _, v in rows[:k]] for j in range(m)]
+    )
+    ref_inertia = []
+    for _ in range(iters):
+        err = 0.0
+        new = cents.copy()
+        for j in range(m):
+            d2 = ((x[:, j, :, None] - cents[j].T[None]) ** 2).sum(axis=1)
+            a = np.argmin(d2, axis=1)
+            err += d2[np.arange(len(x)), a].sum()
+            for cid in range(k):
+                sel = x[a == cid, j, :]
+                if len(sel):
+                    new[j, cid] = sel.mean(axis=0)
+        ref_inertia.append(err)
+        cents = new
+    assert np.allclose(np.array(books), cents, rtol=1e-9, atol=1e-9)
+    assert np.allclose(inertia, ref_inertia, rtol=1e-6)
+    assert all(b >= a for a, b in zip(inertia[1:], inertia[:-1]))  # non-increasing
+
+
+def test_pq_index_matches_numpy_adc_replica(spark, tmp_path):
+    """The ADC path over 8-byte codes must EXACTLY match a pure-numpy
+    encode+LUT replica (same codebooks, same round-6 + vec_id ranking
+    contract) — that is the correctness gate. Recall vs true top-k is
+    NOT floored here: the synthetic fixture vectors are isotropic
+    random — PQ's worst case by construction (no low-dimensional
+    structure to exploit; measured quantization error ~0.74 of unit
+    norm at m=8/k=16, ADC-vs-exact cosine correlation ~0.68) — so a
+    recall number on this corpus measures the corpus, not the code.
+    Also pinned: the codes scan never touches the embedding column,
+    and rebuilds are deterministic."""
+    import numpy as np
+    import os
+
+    index_dir = str(tmp_path / "pq_index")
+    S.build_pq_index(spark, TEST_SF_DIR, index_dir)
+    got = S.ann_cosine_topk_pq_indexed(spark, TEST_SF_DIR, index_dir)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan and "embedding" not in plan
+    rows = {(r.query_id, r.rank, r.vec_id, r.cosine) for r in got.collect()}
+
+    # numpy replica from the PERSISTED artifacts
+    cb = spark.read.parquet(f"{index_dir}/_codebooks").collect()
+    m = 1 + max(r["j"] for r in cb)
+    c = np.zeros((m, 1 + max(r["cid"] for r in cb), len(cb[0]["cv"])))
+    for r in cb:
+        c[r["j"], r["cid"]] = r["cv"]
+    code_rows = sorted(
+        (r["vec_id"], list(r["codes"]))
+        for r in spark.read.parquet(index_dir).collect()
+    )
+    ids = np.array([i for i, _ in code_rows])
+    codes = np.array([cd for _, cd in code_rows])
+    emb = {r["vec_id"]: np.array(list(r["v"])) for r in S._emb(spark, TEST_SF_DIR).collect()}
+    recon = c[np.arange(m), codes].reshape(len(ids), -1)
+    rnorm = np.linalg.norm(recon, axis=1)
+    want = set()
+    for qid in range(S.N_QUERIES):
+        q = emb[qid]
+        qn = np.linalg.norm(q)
+        sims = np.round(recon @ q / (rnorm * qn), 6)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -sims[mask]))[: S.TOP_K]
+        for rank, oi in enumerate(order, 1):
+            want.add((qid, rank, int(ids[mask][oi]), float(sims[mask][oi])))
+    assert rows == want
+
+    # deterministic rebuild
+    index_dir2 = str(tmp_path / "pq_index2")
+    S.build_pq_index(spark, TEST_SF_DIR, index_dir2)
+    rows2 = {
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in S.ann_cosine_topk_pq_indexed(
+            spark, TEST_SF_DIR, index_dir2
+        ).collect()
+    }
+    assert rows2 == rows
+    # compression: codes parquet ≪ the raw embeddings parquet
+    def psize(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet") and "_codebooks" not in r
+        )
+
+    raw = os.path.getsize(f"{TEST_SF_DIR}/embeddings.parquet") if os.path.isfile(
+        f"{TEST_SF_DIR}/embeddings.parquet"
+    ) else psize(f"{TEST_SF_DIR}/embeddings.parquet")
+    assert psize(index_dir) < raw / 4, (psize(index_dir), raw)
+
+
+def test_pq_fit_validates_args(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        S.pq_fit(spark, TEST_SF_DIR, m=7)  # 64 not divisible
+    with pytest.raises(ValueError):
+        S.pq_fit(spark, TEST_SF_DIR, iters=0)
