@@ -1448,3 +1448,294 @@ def ann_cosine_topk_pq_indexed(
         _score, "query_id long, vec_id long, cosine double"
     )
     return _rank_topk(partial)
+
+
+# --- IVF + residual PQ (the full IVFADC index) -------------------------------
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    cells: int = IVF_CELLS,
+    centroids: str = "kmeans",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    kmeans_iters: int = 5,
+) -> None:
+    """The full IVFADC layout (Jégou et al. TPAMI'11): a coarse
+    quantizer splits the corpus into cells — persisted as parquet
+    ``partitionBy(cell_id)`` so probes become partition pruning — and
+    a PQ codebook trained on the RESIDUALS (x − cell centroid)
+    compresses each vector to M small ints inside its cell. Residual
+    encoding is what makes IVFADC beat flat PQ: residuals concentrate
+    near the origin, so the same code budget quantizes them with far
+    less error than raw vectors.
+
+    One residual codebook is shared across cells (the standard
+    choice). Training runs the ``pq_fit`` loop with the coarse
+    centroids riding along in the closure: each scan assigns the
+    batch (BLAS argmax on cosine — the ``build_ivf_index`` rule,
+    first-maximum ties), subtracts the centroid, and emits per-
+    subspace partials over the residuals — still zero shuffle, still
+    scan-bound per iteration.
+
+    Sidecars ``_centroids`` and ``_codebooks`` persist both quantizers
+    with the data (written AFTER the data so overwrite cannot wipe
+    them); the query path reads them back, so index and query can
+    never disagree.
+    """
+    import numpy as np
+
+    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    if centroids == "head":
+        cent_rows = emb.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + cells)
+        ).collect()
+        cents_l = sorted(
+            (r["vec_id"], list(r["v"]), r["norm"]) for r in cent_rows
+        )
+    elif centroids == "kmeans":
+        cmat, _ = kmeans_fit(spark, sf_dir, k=cells, iters=kmeans_iters)
+        import math as _math
+
+        cents_l = [
+            (cid, cv, _math.sqrt(sum(x * x for x in cv)))
+            for cid, cv in enumerate(cmat)
+        ]
+    else:
+        raise ValueError(f"unknown centroids mode: {centroids!r}")
+    cid_arr = np.array([c[0] for c in cents_l], dtype=np.int64)
+    cm = np.array([c[1] for c in cents_l], dtype=np.float64)
+    cn = np.array([c[2] for c in cents_l], dtype=np.float64)
+
+    init_rows = emb.orderBy("vec_id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"build_ivfpq_index: need {k} seed vectors")
+    dim = len(list(init_rows[0]["v"]))
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+
+    def _residuals(x, nrm, cm=cm, cn=cn, cid_arr=cid_arr):
+        # cosine argmax against the coarse centroids (build_ivf_index
+        # rule: np.argmax first-maximum = lowest cell on exact ties)
+        import numpy as np
+
+        sims = (x @ cm.T) / (nrm[:, None] * cn[None, :])
+        a = np.argmax(sims, axis=1)
+        return cid_arr[a], x - cm[a]
+
+    # seed the residual codebook with the first k vectors' residuals
+    seed_x = np.array([list(r["v"]) for r in init_rows])
+    seed_n = np.array([r["norm"] for r in init_rows])
+    _, seed_res = _residuals(seed_x, seed_n)
+    books = np.array(
+        [
+            [seed_res[i, j * d_sub : (j + 1) * d_sub] for i in range(k)]
+            for j in range(m)
+        ],
+        dtype=np.float64,
+    )
+    for _ in range(iters):
+        c = books
+
+        def _partials(batches, c=c, m=m, k=k, d_sub=d_sub, _residuals=_residuals):
+            import numpy as np
+            import pandas as pd
+
+            c_sq = (c * c).sum(axis=2)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["v"].to_numpy())
+                nrm = pdf["norm"].to_numpy()
+                _, res = _residuals(x, nrm)
+                r = res.reshape(-1, m, d_sub)
+                n = r.shape[0]
+                out_j, out_c, out_n, out_s = [], [], [], []
+                for j in range(m):
+                    d2 = c_sq[j][None, :] - 2.0 * (r[:, j, :] @ c[j].T)
+                    a = np.argmin(d2, axis=1)
+                    cnt = np.bincount(a, minlength=k)
+                    sums = np.zeros((k, d_sub))
+                    np.add.at(sums, a, r[:, j, :])
+                    out_j.extend([j] * k)
+                    out_c.extend(range(k))
+                    out_n.extend(cnt)
+                    out_s.extend(list(sums))
+                yield pd.DataFrame(
+                    {"j": out_j, "cid": out_c, "n": out_n, "s": out_s}
+                )
+
+        parts = emb.mapInPandas(
+            _partials, "j long, cid long, n long, s array<double>"
+        ).collect()
+        n_acc = np.zeros((m, k))
+        s_acc = np.zeros_like(books)
+        for p in parts:
+            n_acc[p["j"], p["cid"]] += p["n"]
+            s_acc[p["j"], p["cid"]] += np.asarray(p["s"])
+        books = np.where(
+            (n_acc > 0)[:, :, None],
+            s_acc / np.maximum(n_acc, 1)[:, :, None],
+            books,
+        )
+
+    cfinal = books
+
+    def _encode(batches, c=cfinal, m=m, d_sub=d_sub, _residuals=_residuals):
+        import numpy as np
+        import pandas as pd
+
+        c_sq = (c * c).sum(axis=2)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy())
+            nrm = pdf["norm"].to_numpy()
+            cell, res = _residuals(x, nrm)
+            r = res.reshape(-1, m, d_sub)
+            codes = np.empty((r.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                d2 = c_sq[j][None, :] - 2.0 * (r[:, j, :] @ c[j].T)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell_id": cell, "codes": list(codes)}
+            )
+
+    emb.mapInPandas(
+        _encode, "vec_id long, cell_id long, codes array<int>"
+    ).write.mode("overwrite").partitionBy("cell_id").parquet(index_dir)
+    spark.createDataFrame(
+        [(cid, cv, cnn) for cid, cv, cnn in cents_l],
+        "cell_id long, cv array<double>, cn double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_centroids")
+    spark.createDataFrame(
+        [
+            (j, cid, [float(x) for x in cfinal[j, cid]])
+            for j in range(m)
+            for cid in range(k)
+        ],
+        "j long, cid long, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_codebooks")
+
+
+def ann_cosine_topk_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Query the IVFADC index: probe ``nprobe`` cells by centroid
+    cosine (partition pruning — only those cells' files open), then
+    ADC over the residual codes. For a candidate in cell c with codes
+    (b_1..b_M):
+
+        x̂ = centroid_c + r̂,  r̂_j = codebook[j][b_j]
+        dot(q, x̂)  = dot(q, centroid_c) + Σ_j LUT_q[j][b_j]
+        ‖x̂‖²      = ‖centroid_c‖² + 2·Σ_j XLUT_c[j][b_j] + Σ_j ‖r̂_j‖²
+
+    — all three terms are table lookups: LUT_q (per query, M×K dots),
+    XLUT_c (per probed cell, M×K centroid-residual cross terms, exact
+    because subspaces are disjoint coordinates), and the code-norm
+    table. Everything driver-side is |cells|- or |Q|-sized; the scan
+    reads (vec_id, cell_id, codes) only. Same partial-top-k ranking
+    contract as every entry; same exact-numpy-replica pytest gate as
+    the flat PQ path.
+    """
+    import numpy as np
+
+    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
+    cents = sorted(
+        (r["cell_id"], list(r["cv"]), r["cn"])
+        for r in spark.read.parquet(f"{index_dir}/_centroids").collect()
+    )
+    cb = spark.read.parquet(f"{index_dir}/_codebooks").collect()
+    m = 1 + max(r["j"] for r in cb)
+    k = 1 + max(r["cid"] for r in cb)
+    d_sub = len(cb[0]["cv"])
+    books = np.zeros((m, k, d_sub))
+    for r in cb:
+        books[r["j"], r["cid"]] = r["cv"]
+
+    queries = [(r["vec_id"], list(r["v"]), r["norm"]) for r in qrows]
+    probe_cells = _probe_sets(queries, cents, nprobe)
+    qm = np.array([q[1] for q in queries]).reshape(len(queries), m, d_sub)
+    qn = np.array([q[2] for q in queries])
+    qids = np.array([q[0] for q in queries])
+    cell_ids = np.array([c[0] for c in cents], dtype=np.int64)
+    cmat = np.array([c[1] for c in cents])
+    # dense cell_id -> row index (cell ids may be sparse for head mode)
+    cell_row = {int(cid): i for i, cid in enumerate(cell_ids)}
+    qdotc = np.einsum(
+        "qjd,cjd->qc", qm, cmat.reshape(len(cents), m, d_sub)
+    )  # dot(q, centroid_c)
+    luts = np.einsum("qjd,jkd->qjk", qm, books)
+    xlut = np.einsum(
+        "cjd,jkd->cjk", cmat.reshape(len(cents), m, d_sub), books
+    )
+    c_sq = (cmat * cmat).sum(axis=1)
+    r_sq = (books * books).sum(axis=2)  # (m, k)
+    probes_arr = [
+        np.array(sorted(probe_cells[int(qid)]), dtype=np.int64) for qid in qids
+    ]
+
+    def _score(
+        batches,
+        luts=luts,
+        xlut=xlut,
+        qdotc=qdotc,
+        c_sq=c_sq,
+        r_sq=r_sq,
+        qn=qn,
+        qids=qids,
+        m=m,
+        cell_row=cell_row,
+        probes_arr=probes_arr,
+    ):
+        import numpy as np
+        import pandas as pd
+
+        top_k = 5  # TOP_K inlined: closures must not touch module globals
+        jj = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cells_b = pdf["cell_id"].to_numpy().astype(np.int64)
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            rows = np.array([cell_row[int(c)] for c in cells_b])
+            rdots = luts[:, jj, codes].sum(axis=2).T  # (n, |Q|)
+            cross = xlut[rows[:, None], jj[None, :], codes].sum(axis=1)
+            xnorm = np.sqrt(
+                np.maximum(c_sq[rows] + 2.0 * cross + r_sq[jj, codes].sum(axis=1), 0)
+            )
+            out = {"query_id": [], "vec_id": [], "cosine": []}
+            for qi, qid in enumerate(qids):
+                sims = np.round(
+                    (qdotc[qi, rows] + rdots[:, qi])
+                    / (xnorm * qn[qi] + 1e-300),
+                    6,
+                )
+                mask = (ids != qid) & np.isin(cells_b, probes_arr[qi])
+                if not mask.any():
+                    continue
+                cand_ids, cand_sims = ids[mask], sims[mask]
+                order = np.lexsort((cand_ids, -cand_sims))[:top_k]
+                out["query_id"].extend([qid] * len(order))
+                out["vec_id"].extend(cand_ids[order])
+                out["cosine"].extend(cand_sims[order])
+            yield pd.DataFrame(out)
+
+    needed = sorted({c for cs in probe_cells.values() for c in cs})
+    idx = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("cell_id").isin(needed))
+        .select("vec_id", "cell_id", "codes")
+    )
+    partial = idx.mapInPandas(
+        _score, "query_id long, vec_id long, cosine double"
+    )
+    return _rank_topk(partial)

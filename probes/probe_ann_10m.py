@@ -83,6 +83,7 @@ def main() -> None:
             "lsh_prod",
             "lsh_indexed",
             "pq_indexed",
+            "ivfpq",
             "pca",
             "kmeans",
         ],
@@ -223,6 +224,16 @@ def main() -> None:
         builders["pq_indexed"] = (
             lambda s, d: similarity.ann_cosine_topk_pq_indexed(s, d, index_dir)
         )
+    elif args.op == "ivfpq":
+        # the full IVFADC: kmeans cells (partition-pruned probes) +
+        # residual-PQ codes (compressed in-cell ADC)
+        index_dir = f"{sf_dir}/ivfpq_index"
+        t0 = time.perf_counter()
+        similarity.build_ivfpq_index(spark, sf_dir, index_dir)
+        build_sec = round(time.perf_counter() - t0, 1)
+        builders["ivfpq"] = (
+            lambda s, d: similarity.ann_cosine_topk_ivfpq(s, d, index_dir)
+        )
     elif args.op == "lsh_indexed":
         index_dir = f"{sf_dir}/lsh_index"
         t0 = time.perf_counter()
@@ -250,7 +261,7 @@ def main() -> None:
         result["index_build_sec"] = build_sec
     if args.op in (
         "ivf", "ivf_indexed", "ivf_kmeans_indexed", "lsh", "lsh_prod",
-        "lsh_indexed", "pq_indexed",
+        "lsh_indexed", "pq_indexed", "ivfpq",
     ):
         # recall@k vs the brute-force operator run in the same session
         truth = {

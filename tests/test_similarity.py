@@ -584,3 +584,112 @@ def test_pq_fit_validates_args(spark):
         S.pq_fit(spark, TEST_SF_DIR, m=7)  # 64 not divisible
     with pytest.raises(ValueError):
         S.pq_fit(spark, TEST_SF_DIR, iters=0)
+
+
+def test_ivfpq_matches_numpy_replica_and_prunes(spark, tmp_path):
+    """IVFADC query == a pure-numpy replica built from the PERSISTED
+    artifacts (centroids + residual codebooks + codes), under a
+    full-cell probe so masking is not in play; at nprobe=1 the scan
+    prunes to the probed cells' partitions."""
+    import numpy as np
+    import re as _re
+
+    index_dir = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(spark, TEST_SF_DIR, index_dir, kmeans_iters=2, iters=2)
+
+    cents = sorted(
+        (r["cell_id"], np.array(list(r["cv"])), r["cn"])
+        for r in spark.read.parquet(f"{index_dir}/_centroids").collect()
+    )
+    cb = spark.read.parquet(f"{index_dir}/_codebooks").collect()
+    m = 1 + max(r["j"] for r in cb)
+    books = np.zeros((m, 1 + max(r["cid"] for r in cb), len(cb[0]["cv"])))
+    for r in cb:
+        books[r["j"], r["cid"]] = r["cv"]
+    code_rows = sorted(
+        (r["vec_id"], r["cell_id"], list(r["codes"]))
+        for r in spark.read.parquet(index_dir).collect()
+    )
+    ids = np.array([i for i, _, _ in code_rows])
+    cells_v = np.array([c for _, c, _ in code_rows])
+    codes = np.array([cd for _, _, cd in code_rows])
+    cmap = {cid: cv for cid, cv, _ in cents}
+    recon = np.stack(
+        [
+            cmap[cells_v[i]] + books[np.arange(m), codes[i]].reshape(-1)
+            for i in range(len(ids))
+        ]
+    )
+    rnorm = np.linalg.norm(recon, axis=1)
+    emb = {
+        r["vec_id"]: np.array(list(r["v"]))
+        for r in S._emb(spark, TEST_SF_DIR).collect()
+    }
+    want = set()
+    for qid in range(S.N_QUERIES):
+        q = emb[qid]
+        qn = np.linalg.norm(q)
+        sims = np.round(recon @ q / (rnorm * qn), 6)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -sims[mask]))[: S.TOP_K]
+        for rank, oi in enumerate(order, 1):
+            want.add((qid, rank, int(ids[mask][oi]), float(sims[mask][oi])))
+    got = {
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in S.ann_cosine_topk_ivfpq(
+            spark, TEST_SF_DIR, index_dir, nprobe=S.IVF_CELLS
+        ).collect()
+    }
+    assert got == want
+
+    pruned = S.ann_cosine_topk_ivfpq(spark, TEST_SF_DIR, index_dir, nprobe=1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cell_id" in ln
+    ]
+    assert pf, plan
+    probed = {int(v) for v in _re.findall(r"(\d+)", pf[0].split("IN (")[1])}
+    assert probed and len(probed) < S.IVF_CELLS
+
+
+def test_ivfpq_residuals_beat_flat_pq(spark, tmp_path):
+    """The reason IVFADC encodes residuals: with density-placed coarse
+    cells, residuals concentrate near the origin, so the same code
+    budget reconstructs with LESS error than flat PQ on the raw
+    vectors — asserted on the fixture corpus."""
+    import numpy as np
+
+    flat_dir = str(tmp_path / "flat")
+    ivf_dir = str(tmp_path / "ivfpq")
+    S.build_pq_index(spark, TEST_SF_DIR, flat_dir)
+    S.build_ivfpq_index(spark, TEST_SF_DIR, ivf_dir)
+
+    emb = {
+        r["vec_id"]: np.array(list(r["v"]))
+        for r in S._emb(spark, TEST_SF_DIR).collect()
+    }
+
+    def recon_err(index_dir, with_cells):
+        cb = spark.read.parquet(f"{index_dir}/_codebooks").collect()
+        m = 1 + max(r["j"] for r in cb)
+        books = np.zeros((m, 1 + max(r["cid"] for r in cb), len(cb[0]["cv"])))
+        for r in cb:
+            books[r["j"], r["cid"]] = r["cv"]
+        cmap = {}
+        if with_cells:
+            cmap = {
+                r["cell_id"]: np.array(list(r["cv"]))
+                for r in spark.read.parquet(f"{index_dir}/_centroids").collect()
+            }
+        errs = []
+        for r in spark.read.parquet(index_dir).collect():
+            base = cmap[r["cell_id"]] if with_cells else 0.0
+            xh = base + books[np.arange(m), list(r["codes"])].reshape(-1)
+            errs.append(np.linalg.norm(emb[r["vec_id"]] - xh))
+        return float(np.mean(errs))
+
+    e_flat = recon_err(flat_dir, with_cells=False)
+    e_ivf = recon_err(ivf_dir, with_cells=True)
+    assert e_ivf < e_flat, (e_ivf, e_flat)
