@@ -1,0 +1,102 @@
+"""Streaming corpus ingest — the curation maintenance loop as a
+Structured Streaming pipeline.
+
+The batch curation suite (``operators/curation.py``) answers "curate
+THIS corpus"; a production corpus is never still: shards land
+continuously and the pipeline that accepts them runs forever. This
+module runs the incremental-acceptance semantics of
+``corpus_incremental_dedup`` — quality gate, then exact dedup against
+everything accepted SO FAR, then within-batch keep-first — per
+micro-batch via ``foreachBatch``, with the accepted-fingerprint set
+persisted as the cross-batch state.
+
+Design points (the 100 TB contract):
+
+- **state is a table, not a state store**: the accepted-fingerprint
+  set is parquet the anti-join reads per batch, exactly the persisted
+  index pattern of ``dedup.build_neardup_index`` — unbounded streaming
+  state stores are the wrong home for corpus-lifetime dedup state
+  (``stream_dedup_exact`` covers the bounded-horizon variant; this is
+  the forever variant).
+- **idempotent replay**: every batch writes its outputs to
+  ``ingest_batch=<id>`` subdirectories with overwrite, so a
+  foreachBatch re-delivery after failure rewrites the same paths
+  instead of appending duplicates — the standard exactly-once recipe
+  for non-transactional sinks. The layout doubles as lineage: which
+  ingest brought each document is a partition column.
+- **ordering**: the keeper among copies is "first accepted batch wins,
+  min doc_id within a batch" — arrival order, which is what an ingest
+  pipeline means by keep-first. The set of accepted FINGERPRINTS is
+  arrival-order-independent (each content hash is accepted exactly
+  once), pinned by the stream==batch equivalence test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.utils import AnalysisException
+
+from fledge_south_csvplayback_spark.operators.curation import (
+    _keep_first_per_fingerprint,
+    _quality_cols,
+)
+
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_curate_corpus(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = DOCS_SCHEMA,
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Start the ingest stream over a landing directory of parquet
+    shards; returns the query (``availableNow`` trigger — drains what
+    exists and stops, the batch-job-shaped run the tests drive; drop
+    the trigger for a forever pipeline). Outputs under ``out_dir``:
+
+    - ``corpus/ingest_batch=N/``: accepted documents of batch N
+      (quality-passing, corpus-unique), with ``fingerprint``;
+    - ``fingerprints/ingest_batch=N/``: their content hashes — the
+      state the next batch's anti-join reads.
+    """
+    corpus_dir = f"{out_dir}/corpus"
+    fps_dir = f"{out_dir}/fingerprints"
+
+    def _accept(batch_df: DataFrame, batch_id: int) -> None:
+        q = _quality_cols(F.col("text"))
+        passing = batch_df.filter(q["keep"]).withColumn(
+            "fingerprint", F.md5(F.col("text"))
+        )
+        try:
+            seen = batch_df.sparkSession.read.parquet(fps_dir).select(
+                "fingerprint"
+            )
+            passing = passing.join(seen, "fingerprint", "left_anti")
+        except AnalysisException:
+            pass  # first batch: no state yet
+        survivors = _keep_first_per_fingerprint(passing).drop("n_copies")
+        survivors.write.mode("overwrite").parquet(
+            f"{corpus_dir}/ingest_batch={batch_id}"
+        )
+        survivors.select("fingerprint").write.mode("overwrite").parquet(
+            f"{fps_dir}/ingest_batch={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_accept)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
