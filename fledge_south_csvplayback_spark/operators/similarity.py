@@ -622,6 +622,38 @@ FROM r WHERE rank <= {TOP_K}
 """
 
 
+def _coarse_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    cells: int,
+    centroids: str,
+    kmeans_iters: int,
+) -> list[tuple]:
+    """ONE implementation of the coarse-quantizer selection rule,
+    shared by ``build_ivf_index`` and ``build_ivfpq_index`` (review
+    finding: a copied block means a tie-break or mode change silently
+    misses one index type). Returns sorted (cell_id, vector, norm)
+    tuples: ``"head"`` = the deterministic first-``cells``-vectors
+    rule (cell ids are those vec_ids), ``"kmeans"`` = ``kmeans_fit``
+    Lloyd centroids (cell ids 0..cells-1)."""
+    import math as _math
+
+    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    if centroids == "head":
+        cent_rows = emb.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + cells)
+        ).collect()
+        return sorted((r["vec_id"], list(r["v"]), r["norm"]) for r in cent_rows)
+    if centroids == "kmeans":
+        cmat, _inertia = kmeans_fit(spark, sf_dir, k=cells, iters=kmeans_iters)
+        return [
+            (cid, cv, _math.sqrt(sum(x * x for x in cv)))
+            for cid, cv in enumerate(cmat)
+        ]
+    raise ValueError(f"unknown centroids mode: {centroids!r}")
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -668,26 +700,8 @@ def build_ivf_index(
     directories across the cluster store, and adding vectors is an
     append to their cell partitions.
     """
-    import math as _math
-
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
-    if centroids == "head":
-        cent_rows = (
-            emb.filter(
-                (F.col("vec_id") >= N_QUERIES)
-                & (F.col("vec_id") < N_QUERIES + cells)
-            )
-            .collect()
-        )
-        cents = sorted((r["vec_id"], list(r["v"]), r["norm"]) for r in cent_rows)
-    elif centroids == "kmeans":
-        cmat, _inertia = kmeans_fit(spark, sf_dir, k=cells, iters=kmeans_iters)
-        cents = [
-            (cid, cv, _math.sqrt(sum(x * x for x in cv)))
-            for cid, cv in enumerate(cmat)
-        ]
-    else:
-        raise ValueError(f"unknown centroids mode: {centroids!r}")
+    cents = _coarse_centroids(spark, sf_dir, cells, centroids, kmeans_iters)
 
     def _assign(batches):
         import numpy as np
@@ -1271,11 +1285,28 @@ def pq_fit(
         [[list(r["v"])[j * d_sub : (j + 1) * d_sub] for r in init_rows] for j in range(m)],
         dtype=np.float64,
     )
+    books_arr, inertia = _pq_train(emb, cents, m, k, iters, d_sub)
+    books = [[[float(x) for x in row] for row in books_arr[j]] for j in range(m)]
+    return books, inertia
+
+
+def _pq_train(emb, cents0, m: int, k: int, iters: int, d_sub: int, transform=None):
+    """ONE implementation of the per-subspace Lloyd loop, shared by
+    ``pq_fit`` (flat PQ, identity) and ``build_ivfpq_index`` (residual
+    PQ) — review finding: a copied loop means an assignment-rule fix
+    silently misses one of them. ``transform`` is a picklable callable
+    ``(x_matrix, norm_array) -> matrix`` applied per batch before
+    reshaping (None = identity); when given, the input frame must
+    carry a ``norm`` column. Returns (codebooks ndarray (m, k, d_sub),
+    inertia list — Σ squared distances at each iteration's START)."""
+    import numpy as np
+
+    cents = cents0
     inertia: list[float] = []
     for _ in range(iters):
         c = cents
 
-        def _partials(batches, c=c, m=m, k=k, d_sub=d_sub):
+        def _partials(batches, c=c, m=m, k=k, d_sub=d_sub, transform=transform):
             import numpy as np
             import pandas as pd
 
@@ -1283,7 +1314,10 @@ def pq_fit(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                x = np.stack(pdf["v"].to_numpy()).reshape(-1, m, d_sub)
+                x = np.stack(pdf["v"].to_numpy())
+                if transform is not None:
+                    x = transform(x, pdf["norm"].to_numpy())
+                x = x.reshape(-1, m, d_sub)
                 n = x.shape[0]
                 out_j, out_c, out_n, out_s, out_e = [], [], [], [], []
                 for j in range(m):
@@ -1320,8 +1354,7 @@ def pq_fit(
             s_acc / np.maximum(n_acc, 1)[:, :, None],
             cents,
         )
-    books = [[[float(x) for x in row] for row in cents[j]] for j in range(m)]
-    return books, inertia
+    return cents, inertia
 
 
 def build_pq_index(
@@ -1415,11 +1448,17 @@ def ann_cosine_topk_pq_indexed(
     luts = np.einsum("qjd,jkd->qjk", qm, c)
     recon_sq = (c * c).sum(axis=2)  # (m, k)
 
-    def _score(batches, luts=luts, recon_sq=recon_sq, qn=qn, qids=qids, m=m):
+    # top_k rides in as a default arg bound from module TOP_K at
+    # definition time — an int global pickles BY VALUE into the worker
+    # closure (only module-level FUNCTIONS pickle by reference), and
+    # binding it keeps the per-batch truncation in lockstep with
+    # _rank_topk's global ranking (review finding: a hard-coded 5
+    # would silently break ranks 6..k if TOP_K ever changed)
+    def _score(batches, luts=luts, recon_sq=recon_sq, qn=qn, qids=qids, m=m,
+               top_k=TOP_K):
         import numpy as np
         import pandas as pd
 
-        top_k = 5  # TOP_K inlined: closures must not touch module globals
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1487,24 +1526,7 @@ def build_ivfpq_index(
     import numpy as np
 
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
-    if centroids == "head":
-        cent_rows = emb.filter(
-            (F.col("vec_id") >= N_QUERIES)
-            & (F.col("vec_id") < N_QUERIES + cells)
-        ).collect()
-        cents_l = sorted(
-            (r["vec_id"], list(r["v"]), r["norm"]) for r in cent_rows
-        )
-    elif centroids == "kmeans":
-        cmat, _ = kmeans_fit(spark, sf_dir, k=cells, iters=kmeans_iters)
-        import math as _math
-
-        cents_l = [
-            (cid, cv, _math.sqrt(sum(x * x for x in cv)))
-            for cid, cv in enumerate(cmat)
-        ]
-    else:
-        raise ValueError(f"unknown centroids mode: {centroids!r}")
+    cents_l = _coarse_centroids(spark, sf_dir, cells, centroids, kmeans_iters)
     cid_arr = np.array([c[0] for c in cents_l], dtype=np.int64)
     cm = np.array([c[1] for c in cents_l], dtype=np.float64)
     cn = np.array([c[2] for c in cents_l], dtype=np.float64)
@@ -1530,59 +1552,23 @@ def build_ivfpq_index(
     seed_x = np.array([list(r["v"]) for r in init_rows])
     seed_n = np.array([r["norm"] for r in init_rows])
     _, seed_res = _residuals(seed_x, seed_n)
-    books = np.array(
+    books0 = np.array(
         [
             [seed_res[i, j * d_sub : (j + 1) * d_sub] for i in range(k)]
             for j in range(m)
         ],
         dtype=np.float64,
     )
-    for _ in range(iters):
-        c = books
 
-        def _partials(batches, c=c, m=m, k=k, d_sub=d_sub, _residuals=_residuals):
-            import numpy as np
-            import pandas as pd
+    def _res_only(x, nrm, _residuals=_residuals):
+        return _residuals(x, nrm)[1]
 
-            c_sq = (c * c).sum(axis=2)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                x = np.stack(pdf["v"].to_numpy())
-                nrm = pdf["norm"].to_numpy()
-                _, res = _residuals(x, nrm)
-                r = res.reshape(-1, m, d_sub)
-                n = r.shape[0]
-                out_j, out_c, out_n, out_s = [], [], [], []
-                for j in range(m):
-                    d2 = c_sq[j][None, :] - 2.0 * (r[:, j, :] @ c[j].T)
-                    a = np.argmin(d2, axis=1)
-                    cnt = np.bincount(a, minlength=k)
-                    sums = np.zeros((k, d_sub))
-                    np.add.at(sums, a, r[:, j, :])
-                    out_j.extend([j] * k)
-                    out_c.extend(range(k))
-                    out_n.extend(cnt)
-                    out_s.extend(list(sums))
-                yield pd.DataFrame(
-                    {"j": out_j, "cid": out_c, "n": out_n, "s": out_s}
-                )
-
-        parts = emb.mapInPandas(
-            _partials, "j long, cid long, n long, s array<double>"
-        ).collect()
-        n_acc = np.zeros((m, k))
-        s_acc = np.zeros_like(books)
-        for p in parts:
-            n_acc[p["j"], p["cid"]] += p["n"]
-            s_acc[p["j"], p["cid"]] += np.asarray(p["s"])
-        books = np.where(
-            (n_acc > 0)[:, :, None],
-            s_acc / np.maximum(n_acc, 1)[:, :, None],
-            books,
-        )
-
-    cfinal = books
+    # the shared Lloyd loop with residual subtraction as the batch
+    # transform — same assignment/update rules as flat pq_fit by
+    # construction (one implementation, see _pq_train)
+    cfinal, _inertia = _pq_train(
+        emb, books0, m, k, iters, d_sub, transform=_res_only
+    )
 
     def _encode(batches, c=cfinal, m=m, d_sub=d_sub, _residuals=_residuals):
         import numpy as np
@@ -1694,11 +1680,11 @@ def ann_cosine_topk_ivfpq(
         m=m,
         cell_row=cell_row,
         probes_arr=probes_arr,
+        top_k=TOP_K,  # bound by value at definition (see PQ scorer note)
     ):
         import numpy as np
         import pandas as pd
 
-        top_k = 5  # TOP_K inlined: closures must not touch module globals
         jj = np.arange(m)
         for pdf in batches:
             if not len(pdf):

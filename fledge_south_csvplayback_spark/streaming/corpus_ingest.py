@@ -48,6 +48,60 @@ DOCS_SCHEMA = (
 )
 
 
+def accept_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+    """The per-batch acceptance body (module-level so re-delivery is
+    directly testable): quality gate → anti-join vs every OTHER
+    batch's accepted fingerprints → within-batch keep-first → write
+    both outputs under ``ingest_batch=<id>`` with overwrite.
+
+    The state read excludes THIS batch id: foreachBatch is
+    at-least-once, and a re-delivery after the previous attempt
+    committed its writes (but before the checkpoint recorded the
+    batch) would otherwise anti-join the batch against its own
+    fingerprints — emptying the replayed outputs instead of rewriting
+    them. Pinned by the replay pytest."""
+    corpus_dir = f"{out_dir}/corpus"
+    fps_dir = f"{out_dir}/fingerprints"
+    q = _quality_cols(F.col("text"))
+    passing = batch_df.filter(q["keep"]).withColumn(
+        "fingerprint", F.md5(F.col("text"))
+    )
+    try:
+        seen = (
+            batch_df.sparkSession.read.parquet(fps_dir)
+            .filter(F.col("ingest_batch") != batch_id)
+            .select("fingerprint")
+        )
+        passing = passing.join(seen, "fingerprint", "left_anti")
+    except AnalysisException as ex:
+        # ONLY the no-state-yet case may pass; any other analysis
+        # failure (corrupt state, schema drift, permissions) must
+        # raise — silently proceeding would disable cross-batch dedup
+        # and accept duplicates with no signal
+        err = getattr(ex, "getErrorClass", lambda: None)() or str(ex)
+        if "PATH_NOT_FOUND" not in err:
+            raise
+    # pin the column order: the anti-join (taken only when state
+    # exists) moves its key first, so first-run and replay outputs
+    # would otherwise commit different schemas for the same batch
+    survivors = _keep_first_per_fingerprint(passing).select(
+        *batch_df.columns, "fingerprint"
+    )
+    # one computation, two sinks: without the persist the full accept
+    # pipeline (state scan + anti-join + keeper window) would execute
+    # once per write
+    survivors.persist()
+    try:
+        survivors.write.mode("overwrite").parquet(
+            f"{corpus_dir}/ingest_batch={batch_id}"
+        )
+        survivors.select("fingerprint").write.mode("overwrite").parquet(
+            f"{fps_dir}/ingest_batch={batch_id}"
+        )
+    finally:
+        survivors.unpersist()
+
+
 def stream_curate_corpus(
     spark: SparkSession,
     src_dir: str,
@@ -66,28 +120,8 @@ def stream_curate_corpus(
     - ``fingerprints/ingest_batch=N/``: their content hashes — the
       state the next batch's anti-join reads.
     """
-    corpus_dir = f"{out_dir}/corpus"
-    fps_dir = f"{out_dir}/fingerprints"
-
     def _accept(batch_df: DataFrame, batch_id: int) -> None:
-        q = _quality_cols(F.col("text"))
-        passing = batch_df.filter(q["keep"]).withColumn(
-            "fingerprint", F.md5(F.col("text"))
-        )
-        try:
-            seen = batch_df.sparkSession.read.parquet(fps_dir).select(
-                "fingerprint"
-            )
-            passing = passing.join(seen, "fingerprint", "left_anti")
-        except AnalysisException:
-            pass  # first batch: no state yet
-        survivors = _keep_first_per_fingerprint(passing).drop("n_copies")
-        survivors.write.mode("overwrite").parquet(
-            f"{corpus_dir}/ingest_batch={batch_id}"
-        )
-        survivors.select("fingerprint").write.mode("overwrite").parquet(
-            f"{fps_dir}/ingest_batch={batch_id}"
-        )
+        accept_batch(batch_df, batch_id, out_dir)
 
     stream = (
         spark.readStream.schema(schema)

@@ -93,3 +93,28 @@ def test_stream_ingest_resume_processes_only_new_files(spark, tmp_path):
     assert after.count() == n_first + 1  # fresh accepted, dup rejected
     assert after.filter(F.col("doc_id") == 990001).count() == 1
     assert after.filter(F.col("doc_id") == 990002).count() == 0
+
+
+def test_accept_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a batch AFTER its
+    previous attempt committed both writes (the crash-before-
+    checkpoint window) must rewrite identical outputs — review
+    finding: the state read used to include the batch's own
+    fingerprints, so the replay anti-joined itself away and OVERWROTE
+    the batch with empty data."""
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").limit(50)
+    out = str(tmp_path / "out")
+    CI.accept_batch(docs, 0, out)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/corpus").collect()
+    )
+    assert first  # something was accepted
+    CI.accept_batch(docs, 0, out)  # re-delivery of the SAME batch id
+    replayed = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/corpus").collect()
+    )
+    assert replayed == first
+    # and a genuinely NEW batch still dedups against batch 0's state
+    CI.accept_batch(docs, 1, out)
+    b1 = spark.read.parquet(f"{out}/corpus").filter("ingest_batch = 1")
+    assert b1.count() == 0  # all fingerprints already accepted

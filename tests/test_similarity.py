@@ -650,8 +650,20 @@ def test_ivfpq_matches_numpy_replica_and_prunes(spark, tmp_path):
         if "PartitionFilters" in ln and "cell_id" in ln
     ]
     assert pf, plan
-    probed = {int(v) for v in _re.findall(r"(\d+)", pf[0].split("IN (")[1])}
-    assert probed and len(probed) < S.IVF_CELLS
+    # the probe predicate renders as `IN (a,b,...)` for several cells
+    # but collapses to `= N` when all queries probe ONE cell (possible
+    # with data-driven kmeans cells) — parse both shapes
+    m_in = _re.search(r"IN \(([0-9,\s]+)\)", pf[0])
+    if m_in:
+        probed = {
+            int(v) for v in m_in.group(1).replace(" ", "").split(",") if v
+        }
+    else:
+        m_eq = _re.search(r"cell_id#\d+L?\s*=\s*(\d+)", pf[0])
+        assert m_eq, pf[0]
+        probed = {int(m_eq.group(1))}
+    # nprobe=1 over N_QUERIES queries probes at most N_QUERIES cells
+    assert probed and len(probed) <= S.N_QUERIES
 
 
 def test_ivfpq_residuals_beat_flat_pq(spark, tmp_path):
