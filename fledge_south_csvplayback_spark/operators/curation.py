@@ -1397,3 +1397,78 @@ FROM m
 
 
 QUALITY_MODEL_SQL = _quality_model_sql()
+
+
+# --- CCNet perplexity buckets ------------------------------------------------
+PPL_BUCKET_QUANTILES = (1 / 3, 2 / 3)  # per-language terciles
+
+
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's LM-perplexity bucketing (Wenzek et al. 2020 §4.3): each
+    language's documents split into head/middle/tail terciles of the
+    language-model score — CCNet keeps "head" (and often "middle") as
+    its quality cut, on the observation that well-formed text scores
+    high under an LM trained on curated data. The score here is the
+    repo's SQL-expressible LM-lite, ``text_unigram_logprob`` (higher
+    mean log-prob = lower perplexity = better bucket).
+
+    Per-LANGUAGE terciles, not global (CCNet's key design point:
+    perplexity scales differ per language, so a global cut would keep
+    only the easiest languages). Plan = the ``quality_filter_adaptive``
+    two-pass shape on top of the scorer: the tercile thresholds are a
+    |langs|-row aggregate broadcast back onto the scored table, so
+    beyond the scorer's own exchanges the only added wide operation is
+    the doc_id join attaching ``lang``. Thresholds and scores compare
+    on round(x, 6) (both engines), so a boundary doc cannot flip.
+
+    Output: (doc_id, lang, mean_logprob, bucket) with bucket in
+    head/middle/tail — feed the labels to ``corpus_sample_stratified``
+    -style per-bucket rates for the actual cut.
+    """
+    from fledge_south_csvplayback_spark.operators import text as text_ops
+
+    lo_q, hi_q = PPL_BUCKET_QUANTILES
+    scores = text_ops.text_unigram_logprob(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    bounds = scores.groupBy("lang").agg(
+        F.round(F.percentile("mean_logprob", F.lit(lo_q)), 6).alias("t_lo"),
+        F.round(F.percentile("mean_logprob", F.lit(hi_q)), 6).alias("t_hi"),
+    )
+    bucket = (
+        F.when(F.col("mean_logprob") >= F.col("t_hi"), F.lit("head"))
+        .when(F.col("mean_logprob") >= F.col("t_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scores.join(F.broadcast(bounds), "lang")
+        .select("doc_id", "lang", "mean_logprob", bucket.alias("bucket"))
+    )
+
+
+CORPUS_PPL_BUCKETS_SQL = f"""
+WITH scored AS ({{unigram}}),
+s AS (
+    SELECT scored.doc_id, d.lang, scored.mean_logprob
+    FROM scored JOIN documents d ON scored.doc_id = d.doc_id
+),
+b AS (
+    SELECT lang,
+           ROUND(quantile_cont(mean_logprob, {PPL_BUCKET_QUANTILES[0]}), 6) AS t_lo,
+           ROUND(quantile_cont(mean_logprob, {PPL_BUCKET_QUANTILES[1]}), 6) AS t_hi
+    FROM s GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.mean_logprob,
+       CASE WHEN s.mean_logprob >= b.t_hi THEN 'head'
+            WHEN s.mean_logprob >= b.t_lo THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s JOIN b USING (lang)
+"""
+
+
+def _ppl_buckets_sql() -> str:
+    from fledge_south_csvplayback_spark.operators import text as text_ops
+
+    return CORPUS_PPL_BUCKETS_SQL.format(
+        unigram=text_ops.TEXT_UNIGRAM_LOGPROB_SQL
+    )

@@ -1016,3 +1016,38 @@ def test_token_count_rejects_unknown_method():
         curation.token_count(F.col("text"), "bpe")
     with pytest.raises(ValueError):
         curation.token_count_sql("text", "bpe")
+
+
+# --- CCNet perplexity buckets ------------------------------------------------
+def test_ppl_buckets_oracle_parity(spark):
+    df = curation.corpus_perplexity_buckets(spark, TEST_SF_DIR)
+    ok, msg = compare(df, curation._ppl_buckets_sql(), TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_ppl_buckets_oracle_parity_sf001(spark):
+    df = curation.corpus_perplexity_buckets(spark, ORACLE_SF_DIR)
+    ok, msg = compare(df, curation._ppl_buckets_sql(), ORACLE_SF_DIR)
+    assert ok, msg
+
+
+def test_ppl_buckets_are_per_language_terciles(spark):
+    """Every language splits ~equally into head/middle/tail (per-LANG
+    thresholds — CCNet's point), and bucket order tracks the score:
+    min(head) >= max(middle) boundary-wise within each language."""
+    rows = curation.corpus_perplexity_buckets(spark, TEST_SF_DIR).collect()
+    by_lang: dict[str, dict[str, list[float]]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []).append(
+            r.mean_logprob
+        )
+    assert len(by_lang) >= 2
+    for lang, buckets in by_lang.items():
+        n = sum(len(v) for v in buckets.values())
+        if n < 12:
+            continue  # tercile balance is meaningless on tiny strata
+        assert set(buckets) == {"head", "middle", "tail"}, (lang, buckets.keys())
+        for b, vals in buckets.items():
+            assert len(vals) >= n // 6, (lang, b, len(vals), n)
+        assert min(buckets["head"]) >= max(buckets["middle"]), lang
+        assert min(buckets["middle"]) >= max(buckets["tail"]), lang
