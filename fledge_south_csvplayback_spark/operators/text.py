@@ -1074,3 +1074,147 @@ FROM k
 
 
 TEXT_SPAN_SCRUB_SQL = _span_scrub_sql()
+
+
+# --- BPE tokenization (driver-trained merges, distributed apply) -------------
+BPE_MERGES = 200  # merge steps for the default corpus-trained table
+BPE_TRAIN_DOCS = 500  # deterministic training sample: first docs by id
+
+
+def bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_MERGES,
+    train_docs: int = BPE_TRAIN_DOCS,
+) -> list[tuple[str, str]]:
+    """Train a byte-pair-encoding merge table (Sennrich et al. 2016)
+    on a DETERMINISTIC sample: the first ``train_docs`` documents by
+    doc_id, collected to the driver. BPE training is inherently
+    sequential — each merge step depends on the pair counts AFTER the
+    previous merge, so a distributed trainer would need one corpus
+    pass per merge (n_merges scans); every production tokenizer
+    (GPT-2, SentencePiece) trains on a driver-sized sample and applies
+    everywhere, which is exactly the split here. No RNG, ties broken
+    by lexicographic pair order: two runs give byte-identical merges.
+
+    Returns the ordered merge list [(left, right), ...] — feed it to
+    ``text_bpe_tokenize``.
+    """
+    rows = (
+        _docs(spark, sf_dir)
+        .orderBy("doc_id")
+        .limit(train_docs)
+        .select("text")
+        .collect()
+    )
+    # word frequencies over the sample; words as character tuples with
+    # a </w> end marker (the classic formulation)
+    wfreq: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        for w in (r["text"] or "").split(" "):
+            if w:
+                key = tuple(w) + ("</w>",)
+                wfreq[key] = wfreq.get(key, 0) + 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for word, f in wfreq.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        # max count, ties to the lexicographically SMALLEST pair
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_wfreq: dict[tuple[str, ...], int] = {}
+        for word, f in wfreq.items():
+            out = []
+            i = 0
+            while i < len(word):
+                if (
+                    i < len(word) - 1
+                    and word[i] == best[0]
+                    and word[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            key = tuple(out)
+            new_wfreq[key] = new_wfreq.get(key, 0) + f
+        wfreq = new_wfreq
+    return merges
+
+
+def text_bpe_tokenize(
+    spark: SparkSession,
+    sf_dir: str,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Apply a BPE merge table to every document, distributed: one
+    ``mapInPandas`` pass, merges riding in the closure as a rank dict
+    (the GPT-2 apply algorithm — repeatedly merge the lowest-rank
+    adjacent pair). Output: (doc_id, n_ws_tokens, n_bpe_tokens) — the
+    tokenizer-REAL token counts the ``token_count`` proxies
+    approximate; join them onto budget/mixture selection when the
+    training tokenizer's counts are what the budget means.
+
+    This is the one text op where Python-per-token is unavoidable (BPE
+    apply is an inherently sequential per-word loop — no Catalyst
+    expression computes it), so it lives in an Arrow batch like the
+    multimodal decoders, with a per-word memo dict amortizing repeated
+    vocabulary across each batch. The whitespace count rides along for
+    free and lets tests sanity-pin n_bpe >= n_ws (a word is >= 1
+    token) without a second scan.
+    """
+    if merges is None:
+        merges = bpe_train(spark, sf_dir)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def _apply(batches, ranks=ranks):
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def n_tokens_of(word: str) -> int:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            parts = list(word) + ["</w>"]
+            while len(parts) > 1:
+                best_rank, best_i = None, None
+                for i in range(len(parts) - 1):
+                    r = ranks.get((parts[i], parts[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_i is None:
+                    break
+                parts[best_i : best_i + 2] = [
+                    parts[best_i] + parts[best_i + 1]
+                ]
+            # the </w> marker either fused into the last token or
+            # stands alone; standalone markers don't count
+            n = sum(1 for p in parts if p != "</w>")
+            memo[word] = n
+            return n
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ws, n_bpe = [], []
+            for text in pdf["text"]:
+                words = [w for w in (text or "").split(" ") if w]
+                n_ws.append(len(words))
+                n_bpe.append(sum(n_tokens_of(w) for w in words))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_ws_tokens": n_ws, "n_bpe_tokens": n_bpe}
+            )
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        _apply, "doc_id long, n_ws_tokens long, n_bpe_tokens long"
+    )

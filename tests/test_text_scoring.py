@@ -596,3 +596,77 @@ def test_boilerplate_null_text_doc_kept(spark, tmp_path):
         sf_dir,
     )
     assert ok, msg
+
+
+# --- BPE tokenization --------------------------------------------------------
+def test_bpe_train_hand_computed(spark, tmp_path):
+    """The classic Sennrich example shape: a corpus where 'lo' then
+    'low' are the dominant pairs. Merges must come out in frequency
+    order with lexicographic tie-breaks, deterministically."""
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "low low low lower lowest"), (1, "low lower newest")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    merges = text.bpe_train(spark, sf_dir, n_merges=3)
+    # 'l'+'o' appears in every word occurrence (8), the top pair;
+    # then 'lo'+'w' (8); the third merge depends on remaining counts
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")
+    assert len(merges) == 3
+    assert merges == text.bpe_train(spark, sf_dir, n_merges=3)  # deterministic
+
+
+def test_bpe_tokenize_counts(spark, tmp_path):
+    """Distributed apply == a driver-side replica of the GPT-2 merge
+    loop, and the structural bounds hold: one word is at least one
+    token and at most len(word)+0 tokens (</w> never counts alone)."""
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, "low low lower"),
+            (1, "lowest newest"),
+            (2, "zzz"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    merges = text.bpe_train(spark, sf_dir, n_merges=5)
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens)
+        for r in text.text_bpe_tokenize(spark, sf_dir, merges).collect()
+    }
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def replica(word):
+        parts = list(word) + ["</w>"]
+        while len(parts) > 1:
+            cand = [
+                (ranks[(parts[i], parts[i + 1])], i)
+                for i in range(len(parts) - 1)
+                if (parts[i], parts[i + 1]) in ranks
+            ]
+            if not cand:
+                break
+            _, i = min(cand)
+            parts[i : i + 2] = [parts[i] + parts[i + 1]]
+        return sum(1 for p in parts if p != "</w>")
+
+    texts = {0: "low low lower", 1: "lowest newest", 2: "zzz", 3: None}
+    for d, t in texts.items():
+        words = [w for w in (t or "").split(" ") if w]
+        want = (len(words), sum(replica(w) for w in words))
+        assert got[d] == want, (d, got[d], want)
+    assert got[3] == (0, 0)  # NULL text = zero tokens, doc present
+
+
+def test_bpe_tokenize_fixture_corpus(spark):
+    """On the driver corpus: every doc present, n_bpe >= n_ws (a word
+    is >= 1 token), and the default merge table compresses (bpe count
+    strictly below character count for multi-char words)."""
+    out = text.text_bpe_tokenize(spark, TEST_SF_DIR).collect()
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").count()
+    assert len(out) == docs
+    for r in out:
+        assert r.n_bpe_tokens >= r.n_ws_tokens
