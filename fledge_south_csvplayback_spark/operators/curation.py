@@ -1472,3 +1472,71 @@ def _ppl_buckets_sql() -> str:
     return CORPUS_PPL_BUCKETS_SQL.format(
         unigram=text_ops.TEXT_UNIGRAM_LOGPROB_SQL
     )
+
+
+# --- scrub staging (materialized pipeline composition) -----------------------
+def write_scrubbed_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    stages: tuple[str, ...] = ("lines", "spans"),
+    hashed: bool = True,
+) -> None:
+    """Materialize a SCRUBBED documents table that is a drop-in
+    ``sf_dir`` for every operator in the engine — the staging pattern
+    a 100 TB pipeline actually runs: corpus-wide scrubs are
+    whole-corpus aggregations, so they run ONCE, write, and every
+    downstream stage (quality, dedup, budgets, chunking, the
+    ``write_training_corpus`` materializer itself) reads the cleaned
+    table instead of recomputing the scrub inside each query.
+
+    ``stages`` compose in order over successive materializations
+    (each scrub's corpus-wide statistics must see the PREVIOUS
+    stage's output — removing boilerplate lines changes which spans
+    repeat): ``"lines"`` = ``text_boilerplate_scrub`` (CCNet line
+    dedup), ``"spans"`` = ``text_repeated_span_scrub`` (ExactSubstr).
+    Intermediate stages land under ``{out_dir}__stage<i>``; the final
+    stage lands at ``out_dir``. ``n_chars`` is recomputed from the
+    cleaned text so downstream length logic sees the real lengths;
+    all other columns pass through unchanged.
+
+    ``hashed=True`` is the production default here (this op exists
+    for scale, not for an oracle — the scrubs' own oracle paths stay
+    string-keyed and are checked in their entries/tests).
+    """
+    from fledge_south_csvplayback_spark.operators import text as text_ops
+
+    scrubbers = {
+        "lines": lambda d: text_ops.text_boilerplate_scrub(
+            spark, d, hashed=hashed
+        ),
+        "spans": lambda d: text_ops.text_repeated_span_scrub(
+            spark, d, hashed=hashed
+        ),
+    }
+    unknown = [s for s in stages if s not in scrubbers]
+    if unknown or not stages:
+        raise ValueError(
+            f"stages must be a non-empty subset of {sorted(scrubbers)}, "
+            f"got {stages!r}"
+        )
+    cur = sf_dir
+    for i, stage in enumerate(stages):
+        nxt = out_dir if i == len(stages) - 1 else f"{out_dir}__stage{i}"
+        cleaned = scrubbers[stage](cur).select(
+            "doc_id", F.col("text_cleaned").alias("text")
+        )
+        out = (
+            _docs(spark, cur)
+            .drop("text", "n_chars")
+            .join(cleaned, "doc_id")
+            .select(
+                "doc_id",
+                "text",
+                "lang",
+                "source",
+                F.length("text").cast("bigint").alias("n_chars"),
+            )
+        )
+        out.write.mode("overwrite").parquet(f"{nxt}/documents.parquet")
+        cur = nxt

@@ -1051,3 +1051,78 @@ def test_ppl_buckets_are_per_language_terciles(spark):
             assert len(vals) >= n // 6, (lang, b, len(vals), n)
         assert min(buckets["head"]) >= max(buckets["middle"]), lang
         assert min(buckets["middle"]) >= max(buckets["tail"]), lang
+
+
+# --- scrub staging -----------------------------------------------------------
+def test_scrubbed_documents_is_drop_in_sf_dir(spark, tmp_path):
+    """The staged scrub output must be a drop-in documents table: line
+    boilerplate removed FIRST, then repeated spans over the cleaned
+    text; schema/columns preserved with n_chars recomputed; and any
+    downstream operator runs on it unchanged."""
+    import os
+
+    words = [f"w{i:02d}xy" for i in range(30)]
+    body0 = " ".join(words)
+    body1 = " ".join(f"z{i:02d}ab" for i in range(30))
+    nav = "NAV home about contact"
+    docs = [
+        # shared nav line (df=3) + unique bodies; docs 0/1 also share
+        # body0 -> after line scrub, body0's spans still repeat and
+        # the span stage removes them
+        (0, f"{nav}\n{body0}", "en", "web", 0),
+        (1, f"{body0}\n{nav}", "en", "web", 0),
+        (2, f"{nav}\n{body1}", "en", "web", 0),
+    ]
+    sf_dir = str(tmp_path / "raw")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = str(tmp_path / "scrubbed")
+    curation.write_scrubbed_documents(spark, sf_dir, out)
+    got = {r.doc_id: r for r in spark.read.parquet(f"{out}/documents.parquet").collect()}
+    assert set(got) == {0, 1, 2}
+    # nav removed everywhere (line stage); body0 removed from 0 and 1
+    # (span stage: its 10-grams repeat across the two docs)
+    assert got[0].text == "" and got[1].text == ""
+    assert got[2].text == body1
+    for r in got.values():
+        assert r.n_chars == len(r.text)  # recomputed
+    # drop-in: existing operators run on the scrubbed dir unchanged
+    qf = curation.quality_filter(spark, out).collect()
+    assert {r.doc_id for r in qf} == {0, 1, 2}
+    assert curation.corpus_token_budget(spark, out).count() >= 1
+
+
+def test_scrubbed_documents_stage_order_matters(spark, tmp_path):
+    """lines-then-spans != spans-only: a span repeated ONLY inside the
+    boilerplate lines disappears at the line stage, so the span stage
+    sees the cleaned corpus — the reason stages materialize
+    sequentially instead of running independently."""
+    import os
+
+    # nav is 12 tokens: a repeated SPAN by itself
+    nav = " ".join(f"nav{i}" for i in range(12))
+    docs = [
+        (0, f"{nav}\nunique zero body text here", "en", "web", 0),
+        (1, f"{nav}\nother one content words go", "en", "web", 0),
+    ]
+    sf_dir = str(tmp_path / "raw")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = str(tmp_path / "scrubbed")
+    curation.write_scrubbed_documents(spark, sf_dir, out)
+    got = {r.doc_id: r.text for r in spark.read.parquet(f"{out}/documents.parquet").collect()}
+    # the line stage removed nav entirely; the span stage then found
+    # nothing left to remove — bodies intact
+    assert got[0] == "unique zero body text here"
+    assert got[1] == "other one content words go"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        curation.write_scrubbed_documents(spark, sf_dir, out, stages=("nope",))
