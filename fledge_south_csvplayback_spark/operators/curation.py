@@ -1423,14 +1423,27 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, lang, mean_logprob, bucket) with bucket in
     head/middle/tail — feed the labels to ``corpus_sample_stratified``
-    -style per-bucket rates for the actual cut.
+    -style per-bucket rates for the actual cut. EVERY document gets a
+    row: a doc the scorer has no row for (NULL/empty text — its token
+    explode emits nothing) carries a NULL score and lands in ``tail``
+    (no content = worst quality; a NULL comparison falls through both
+    CASE arms identically in both engines), rather than silently
+    vanishing from the cut — the same review-finding class the
+    boilerplate scrub's NULL guard fixed.
     """
     from fledge_south_csvplayback_spark.operators import text as text_ops
 
     lo_q, hi_q = PPL_BUCKET_QUANTILES
-    scores = text_ops.text_unigram_logprob(spark, sf_dir).join(
-        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    scores = _docs(spark, sf_dir).select("doc_id", "lang").join(
+        text_ops.text_unigram_logprob(spark, sf_dir).select(
+            "doc_id", "mean_logprob"
+        ),
+        "doc_id",
+        "left",
     )
+    # percentile ignores NULL scores in both engines, so unscored docs
+    # never shift the thresholds; the bounds join is LEFT too, so a
+    # language with zero scored docs still emits its (tail) rows
     bounds = scores.groupBy("lang").agg(
         F.round(F.percentile("mean_logprob", F.lit(lo_q)), 6).alias("t_lo"),
         F.round(F.percentile("mean_logprob", F.lit(hi_q)), 6).alias("t_hi"),
@@ -1441,7 +1454,7 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
     )
     return (
-        scores.join(F.broadcast(bounds), "lang")
+        scores.join(F.broadcast(bounds), "lang", "left")
         .select("doc_id", "lang", "mean_logprob", bucket.alias("bucket"))
     )
 
@@ -1449,8 +1462,10 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_PPL_BUCKETS_SQL = f"""
 WITH scored AS ({{unigram}}),
 s AS (
-    SELECT scored.doc_id, d.lang, scored.mean_logprob
-    FROM scored JOIN documents d ON scored.doc_id = d.doc_id
+    -- LEFT from documents: unscored (NULL-text) docs keep a row with
+    -- a NULL score and CASE-fall-through to 'tail', mirroring Spark
+    SELECT d.doc_id, d.lang, scored.mean_logprob
+    FROM documents d LEFT JOIN scored ON scored.doc_id = d.doc_id
 ),
 b AS (
     SELECT lang,
@@ -1462,7 +1477,7 @@ SELECT s.doc_id, s.lang, s.mean_logprob,
        CASE WHEN s.mean_logprob >= b.t_hi THEN 'head'
             WHEN s.mean_logprob >= b.t_lo THEN 'middle'
             ELSE 'tail' END AS bucket
-FROM s JOIN b USING (lang)
+FROM s LEFT JOIN b USING (lang)
 """
 
 
@@ -1483,12 +1498,17 @@ def write_scrubbed_documents(
     hashed: bool = True,
 ) -> None:
     """Materialize a SCRUBBED documents table that is a drop-in
-    ``sf_dir`` for every operator in the engine — the staging pattern
-    a 100 TB pipeline actually runs: corpus-wide scrubs are
+    ``sf_dir`` for every DOCUMENTS-TABLE operator — the staging
+    pattern a 100 TB pipeline actually runs: corpus-wide scrubs are
     whole-corpus aggregations, so they run ONCE, write, and every
     downstream stage (quality, dedup, budgets, chunking, the
     ``write_training_corpus`` materializer itself) reads the cleaned
     table instead of recomputing the scrub inside each query.
+    Operators reading SIBLING tables (events/embeddings/TPC-H) are out
+    of scope: only ``documents.parquet`` is written, deliberately —
+    copying untouched multi-TB siblings per stage would be the
+    opposite of staging (point those operators at the original
+    ``sf_dir``).
 
     ``stages`` compose in order over successive materializations
     (each scrub's corpus-wide statistics must see the PREVIOUS
@@ -1526,17 +1546,19 @@ def write_scrubbed_documents(
         cleaned = scrubbers[stage](cur).select(
             "doc_id", F.col("text_cleaned").alias("text")
         )
-        out = (
-            _docs(spark, cur)
-            .drop("text", "n_chars")
-            .join(cleaned, "doc_id")
-            .select(
-                "doc_id",
-                "text",
-                "lang",
-                "source",
-                F.length("text").cast("bigint").alias("n_chars"),
-            )
-        )
+        docs = _docs(spark, cur)
+        # every OTHER column passes through in its original position
+        # (a split label or ingest lineage column added upstream must
+        # survive the staging); text is replaced, n_chars recomputed
+        # from the cleaned text when the table carries it
+        cols = []
+        for c in docs.columns:
+            if c == "text":
+                cols.append(F.col("text"))
+            elif c == "n_chars":
+                cols.append(F.length("text").cast("bigint").alias("n_chars"))
+            else:
+                cols.append(F.col(c))
+        out = docs.drop("text", "n_chars").join(cleaned, "doc_id").select(*cols)
         out.write.mode("overwrite").parquet(f"{nxt}/documents.parquet")
         cur = nxt

@@ -1111,10 +1111,12 @@ def bpe_train(
     # a </w> end marker (the classic formulation)
     wfreq: dict[tuple[str, ...], int] = {}
     for r in rows:
-        for w in (r["text"] or "").split(" "):
-            if w:
-                key = tuple(w) + ("</w>",)
-                wfreq[key] = wfreq.get(key, 0) + 1
+        # split on ANY whitespace run (newlines included): merges must
+        # never be learned across line boundaries, and the emitted
+        # word counts must agree with text_stats' \S+ counting
+        for w in (r["text"] or "").split():
+            key = tuple(w) + ("</w>",)
+            wfreq[key] = wfreq.get(key, 0) + 1
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: dict[tuple[str, str], int] = {}
@@ -1208,7 +1210,10 @@ def text_bpe_tokenize(
                 continue
             n_ws, n_bpe = [], []
             for text in pdf["text"]:
-                words = [w for w in (text or "").split(" ") if w]
+                # any-whitespace split, matching bpe_train and the
+                # \S+ counting of text_stats (a single-space split
+                # would fuse newline-separated words into one "word")
+                words = (text or "").split()
                 n_ws.append(len(words))
                 n_bpe.append(sum(n_tokens_of(w) for w in words))
             yield pd.DataFrame(

@@ -1126,3 +1126,29 @@ def test_scrubbed_documents_stage_order_matters(spark, tmp_path):
 
     with pytest.raises(ValueError):
         curation.write_scrubbed_documents(spark, sf_dir, out, stages=("nope",))
+
+
+def test_scrubbed_documents_passes_extra_columns_through(spark, tmp_path):
+    """Pass-through contract (review finding): an upstream column the
+    scrubber doesn't know about must survive staging in place."""
+    import os
+
+    sf_dir = str(tmp_path / "raw")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [
+            (0, "NAV bar\nbody zero", "en", "web", 0, "train"),
+            (1, "NAV bar\nbody one", "en", "web", 0, "val"),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, split string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "scrubbed")
+    curation.write_scrubbed_documents(spark, sf_dir, out, stages=("lines",))
+    got = spark.read.parquet(f"{out}/documents.parquet")
+    assert got.columns == [
+        "doc_id", "text", "lang", "source", "n_chars", "split"
+    ]
+    rows = {r.doc_id: r for r in got.collect()}
+    assert rows[0].split == "train" and rows[1].split == "val"
+    assert rows[0].text == "body zero"  # NAV bar df=2 removed

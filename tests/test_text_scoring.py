@@ -655,18 +655,44 @@ def test_bpe_tokenize_counts(spark, tmp_path):
 
     texts = {0: "low low lower", 1: "lowest newest", 2: "zzz", 3: None}
     for d, t in texts.items():
-        words = [w for w in (t or "").split(" ") if w]
+        words = (t or "").split()
         want = (len(words), sum(replica(w) for w in words))
         assert got[d] == want, (d, got[d], want)
     assert got[3] == (0, 0)  # NULL text = zero tokens, doc present
 
 
 def test_bpe_tokenize_fixture_corpus(spark):
-    """On the driver corpus: every doc present, n_bpe >= n_ws (a word
-    is >= 1 token), and the default merge table compresses (bpe count
-    strictly below character count for multi-char words)."""
+    r"""On the driver corpus: every doc present, n_bpe >= n_ws (a word
+    is >= 1 token), n_ws agrees with text_stats' \S+ counting, and
+    the default merge table actually compresses (total bpe count
+    strictly below total word-character count)."""
     out = text.text_bpe_tokenize(spark, TEST_SF_DIR).collect()
-    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").count()
-    assert len(out) == docs
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").collect()
+    assert len(out) == len(docs)
+    words_of = {r.doc_id: (r.text or "").split() for r in docs}
+    total_bpe = total_chars = 0
     for r in out:
         assert r.n_bpe_tokens >= r.n_ws_tokens
+        assert r.n_ws_tokens == len(words_of[r.doc_id])
+        total_bpe += r.n_bpe_tokens
+        total_chars += sum(len(w) for w in words_of[r.doc_id])
+    # character tokenization would give total_chars exactly; a trained
+    # merge table must do strictly better
+    assert total_bpe < total_chars, (total_bpe, total_chars)
+
+
+def test_bpe_newline_separated_words_not_fused(spark, tmp_path):
+    """Regression (review finding): a single-space split fused
+    'hello\nworld' into one word — merges learned across line
+    boundaries and n_ws_tokens contradicting text_stats."""
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "hello\nworld"), (1, "hello world")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens)
+        for r in text.text_bpe_tokenize(
+            spark, sf_dir, merges=text.bpe_train(spark, sf_dir, n_merges=5)
+        ).collect()
+    }
+    assert out[0] == out[1]  # newline and space separate identically
