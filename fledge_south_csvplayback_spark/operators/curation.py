@@ -286,6 +286,15 @@ def _running_token_sum(
         token_count(F.col("text"), method).alias("n_tok"),
         _bucket(F.col("doc_id")).alias("bucket"),
     )
+    return _running_sum_two_pass(docs)
+
+
+def _running_sum_two_pass(docs: DataFrame) -> DataFrame:
+    """The two-pass per-language running sum over a (doc_id, lang,
+    n_tok, bucket) frame — ONE implementation shared by the
+    expression-counted path above and the externally-counted path
+    (``corpus_token_budget_bpe``), so the prefix/window shape cannot
+    drift between them."""
     per_bucket = docs.groupBy("lang", "bucket").agg(
         F.sum("n_tok").alias("b_tok")
     )
@@ -306,6 +315,41 @@ def _running_token_sum(
     )
     return docs.join(F.broadcast(prefix), ["lang", "bucket"]).withColumn(
         "cum_tok", F.col("pre_tok") + F.sum("n_tok").over(wr)
+    )
+
+
+def corpus_token_budget_bpe(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = TOKEN_BUDGET,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """``corpus_token_budget`` over REAL tokenizer counts: the budget
+    is expressed in ``text_bpe_tokenize`` BPE tokens — what "N tokens
+    of each language" actually means when a training tokenizer exists —
+    instead of the ``token_count`` expression proxies. Same selection
+    semantics (inclusive running sum in (bucket, doc_id) priority
+    order per language, keep while ≤ budget) via the shared
+    ``_running_sum_two_pass``; the only plan change is that the count
+    arrives from the tokenizer's Arrow pass joined on doc_id instead
+    of a per-row expression. BPE counts are not SQL-expressible, so
+    the gate is the documented weaker one (pytest replica of the
+    running-sum selection over the op's own counts), like k-means.
+    """
+    from fledge_south_csvplayback_spark.operators import text as text_ops
+
+    counts = text_ops.text_bpe_tokenize(spark, sf_dir, merges).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tok")
+    )
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", _bucket(F.col("doc_id")).alias("bucket"))
+        .join(counts, "doc_id")
+    )
+    return (
+        _running_sum_two_pass(docs)
+        .filter(F.col("cum_tok") <= budget)
+        .select("doc_id", "lang", "n_tok", "cum_tok")
     )
 
 

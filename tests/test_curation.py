@@ -1152,3 +1152,71 @@ def test_scrubbed_documents_passes_extra_columns_through(spark, tmp_path):
     rows = {r.doc_id: r for r in got.collect()}
     assert rows[0].split == "train" and rows[1].split == "val"
     assert rows[0].text == "body zero"  # NAV bar df=2 removed
+
+
+def test_token_budget_bpe_matches_replica(spark):
+    """BPE-counted budget selection == a driver-side replica of the
+    running-sum rule over the SAME tokenizer counts (the documented
+    weaker gate — BPE counts are not SQL-expressible), and whitespace
+    vs BPE budgets genuinely differ in the kept set sizes' unit."""
+    from fledge_south_csvplayback_spark.operators import text as text_ops
+
+    sel = {
+        r.doc_id: (r.n_tok, r.cum_tok)
+        for r in curation.corpus_token_budget_bpe(spark, TEST_SF_DIR).collect()
+    }
+    counts = {
+        r.doc_id: r.n_bpe_tokens
+        for r in text_ops.text_bpe_tokenize(spark, TEST_SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", curation._bucket(F.col("doc_id")).alias("bucket")
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append(r)
+    want: dict[int, tuple] = {}
+    for rows in by_lang.values():
+        rows.sort(key=lambda r: (r.bucket, r.doc_id))
+        cum = 0
+        for r in rows:
+            cum += counts[r.doc_id]
+            if cum <= curation.TOKEN_BUDGET:
+                want[r.doc_id] = (counts[r.doc_id], cum)
+    assert sel == want
+    assert sel  # the budget selects something
+    # NOTE: on this fixture BPE counts EQUAL whitespace counts — its
+    # ~30-word vocabulary is so frequent that 200 merges fully fuse
+    # every word into one token, which is correct BPE behavior; the
+    # unit difference is pinned on a rare-vocabulary corpus below
+
+
+def test_token_budget_bpe_unit_differs_on_rare_vocab(spark, tmp_path):
+    """Rare words stay multi-token under a small merge table, so the
+    BPE-counted budget accounts more tokens than the whitespace one —
+    the reason the op exists."""
+    import os
+
+    sf_dir = str(tmp_path / "corpus")
+    os.makedirs(sf_dir)
+    # 30 docs of globally-unique words: no pair repeats enough to merge
+    docs = [
+        (i, " ".join(f"xq{i:02d}{j:02d}word" for j in range(25)), "en", "w", 0)
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    bpe = {
+        r.doc_id: r.cum_tok
+        for r in curation.corpus_token_budget_bpe(spark, sf_dir, budget=600).collect()
+    }
+    ws = {
+        r.doc_id: r.cum_tok
+        for r in curation.corpus_token_budget(spark, sf_dir, budget=600).collect()
+    }
+    assert bpe  # something selected under the larger unit
+    shared = set(bpe) & set(ws)
+    assert shared and all(bpe[d] > ws[d] for d in shared)
+    # fewer docs fit the same numeric budget in the bigger unit
+    assert len(bpe) < len(ws)
