@@ -39,6 +39,8 @@ no corpus selection; its closest surface is the row-filtering in
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1287,7 +1289,11 @@ def write_training_corpus(
     bit gates BEFORE the fingerprint exchange, so the dedup keeper is
     the min doc_id among Gopher-passing copies; near-dup losers are
     mined on the FULL corpus (the pair miner's df-cap already bounds
-    it) and anti-joined as a tiny broadcast loser set. Unlike
+    it) and removed with an anti-join on the loser doc_id set — small
+    relative to the corpus, so AQE typically plans it as a broadcast
+    anti-join at runtime, but no broadcast hint is forced: a heavily
+    duplicated corpus can make the loser set arbitrarily large, and a
+    shuffled anti-join is the correct fallback there. Unlike
     ``corpus_neardup_apply``'s min-of-cluster rule, the cluster
     representative here is RE-ELECTED among Gopher-passing members
     (min doc_id of those): with the global min-doc member possibly
@@ -1587,6 +1593,20 @@ def write_scrubbed_documents(
     cur = sf_dir
     for i, stage in enumerate(stages):
         nxt = out_dir if i == len(stages) - 1 else f"{out_dir}__stage{i}"
+        # mode("overwrite") deletes the target before the lazy scrub
+        # finishes READING it — writing onto the current stage input
+        # would corrupt the job, and writing onto the ORIGINAL sf_dir
+        # (even from a later stage whose read path differs) would
+        # destroy the input corpus; refuse both collisions outright
+        if os.path.normpath(nxt) in (
+            os.path.normpath(cur),
+            os.path.normpath(sf_dir),
+        ):
+            raise ValueError(
+                f"stage {i} ({stage!r}) would overwrite its own input: "
+                f"{nxt}/documents.parquet collides with the corpus "
+                "read path"
+            )
         cleaned = scrubbers[stage](cur).select(
             "doc_id", F.col("text_cleaned").alias("text")
         )

@@ -1033,10 +1033,13 @@ def neardup_ingest(
     # candidates. With the filter, an index that happens to contain
     # batch rows still yields the correct pair set; only the persisted
     # shingle-df (unfilterable — it has no doc_id) then over-counts
-    # batch contributions, which can only make the boilerplate cap
-    # STRICTER, never wrong. Build the index over the corpus as it
+    # batch contributions, making the boilerplate cap stricter for
+    # shingles near SHINGLE_DF_CAP — a stricter cap drops those
+    # postings, which can lower intersection counts and MISS pairs the
+    # full miner would emit. Build the index over the corpus as it
     # existed before the batch (max_doc_id) for exact full-miner
-    # agreement.
+    # agreement; an index that includes batch rows trades that
+    # exactness for near-cap recall.
     idx_bands = spark.read.parquet(f"{index_dir}/bands").filter(
         F.col("doc_id") < split_id
     )

@@ -781,7 +781,8 @@ def text_boilerplate_scrub(
     columns are the per-doc audit trail a curation pipeline logs.
 
     Plan, built to never join the corpus to itself (pinned in
-    tests/test_plans.py):
+    tests/test_text_scoring.py::
+    test_boilerplate_plan_two_exchanges_no_self_join):
 
     - **df pass**: ``array_distinct`` collapses within-doc repeats
       INSIDE the row (a doc repeating its own nav bar 50x is intra-doc

@@ -1127,6 +1127,16 @@ def test_scrubbed_documents_stage_order_matters(spark, tmp_path):
     with pytest.raises(ValueError):
         curation.write_scrubbed_documents(spark, sf_dir, out, stages=("nope",))
 
+    # out_dir == input dir would have mode("overwrite") delete the
+    # corpus while the lazy scrub is still reading it — refuse
+    with pytest.raises(ValueError, match="overwrite its own input"):
+        curation.write_scrubbed_documents(spark, sf_dir, sf_dir)
+    # a later stage reading an earlier stage's dir is the same trap
+    with pytest.raises(ValueError, match="overwrite its own input"):
+        curation.write_scrubbed_documents(
+            spark, f"{out}__stage0", out, stages=("lines", "spans")
+        )
+
 
 def test_scrubbed_documents_passes_extra_columns_through(spark, tmp_path):
     """Pass-through contract (review finding): an upstream column the
