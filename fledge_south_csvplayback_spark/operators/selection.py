@@ -1,0 +1,281 @@
+"""Model-targeted data selection: DSIR importance resampling.
+
+Implements Data Selection via Importance Resampling (Xie et al.,
+NeurIPS 2023) over the ``documents`` table: score every raw document
+by how much it looks like a TARGET corpus under hashed bag-of-ngrams
+language models, then resample the raw corpus toward the target
+distribution with Gumbel-top-k — the standard recipe for "pretrain on
+web-scale raw text, but shaped like the trusted/high-quality slice".
+
+This module extends the curation family (`curation.py` holds the
+budget/mixture/split operators); nothing here exists in the reference
+(`/root/reference` is a CSV playback plugin — selection is part of the
+LLM-pipeline surface this engine adds on top).
+
+Everything is deterministic and oracle-checkable: features hash
+through md5 (reproduced bit-for-bit in DuckDB), the Gumbel noise is
+derived from md5 of ``doc_id`` (no RNG), and scores are rounded to 6
+decimals before ranking so both engines rank identical keys.
+
+Scale shape (the whole point — see ``corpus_dsir_select``):
+
+- **fit** is ONE corpus scan ending in ONE hash-aggregate Exchange
+  keyed on the feature bucket (≤ ``DSIR_BUCKETS`` distinct keys, heavy
+  map-side partial combine: each task emits at most B rows). Target
+  and raw counts ride the same aggregate as conditional sums — the
+  target model is NOT a second scan.
+- the bucket→log-ratio table is ≤ B rows by construction and is
+  broadcast; the corpus never joins itself.
+- **score** is a second corpus scan: explode grams, broadcast-join the
+  ratio table, ONE hash-aggregate Exchange keyed on ``doc_id`` (again
+  with map-side partial sums). Selection is ORDER BY + LIMIT —
+  Spark plans TakeOrderedAndProject (per-partition top-n, no global
+  sort Exchange).
+
+Two scans + two fine-grained-key Exchanges + one broadcast at any
+corpus size; at 100 TB you would persist the exploded grams between
+fit and score (or fold fit into a prior profiling pass) — the operator
+keeps the declarative two-scan shape so Catalyst sees plain scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Feature-hash resolution for the bag-of-ngrams models. The paper uses
+# 10k buckets for unigram+bigram word features; 4096 keeps the ratio
+# table trivially broadcastable while leaving collisions rare on the
+# test corpora. Collisions are part of the method (hashed LMs), not an
+# error source — both engines collide identically.
+DSIR_BUCKETS = 4096
+# Add-s smoothing for both models: buckets unseen in the target corpus
+# still get finite log-ratios instead of -inf.
+DSIR_SMOOTH = 1.0
+DSIR_TOP_N = 100
+# first-8-md5-hex-digits range, for mapping a hash to uniform (0, 1)
+_U32 = 4294967296
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _grams(text: Column) -> Column:
+    """Lowered whitespace unigrams + bigrams as one string array.
+
+    ``F.sequence(1, 0)`` DESCENDS in Spark, so the bigram positions
+    are guarded for single-token docs; the DuckDB twin's ``range(1,1)``
+    is empty and needs no guard, but keeps the same CASE so both sides
+    read identically."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+_GRAMS_SQL = """
+list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+|| CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '')) >= 2
+   THEN list_transform(
+          range(1, len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> ''))),
+          i -> list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '')[i]
+               || ' ' ||
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '')[i + 1])
+   ELSE [] END
+"""
+
+
+def _gram_bucket(col: Column, buckets: int = DSIR_BUCKETS) -> Column:
+    """curation._bucket's rule (first 8 md5 hex digits) at this
+    module's resolution, without the stringify cast (grams are already
+    strings)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets
+    )
+
+
+def _gram_bucket_sql(expr: str, buckets: int = DSIR_BUCKETS) -> str:
+    return f"(('0x' || substring(md5({expr}), 1, 8))::BIGINT % {buckets})"
+
+
+def _gumbel(doc_id: Column) -> Column:
+    """Deterministic standard-Gumbel draw per doc: u = md5-uniform in
+    (0, 1), g = -ln(-ln(u)). Gumbel-top-k over (log w + g) is exactly
+    sampling-without-replacement proportional to w — the paper's
+    resampling step — made reproducible and oracle-checkable."""
+    u = (
+        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + F.lit(1.0)
+    ) / F.lit(float(_U32 + 1))
+    return -F.log(-F.log(u))
+
+
+def _gumbel_sql(expr: str) -> str:
+    return (
+        f"-ln(-ln((('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 8))"
+        f"::BIGINT + 1.0) / {float(_U32 + 1)}))"
+    )
+
+
+def dsir_logweights(
+    spark: SparkSession,
+    sf_dir: str,
+    target_source: str = "src1",
+    buckets: int = DSIR_BUCKETS,
+    smooth: float = DSIR_SMOOTH,
+) -> DataFrame:
+    """Per-document DSIR log importance weight: log p_target(doc) -
+    log p_raw(doc) under hashed unigram+bigram models.
+
+    The target corpus is the ``source == target_source`` slice (stand-
+    in for "the trusted domain" — Wikipedia, curated books, an eval-
+    adjacent seed set); the raw model is the WHOLE corpus. Any boolean
+    predicate works — the fit aggregates a flag, not a second table.
+
+    Returns (doc_id, n_grams, logw) for every document; docs with no
+    tokens get logw = 0 (explode_outer keeps them; the ratio join
+    left-joins so the null gram contributes nothing).
+
+    Plan (asserted in tests/test_selection.py): one bucket-keyed
+    aggregate Exchange for the fit, one broadcast of the ≤``buckets``-
+    row log-ratio table, one doc_id-keyed aggregate Exchange for the
+    score — and nothing else. The unpartitioned window computing the
+    two model totals runs over the ≤``buckets``-row AGGREGATE, never
+    the corpus (the module-wide rule from ``corpus_token_budget``)."""
+    docs = _docs(spark, sf_dir)
+    grams = _grams(F.col("text"))
+
+    ex_fit = docs.select(
+        (F.col("source") == F.lit(target_source)).alias("is_t"),
+        F.explode(grams).alias("g"),
+    )
+    counts = ex_fit.groupBy(_gram_bucket(F.col("g"), buckets).alias("b")).agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    whole = Window.partitionBy()
+    sb = F.lit(float(smooth)) * F.lit(float(buckets))
+    ratio = (
+        counts.withColumn("raw_tot", F.sum("raw_cnt").over(whole))
+        .withColumn("tgt_tot", F.sum("tgt_cnt").over(whole))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.col("tgt_cnt") + F.lit(float(smooth)))
+                    / (F.col("tgt_tot") + sb)
+                )
+                - F.log(
+                    (F.col("raw_cnt") + F.lit(float(smooth)))
+                    / (F.col("raw_tot") + sb)
+                )
+            ).alias("lr"),
+        )
+    )
+
+    ex_score = docs.select("doc_id", F.explode_outer(grams).alias("g"))
+    return (
+        ex_score.join(
+            F.broadcast(ratio),
+            _gram_bucket(F.col("g"), buckets) == F.col("b"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("g").alias("n_grams"),
+            F.coalesce(F.sum("lr"), F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
+def corpus_dsir_select(
+    spark: SparkSession,
+    sf_dir: str,
+    target_source: str = "src1",
+    n_select: int = DSIR_TOP_N,
+    buckets: int = DSIR_BUCKETS,
+    smooth: float = DSIR_SMOOTH,
+) -> DataFrame:
+    """DSIR selection: the ``n_select`` documents with the highest
+    Gumbel-perturbed log importance weight — a deterministic sample
+    without replacement from the raw corpus, reweighted toward the
+    target distribution.
+
+    ``score = round(logw + gumbel(doc_id), 6)``; ties (and cross-
+    engine float-summation jitter, killed by the rounding) break on
+    doc_id. ORDER BY + LIMIT plans as TakeOrderedAndProject — no
+    global sort Exchange on top of ``dsir_logweights``' two."""
+    w = dsir_logweights(spark, sf_dir, target_source, buckets, smooth)
+    score = F.round(F.col("logw") + _gumbel(F.col("doc_id")), 6)
+    return (
+        w.select(
+            "doc_id",
+            "n_grams",
+            F.round("logw", 6).alias("logw"),
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(n_select)
+    )
+
+
+def _dsir_sql(
+    target_source: str = "src1",
+    n_select: int = DSIR_TOP_N,
+    buckets: int = DSIR_BUCKETS,
+    smooth: float = DSIR_SMOOTH,
+) -> str:
+    s = float(smooth)
+    sb = s * buckets
+    return f"""
+WITH ex AS (
+    SELECT doc_id, source = '{target_source}' AS is_t,
+           unnest({_GRAMS_SQL}) AS g
+    FROM documents
+),
+counts AS (
+    SELECT {_gram_bucket_sql('g', buckets)} AS b,
+           COUNT(*) AS raw_cnt,
+           SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_cnt
+    FROM ex GROUP BY 1
+),
+ratio AS (
+    SELECT b,
+           ln((tgt_cnt + {s}) / (SUM(tgt_cnt) OVER () + {sb}))
+         - ln((raw_cnt + {s}) / (SUM(raw_cnt) OVER () + {sb})) AS lr
+    FROM counts
+),
+scored AS (
+    SELECT ex.doc_id, COUNT(*) AS n_grams, SUM(ratio.lr) AS logw
+    FROM ex JOIN ratio ON {_gram_bucket_sql('ex.g', buckets)} = ratio.b
+    GROUP BY 1
+),
+alldocs AS (
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           COALESCE(s.logw, 0.0) AS logw
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+)
+SELECT doc_id, n_grams, ROUND(logw, 6) AS logw,
+       ROUND(logw + {_gumbel_sql('doc_id')}, 6) AS score
+FROM alldocs
+ORDER BY score DESC, doc_id
+LIMIT {n_select}
+"""
+
+
+DSIR_SELECT_SQL = _dsir_sql()
