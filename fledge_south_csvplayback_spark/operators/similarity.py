@@ -1725,3 +1725,112 @@ def ann_cosine_topk_ivfpq(
         _score, "query_id long, vec_id long, cosine double"
     )
     return _rank_topk(partial)
+
+
+# --- SemDeDup: semantic deduplication over k-means cells ---------------------
+SEMDEDUP_EPS = 0.95
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    eps: float = SEMDEDUP_EPS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    within each cell drop every example whose cosine to a PRIOR
+    example (cell scan order: distance-to-centroid DESC, vec_id ASC —
+    the paper's "keep the most atypical" rule made deterministic)
+    meets ``eps``. Unlike ``embedding_clusters``' connected
+    components, duplicates are defined per-cell with the paper's
+    upper-triangular rule — no iterative closure, one pass.
+
+    Shape: ``kmeans_fit`` (scan-bound, zero shuffle) + ONE Exchange
+    keyed on the assigned cell + a per-cell masked GEMM in
+    ``applyInPandas``. The within-cell cost is O(|cell|²) by design —
+    the paper's own algorithm — so at scale ``k`` is chosen ~N/target
+    (50k cells for 100M points keeps cells ~2k rows, a 2k×2k GEMM per
+    task); the plan shape is k-independent. Assignment happens INSIDE
+    the same closure chain (cell id never round-trips to the driver);
+    only (vec_id, cell, flags) leave Python.
+
+    Output: (vec_id, cell_id, sq_dist, max_prior_cos, keep) for every
+    embedding; ``max_prior_cos`` is -1.0 for the first/only row of a
+    cell; sq_dist/max_prior_cos rounded to 6. Gate: pure-numpy
+    end-to-end replica + planted-duplicate fixture (iterative k-means
+    is not SQL-expressible — the documented weaker gate, like
+    ``kmeans_fit``)."""
+    import numpy as np
+
+    if not (0.0 < eps <= 1.0):
+        raise ValueError(f"semantic_dedup: eps in (0, 1], got {eps}")
+    cents, _ = kmeans_fit(spark, sf_dir, k, iters)
+    c = np.array(cents, dtype=np.float64)
+
+    def _make_assign(c=c):
+        def _assign(batches):
+            import numpy as np
+            import pandas as pd
+
+            c_sq = (c * c).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["v"].to_numpy())
+                d2 = c_sq[None, :] - 2.0 * (m @ c.T)
+                a = np.argmin(d2, axis=1)
+                full = d2[np.arange(len(m)), a] + (m * m).sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cell_id": a,
+                        "sq_dist": np.maximum(full, 0.0),
+                        "v": pdf["v"],
+                    }
+                )
+
+        return _assign
+
+    def _cell_dedup(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        d2 = pdf["sq_dist"].to_numpy()
+        # scan order: most atypical first, ties to the lowest vec_id
+        order = np.lexsort((ids, -d2))
+        ids, d2 = ids[order], d2[order]
+        m = np.stack(pdf["v"].to_numpy())[order]
+        nrm = np.sqrt((m * m).sum(axis=1))
+        mn = m / nrm[:, None]
+        sim = mn @ mn.T
+        n = len(ids)
+        prior = np.full(n, -1.0)
+        if n > 1:
+            # max over the strict lower triangle row-wise = max cosine
+            # to any PRIOR example in scan order
+            tri = np.where(
+                np.tril(np.ones((n, n), dtype=bool), k=-1), sim, -np.inf
+            )
+            prior[1:] = tri.max(axis=1)[1:]
+        prior_r = np.round(prior, 6)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell_id": pdf["cell_id"].iloc[0],
+                "sq_dist": np.round(d2, 6),
+                "max_prior_cos": prior_r,
+                "keep": prior_r < eps,
+            }
+        )
+
+    assigned = _emb(spark, sf_dir).mapInPandas(
+        _make_assign(),
+        "vec_id long, cell_id long, sq_dist double, v array<double>",
+    )
+    return assigned.groupBy("cell_id").applyInPandas(
+        _cell_dedup,
+        "vec_id long, cell_id long, sq_dist double, "
+        "max_prior_cos double, keep boolean",
+    )

@@ -705,3 +705,130 @@ def test_ivfpq_residuals_beat_flat_pq(spark, tmp_path):
     e_flat = recon_err(flat_dir, with_cells=False)
     e_ivf = recon_err(ivf_dir, with_cells=True)
     assert e_ivf < e_flat, (e_ivf, e_flat)
+
+
+# --- SemDeDup ----------------------------------------------------------------
+def _semdedup_numpy_replica(rows, cents, eps):
+    """Pure-numpy SemDeDup over the collected table: same assignment
+    arithmetic, same scan order, same triangular prior-max rule."""
+    import numpy as np
+
+    c = np.array(cents, dtype=np.float64)
+    x = np.array([v for _, v in rows], dtype=np.float64)
+    ids = np.array([i for i, _ in rows])
+    d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+    a = np.argmin(d2, axis=1)
+    full = np.maximum(
+        d2[np.arange(len(x)), a] + (x * x).sum(axis=1), 0.0
+    )
+    want = {}
+    for cell in np.unique(a):
+        mask = a == cell
+        cids, cd2, cm = ids[mask], full[mask], x[mask]
+        order = np.lexsort((cids, -cd2))
+        cids, cd2, cm = cids[order], cd2[order], cm[order]
+        mn = cm / np.sqrt((cm * cm).sum(axis=1))[:, None]
+        sim = mn @ mn.T
+        n = len(cids)
+        prior = np.full(n, -1.0)
+        if n > 1:
+            tri = np.where(
+                np.tril(np.ones((n, n), dtype=bool), k=-1), sim, -np.inf
+            )
+            prior[1:] = tri.max(axis=1)[1:]
+        pr = np.round(prior, 6)
+        for i in range(n):
+            want[int(cids[i])] = (
+                int(cell),
+                round(float(cd2[i]), 6),
+                float(pr[i]),
+                bool(pr[i] < eps),
+            )
+    return want
+
+
+def test_semdedup_matches_numpy_replica(spark):
+    import numpy as np
+
+    eps = 0.4  # within-cell priors reach ~0.47 here — exercises drops
+    rows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in spark.read.parquet(
+            f"{TEST_SF_DIR}/embeddings.parquet"
+        ).collect()
+    )
+    cents, _ = S.kmeans_fit(spark, TEST_SF_DIR)
+    want = _semdedup_numpy_replica(rows, cents, eps)
+    got = {
+        r.vec_id: (r.cell_id, r.sq_dist, r.max_prior_cos, r.keep)
+        for r in S.semantic_dedup(spark, TEST_SF_DIR, eps=eps).collect()
+    }
+    assert len(got) == len(rows)
+    for vid, w in want.items():
+        g = got[vid]
+        assert g[0] == w[0], (vid, g, w)
+        assert abs(g[1] - w[1]) <= 1e-6 and abs(g[2] - w[2]) <= 1e-6
+        assert g[3] == w[3], (vid, g, w)
+    # on this eps the rule must actually drop something
+    assert any(not r[3] for r in got.values())
+    assert any(r[3] for r in got.values())
+
+
+def test_semdedup_planted_duplicates(spark, tmp_path):
+    """Three exact-duplicate groups + two loners: exactly one survivor
+    per duplicate group, loners untouched, regardless of cell sizes."""
+    import numpy as np
+
+    rng_free = []
+    base = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0, 0.0],
+        2: [0.0, 0.0, 1.0, 0.0],
+    }
+    rows = []
+    vid = 0
+    for g, v in base.items():
+        for _ in range(3):  # 3 copies each
+            rows.append((vid, [float(x) for x in v], g))
+            vid += 1
+    rows.append((vid, [0.0, 0.0, 0.0, 1.0], 97)); vid += 1
+    rows.append((vid, [0.7, 0.7, 0.14, 0.0], 98)); vid += 1
+    df = spark.createDataFrame(
+        [(i, v, g) for i, v, g in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = S.semantic_dedup(spark, str(tmp_path), k=2, iters=2, eps=0.99).collect()
+    kept = {r.vec_id for r in out if r.keep}
+    # exactly one survivor among each exact-duplicate triple
+    for g in range(3):
+        trio = {3 * g, 3 * g + 1, 3 * g + 2}
+        assert len(kept & trio) == 1, (g, kept)
+    assert vid - 1 in kept and vid - 2 in kept  # loners survive
+    assert len(out) == vid
+
+
+def test_semdedup_one_exchange_on_cell(spark):
+    """Assignment is narrow (mapInPandas over the scan); the only
+    shuffle is the per-cell grouping."""
+    import re
+
+    df = S.semantic_dedup(spark, TEST_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = {
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
+    }
+    assert keys == {"cell_id"}, (keys, plan)
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_semdedup_deterministic_and_validates(spark):
+    import pytest
+
+    a = sorted(map(tuple, S.semantic_dedup(spark, TEST_SF_DIR).collect()))
+    b = sorted(map(tuple, S.semantic_dedup(spark, TEST_SF_DIR).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="eps"):
+        S.semantic_dedup(spark, TEST_SF_DIR, eps=0.0)
