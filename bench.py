@@ -39,7 +39,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fledge_south_csvplayback_spark import registry
-from fledge_south_csvplayback_spark.operators import curation, events, text
+from fledge_south_csvplayback_spark.operators import (
+    curation,
+    events,
+    selection,
+    similarity,
+    text,
+)
 from fledge_south_csvplayback_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,6 +84,9 @@ HEADLINE = [
     "text_bm25_topk",  # two-scan zero-shuffle keyword search
     "text_boilerplate_scrub",  # corpus-wide repeated-line removal (round 6)
     "text_repeated_span_scrub",  # ExactSubstr repeated-span removal (round 6)
+    "corpus_dsir_select",  # DSIR hashed-ngram importance resampling (round 7)
+    "semantic_dedup",  # SemDeDup per-kmeans-cell dedup (round 7)
+    "corpus_shuffle_order",  # deterministic sharded training shuffle (round 7)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -93,6 +102,9 @@ EXTRA_QUERIES = {
     "events_funnel": events.events_funnel,
     "text_bm25_topk": text.text_bm25_topk,
     "text_repeated_span_scrub": text.text_repeated_span_scrub,
+    "corpus_dsir_select": selection.corpus_dsir_select,
+    "semantic_dedup": similarity.semantic_dedup,
+    "corpus_shuffle_order": curation.corpus_shuffle_order,
 }
 
 

@@ -1626,3 +1626,106 @@ def write_scrubbed_documents(
         out = docs.drop("text", "n_chars").join(cleaned, "doc_id").select(*cols)
         out.write.mode("overwrite").parquet(f"{nxt}/documents.parquet")
         cur = nxt
+
+
+# --- deterministic global shuffle + sharded training export ------------------
+SHUFFLE_SALT = "shuffle:"
+SHUFFLE_SHARDS = 8
+
+
+def _shuffle_key(doc_id: Column) -> Column:
+    """Full md5 hex of the salted doc_id — a deterministic uniform
+    permutation key. The salt decorrelates the training-order
+    permutation from ``_bucket``'s unsalted split/sample decisions
+    (the same doc must not always lead its shard AND its split)."""
+    return F.md5(F.concat(F.lit(SHUFFLE_SALT), doc_id.cast("string")))
+
+
+def corpus_shuffle_order(
+    spark: SparkSession, sf_dir: str, n_shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """Training-order assignment: every doc gets a shard and a
+    position — a deterministic global shuffle, the step between "the
+    curated corpus" and "the token stream a trainer consumes".
+    Epoch-stable and resumable: the order is a pure function of
+    doc_id, so a restarted job or a re-run on an incrementally grown
+    corpus reproduces (new docs interleave by hash instead of
+    clustering at the tail, which a naive append order would do —
+    exactly the recency-correlation a shuffle exists to kill).
+
+    shard = first-8-md5-hex of the salted id mod ``n_shards``;
+    pos = rank of the full md5 key within the shard. One Exchange
+    keyed on shard + a per-shard sort: each shard sorts inside ONE
+    task, so ``n_shards`` is the sort granularity — at 100 TB pick
+    n_shards ~ corpus_bytes / 1-2 GB (tens of thousands of shards:
+    fine-grained keys, trivially balanced by the hash). No global
+    sort, no driver collect."""
+    if n_shards < 1:
+        raise ValueError(f"corpus_shuffle_order: n_shards >= 1, got {n_shards}")
+    k = _docs(spark, sf_dir).select(
+        "doc_id", _shuffle_key(F.col("doc_id")).alias("skey")
+    )
+    shard = (
+        F.conv(F.substring("skey", 1, 8), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        k.select("doc_id", shard, "skey")
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def _shuffle_order_sql(n_shards: int = SHUFFLE_SHARDS) -> str:
+    key = f"md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR))"
+    shard = f"(('0x' || substring({key}, 1, 8))::BIGINT % {n_shards})"
+    return f"""
+SELECT doc_id, {shard} AS shard,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY {shard} ORDER BY {key}, doc_id) AS INTEGER) AS pos
+FROM documents
+"""
+
+
+CORPUS_SHUFFLE_ORDER_SQL = _shuffle_order_sql()
+
+
+def write_shuffled_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = SHUFFLE_SHARDS,
+) -> None:
+    """Materialize the shuffled corpus: ``out_dir/shard=<s>/`` holds
+    ONE parquet file whose ROW ORDER is the shard's training order —
+    a trainer streams shard files round-robin and reads a uniformly
+    shuffled corpus with zero seek logic.
+
+    ``repartition(n_shards, shard)`` co-locates each whole shard in
+    one task (hash of the shard VALUE — several shards may share a
+    task, some tasks may be empty; file count stays one per shard
+    because ``partitionBy`` splits the task's rows by value), and
+    ``sortWithinPartitions(shard, skey)`` lays down training order —
+    parquet preserves within-file row order. Same single-Exchange
+    shape as ``corpus_shuffle_order``; the guard in
+    ``write_scrubbed_documents`` applies here too."""
+    if os.path.normpath(out_dir) == os.path.normpath(sf_dir):
+        raise ValueError(
+            f"write_shuffled_corpus: out_dir {out_dir!r} collides with "
+            "the corpus read path"
+        )
+    docs = _docs(spark, sf_dir).withColumn(
+        "skey", _shuffle_key(F.col("doc_id"))
+    )
+    shard = (
+        F.conv(F.substring("skey", 1, 8), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    (
+        docs.select("doc_id", "lang", "source", "text", shard, "skey")
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "skey", "doc_id")
+        .drop("skey")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

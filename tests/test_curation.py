@@ -1230,3 +1230,88 @@ def test_token_budget_bpe_unit_differs_on_rare_vocab(spark, tmp_path):
     assert shared and all(bpe[d] > ws[d] for d in shared)
     # fewer docs fit the same numeric budget in the bigger unit
     assert len(bpe) < len(ws)
+
+
+# --- deterministic shuffle + sharded export ----------------------------------
+def test_shuffle_order_oracle_parity(spark):
+    ok, msg = compare(
+        curation.corpus_shuffle_order(spark, TEST_SF_DIR),
+        curation.CORPUS_SHUFFLE_ORDER_SQL,
+        TEST_SF_DIR,
+    )
+    assert ok, msg
+
+
+def test_shuffle_order_oracle_parity_sf001(spark):
+    ok, msg = compare(
+        curation.corpus_shuffle_order(spark, ORACLE_SF_DIR),
+        curation.CORPUS_SHUFFLE_ORDER_SQL,
+        ORACLE_SF_DIR,
+    )
+    assert ok, msg
+
+
+def test_shuffle_order_is_a_permutation_not_identity(spark):
+    rows = curation.corpus_shuffle_order(spark, TEST_SF_DIR).collect()
+    n = len(rows)
+    total = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").count()
+    assert n == total and len({r.doc_id for r in rows}) == n
+    # every shard non-empty and dense 1..|shard| positions
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(curation.SHUFFLE_SHARDS))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # the within-shard order must not be doc_id order (it's a shuffle)
+    order0 = [
+        r.doc_id
+        for r in sorted(rows, key=lambda r: r.pos)
+        if r.shard == 0
+    ]
+    assert order0 != sorted(order0)
+
+
+def test_write_shuffled_corpus_file_order_is_training_order(spark, tmp_path):
+    import glob
+    import os
+
+    out = str(tmp_path / "shuffled")
+    curation.write_shuffled_corpus(spark, TEST_SF_DIR, out)
+    want = {
+        (r.shard, r.pos): r.doc_id
+        for r in curation.corpus_shuffle_order(spark, TEST_SF_DIR).collect()
+    }
+    shards = sorted(glob.glob(f"{out}/shard=*"))
+    assert len(shards) == curation.SHUFFLE_SHARDS
+    total = 0
+    for d in shards:
+        s = int(d.rsplit("=", 1)[1])
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)  # one file per shard
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(d, files[0]))
+        ids = t.column("doc_id").to_pylist()
+        # the file's physical row order IS the shard's training order
+        assert ids == [want[(s, p)] for p in range(1, len(ids) + 1)], d
+        total += len(ids)
+    assert total == len(want)
+    import pytest
+
+    with pytest.raises(ValueError, match="collides"):
+        curation.write_shuffled_corpus(spark, TEST_SF_DIR, TEST_SF_DIR)
+
+
+def test_shuffle_order_one_exchange(spark):
+    import re
+
+    df = curation.corpus_shuffle_order(spark, TEST_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = {
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
+    }
+    assert keys == {"shard"}, (keys, plan)
+    assert "rangepartitioning" not in plan  # no global sort

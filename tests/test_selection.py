@@ -137,3 +137,33 @@ def test_dsir_deterministic(spark):
     a = selection.corpus_dsir_select(spark, TEST_SF_DIR).collect()
     b = selection.corpus_dsir_select(spark, TEST_SF_DIR).collect()
     assert a == b
+
+
+def test_dsir_xxhash_production_knob(spark, tmp_path):
+    """The xxhash64 bucket knob (native codegen hash, no hex
+    round-trip) is a different — equally valid — hashed LM: no DuckDB
+    oracle, but the method's contract must hold identically on the
+    planted fixture, deterministically."""
+    import pytest
+
+    _write_fixture(spark, str(tmp_path))
+    w = {
+        r.doc_id: r.logw
+        for r in selection.dsir_logweights(
+            spark, str(tmp_path), target_source="tgt", hash_method="xxhash64"
+        ).collect()
+    }
+    like = [w[i] for i in range(10, 20)]
+    unlike = [w[i] for i in range(20, 30)]
+    assert min(like) > max(unlike), (like, unlike)
+    a = selection.corpus_dsir_select(
+        spark, str(tmp_path), target_source="tgt", hash_method="xxhash64"
+    ).collect()
+    b = selection.corpus_dsir_select(
+        spark, str(tmp_path), target_source="tgt", hash_method="xxhash64"
+    ).collect()
+    assert a == b
+    with pytest.raises(ValueError, match="hash_method"):
+        selection.dsir_logweights(
+            spark, str(tmp_path), hash_method="sha9"
+        ).collect()
