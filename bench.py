@@ -87,6 +87,7 @@ HEADLINE = [
     "corpus_dsir_select",  # DSIR hashed-ngram importance resampling (round 7)
     "semantic_dedup",  # SemDeDup per-kmeans-cell dedup (round 7)
     "corpus_shuffle_order",  # deterministic sharded training shuffle (round 7)
+    "corpus_source_divergence",  # per-source KL drift diagnostic (round 7)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -105,6 +106,7 @@ EXTRA_QUERIES = {
     "corpus_dsir_select": selection.corpus_dsir_select,
     "semantic_dedup": similarity.semantic_dedup,
     "corpus_shuffle_order": curation.corpus_shuffle_order,
+    "corpus_source_divergence": selection.corpus_source_divergence,
 }
 
 

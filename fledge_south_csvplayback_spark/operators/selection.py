@@ -19,12 +19,12 @@ decimals before ranking so both engines rank identical keys.
 
 Scale shape (see ``dsir_logweights``):
 
-- the corpus is scanned ONCE: grams explode and hash to buckets in a
-  single codegen'd projection, and the (doc_id, is_target, bucket)
-  rows are eagerly ``localCheckpoint``-ed — the fit aggregate and the
-  score aggregate both read the checkpoint instead of re-evaluating
-  the explode (measured 14.5 s → ~6 s at sf0.1; at 100 TB this is the
-  difference between one corpus pass and two).
+- grams explode and hash to buckets in a single codegen'd projection;
+  fit and score are two declarative scans of it by default, or one
+  ``localCheckpoint``-shared scan for small inputs (the ``share_scan``
+  auto rule — see ``dsir_logweights`` for the measured trade: the
+  materialized gram table wins at bench SFs and loses with a
+  unified-memory exhaustion at the 10M-doc probe).
 - **fit** is ONE hash-aggregate Exchange keyed on the feature bucket
   (≤ ``DSIR_BUCKETS`` distinct keys, map-side partial combine: each
   task emits at most B rows). Target and raw counts ride the same
@@ -64,8 +64,27 @@ DSIR_HASHES = ("md5", "xxhash64")
 _U32 = 4294967296
 
 
+# share_scan auto-enable bound (compressed parquet bytes of the input):
+# the exploded gram table runs ~30-60× the compressed input; 256 MB in
+# keeps the materialization comfortably inside a 48 g local JVM's
+# storage pool, and anything bigger takes the two-scan shape.
+SHARE_SCAN_MAX_BYTES = 256 * 1024 * 1024
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _input_bytes(path: str) -> int:
+    """Compressed on-disk size of the input, for the share_scan auto
+    rule; a remote URI (no local listing) reports 'huge' so the knob
+    stays off rather than erroring."""
+    from fledge_south_csvplayback_spark.operators import compaction
+
+    try:
+        return compaction.input_bytes(path)
+    except ValueError:
+        return 1 << 62
 
 
 def _grams(text: Column) -> Column:
@@ -144,6 +163,7 @@ def dsir_logweights(
     buckets: int = DSIR_BUCKETS,
     smooth: float = DSIR_SMOOTH,
     hash_method: str = "md5",
+    share_scan: bool | None = None,
 ) -> DataFrame:
     """Per-document DSIR log importance weight: log p_target(doc) -
     log p_raw(doc) under hashed unigram+bigram models.
@@ -158,27 +178,41 @@ def dsir_logweights(
     that the fit excludes and the score left-join zeroes).
 
     Plan (asserted in tests/test_selection.py): the exploded
-    (doc_id, is_target, bucket) table is built once — a codegen'd
-    projection, no Python — and eagerly localCheckpoint-ed so fit and
-    score share it; then one bucket-keyed aggregate Exchange, one
-    broadcast of the ≤``buckets``-row log-ratio table, one doc_id-
-    keyed aggregate Exchange. The unpartitioned window computing the
-    two model totals runs over the ≤``buckets``-row AGGREGATE, never
-    the corpus (the module-wide rule from ``corpus_token_budget``)."""
+    (doc_id, is_target, bucket) table is a single codegen'd
+    projection, no Python; then one bucket-keyed aggregate Exchange
+    (fit), one broadcast of the ≤``buckets``-row log-ratio table, one
+    doc_id-keyed aggregate Exchange (score). The unpartitioned window
+    computing the two model totals runs over the ≤``buckets``-row
+    AGGREGATE, never the corpus (the module-wide rule from
+    ``corpus_token_budget``).
+
+    ``share_scan``: fit and score both consume the exploded bucket
+    table; with the knob on it is eagerly localCheckpoint-ed so the
+    corpus is scanned once (wins when the gram table fits executor
+    storage — measured ~1.5 s vs ~2.5 s warm at sf0.1). The knob is
+    OFF by default and auto-enables only for small inputs
+    (``SHARE_SCAN_MAX_BYTES``): materializing the ~50×-larger gram
+    table is a storage-memory bet that a 10M-doc probe measurably
+    LOSES (unified-memory exhaustion on a 48 g local JVM) — at scale
+    the two declarative scans are the honest shape, and a cluster
+    that wants the single-scan variant opts in with storage to back
+    it."""
     docs = _docs(spark, sf_dir)
-    exb = (
-        docs.select(
-            "doc_id",
-            (F.col("source") == F.lit(target_source)).alias("is_t"),
-            F.explode_outer(_grams(F.col("text"))).alias("g"),
-        )
-        .select(
-            "doc_id",
-            "is_t",
-            _gram_bucket(F.col("g"), buckets, hash_method).alias("b"),
-        )
-        .localCheckpoint(eager=True)
+    exb = docs.select(
+        "doc_id",
+        (F.col("source") == F.lit(target_source)).alias("is_t"),
+        F.explode_outer(_grams(F.col("text"))).alias("g"),
+    ).select(
+        "doc_id",
+        "is_t",
+        _gram_bucket(F.col("g"), buckets, hash_method).alias("b"),
     )
+    if share_scan is None:
+        share_scan = _input_bytes(f"{sf_dir}/documents.parquet") <= (
+            SHARE_SCAN_MAX_BYTES
+        )
+    if share_scan:
+        exb = exb.localCheckpoint(eager=True)
 
     counts = (
         exb.filter(F.col("b").isNotNull())
@@ -226,6 +260,7 @@ def corpus_dsir_select(
     buckets: int = DSIR_BUCKETS,
     smooth: float = DSIR_SMOOTH,
     hash_method: str = "md5",
+    share_scan: bool | None = None,
 ) -> DataFrame:
     """DSIR selection: the ``n_select`` documents with the highest
     Gumbel-perturbed log importance weight — a deterministic sample
@@ -237,7 +272,7 @@ def corpus_dsir_select(
     doc_id. ORDER BY + LIMIT plans as TakeOrderedAndProject — no
     global sort Exchange on top of ``dsir_logweights``' two."""
     w = dsir_logweights(
-        spark, sf_dir, target_source, buckets, smooth, hash_method
+        spark, sf_dir, target_source, buckets, smooth, hash_method, share_scan
     )
     score = F.round(F.col("logw") + _gumbel(F.col("doc_id")), 6)
     return (
@@ -305,3 +340,86 @@ LIMIT {n_select}
 
 
 DSIR_SELECT_SQL = _dsir_sql()
+
+
+# --- per-source distribution divergence --------------------------------------
+def corpus_source_divergence(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-source KL divergence from the corpus-wide token
+    distribution — the drift/outlier diagnostic a mixture designer
+    reads before setting weights: a source whose hashed-unigram
+    distribution sits far from the corpus (mojibake, boilerplate
+    farms, a different language than labeled) shows a large
+    ``kl_nats`` and warrants inspection before it is up-sampled.
+
+    KL(p_source ‖ p_corpus) needs no smoothing: every source token IS
+    a corpus token, so q(b) > 0 wherever p(b) > 0 (absolute
+    continuity by construction) and the sum runs over the source's
+    own observed buckets only.
+
+    Plan: one corpus scan exploding hashed unigram buckets into ONE
+    (source, bucket)-keyed aggregate Exchange (map-side combine: each
+    task emits ≤ |sources|·B rows). Everything after operates on that
+    aggregate — ≤ |sources|·B rows — never the corpus: bucket totals
+    via a window over the aggregate, per-source reduction via one more
+    tiny Exchange. Output: (source, n_grams, kl_nats) rounded to 6."""
+    docs = _docs(spark, sf_dir)
+    t = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    uni = F.when(
+        F.length(t) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(t, " "))
+    ex = docs.select(
+        "source", F.explode(uni).alias("g")
+    ).select("source", _gram_bucket(F.col("g"), buckets, "md5").alias("b"))
+
+    sb = ex.groupBy("source", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    by_bucket = Window.partitionBy("b")
+    by_source = Window.partitionBy("source")
+    whole = Window.partitionBy()
+    enriched = (
+        sb.withColumn("bucket_tot", F.sum("cnt").over(by_bucket))
+        .withColumn("src_tot", F.sum("cnt").over(by_source))
+        .withColumn("corpus_tot", F.sum("cnt").over(whole))
+    )
+    p = F.col("cnt") / F.col("src_tot")
+    q = F.col("bucket_tot") / F.col("corpus_tot")
+    return (
+        enriched.withColumn("term", p * F.log(p / q))
+        .groupBy("source")
+        .agg(
+            F.max("src_tot").cast("bigint").alias("n_grams"),
+            F.round(F.sum("term"), 6).alias("kl_nats"),
+        )
+    )
+
+
+def _source_divergence_sql(buckets: int = DSIR_BUCKETS) -> str:
+    return f"""
+WITH ex AS (
+    SELECT source,
+           {_gram_bucket_sql('unnest(CASE WHEN ' + _NORM_SQL + " = '' THEN [] "
+                             'ELSE string_split(' + _NORM_SQL + ", ' ') END)",
+                             buckets)} AS b
+    FROM documents
+),
+sb AS (SELECT source, b, COUNT(*) AS cnt FROM ex GROUP BY 1, 2),
+enr AS (
+    SELECT source, b, cnt,
+           SUM(cnt) OVER (PARTITION BY b) AS bucket_tot,
+           SUM(cnt) OVER (PARTITION BY source) AS src_tot,
+           SUM(cnt) OVER () AS corpus_tot
+    FROM sb
+)
+SELECT source, CAST(MAX(src_tot) AS BIGINT) AS n_grams,
+       ROUND(SUM((cnt / src_tot::DOUBLE)
+                 * ln((cnt / src_tot::DOUBLE)
+                      / (bucket_tot / corpus_tot::DOUBLE))), 6) AS kl_nats
+FROM enr
+GROUP BY 1
+"""
+
+
+CORPUS_SOURCE_DIVERGENCE_SQL = _source_divergence_sql()

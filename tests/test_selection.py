@@ -167,3 +167,72 @@ def test_dsir_xxhash_production_knob(spark, tmp_path):
         selection.dsir_logweights(
             spark, str(tmp_path), hash_method="sha9"
         ).collect()
+
+
+def test_dsir_two_scan_path_oracle_parity(spark):
+    """share_scan=False (the 100 TB default shape — no checkpoint,
+    two declarative scans) must produce byte-identical results."""
+    ok, msg = compare(
+        selection.corpus_dsir_select(spark, TEST_SF_DIR, share_scan=False),
+        selection.DSIR_SELECT_SQL,
+        TEST_SF_DIR,
+    )
+    assert ok, msg
+
+
+# --- per-source KL divergence -------------------------------------------------
+def test_source_divergence_oracle_parity(spark):
+    ok, msg = compare(
+        selection.corpus_source_divergence(spark, TEST_SF_DIR),
+        selection.CORPUS_SOURCE_DIVERGENCE_SQL,
+        TEST_SF_DIR,
+    )
+    assert ok, msg
+
+
+def test_source_divergence_oracle_parity_sf001(spark):
+    ok, msg = compare(
+        selection.corpus_source_divergence(spark, ORACLE_SF_DIR),
+        selection.CORPUS_SOURCE_DIVERGENCE_SQL,
+        ORACLE_SF_DIR,
+    )
+    assert ok, msg
+
+
+def test_source_divergence_flags_outlier_source(spark, tmp_path):
+    """KL is ≥ 0 and the planted off-distribution source dominates:
+    19 sources share one vocabulary, the outlier uses another."""
+    rows = []
+    for i in range(190):
+        rows.append(
+            (i, f"common words here {i % 7} more common words", "en",
+             f"src{i % 19}", 0)
+        )
+    for i in range(190, 200):
+        rows.append(
+            (i, f"zzq qqz zqz {i % 3} xyzzy plugh", "en", "outlier", 0)
+        )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: r.kl_nats
+        for r in selection.corpus_source_divergence(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert all(v >= -1e-6 for v in got.values()), got
+    rest = max(v for k, v in got.items() if k != "outlier")
+    assert got["outlier"] > rest + 1.0, got
+
+
+def test_source_divergence_no_joins(spark):
+    """Pure aggregate/window pipeline: the corpus crosses one
+    (source, bucket) aggregate Exchange; everything downstream
+    operates on that ≤|sources|·B-row result. No join of any kind."""
+    df = selection.corpus_source_divergence(spark, TEST_SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
