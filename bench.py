@@ -70,7 +70,7 @@ HEADLINE = [
     "ann_cosine_topk_ivf",  # IVF cell-join ANN (the 100 TB similarity path)
     "embedding_cosine_pairs",  # hyperplane-LSH near-dup pairs
     "events_hourly_rollup",  # window-bucketed aggregation
-    "clean_interpolate_linear",  # window-fill cleaning suite
+    "clean_interpolate",  # window-fill cleaning suite (W3 folded union)
     "dedup_simhash",  # bit-vote fingerprint + blocked candidate tables (Manku)
     "ann_cosine_topk_lsh",  # band-mask partial top-k (rewritten round 5)
     "corpus_token_budget",  # two-pass per-language budget selection
@@ -103,10 +103,8 @@ EXTRA_QUERIES = {
     "events_funnel": events.events_funnel,
     "text_bm25_topk": text.text_bm25_topk,
     "text_repeated_span_scrub": text.text_repeated_span_scrub,
-    "corpus_dsir_select": selection.corpus_dsir_select,
     "semantic_dedup": similarity.semantic_dedup,
     "corpus_shuffle_order": curation.corpus_shuffle_order,
-    "corpus_source_divergence": selection.corpus_source_divergence,
 }
 
 

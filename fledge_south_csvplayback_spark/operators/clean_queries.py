@@ -241,6 +241,44 @@ LEFT JOIN fills fb ON fb.col = 'b' AND fb.x = n.rn
 )
 
 
+# --- W3 folded driver entry (round-7 registry rotation) -----------------------
+def clean_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three W3 interpolation variants as ONE method-tagged union,
+    per the COVERAGE.md rotation rule (they verify the same §2 row —
+    W3 — over the same fixture): each constituent stays
+    distinguishable via the ``method`` tag and the unmerged callables
+    stay public. Rounded to 6 in BOTH engines (the cubic entry's
+    existing protocol, extended to all three so the union is
+    uniform)."""
+    parts = [
+        fn(spark, sf_dir).select(
+            F.lit(m).alias("method"),
+            "ts",
+            F.round("a", 6).alias("a"),
+            F.round("b", 6).alias("b"),
+        )
+        for m, fn in (
+            ("linear", clean_interpolate_linear),
+            ("nearest", clean_interpolate_nearest),
+            ("cubic", clean_interpolate_cubic),
+        )
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+CLEAN_INTERP_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{m}' AS method, ts, ROUND(a, 6) AS a, ROUND(b, 6) AS b\nFROM ({sql})"
+    for m, sql in (
+        ("linear", CLEAN_INTERP_LINEAR_SQL),
+        ("nearest", CLEAN_INTERP_NEAREST_SQL),
+        ("cubic", CLEAN_INTERP_CUBIC_SQL),
+    )
+)
+
+
 # --- E1: Fledge-dump flattening ----------------------------------------------
 def clean_flatten_fledge_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = cs.read_pick_from_file(

@@ -17,6 +17,7 @@ from fledge_south_csvplayback_spark.operators import (
     events,
     multimodal,
     relational,
+    selection,
     similarity,
     text,
     ts_queries,
@@ -74,6 +75,19 @@ register(
 register("text_lang_id", text.text_lang_id, text.TEXT_LANG_ID_SQL)
 register("text_token_classes", text.text_token_classes, text.TEXT_TOKEN_CLASSES_SQL)
 register("text_fingerprint", text.text_fingerprint, text.TEXT_FINGERPRINT_SQL)
+
+# --- data selection (documents table; round-7 rotation fills the two
+# slots freed by the W3 interpolation fold) ----------------------------------
+register(
+    "corpus_dsir_select",
+    selection.corpus_dsir_select,
+    selection.DSIR_SELECT_SQL,
+)
+register(
+    "corpus_source_divergence",
+    selection.corpus_source_divergence,
+    selection.CORPUS_SOURCE_DIVERGENCE_SQL,
+)
 
 # --- similarity search (embeddings table) -----------------------------------
 register("ann_cosine_topk", similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL)
@@ -180,20 +194,16 @@ register(
     clean_queries.clean_rolling_median_fill,
     clean_queries.CLEAN_ROLLING_MEDIAN_SQL,
 )
+# Round-7 registry rotation (COVERAGE.md selection rule): the three
+# interpolation variants all verify the SAME §2 row (W3) over the same
+# fixture, so they fold into ONE method-tagged union entry — each
+# variant stays hash-distinguishable via the `method` column and the
+# unmerged callables stay public and pytest-covered — freeing two
+# slots for the round-7 selection operators below.
 register(
-    "clean_interpolate_linear",
-    clean_queries.clean_interpolate_linear,
-    clean_queries.CLEAN_INTERP_LINEAR_SQL,
-)
-register(
-    "clean_interpolate_nearest",
-    clean_queries.clean_interpolate_nearest,
-    clean_queries.CLEAN_INTERP_NEAREST_SQL,
-)
-register(
-    "clean_interpolate_cubic",
-    clean_queries.clean_interpolate_cubic,
-    clean_queries.CLEAN_INTERP_CUBIC_SQL,
+    "clean_interpolate",
+    clean_queries.clean_interpolate,
+    clean_queries.CLEAN_INTERP_SQL,
 )
 register(
     "clean_flatten_fledge_dump",
