@@ -42,7 +42,6 @@ from fledge_south_csvplayback_spark import registry
 from fledge_south_csvplayback_spark.operators import (
     curation,
     events,
-    selection,
     similarity,
     text,
 )

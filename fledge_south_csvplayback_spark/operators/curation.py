@@ -58,6 +58,23 @@ QUALITY_MIN_TTR = 0.3
 QUALITY_TOKEN_LEN_RANGE = (2.0, 10.0)
 
 
+def _paths_overlap(a: str, b: str) -> bool:
+    """True when one path equals or CONTAINS the other — the collision
+    class ``mode("overwrite")`` turns into data loss: writing to a dir
+    nested inside the read path (or enclosing it) recursively deletes
+    input files while the lazy job is still reading them. Purely
+    lexical on absolute normalized paths (the corpora here are local
+    or URI-like strings; a remote URI only ever collides with an
+    identical prefix, which this catches too)."""
+    na = os.path.normpath(os.path.abspath(a))
+    nb = os.path.normpath(os.path.abspath(b))
+    return (
+        na == nb
+        or na.startswith(nb + os.sep)
+        or nb.startswith(na + os.sep)
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -1597,16 +1614,16 @@ def write_scrubbed_documents(
         # finishes READING it — writing onto the current stage input
         # would corrupt the job, and writing onto the ORIGINAL sf_dir
         # (even from a later stage whose read path differs) would
-        # destroy the input corpus; refuse both collisions outright
-        if os.path.normpath(nxt) in (
-            os.path.normpath(cur),
-            os.path.normpath(sf_dir),
-        ):
-            raise ValueError(
-                f"stage {i} ({stage!r}) would overwrite its own input: "
-                f"{nxt}/documents.parquet collides with the corpus "
-                "read path"
-            )
+        # destroy the input corpus; refuse both collisions outright,
+        # including NESTED paths (out inside the read dir or the read
+        # dir inside out — overwrite recursively deletes either way)
+        for read_dir in (cur, sf_dir):
+            if _paths_overlap(nxt, read_dir):
+                raise ValueError(
+                    f"stage {i} ({stage!r}) would overwrite its own "
+                    f"input: {nxt}/documents.parquet collides with "
+                    "the corpus read path"
+                )
         cleaned = scrubbers[stage](cur).select(
             "doc_id", F.col("text_cleaned").alias("text")
         )
@@ -1709,19 +1726,21 @@ def write_shuffled_corpus(
     parquet preserves within-file row order. Same single-Exchange
     shape as ``corpus_shuffle_order``; the guard in
     ``write_scrubbed_documents`` applies here too."""
-    if os.path.normpath(out_dir) == os.path.normpath(sf_dir):
+    if _paths_overlap(out_dir, sf_dir):
         raise ValueError(
             f"write_shuffled_corpus: out_dir {out_dir!r} collides with "
             "the corpus read path"
         )
-    docs = _docs(spark, sf_dir).withColumn(
-        "skey", _shuffle_key(F.col("doc_id"))
-    )
+    base = _docs(spark, sf_dir)
+    docs = base.withColumn("skey", _shuffle_key(F.col("doc_id")))
     shard = (
         F.conv(F.substring("skey", 1, 8), 16, 10).cast("long") % n_shards
     ).alias("shard")
+    # every upstream column passes through (the write_scrubbed_documents
+    # pass-through contract): a split label or lineage column added
+    # before the shuffle must survive into the training shards
     (
-        docs.select("doc_id", "lang", "source", "text", shard, "skey")
+        docs.select(*base.columns, shard, "skey")
         .repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "skey", "doc_id")
         .drop("skey")

@@ -139,11 +139,16 @@ def _gumbel(doc_id: Column) -> Column:
     """Deterministic standard-Gumbel draw per doc: u = md5-uniform in
     (0, 1), g = -ln(-ln(u)). Gumbel-top-k over (log w + g) is exactly
     sampling-without-replacement proportional to w — the paper's
-    resampling step — made reproducible and oracle-checkable."""
+    resampling step — made reproducible and oracle-checkable.
+
+    The key is SALTED (``'gumbel:' || doc_id``) so the resampling
+    noise is decorrelated from ``curation._bucket``'s unsalted
+    first-8-md5(doc_id) integer that drives split/sample decisions —
+    the same decorrelation rule ``curation.SHUFFLE_SALT`` documents
+    for the shuffle permutation (round-8 advisory fix)."""
+    salted = F.concat(F.lit("gumbel:"), doc_id.cast("string"))
     u = (
-        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10).cast(
-            "double"
-        )
+        F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("double")
         + F.lit(1.0)
     ) / F.lit(float(_U32 + 1))
     return -F.log(-F.log(u))
@@ -151,7 +156,8 @@ def _gumbel(doc_id: Column) -> Column:
 
 def _gumbel_sql(expr: str) -> str:
     return (
-        f"-ln(-ln((('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 8))"
+        f"-ln(-ln((('0x' || substring(md5('gumbel:' || "
+        f"CAST({expr} AS VARCHAR)), 1, 8))"
         f"::BIGINT + 1.0) / {float(_U32 + 1)}))"
     )
 
@@ -285,6 +291,22 @@ def corpus_dsir_select(
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(n_select)
     )
+
+
+def corpus_dsir_select_registered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The driver-registered DSIR entry: ``share_scan=False`` pinned.
+
+    Registered plans are the 100×-scale plans (COVERAGE.md rule): the
+    two-declarative-scan shape is the one that survives the 10M-doc
+    probe, and it keeps the plan free of the ``localCheckpoint``'s
+    ``Scan ExistingRDD`` node that the global plan-hygiene pin
+    (tests/test_plans.py) forbids. The checkpoint stays available as
+    ``corpus_dsir_select(..., share_scan=True)`` — an opt-in
+    small-corpus knob, auto-enabled only via the public function's
+    size gate."""
+    return corpus_dsir_select(spark, sf_dir, share_scan=False)
 
 
 def _dsir_sql(

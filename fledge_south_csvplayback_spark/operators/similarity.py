@@ -1734,7 +1734,7 @@ SEMDEDUP_EPS = 0.95
 def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
-    k: int = KMEANS_K,
+    k: int | None = KMEANS_K,
     iters: int = KMEANS_ITERS,
     eps: float = SEMDEDUP_EPS,
 ) -> DataFrame:
@@ -1755,6 +1755,18 @@ def semantic_dedup(
     the same closure chain (cell id never round-trips to the driver);
     only (vec_id, cell, flags) leave Python.
 
+    The default ``k`` (``KMEANS_K`` = 8) is FIXTURE-SCALE: per-cell
+    cost is O(|cell|²), so above ~100k vectors pass an explicit ``k``
+    or ``k=None`` to derive ``k ≈ N/2048`` (cells ~2k rows — the
+    regime the 10M probe validates with ``--cells 4096``).
+
+    Zero-norm embeddings are defined as cosine 0 to everything (the
+    norm is clamped at 1e-12), so one degenerate vector can neither be
+    "a duplicate of" nor poison ``max_prior_cos`` for later rows in
+    its cell (the NaN it used to inject silently dropped the whole
+    tail of the cell — round-8 advisory fix, pinned by
+    ``test_semdedup_zero_norm_vector``).
+
     Output: (vec_id, cell_id, sq_dist, max_prior_cos, keep) for every
     embedding; ``max_prior_cos`` is -1.0 for the first/only row of a
     cell; sq_dist/max_prior_cos rounded to 6. Gate: pure-numpy
@@ -1765,6 +1777,9 @@ def semantic_dedup(
 
     if not (0.0 < eps <= 1.0):
         raise ValueError(f"semantic_dedup: eps in (0, 1], got {eps}")
+    if k is None:
+        n_vec = _emb(spark, sf_dir).count()  # parquet metadata count
+        k = max(KMEANS_K, n_vec // 2048)
     cents, _ = kmeans_fit(spark, sf_dir, k, iters)
     c = np.array(cents, dtype=np.float64)
 
@@ -1802,18 +1817,24 @@ def semantic_dedup(
         order = np.lexsort((ids, -d2))
         ids, d2 = ids[order], d2[order]
         m = np.stack(pdf["v"].to_numpy())[order]
-        nrm = np.sqrt((m * m).sum(axis=1))
+        # zero-norm guard: clamp so a degenerate vector is cosine 0 to
+        # everything instead of NaN-poisoning the cell tail
+        nrm = np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-12)
         mn = m / nrm[:, None]
-        sim = mn @ mn.T
         n = len(ids)
         prior = np.full(n, -1.0)
-        if n > 1:
-            # max over the strict lower triangle row-wise = max cosine
-            # to any PRIOR example in scan order
-            tri = np.where(
-                np.tril(np.ones((n, n), dtype=bool), k=-1), sim, -np.inf
-            )
-            prior[1:] = tri.max(axis=1)[1:]
+        # blockwise strict-lower-triangle running max: peak extra
+        # memory is one B×n GEMM block (+ its bool mask) instead of
+        # three n×n temporaries — the cell-size bound is arithmetic
+        # (GEMM flops), not memory
+        B = 1024
+        for i0 in range(1, n, B):
+            i1 = min(i0 + B, n)
+            blk = mn[i0:i1] @ mn[:i1].T
+            # mask out cosine-to-self and to LATER rows in scan order
+            cols = np.arange(i1)[None, :]
+            blk[cols >= np.arange(i0, i1)[:, None]] = -np.inf
+            prior[i0:i1] = blk.max(axis=1)
         prior_r = np.round(prior, 6)
         return pd.DataFrame(
             {

@@ -78,9 +78,13 @@ register("text_fingerprint", text.text_fingerprint, text.TEXT_FINGERPRINT_SQL)
 
 # --- data selection (documents table; round-7 rotation fills the two
 # slots freed by the W3 interpolation fold) ----------------------------------
+# registered with share_scan=False pinned: the two-declarative-scan
+# shape is the 100×-scale plan (the localCheckpoint variant loses the
+# 10M probe AND re-enters the plan as Scan ExistingRDD, tripping the
+# global plan-hygiene pin) — round-8 verdict item 1
 register(
     "corpus_dsir_select",
-    selection.corpus_dsir_select,
+    selection.corpus_dsir_select_registered,
     selection.DSIR_SELECT_SQL,
 )
 register(

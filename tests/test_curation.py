@@ -1301,6 +1301,65 @@ def test_write_shuffled_corpus_file_order_is_training_order(spark, tmp_path):
 
     with pytest.raises(ValueError, match="collides"):
         curation.write_shuffled_corpus(spark, TEST_SF_DIR, TEST_SF_DIR)
+    # NESTED collisions are the same data-loss trap (review finding):
+    # out_dir inside the read path, or the read path inside out_dir
+    with pytest.raises(ValueError, match="collides"):
+        curation.write_shuffled_corpus(
+            spark, TEST_SF_DIR, f"{TEST_SF_DIR}/documents.parquet"
+        )
+    with pytest.raises(ValueError, match="collides"):
+        curation.write_shuffled_corpus(
+            spark, f"{str(tmp_path)}/raw", str(tmp_path)
+        )
+
+
+def test_write_shuffled_corpus_passes_extra_columns_through(spark, tmp_path):
+    """Pass-through contract (review finding): a split label added
+    upstream must survive the sharded export."""
+    import os
+
+    sf_dir = str(tmp_path / "raw")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [
+            (0, "body zero", "en", "web", 9, "train"),
+            (1, "body one", "en", "web", 8, "val"),
+            (2, "body two", "en", "web", 8, "train"),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, split string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "shuffled")
+    curation.write_shuffled_corpus(spark, sf_dir, out, n_shards=2)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {
+        "doc_id", "text", "lang", "source", "n_chars", "split", "shard"
+    }
+    rows = {r.doc_id: r for r in got.collect()}
+    assert len(rows) == 3
+    assert rows[0].split == "train" and rows[1].split == "val"
+
+
+def test_scrubbed_documents_rejects_nested_out_dir(spark, tmp_path):
+    """The stage guard catches CONTAINMENT, not just equality: writing
+    inside the read path (or over a parent of it) would recursively
+    delete input files mid-read."""
+    import os
+
+    import pytest
+
+    sf_dir = str(tmp_path / "raw")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(0, "a b", "en", "web", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="overwrite its own input"):
+        curation.write_scrubbed_documents(
+            spark, sf_dir, f"{sf_dir}/documents.parquet"
+        )
+    with pytest.raises(ValueError, match="overwrite its own input"):
+        curation.write_scrubbed_documents(spark, sf_dir, str(tmp_path))
 
 
 def test_shuffle_order_one_exchange(spark):

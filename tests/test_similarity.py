@@ -727,7 +727,9 @@ def _semdedup_numpy_replica(rows, cents, eps):
         cids, cd2, cm = ids[mask], full[mask], x[mask]
         order = np.lexsort((cids, -cd2))
         cids, cd2, cm = cids[order], cd2[order], cm[order]
-        mn = cm / np.sqrt((cm * cm).sum(axis=1))[:, None]
+        mn = cm / np.maximum(
+            np.sqrt((cm * cm).sum(axis=1)), 1e-12
+        )[:, None]
         sim = mn @ mn.T
         n = len(cids)
         prior = np.full(n, -1.0)
@@ -806,6 +808,36 @@ def test_semdedup_planted_duplicates(spark, tmp_path):
         assert len(kept & trio) == 1, (g, kept)
     assert vid - 1 in kept and vid - 2 in kept  # loners survive
     assert len(out) == vid
+
+
+def test_semdedup_zero_norm_vector(spark, tmp_path):
+    """A zero-norm embedding is cosine 0 to everything: it neither
+    counts as a duplicate nor poisons max_prior_cos for later rows in
+    its cell (the unguarded norm produced NaN, and NaN < eps silently
+    dropped the whole tail of the cell)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero-norm
+        (2, [1.0, 0.0, 0.0, 0.0]),  # dup of 0
+        (3, [0.0, 1.0, 0.0, 0.0]),  # distinct
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {
+        r.vec_id: r
+        for r in S.semantic_dedup(
+            spark, str(tmp_path), k=1, iters=1, eps=0.99
+        ).collect()
+    }
+    assert len(out) == 4
+    import math
+
+    assert all(not math.isnan(r.max_prior_cos) for r in out.values())
+    # the zero vector survives (cosine 0 < eps to everything)
+    assert out[1].keep
+    # exactly one of the exact-dup pair survives; the distinct row does
+    assert sum(out[i].keep for i in (0, 2)) == 1
+    assert out[3].keep
 
 
 def test_semdedup_one_exchange_on_cell(spark):
