@@ -916,6 +916,8 @@ def corpus_chunk_documents(
     sf_dir: str,
     chunk_tokens: int = CHUNK_TOKENS,
     stride: int = CHUNK_STRIDE,
+    token_method: str = "ws",
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Slice every document into fixed-length training sequences: chunk
     ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)``, so
@@ -925,14 +927,144 @@ def corpus_chunk_documents(
     the final chunk reaches the last token and no start lies beyond the
     text: ``1 + ceil(max(0, n - chunk_tokens) / stride)``.
 
-    Entirely narrow — token array, ``posexplode`` of the start
-    sequence, ``slice`` + ``array_join`` per chunk. No shuffle at any
-    corpus size (pinned): a 1000-executor scan chunks at read speed,
-    and output rows inherit the input's partitioning for a downstream
-    writer. Every doc yields ≥1 chunk (an empty text is one empty
-    chunk), so no corpus row silently disappears.
+    ``token_method="ws"`` (default, byte-identical to the historical
+    behavior, oracle-checked): tokens are single-space split positions
+    and the plan is entirely narrow — token array, ``posexplode`` of
+    the start sequence, ``slice`` + ``array_join`` per chunk. No
+    shuffle at any corpus size (pinned): a 1000-executor scan chunks
+    at read speed, and output rows inherit the input's partitioning
+    for a downstream writer. Every doc yields ≥1 chunk (an empty text
+    is one empty chunk), so no corpus row silently disappears.
+
+    ``token_method="bpe"``: chunk geometry measured in REAL tokenizer
+    tokens — each word runs through the ``text_bpe_tokenize`` merge
+    loop (``merges`` from ``bpe_train``, trained on the corpus when
+    omitted) and chunk ``i`` covers BPE tokens ``[i·stride, i·stride +
+    chunk_tokens)``; a boundary mid-word splits the word exactly where
+    the token boundary falls, which is what slicing a token-id array
+    does in a real pipeline. Same narrow one-scan shape, as a
+    ``mapInPandas`` pass (BPE apply is inherently sequential per word
+    — no Catalyst expression computes it); text is whitespace-
+    NORMALIZED on this path (any-whitespace split, single-space
+    reconstruction — matching ``bpe_train``'s word counting), so
+    non-overlapping chunks concatenate back to the normalized text
+    (the reconstruction invariant pinned in tests).
     """
-    return _chunk_docs(_docs(spark, sf_dir), chunk_tokens, stride)
+    if token_method == "ws":
+        return _chunk_docs(_docs(spark, sf_dir), chunk_tokens, stride)
+    if token_method == "bpe":
+        return _chunk_docs_bpe(
+            spark, _docs(spark, sf_dir), chunk_tokens, stride, merges
+        )
+    raise ValueError(
+        f"unknown chunk token_method {token_method!r}; one of ('ws', 'bpe')"
+    )
+
+
+def _chunk_docs_bpe(
+    spark: SparkSession,
+    docs: DataFrame,
+    chunk_tokens: int,
+    stride: int,
+    merges: list[tuple[str, str]] | None,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """BPE-geometry chunking body: one mapInPandas scan, merge table in
+    the closure, per-word token memo per batch (the
+    ``text_bpe_tokenize`` apply pattern). Emits the same schema as the
+    whitespace path so the two are drop-in interchangeable."""
+    c, s = chunk_tokens, stride
+    if not (0 < s <= c):
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    if merges is None:
+        from fledge_south_csvplayback_spark.operators import text as text_ops
+
+        # train on the same docs frame the chunker reads —
+        # deterministic first-N-by-id sample (bpe_train's rule)
+        rows = (
+            docs.orderBy("doc_id").limit(text_ops.BPE_TRAIN_DOCS)
+            .select("text").collect()
+        )
+        merges = text_ops.bpe_train_texts([r["text"] for r in rows])
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def _chunker(batches, ranks=ranks, c=c, s=s, passthrough=passthrough):
+        import pandas as pd
+
+        memo: dict[str, list[str]] = {}
+
+        def word_tokens(word: str) -> list[str]:
+            """Visible BPE token strings of a word (marker folded into
+            the last token's text, standalone markers dropped) —
+            token COUNT matches text_bpe_tokenize exactly."""
+            got = memo.get(word)
+            if got is not None:
+                return got
+            parts = list(word) + ["</w>"]
+            while len(parts) > 1:
+                best_rank, best_i = None, None
+                for i in range(len(parts) - 1):
+                    r = ranks.get((parts[i], parts[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_i is None:
+                    break
+                parts[best_i : best_i + 2] = [
+                    parts[best_i] + parts[best_i + 1]
+                ]
+            vis = [
+                p[:-4] if p.endswith("</w>") else p
+                for p in parts
+                if p != "</w>"
+            ]
+            memo[word] = vis
+            return vis
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out: dict[str, list] = {
+                "doc_id": [],
+                "lang": [],
+                **{p: [] for p in passthrough},
+                "chunk_id": [],
+                "n_chunk_tokens": [],
+                "chunk_text": [],
+            }
+            for row in pdf.itertuples(index=False):
+                toks: list[str] = []
+                ends: list[bool] = []
+                for w in (row.text or "").split():
+                    vis = word_tokens(w)
+                    toks.extend(vis)
+                    ends.extend([False] * (len(vis) - 1) + [True])
+                n = len(toks)
+                n_chunks = 1 + max(0, -(-(max(0, n - c)) // s))
+                for ci in range(n_chunks):
+                    lo = ci * s
+                    sl = toks[lo : lo + c]
+                    se = ends[lo : lo + c]
+                    pieces = [
+                        t + " " if e else t for t, e in zip(sl, se)
+                    ]
+                    out["doc_id"].append(row.doc_id)
+                    out["lang"].append(row.lang)
+                    for p in passthrough:
+                        out[p].append(getattr(row, p))
+                    out["chunk_id"].append(ci)
+                    out["n_chunk_tokens"].append(len(sl))
+                    out["chunk_text"].append("".join(pieces).rstrip(" "))
+            yield pd.DataFrame(out)
+
+    extra = "".join(f", {p} string" for p in passthrough)
+    cols = ["doc_id", "lang", *passthrough, "text"]
+    return docs.select(*cols).mapInPandas(
+        _chunker,
+        f"doc_id long, lang string{extra}, chunk_id bigint, "
+        "n_chunk_tokens bigint, chunk_text string",
+    )
+
+
 
 
 def _chunk_docs(
@@ -1464,6 +1596,134 @@ FROM m
 
 
 QUALITY_MODEL_SQL = _quality_model_sql()
+
+
+QMODEL_FIT_ITERS = 30
+QMODEL_FIT_LR = 2.0
+QMODEL_FIT_L2 = 1e-4
+
+
+def quality_model_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    target_source: str = "src1",
+    dim: int = QMODEL_DIM,
+    iters: int = QMODEL_FIT_ITERS,
+    lr: float = QMODEL_FIT_LR,
+    l2: float = QMODEL_FIT_L2,
+) -> tuple[list[float], float, list[float]]:
+    """Train the hashed-linear quality classifier that
+    ``quality_model_score`` serves — the CCNet/RefinedWeb fasttext
+    stage done Spark-first: labels are "looks like the trusted slice"
+    (``source == target_source``, DSIR's target-slice convention) vs
+    the rest of the corpus, features are the SAME hashed bag-of-tokens
+    the scorer uses (md5 ``_bucket`` scheme mod ``dim``), so the
+    trained ``(weights, bias)`` plug straight into the scorer's
+    codegen'd serving expression with zero representation drift.
+
+    Model: ``p = sigmoid(bias + mean over tokens of w[h(token)])`` —
+    identical to the serving expression — trained by full-batch
+    gradient descent on logistic loss with L2.
+
+    Distribution (the ``kmeans_fit`` pattern): the feature projection
+    (token → bucket id array) is a JVM-side Catalyst expression
+    (an interpreted higher-order ``transform`` — acceptable here
+    because fit is an offline stage and the md5 stays JVM-side;
+    Python never hashes a token) — and each epoch is ONE narrow
+    ``mapInPandas`` scan where every Arrow batch GEMM-free
+    scatter-adds its gradient contribution and emits a single
+    ``dim``-vector partial; the ≤ batches partials reduce on the
+    driver, which takes the step. No shuffle at any corpus size; per
+    epoch the cross-node traffic is one weight vector down and one
+    partial per batch up. Deterministic: full-batch (no sampling
+    order), float64 partials; cross-partition summation jitter is
+    below the 1e-6 the replica test allows.
+
+    Returns (weights[dim], bias, loss per epoch — mean logistic loss
+    at the epoch's START, non-increasing on a separable fixture).
+    Gate: pytest vs a pure-numpy replica on a planted separable
+    fixture + the trained model actually separating it through the
+    oracle-checked scorer (iterative fit is not SQL-expressible — the
+    documented weaker gate, like ``kmeans_fit``)."""
+    import numpy as np
+
+    if iters < 1 or dim < 1:
+        raise ValueError("quality_model_fit: need iters >= 1 and dim >= 1")
+    toks = F.split(F.col("text"), " ")
+    feats = _docs(spark, sf_dir).select(
+        (F.col("source") == F.lit(target_source)).cast("double").alias("y"),
+        F.transform(
+            toks,
+            lambda t: (
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+                % dim
+            ).cast("int"),
+        ).alias("bks"),
+    )
+
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    losses: list[float] = []
+    for _ in range(iters):
+        cur_w, cur_b = w, b
+
+        def _partials(batches, w=cur_w, b=cur_b, dim=dim):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                y = pdf["y"].to_numpy(dtype=np.float64)
+                bks = [np.asarray(a, dtype=np.int64) for a in pdf["bks"]]
+                lens = np.array([len(a) for a in bks], dtype=np.float64)
+                flat = (
+                    np.concatenate(bks)
+                    if bks
+                    else np.zeros(0, dtype=np.int64)
+                )
+                docidx = np.repeat(np.arange(len(y)), lens.astype(np.int64))
+                xw = np.bincount(
+                    docidx, weights=w[flat], minlength=len(y)
+                ) / np.maximum(lens, 1.0)
+                z = b + xw
+                p = 1.0 / (1.0 + np.exp(-z))
+                # stable logistic loss: log(1+e^-|z|) + max(z,0) - z*y
+                loss = (
+                    np.log1p(np.exp(-np.abs(z))) + np.maximum(z, 0.0) - z * y
+                ).sum()
+                r = p - y  # dL/dz per doc
+                gw = np.bincount(
+                    flat,
+                    weights=(r / np.maximum(lens, 1.0))[docidx],
+                    minlength=dim,
+                )
+                yield pd.DataFrame(
+                    {
+                        "gw": [gw],
+                        "gb": [r.sum()],
+                        "loss": [loss],
+                        "n": [len(y)],
+                    }
+                )
+
+        parts = feats.mapInPandas(
+            _partials, "gw array<double>, gb double, loss double, n long"
+        ).collect()
+        n = sum(p["n"] for p in parts)
+        if n == 0:
+            raise ValueError("quality_model_fit: empty corpus")
+        gw = np.zeros(dim, dtype=np.float64)
+        gb = 0.0
+        loss = 0.0
+        for p in parts:
+            gw += np.asarray(p["gw"])
+            gb += p["gb"]
+            loss += p["loss"]
+        losses.append(float(loss / n))
+        w = w - lr * (gw / n + l2 * w)
+        b = b - lr * (gb / n)
+    return [float(x) for x in w], float(b), losses
 
 
 # --- CCNet perplexity buckets ------------------------------------------------

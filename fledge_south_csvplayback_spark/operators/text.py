@@ -1108,14 +1108,23 @@ def bpe_train(
         .select("text")
         .collect()
     )
+    return bpe_train_texts([r["text"] for r in rows], n_merges)
+
+
+def bpe_train_texts(
+    texts: list[str], n_merges: int = BPE_MERGES
+) -> list[tuple[str, str]]:
+    """The driver-side BPE merge loop over already-collected texts —
+    the single source of the merge rule, shared by ``bpe_train`` and
+    the BPE-geometry chunker in ``curation``."""
     # word frequencies over the sample; words as character tuples with
     # a </w> end marker (the classic formulation)
     wfreq: dict[tuple[str, ...], int] = {}
-    for r in rows:
+    for text in texts:
         # split on ANY whitespace run (newlines included): merges must
         # never be learned across line boundaries, and the emitted
         # word counts must agree with text_stats' \S+ counting
-        for w in (r["text"] or "").split():
+        for w in (text or "").split():
             key = tuple(w) + ("</w>",)
             wfreq[key] = wfreq.get(key, 0) + 1
     merges: list[tuple[str, str]] = []

@@ -92,7 +92,9 @@ def gen_corpus(spark: SparkSession, n: int) -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("op", choices=["gen", "dsir", "semdedup", "shuffle"])
+    ap.add_argument(
+        "op", choices=["gen", "dsir", "semdedup", "shuffle", "divergence"]
+    )
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--cells", type=int, default=4096)
     ap.add_argument("--eps", type=float, default=0.2)
@@ -182,6 +184,33 @@ def main() -> None:
                     "n": agg["n"],
                     "kept": int(agg["kept"]),
                     "max_prior_cos": agg["max_prior"],
+                }
+            )
+        )
+        return
+
+    if args.op == "divergence":
+        # the selection corpus (tgt + web sources, planted marker
+        # vocabulary in tgt/leaked docs) gives the KL diagnostic a
+        # real signal to separate at 10M
+        d = gen_corpus(spark, args.rows)
+        before = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        rows = selection.corpus_source_divergence(spark, d).collect()
+        wall = round(time.perf_counter() - t0, 1)
+        sh = shuffle_delta(before, shuffle_write_bytes(spark))
+        by = {r.source: (r.kl_nats, r.n_grams) for r in rows}
+        # contract: the marker-token slice sits measurably off the
+        # corpus distribution
+        assert by["tgt"][0] > by["web"][0], by
+        print(
+            json.dumps(
+                {
+                    "op": "divergence",
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": sh,
+                    "kl_by_source": by,
                 }
             )
         )

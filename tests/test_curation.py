@@ -574,6 +574,96 @@ def test_chunk_documents_planted_and_custom_params(spark, tmp_path):
     assert ok, msg
 
 
+def test_chunk_documents_bpe_planted_geometry(spark, tmp_path):
+    """BPE geometry with a hand-built merge table: merges=[(a,b)] makes
+    'ab'→1 token and 'abab'→2 ('ab','ab'), so 'ab abab ab' is the BPE
+    token stream [ab | ab ab | ab]. c=3, s=2 → chunk0 covers tokens
+    0-2 ('ab abab'), chunk1 covers tokens 2-3 and starts MID-WORD
+    ('ab ab' whose first piece is the latter half of 'abab') — exactly
+    what slicing a token-id array does."""
+    rows = [(0, "ab abab ab", "en", "s", 1)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    df = curation.corpus_chunk_documents(
+        spark, sf_dir, chunk_tokens=3, stride=2,
+        token_method="bpe", merges=[("a", "b")],
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in df.collect()
+    }
+    assert got == {
+        (0, 0): (3, "ab abab"),
+        (0, 1): (2, "ab ab"),
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="token_method"):
+        curation.corpus_chunk_documents(spark, sf_dir, token_method="nope")
+
+
+def test_chunk_documents_bpe_counts_match_tokenizer_and_reconstruct(spark):
+    """The BPE chunker's token accounting equals text_bpe_tokenize's
+    n_bpe_tokens for every doc (same merge loop, same any-whitespace
+    split), and with stride == chunk_tokens the chunks concatenate
+    back to the whitespace-NORMALIZED text."""
+    from fledge_south_csvplayback_spark.operators import text as text_ops
+
+    merges = text_ops.bpe_train(spark, TEST_SF_DIR)
+    c = curation.CHUNK_TOKENS
+    df = curation.corpus_chunk_documents(
+        spark, TEST_SF_DIR, c, c, token_method="bpe", merges=merges
+    )
+    per_doc = {
+        r.doc_id: (r.n, r.txt)
+        for r in df.groupBy("doc_id")
+        .agg(
+            F.sum("n_chunk_tokens").alias("n"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ).chunk_text,
+                " ",
+            ).alias("txt"),
+        )
+        .collect()
+    }
+    want_counts = {
+        r.doc_id: r.n_bpe_tokens
+        for r in text_ops.text_bpe_tokenize(
+            spark, TEST_SF_DIR, merges=merges
+        ).collect()
+    }
+    want_text = {
+        r.doc_id: " ".join(r.text.split())
+        for r in spark.read.parquet(
+            f"{TEST_SF_DIR}/documents.parquet"
+        ).collect()
+    }
+    assert set(per_doc) == set(want_counts)
+    for doc_id, (n, txt) in per_doc.items():
+        assert n == want_counts[doc_id], doc_id
+        assert txt == want_text[doc_id], doc_id
+
+
+def test_chunk_documents_ws_default_unchanged(spark, tmp_path):
+    """token_method='ws' is the default and byte-identical to the
+    historical single-space behavior (the oracle parity tests above
+    pin it corpus-wide; this pins the dispatch)."""
+    rows = [(0, "x y z", "en", "s", 1)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    a = curation.corpus_chunk_documents(spark, sf_dir).collect()
+    b = curation.corpus_chunk_documents(
+        spark, sf_dir, token_method="ws"
+    ).collect()
+    assert a == b
+
+
 def test_chunk_documents_nonoverlap_reconstructs(spark):
     """stride == chunk_tokens: chunks partition the token stream, so
     joining them back yields the original text byte-for-byte."""
