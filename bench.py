@@ -87,6 +87,7 @@ HEADLINE = [
     "semantic_dedup",  # SemDeDup per-kmeans-cell dedup (round 7)
     "corpus_shuffle_order",  # deterministic sharded training shuffle (round 7)
     "corpus_source_divergence",  # per-source KL drift diagnostic (round 7)
+    "multimodal_image_stats",  # real PPM decode + dHash (round 9)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in

@@ -40,6 +40,7 @@ no corpus selection; its closest surface is the row-filtering in
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -58,20 +59,34 @@ QUALITY_MIN_TTR = 0.3
 QUALITY_TOKEN_LEN_RANGE = (2.0, 10.0)
 
 
+_URI_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
 def _paths_overlap(a: str, b: str) -> bool:
     """True when one path equals or CONTAINS the other — the collision
     class ``mode("overwrite")`` turns into data loss: writing to a dir
     nested inside the read path (or enclosing it) recursively deletes
-    input files while the lazy job is still reading them. Purely
-    lexical on absolute normalized paths (the corpora here are local
-    or URI-like strings; a remote URI only ever collides with an
-    identical prefix, which this catches too)."""
-    na = os.path.normpath(os.path.abspath(a))
-    nb = os.path.normpath(os.path.abspath(b))
+    input files while the lazy job is still reading them.
+
+    Local paths compare on ``realpath`` (symlink aliases of the read
+    dir resolve to the same target, so an aliased write path cannot
+    escape the guard). Strings carrying a URI scheme (``s3://…``,
+    ``hdfs://…``) are NOT coerced through ``abspath`` — that would
+    resolve them against the driver CWD — and compare on their
+    trailing-slash-normalized prefix instead. A local path and a URI
+    never collide here (different namespaces)."""
+
+    def norm(p: str) -> str:
+        if _URI_SCHEME_RE.match(p):
+            return p.rstrip("/")
+        return os.path.realpath(os.path.abspath(p))
+
+    na, nb = norm(a), norm(b)
+    sep = "/" if (_URI_SCHEME_RE.match(a) or _URI_SCHEME_RE.match(b)) else os.sep
     return (
         na == nb
-        or na.startswith(nb + os.sep)
-        or nb.startswith(na + os.sep)
+        or na.startswith(nb + sep)
+        or nb.startswith(na + sep)
     )
 
 
@@ -946,9 +961,15 @@ def corpus_chunk_documents(
     ``mapInPandas`` pass (BPE apply is inherently sequential per word
     — no Catalyst expression computes it); text is whitespace-
     NORMALIZED on this path (any-whitespace split, single-space
-    reconstruction — matching ``bpe_train``'s word counting), so
-    non-overlapping chunks concatenate back to the normalized text
-    (the reconstruction invariant pinned in tests).
+    reconstruction — matching ``bpe_train``'s word counting).
+    Word-boundary status is encoded IN the chunk text: a chunk whose
+    last token ends a word keeps its trailing space (a mid-word
+    boundary has none, and the next chunk opens with the rest of the
+    word's tokens); only the doc's final chunk is stripped. With
+    ``stride == chunk_tokens`` plain concatenation of a doc's chunks
+    therefore reproduces the normalized text EXACTLY — including
+    through mid-word boundaries — the reconstruction invariant
+    pinned in tests.
     """
     if token_method == "ws":
         return _chunk_docs(_docs(spark, sf_dir), chunk_tokens, stride)
@@ -1051,9 +1072,15 @@ def _chunk_docs_bpe(
                     out["lang"].append(row.lang)
                     for p in passthrough:
                         out[p].append(getattr(row, p))
+                    txt = "".join(pieces)
+                    if ci == n_chunks - 1:
+                        # the doc's last chunk always ends word-final;
+                        # drop its trailing space so concatenation of
+                        # all chunks reproduces the text exactly
+                        txt = txt.rstrip(" ")
                     out["chunk_id"].append(ci)
                     out["n_chunk_tokens"].append(len(sl))
-                    out["chunk_text"].append("".join(pieces).rstrip(" "))
+                    out["chunk_text"].append(txt)
             yield pd.DataFrame(out)
 
     extra = "".join(f", {p} string" for p in passthrough)
@@ -1611,6 +1638,8 @@ def quality_model_fit(
     iters: int = QMODEL_FIT_ITERS,
     lr: float = QMODEL_FIT_LR,
     l2: float = QMODEL_FIT_L2,
+    train_docs: int | None = None,
+    persist_features: bool | None = None,
 ) -> tuple[list[float], float, list[float]]:
     """Train the hashed-linear quality classifier that
     ``quality_model_score`` serves — the CCNet/RefinedWeb fasttext
@@ -1631,13 +1660,34 @@ def quality_model_fit(
     because fit is an offline stage and the md5 stays JVM-side;
     Python never hashes a token) — and each epoch is ONE narrow
     ``mapInPandas`` scan where every Arrow batch GEMM-free
-    scatter-adds its gradient contribution and emits a single
-    ``dim``-vector partial; the ≤ batches partials reduce on the
+    scatter-adds its gradient contribution into a partition-level
+    accumulator that emits a single ``dim``-vector partial per
+    PARTITION (the kmeans_fit rule: per-batch partials scale driver
+    traffic with row count); the ≤ partitions partials reduce on the
     driver, which takes the step. No shuffle at any corpus size; per
     epoch the cross-node traffic is one weight vector down and one
     partial per batch up. Deterministic: full-batch (no sampling
     order), float64 partials; cross-partition summation jitter is
     below the 1e-6 the replica test allows.
+
+    ``train_docs`` bounds fit cost at corpus scale (fasttext-style
+    practice trains the quality model on a sample, not the corpus):
+    the first ``train_docs`` docs by ``doc_id`` — the deterministic
+    ``bpe_train`` sampling rule — become the training set, making
+    per-epoch cost corpus-size-independent. The cap pays ONE
+    TakeOrdered gather up front (the only non-narrow step on this
+    path; it is outside the epoch loop), then the capped set is
+    respread across the cluster for parallel epochs.
+    ``persist_features`` caches the projected (label, buckets) frame
+    across epochs — defaults on when ``train_docs`` is set (the
+    capped frame is bounded; 30 epochs then re-scan memory, not
+    parquet) and off otherwise (persisting the full corpus projection
+    is a caller's call at 100 TB).
+
+    Null/degenerate rows: ``text`` is coalesced to ``''`` before
+    tokenizing, so a null-text doc contributes one empty-string token
+    — the same single-token bag the scorer's expression sees for an
+    empty string — instead of crashing the partials.
 
     Returns (weights[dim], bias, loss per epoch — mean logistic loss
     at the epoch's START, non-increasing on a separable fixture).
@@ -1649,8 +1699,17 @@ def quality_model_fit(
 
     if iters < 1 or dim < 1:
         raise ValueError("quality_model_fit: need iters >= 1 and dim >= 1")
-    toks = F.split(F.col("text"), " ")
-    feats = _docs(spark, sf_dir).select(
+    if train_docs is not None and train_docs < 1:
+        raise ValueError("quality_model_fit: need train_docs >= 1")
+    base = _docs(spark, sf_dir)
+    if train_docs is not None:
+        base = (
+            base.orderBy("doc_id")
+            .limit(train_docs)
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    feats = base.select(
         (F.col("source") == F.lit(target_source)).cast("double").alias("y"),
         F.transform(
             toks,
@@ -1660,69 +1719,92 @@ def quality_model_fit(
             ).cast("int"),
         ).alias("bks"),
     )
+    do_persist = (
+        persist_features
+        if persist_features is not None
+        else train_docs is not None
+    )
+    if do_persist:
+        feats = feats.persist()
 
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0
     losses: list[float] = []
-    for _ in range(iters):
-        cur_w, cur_b = w, b
+    try:
+        for _ in range(iters):
+            cur_w, cur_b = w, b
 
-        def _partials(batches, w=cur_w, b=cur_b, dim=dim):
-            import numpy as np
-            import pandas as pd
+            def _partials(batches, w=cur_w, b=cur_b, dim=dim):
+                import numpy as np
+                import pandas as pd
 
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                y = pdf["y"].to_numpy(dtype=np.float64)
-                bks = [np.asarray(a, dtype=np.int64) for a in pdf["bks"]]
-                lens = np.array([len(a) for a in bks], dtype=np.float64)
-                flat = (
-                    np.concatenate(bks)
-                    if bks
-                    else np.zeros(0, dtype=np.int64)
-                )
-                docidx = np.repeat(np.arange(len(y)), lens.astype(np.int64))
-                xw = np.bincount(
-                    docidx, weights=w[flat], minlength=len(y)
-                ) / np.maximum(lens, 1.0)
-                z = b + xw
-                p = 1.0 / (1.0 + np.exp(-z))
-                # stable logistic loss: log(1+e^-|z|) + max(z,0) - z*y
-                loss = (
-                    np.log1p(np.exp(-np.abs(z))) + np.maximum(z, 0.0) - z * y
-                ).sum()
-                r = p - y  # dL/dz per doc
-                gw = np.bincount(
-                    flat,
-                    weights=(r / np.maximum(lens, 1.0))[docidx],
-                    minlength=dim,
-                )
-                yield pd.DataFrame(
-                    {
-                        "gw": [gw],
-                        "gb": [r.sum()],
-                        "loss": [loss],
-                        "n": [len(y)],
-                    }
-                )
+                # one dim-vector partial per PARTITION, accumulated
+                # across its Arrow batches (the kmeans_fit rule after
+                # the round-9 probe: per-batch partials scale driver
+                # traffic with row count, per-partition with cluster
+                # width)
+                gw = np.zeros(dim, dtype=np.float64)
+                gb = 0.0
+                loss = 0.0
+                n_docs = 0
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    y = pdf["y"].to_numpy(dtype=np.float64)
+                    bks = [np.asarray(a, dtype=np.int64) for a in pdf["bks"]]
+                    lens = np.array([len(a) for a in bks], dtype=np.float64)
+                    flat = (
+                        np.concatenate(bks)
+                        if bks
+                        else np.zeros(0, dtype=np.int64)
+                    )
+                    docidx = np.repeat(np.arange(len(y)), lens.astype(np.int64))
+                    xw = np.bincount(
+                        docidx, weights=w[flat], minlength=len(y)
+                    ) / np.maximum(lens, 1.0)
+                    z = b + xw
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    # stable logistic loss: log(1+e^-|z|) + max(z,0) - z*y
+                    loss += (
+                        np.log1p(np.exp(-np.abs(z))) + np.maximum(z, 0.0) - z * y
+                    ).sum()
+                    r = p - y  # dL/dz per doc
+                    gw += np.bincount(
+                        flat,
+                        weights=(r / np.maximum(lens, 1.0))[docidx],
+                        minlength=dim,
+                    )
+                    gb += r.sum()
+                    n_docs += len(y)
+                if n_docs:
+                    yield pd.DataFrame(
+                        {
+                            "gw": [gw],
+                            "gb": [gb],
+                            "loss": [loss],
+                            "n": [n_docs],
+                        }
+                    )
 
-        parts = feats.mapInPandas(
-            _partials, "gw array<double>, gb double, loss double, n long"
-        ).collect()
-        n = sum(p["n"] for p in parts)
-        if n == 0:
-            raise ValueError("quality_model_fit: empty corpus")
-        gw = np.zeros(dim, dtype=np.float64)
-        gb = 0.0
-        loss = 0.0
-        for p in parts:
-            gw += np.asarray(p["gw"])
-            gb += p["gb"]
-            loss += p["loss"]
-        losses.append(float(loss / n))
-        w = w - lr * (gw / n + l2 * w)
-        b = b - lr * (gb / n)
+            parts = feats.mapInPandas(
+                _partials, "gw array<double>, gb double, loss double, n long"
+            ).collect()
+            n = sum(p["n"] for p in parts)
+            if n == 0:
+                raise ValueError("quality_model_fit: empty corpus")
+            gw = np.zeros(dim, dtype=np.float64)
+            gb = 0.0
+            loss = 0.0
+            for p in parts:
+                gw += np.asarray(p["gw"])
+                gb += p["gb"]
+                loss += p["loss"]
+            losses.append(float(loss / n))
+            w = w - lr * (gw / n + l2 * w)
+            b = b - lr * (gb / n)
+    finally:
+        if do_persist:
+            feats.unpersist()
     return [float(x) for x in w], float(b), losses
 
 
@@ -1985,13 +2067,23 @@ def write_shuffled_corpus(
     ``sortWithinPartitions(shard, skey)`` lays down training order —
     parquet preserves within-file row order. Same single-Exchange
     shape as ``corpus_shuffle_order``; the guard in
-    ``write_scrubbed_documents`` applies here too."""
+    ``write_scrubbed_documents`` applies here too.
+
+    ``shard`` and ``skey`` are this writer's RESERVED output names: a
+    corpus that already carries either (notably the output of this
+    very writer being re-sharded) has that column dropped before the
+    new assignment is computed — it is stale shuffle lineage being
+    recomputed, and passing it through would make the select below
+    ambiguous."""
     if _paths_overlap(out_dir, sf_dir):
         raise ValueError(
             f"write_shuffled_corpus: out_dir {out_dir!r} collides with "
             "the corpus read path"
         )
     base = _docs(spark, sf_dir)
+    reserved = [c for c in ("shard", "skey") if c in base.columns]
+    if reserved:
+        base = base.drop(*reserved)
     docs = base.withColumn("skey", _shuffle_key(F.col("doc_id")))
     shard = (
         F.conv(F.substring("skey", 1, 8), 16, 10).cast("long") % n_shards

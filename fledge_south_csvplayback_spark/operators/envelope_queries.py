@@ -74,6 +74,19 @@ def reading_envelope_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readings.explode_envelope(env)
 
 
+# --- round-9 registry fold: both envelope queries emit the same
+# (asset, timestamp, datapoint, value) schema over the same §1.1
+# fixture family, and the `asset` tag keeps every constituent row
+# hash-distinguishable — the csv_directory_codecs fold pattern. The
+# union holds ONE driver slot; the unmerged callables above stay
+# public and pytest-oracle-checked, and the freed slot registers
+# `corpus_shuffle_order` (exact SQL oracle, benched since round 7).
+def reading_envelope_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reading_envelope(spark, sf_dir).unionAll(
+        reading_envelope_metadata(spark, sf_dir)
+    )
+
+
 # --- burst playback throughput probe (BASELINE.md: >= 1e6 rows/sec) ---------
 def playback_burst_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full burst-mode playback pipeline over the big fact table: stamp
@@ -112,4 +125,13 @@ UNION ALL
 SELECT 'plant', timestamp, 'pressure', pressure FROM t
 UNION ALL
 SELECT 'plant', timestamp, 'metadata', '{_METADATA_LITERAL}' FROM t
+"""
+
+
+# each constituent carries its own WITH clause, so the union wraps
+# them as subqueries rather than splicing the texts
+READING_ENVELOPE_SUITE_SQL = f"""
+SELECT * FROM ({READING_ENVELOPE_SQL})
+UNION ALL
+SELECT * FROM ({READING_ENVELOPE_METADATA_SQL})
 """

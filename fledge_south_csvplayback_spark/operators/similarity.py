@@ -1121,11 +1121,16 @@ def kmeans_fit(
     done Spark-first: per iteration the k×d centroid matrix rides into
     a ``mapInPandas`` closure (driver-resident literals, the IVF
     pattern), each Arrow batch GEMMs its rows against the centroids
-    and emits k partial rows (cluster, count, Σx, Σ‖x−c‖²); the
-    ≤ batches·k partials reduce on the driver. Per iteration the data
-    is SCANNED once and never shuffled — the only cross-node traffic
-    is k·d floats down and batches·k·d partials up, so iteration cost
-    is scan-bound at any corpus size.
+    and the PARTITION accumulates them into k partial rows (cluster,
+    count, Σx, Σ‖x−c‖²) emitted once at partition end; the
+    ≤ partitions·k partials reduce on the driver. Per iteration the
+    data is SCANNED once and never shuffled — the only cross-node
+    traffic is k·d floats down and partitions·k·d partials up, so
+    iteration cost is scan-bound at any corpus size. (Per-BATCH
+    partials were the round-9 10M × k=4096 failure: ~1000 Arrow
+    batches × 4 MB of partials overflowed
+    ``spark.driver.maxResultSize`` — partition-level accumulation is
+    what keeps the driver leg flat as rows grow.)
 
     Determinism: init is the first k vectors by vec_id (the IVF
     centroid rule), assignment ties break to the lowest cluster id
@@ -1159,18 +1164,29 @@ def kmeans_fit(
 
             kk, _ = c.shape
             c_sq = (c * c).sum(axis=1)
+            # accumulate across the partition's batches and emit ONE
+            # k-row partial per PARTITION: a per-batch yield ships
+            # batches·k·d floats to the driver, which at 10M rows ×
+            # k=4096 exceeded spark.driver.maxResultSize (>1 GiB of
+            # partials — the round-9 probe failure); per-partition
+            # accumulation bounds driver traffic at partitions·k·d
+            cnt = np.zeros(kk, dtype=np.int64)
+            sums = np.zeros_like(c)
+            err = np.zeros(kk, dtype=np.float64)
+            seen = False
             for pdf in batches:
                 if not len(pdf):
                     continue
+                seen = True
                 m = np.stack(pdf["v"].to_numpy())
                 # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c): skip ||x||^2
                 d2 = c_sq[None, :] - 2.0 * (m @ c.T)
                 a = np.argmin(d2, axis=1)
                 full = d2[np.arange(len(m)), a] + (m * m).sum(axis=1)
-                cnt = np.bincount(a, minlength=kk)
-                sums = np.zeros_like(c)
+                cnt += np.bincount(a, minlength=kk)
                 np.add.at(sums, a, m)
-                err = np.bincount(a, weights=full, minlength=kk)
+                err += np.bincount(a, weights=full, minlength=kk)
+            if seen:
                 yield pd.DataFrame(
                     {
                         "cid": np.arange(kk),

@@ -12,6 +12,7 @@ from fledge_south_csvplayback_spark.registry import register
 from fledge_south_csvplayback_spark.operators import (
     clean_queries,
     csv_queries,
+    curation,
     dedup,
     envelope_queries,
     events,
@@ -81,7 +82,11 @@ register("text_fingerprint", text.text_fingerprint, text.TEXT_FINGERPRINT_SQL)
 # registered with share_scan=False pinned: the two-declarative-scan
 # shape is the 100×-scale plan (the localCheckpoint variant loses the
 # 10M probe AND re-enters the plan as Scan ExistingRDD, tripping the
-# global plan-hygiene pin) — round-8 verdict item 1
+# global plan-hygiene pin) — round-8 verdict item 1. Measured at 10M
+# docs (BASELINE.md §Round 9): logweights 78.9 s / 211 MB shuffle,
+# +71 s for the TakeOrdered select, planted target slice boosted
+# +4.7 nats over raw web — where the checkpoint variant dies on
+# unified memory.
 register(
     "corpus_dsir_select",
     selection.corpus_dsir_select_registered,
@@ -91,6 +96,14 @@ register(
     "corpus_source_divergence",
     selection.corpus_source_divergence,
     selection.CORPUS_SOURCE_DIVERGENCE_SQL,
+)
+# rotated in round 9 (slot freed by the reading_envelope fold): the
+# deterministic global shuffle — exact SQL oracle, benched since
+# round 7, 10M probe row in BASELINE.md §Round 9
+register(
+    "corpus_shuffle_order",
+    curation.corpus_shuffle_order,
+    curation.CORPUS_SHUFFLE_ORDER_SQL,
 )
 
 # --- similarity search (embeddings table) -----------------------------------
@@ -111,16 +124,22 @@ register(
     similarity.EMBEDDING_COSINE_PAIRS_SQL,
 )
 
-# --- multimodal plumbing (binary payload + mapInPandas, decode stubbed) -----
+# --- multimodal plumbing (binary payload + mapInPandas) ---------------------
 register(
     "multimodal_features",
     multimodal.multimodal_features,
     multimodal.MULTIMODAL_FEATURES_SQL,
 )
+# Round-9 registry rotation (COVERAGE.md selection rule: scale-safe /
+# highest-value variant per family): the REAL raster decode — PPM P6
+# parse + pixel sums + dHash over a declaratively-built binary payload
+# — replaces the frame-sample slice of the same multimodal fixture
+# family; `multimodal_frame_sample` stays public + pytest-oracle-
+# checked through the driver's own compare.
 register(
-    "multimodal_frame_sample",
-    multimodal.multimodal_frame_sample,
-    multimodal.MULTIMODAL_FRAMES_SQL,
+    "multimodal_image_stats",
+    multimodal.multimodal_image_stats,
+    multimodal.MULTIMODAL_IMAGE_STATS_SQL,
 )
 
 # --- CSV source layer (SURVEY.md §2.1 S3-S5, §1.4) --------------------------
@@ -171,15 +190,17 @@ register(
 register("ts_sample_delta", ts_queries.ts_sample_delta, ts_queries.TS_DELTA_SQL)
 
 # --- reading envelope (§1.1, csvplayback.py:760-771) ------------------------
+# Round-9 registry fold (COVERAGE.md selection rule): both envelope
+# queries emit the same (asset, timestamp, datapoint, value) schema
+# over the same §1.1 fixture family and the asset tag keeps every
+# constituent row hash-distinguishable, so they fold into ONE union
+# entry (the csv_directory_codecs pattern); the unmerged callables
+# stay public + pytest-oracle-checked. The freed slot registers
+# `corpus_shuffle_order` below.
 register(
-    "reading_envelope",
-    envelope_queries.reading_envelope,
-    envelope_queries.READING_ENVELOPE_SQL,
-)
-register(
-    "reading_envelope_metadata",
-    envelope_queries.reading_envelope_metadata,
-    envelope_queries.READING_ENVELOPE_METADATA_SQL,
+    "reading_envelope_suite",
+    envelope_queries.reading_envelope_suite,
+    envelope_queries.READING_ENVELOPE_SUITE_SQL,
 )
 
 # --- cleaning / NaN repair (SURVEY.md §2.5 A1-A2, §2.6 W1-W3, §2.12 E1-E2) --

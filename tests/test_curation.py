@@ -594,8 +594,10 @@ def test_chunk_documents_bpe_planted_geometry(spark, tmp_path):
         (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
         for r in df.collect()
     }
+    # chunk0 ends word-final and is not the doc's last chunk, so its
+    # trailing space is preserved (the concatenation convention)
     assert got == {
-        (0, 0): (3, "ab abab"),
+        (0, 0): (3, "ab abab "),
         (0, 1): (2, "ab ab"),
     }
     import pytest
@@ -604,11 +606,42 @@ def test_chunk_documents_bpe_planted_geometry(spark, tmp_path):
         curation.corpus_chunk_documents(spark, sf_dir, token_method="nope")
 
 
+def test_chunk_documents_bpe_midword_boundary_concat(spark, tmp_path):
+    """Planted multi-token word forcing a MID-WORD chunk boundary at
+    stride == chunk_tokens: with merges=[] every char is one BPE
+    token, so 'abcd ab' is 6 tokens and c=s=3 cuts inside 'abcd'.
+    Chunk0 must carry NO trailing space (mid-word end), chunk1 opens
+    with the rest of the word — and plain concatenation (no join
+    separator) reproduces the text exactly."""
+    rows = [(0, "abcd ab", "en", "s", 7), (1, "xy", "en", "s", 2)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    df = curation.corpus_chunk_documents(
+        spark, sf_dir, chunk_tokens=3, stride=3,
+        token_method="bpe", merges=[],
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in df.collect()
+    }
+    assert got == {
+        (0, 0): (3, "abc"),       # mid-word end: no trailing space
+        (0, 1): (3, "d ab"),      # final chunk: stripped
+        (1, 0): (2, "xy"),
+    }
+    assert "".join(
+        got[(0, ci)][1] for ci in range(2)
+    ) == "abcd ab"
+
+
 def test_chunk_documents_bpe_counts_match_tokenizer_and_reconstruct(spark):
     """The BPE chunker's token accounting equals text_bpe_tokenize's
     n_bpe_tokens for every doc (same merge loop, same any-whitespace
-    split), and with stride == chunk_tokens the chunks concatenate
-    back to the whitespace-NORMALIZED text."""
+    split), and with stride == chunk_tokens PLAIN CONCATENATION of the
+    chunks (no join separator — word-final chunk ends carry their own
+    trailing space) reproduces the whitespace-NORMALIZED text."""
     from fledge_south_csvplayback_spark.operators import text as text_ops
 
     merges = text_ops.bpe_train(spark, TEST_SF_DIR)
@@ -625,7 +658,7 @@ def test_chunk_documents_bpe_counts_match_tokenizer_and_reconstruct(spark):
                 F.array_sort(
                     F.collect_list(F.struct("chunk_id", "chunk_text"))
                 ).chunk_text,
-                " ",
+                "",
             ).alias("txt"),
         )
         .collect()
@@ -1464,3 +1497,61 @@ def test_shuffle_order_one_exchange(spark):
     }
     assert keys == {"shard"}, (keys, plan)
     assert "rangepartitioning" not in plan  # no global sort
+
+
+def test_paths_overlap_symlink_and_uri(tmp_path):
+    """The overwrite guard resolves symlink aliases of LOCAL paths
+    (realpath) and compares URI-scheme strings on normalized prefixes
+    WITHOUT abspath-coercing them against the driver CWD."""
+    import os
+
+    real = tmp_path / "corpus"
+    real.mkdir()
+    alias = tmp_path / "alias"
+    os.symlink(real, alias)
+    # a symlink alias of the read dir cannot escape the guard
+    assert curation._paths_overlap(str(alias), str(real))
+    assert curation._paths_overlap(str(alias / "out"), str(real))
+    other = tmp_path / "other"
+    other.mkdir()
+    assert not curation._paths_overlap(str(alias), str(other))
+    # URI schemes: prefix containment, trailing-slash normalized
+    assert curation._paths_overlap("s3://bucket/corpus", "s3://bucket/corpus/")
+    assert curation._paths_overlap("s3://bucket/corpus/out", "s3://bucket/corpus")
+    # sibling with a shared string prefix is NOT containment
+    assert not curation._paths_overlap("s3://bucket/corpus2", "s3://bucket/corpus")
+    # a URI never collides with a local path spelled like its suffix
+    assert not curation._paths_overlap("s3://bucket/corpus", "/bucket/corpus")
+
+
+def test_write_shuffled_corpus_reserved_columns_reshard(spark, tmp_path):
+    """'shard'/'skey' are the writer's reserved output names: an input
+    that already carries them (re-sharding a previous export) has the
+    stale lineage dropped instead of hitting an ambiguous-column
+    AnalysisException; other columns still pass through."""
+    import os
+
+    sf_dir = str(tmp_path / "raw")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [
+            (0, "body zero", "en", 9, "old-a", 3, "train"),
+            (1, "body one", "en", 8, "old-b", 1, "val"),
+        ],
+        "doc_id long, text string, lang string, n_chars long, "
+        "skey string, shard long, split string",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "reshuffled")
+    curation.write_shuffled_corpus(spark, sf_dir, out, n_shards=2)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {
+        "doc_id", "text", "lang", "n_chars", "split", "shard"
+    }
+    rows = {r.doc_id: r for r in got.collect()}
+    assert len(rows) == 2 and rows[1].split == "val"
+    # the new shard assignment is the salted-hash rule, not the stale one
+    import hashlib
+
+    for doc_id, r in rows.items():
+        h = hashlib.md5(f"shuffle:{doc_id}".encode()).hexdigest()
+        assert r.shard == int(h[:8], 16) % 2

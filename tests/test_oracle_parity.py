@@ -36,3 +36,17 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns[0] == "l_returnflag"
+
+
+def test_envelope_constituents_oracle_parity(spark):
+    """The two §1.1 envelope queries folded into reading_envelope_suite
+    in round 9 keep the driver's own value check here (the
+    de-registration convention: the check moves, it never weakens)."""
+    from fledge_south_csvplayback_spark.operators import envelope_queries as E
+
+    for fn, sql in (
+        (E.reading_envelope, E.READING_ENVELOPE_SQL),
+        (E.reading_envelope_metadata, E.READING_ENVELOPE_METADATA_SQL),
+    ):
+        ok, msg = compare(fn(spark, TEST_SF_DIR), sql, TEST_SF_DIR)
+        assert ok, f"{fn.__name__}: {msg}"

@@ -99,20 +99,26 @@ def _fit_numpy_replica(rows, target, dim, iters, lr, l2):
             np.array(
                 [
                     int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
-                    for t in text.split(" ")
+                    # null text coalesces to '' exactly like the fit
+                    for t in (text or "").split(" ")
                 ],
                 dtype=np.int64,
             )
         )
     y = np.array(ys)
     lens = np.array([len(a) for a in bks], dtype=np.float64)
+    # same degenerate-row guard as the fit (curation.quality_model_fit
+    # divides by max(lens, 1) but repeats by RAW lens); split(' ')
+    # never yields an empty array so the guard is a no-op in both —
+    # parity by construction
+    div = np.maximum(lens, 1.0)
     flat = np.concatenate(bks)
     docidx = np.repeat(np.arange(len(y)), lens.astype(np.int64))
     w = np.zeros(dim)
     b = 0.0
     losses = []
     for _ in range(iters):
-        xw = np.bincount(docidx, weights=w[flat], minlength=len(y)) / lens
+        xw = np.bincount(docidx, weights=w[flat], minlength=len(y)) / div
         z = b + xw
         p = 1.0 / (1.0 + np.exp(-z))
         losses.append(
@@ -125,7 +131,7 @@ def _fit_numpy_replica(rows, target, dim, iters, lr, l2):
             )
         )
         r = p - y
-        gw = np.bincount(flat, weights=(r / lens)[docidx], minlength=dim)
+        gw = np.bincount(flat, weights=(r / div)[docidx], minlength=dim)
         w = w - lr * (gw / len(y) + l2 * w)
         b = b - lr * (r.sum() / len(y))
     return w, b, losses
@@ -208,3 +214,71 @@ def test_quality_model_fit_plan_no_shuffle(spark, tmp_path):
     )
     plan = feats._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_quality_model_fit_degenerate_rows(spark, tmp_path):
+    """Null-text and empty-text docs fit without crashing (text
+    coalesces to '' -> one empty-string token, the lens guard never
+    divides by zero) and the result still equals the replica."""
+    import numpy as np
+
+    sf_dir = str(tmp_path)
+    rows = [
+        (0, "good clean prose", "en", "tgt", 0),
+        (1, "zz9 spam09 junk", "en", "web", 0),
+        (2, None, "en", "web", 0),
+        (3, "", "en", "web", 0),
+        (4, "   ", "en", "tgt", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    iters = 5
+    w, b, losses = curation.quality_model_fit(
+        spark, sf_dir, target_source="tgt", iters=iters
+    )
+    rows_rt = [
+        (r.source, r.text)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    ww, wb, wl = _fit_numpy_replica(
+        rows_rt, "tgt", curation.QMODEL_DIM, iters,
+        curation.QMODEL_FIT_LR, curation.QMODEL_FIT_L2,
+    )
+    assert np.allclose(np.array(w), ww, atol=1e-9)
+    assert abs(b - wb) <= 1e-9
+    assert np.allclose(np.array(losses), wl, atol=1e-9)
+
+
+def test_quality_model_fit_train_docs_cap(spark, tmp_path):
+    """train_docs bounds the fit to the first N docs by doc_id (the
+    bpe_train sampling rule): the capped fit equals the replica run on
+    exactly that slice, not the full corpus, and validation rejects a
+    non-positive cap."""
+    import numpy as np
+
+    sf_dir = str(tmp_path)
+    _fit_fixture(spark, sf_dir)
+    iters = 5
+    cap = 30
+    w, b, losses = curation.quality_model_fit(
+        spark, sf_dir, target_source="tgt", iters=iters, train_docs=cap
+    )
+    rows = sorted(
+        (r.doc_id, r.source, r.text)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    )[:cap]
+    ww, wb, wl = _fit_numpy_replica(
+        [(s, t) for _, s, t in rows], "tgt", curation.QMODEL_DIM, iters,
+        curation.QMODEL_FIT_LR, curation.QMODEL_FIT_L2,
+    )
+    assert np.allclose(np.array(w), ww, atol=1e-9)
+    assert abs(b - wb) <= 1e-9
+    assert np.allclose(np.array(losses), wl, atol=1e-9)
+    # the cap actually changed the model vs the full-corpus fit
+    wf, _, _ = curation.quality_model_fit(
+        spark, sf_dir, target_source="tgt", iters=iters
+    )
+    assert not np.allclose(np.array(w), np.array(wf), atol=1e-9)
+    with pytest.raises(ValueError, match="train_docs"):
+        curation.quality_model_fit(spark, sf_dir, train_docs=0)
