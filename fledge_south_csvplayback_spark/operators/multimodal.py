@@ -6,11 +6,14 @@ feature-extract / frame-sample as Arrow-batched Python over
 ``mapInPandas``. Formats needing codec libraries (PNG/JPEG via PIL,
 audio/video via ffmpeg) are not decodable in this container, so THAT
 decode path fails loudly with ``NotImplementedError`` rather than
-fake-succeeding. Two decode paths are REAL: ``text/plain`` payloads
-pass through byte-exact, and PPM P6 rasters go through a genuine
+fake-succeeding. Three decode paths are REAL: ``text/plain`` payloads
+pass through byte-exact, PPM P6 rasters go through a genuine
 pure-Python parser (``image_stats``: header tokenizer with netpbm
 comment handling, dimension/maxval/buffer validation, per-channel
-pixel sums, 64-bit dHash) — the binary column build, the metadata
+pixel sums, 64-bit dHash), and RIFF/WAVE PCM16 audio goes through a
+generic chunk-walking parser (``audio_stats``: fmt/data validation,
+exact peak/energy/zero-crossing stats) — the binary column build,
+the metadata
 struct, the mapInPandas batch signature, the output schema, and the
 per-partition batch iteration are the same plumbing a codec-backed
 decoder would use, and the math is deterministic so the whole
@@ -352,3 +355,306 @@ SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
        CAST(GREATEST(0, LEAST(chunk, n - i * chunk)) AS INTEGER) AS frame_bytes
 FROM m, unnest(generate_series(0, {N_FRAMES - 1})) t(i)
 """
+
+
+# --- real audio decode: WAV (RIFF/PCM16) + exact signal stats ----------------
+# The audio analogue of the PPM path: RIFF/WAVE PCM is a chunked
+# container a pure-Python parser handles generically — no codec
+# library involved — so the audio decode stage is REAL too.
+WAV_RATE = 8000
+WAV_SAMPLES = 256
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_samples int, "
+    "peak int, sum_abs bigint, sum_sq bigint, zero_crossings int"
+)
+
+
+def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload binary, meta struct) where the
+    payload is a complete deterministic mono PCM16 WAV: sample ``i``
+    of doc ``d`` is ``((d*7 + i*13) % 2048) - 1024``. Like
+    ``image_table``, construction is declarative — each sample becomes
+    its little-endian int16 hex (byte-swapped ``lpad(hex(...))``) and
+    ``unhex`` builds the data chunk after the fixed RIFF/fmt header —
+    so payload synthesis is JVM-side; only the decode is Python."""
+    import struct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n, rate = WAV_SAMPLES, WAV_RATE
+    data_bytes = n * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_bytes)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_bytes)
+    )
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+    sample = F.transform(
+        idx, lambda i: (F.col("doc_id") * 7 + i * 13) % 2048 - 1024
+    )
+    le16 = F.transform(
+        sample,
+        lambda s: F.concat(
+            F.substring(F.lpad(F.hex(F.pmod(s, F.lit(65536))), 4, "0"), 3, 2),
+            F.substring(F.lpad(F.hex(F.pmod(s, F.lit(65536))), 4, "0"), 1, 2),
+        ),
+    )
+    payload = F.concat(
+        F.lit(bytearray(header)).cast("binary"),
+        F.unhex(F.concat_ws("", le16)),
+    )
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("media_type"),
+            F.octet_length(payload).alias("declared_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _make_wav_decoder():
+    """Factory (cloudpickle by-value) for a generic RIFF/WAVE PCM16
+    parser: walks the chunk list (word-aligned, per the RIFF spec),
+    reads 'fmt ' and 'data', validates PCM/16-bit, and returns
+    (sample_rate, channels, samples as a list of signed int16)."""
+
+    def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+        import struct
+
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError(
+                f"not a RIFF/WAVE payload: {payload[:4]!r}/{payload[8:12]!r}"
+            )
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + size]
+            if len(body) != size:
+                raise ValueError(f"truncated {cid!r} chunk")
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("missing fmt /data chunk")
+        audio_format, channels, rate, _, _, bits = fmt
+        if audio_format != 1 or bits != 16:
+            raise ValueError(
+                f"only PCM16 supported, got format={audio_format} bits={bits}"
+            )
+        if len(data) % 2:
+            raise ValueError("odd PCM16 data length")
+        samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+        return rate, channels, samples
+
+    return decode_wav
+
+
+_decode_wav = _make_wav_decoder()
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Decode every WAV payload and emit exact integer signal stats:
+    peak = max |s|, sum_abs, sum_sq (energy), and the zero-crossing
+    count (sign(s[i-1]) != sign(s[i]) with sign := s < 0) — the
+    classic cheap voiced/unvoiced + loudness features. Integers only,
+    so the oracle compare has no float tolerance. One mapInPandas
+    pass, no shuffle."""
+    decode = _decode_wav  # closure capture -> pickled by value
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "sample_rate": [],
+                "channels": [],
+                "n_samples": [],
+                "peak": [],
+                "sum_abs": [],
+                "sum_sq": [],
+                "zero_crossings": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, channels, s = decode(payload)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["n_samples"].append(len(s))
+                out["peak"].append(max((abs(x) for x in s), default=0))
+                out["sum_abs"].append(sum(abs(x) for x in s))
+                out["sum_sq"].append(sum(x * x for x in s))
+                out["zero_crossings"].append(
+                    sum(
+                        1
+                        for a, b in zip(s, s[1:])
+                        if (a < 0) != (b < 0)
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_stats(audio_table(spark, sf_dir))
+
+
+# closed-form oracle over the same sample formula (pytest-checked via
+# the driver's own compare; off-registry under the 50-entry cap)
+MULTIMODAL_AUDIO_STATS_SQL = f"""
+WITH s AS (
+    SELECT doc_id,
+           list_transform(range(0, {WAV_SAMPLES}),
+                          i -> (doc_id * 7 + i * 13) % 2048 - 1024) AS v
+    FROM documents
+)
+SELECT doc_id,
+       CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST({WAV_SAMPLES} AS INTEGER) AS n_samples,
+       CAST(list_max(list_transform(v, x -> abs(x))) AS INTEGER) AS peak,
+       CAST(list_aggregate(list_transform(v, x -> abs(x)), 'sum')
+            AS BIGINT) AS sum_abs,
+       CAST(list_aggregate(list_transform(v, x -> x * x), 'sum')
+            AS BIGINT) AS sum_sq,
+       CAST(list_aggregate(
+            list_transform(range(1, {WAV_SAMPLES}),
+                i -> CASE WHEN (v[i] < 0) != (v[i+1] < 0)
+                     THEN 1 ELSE 0 END),
+            'sum') AS INTEGER) AS zero_crossings
+FROM s
+"""
+
+
+# --- image near-dup pairs over the dHash column ------------------------------
+IMG_MAX_HAMMING = 4
+IMG_BANDS = IMG_H  # one 8-bit band per dHash row byte
+IMG_BLOCK_M = 2  # bands per candidate key (Manku blocked scheme)
+
+
+def image_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = IMG_MAX_HAMMING,
+    m: int = IMG_BLOCK_M,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by dHash Hamming distance — the
+    image-side analogue of the text SimHash path, reusing the repo's
+    blocked candidate scheme (Manku WWW'07, `dedup.dedup_simhash_
+    blocked`) instead of the classic single-band join: each of
+    C(8, m) tables keys on the CONCATENATION of m of the hash's 8
+    row-bytes, so buckets shrink from a 256-value keyspace to
+    2^(8m) and candidate volume stays ~C(8,m)·N·B instead of N²/256
+    on hash-diverse corpora. A pair within Hamming ≤ 8-m is GUARANTEED
+    a clean m-subset (H dirty bits dirty ≤ H bands); with the defaults
+    (m=2, max_hamming=4) detection is exact, not probabilistic.
+
+    Verification is per-band: Σ over the 8 bands of
+    ``bit_count(band_a XOR band_b)`` — 8-bit values, so no signed-
+    64-bit ``conv`` overflow anywhere. Plan: one narrow decode scan →
+    explode C(8,m) keys → fine-grained (tbl, key) equi-join →
+    distinct → codegen'd Hamming filter; the same posting-list shape
+    as the Jaccard/SimHash dedup family.
+    """
+    import itertools
+
+    if not (1 <= m <= IMG_BANDS):
+        raise ValueError(f"need 1 <= m <= {IMG_BANDS}, got {m}")
+    if max_hamming > IMG_BANDS - m:
+        raise ValueError(
+            f"max_hamming {max_hamming} beyond the exact-detection bound "
+            f"{IMG_BANDS - m} for m={m}; lower m or max_hamming"
+        )
+    st = image_stats(image_table(spark, sf_dir)).select("doc_id", "dhash")
+
+    def band(col: str, i: int) -> Column:
+        return F.substring(col, 1 + 2 * i, 2)
+
+    combos = list(itertools.combinations(range(IMG_BANDS), m))
+    keys = st.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.concat(*[band("dhash", i) for i in c]).alias("kk"),
+                    )
+                    for t, c in enumerate(combos)
+                ]
+            )
+        ).alias("tk"),
+    ).select("doc_id", "dhash", "tk.tbl", "tk.kk")
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, ["tbl", "kk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("dhash_a"),
+            F.col("b.dhash").alias("dhash_b"),
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(
+            F.conv(band("dhash_a", i), 16, 10).cast("long").bitwiseXOR(
+                F.conv(band("dhash_b", i), 16, 10).cast("long")
+            )
+        )
+        for i in range(IMG_BANDS)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _image_neardup_sql(
+    max_hamming: int = IMG_MAX_HAMMING, m: int = IMG_BLOCK_M
+) -> str:
+    import itertools
+
+    combos = list(itertools.combinations(range(IMG_BANDS), m))
+    key_rows = ", ".join(
+        "({t}, {parts})".format(
+            t=t,
+            parts=" || ".join(
+                f"substr(dhash, {1 + 2 * i}, 2)" for i in c
+            ),
+        )
+        for t, c in enumerate(combos)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(('0x' || substr(dhash_a, {1 + 2 * i}, 2))::BIGINT, "
+        f"('0x' || substr(dhash_b, {1 + 2 * i}, 2))::BIGINT))"
+        for i in range(IMG_BANDS)
+    )
+    return f"""
+WITH st AS ({MULTIMODAL_IMAGE_STATS_SQL}),
+keys AS (
+    SELECT doc_id, dhash, t.tbl, t.kk
+    FROM st, LATERAL (VALUES {key_rows}) t(tbl, kk)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.dhash AS dhash_a, b.dhash AS dhash_b
+    FROM keys a JOIN keys b USING (tbl, kk)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand
+WHERE {ham} <= {max_hamming}
+"""
+
+
+IMAGE_NEARDUP_SQL = _image_neardup_sql()

@@ -267,6 +267,7 @@ def corpus_dsir_select(
     smooth: float = DSIR_SMOOTH,
     hash_method: str = "md5",
     share_scan: bool | None = None,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR selection: the ``n_select`` documents with the highest
     Gumbel-perturbed log importance weight — a deterministic sample
@@ -276,10 +277,28 @@ def corpus_dsir_select(
     ``score = round(logw + gumbel(doc_id), 6)``; ties (and cross-
     engine float-summation jitter, killed by the rounding) break on
     doc_id. ORDER BY + LIMIT plans as TakeOrderedAndProject — no
-    global sort Exchange on top of ``dsir_logweights``' two."""
-    w = dsir_logweights(
-        spark, sf_dir, target_source, buckets, smooth, hash_method, share_scan
-    )
+    global sort Exchange on top of ``dsir_logweights``' two.
+
+    ``weights``: a precomputed ``dsir_logweights`` frame (doc_id,
+    n_grams, logw) to select from. A caller that keeps the weights —
+    diagnostics, several ``n_select`` cuts, a score-threshold variant
+    — should compute them ONCE and pass the frame (or its persisted/
+    written-out form): self-contained select re-derives the weights
+    from the corpus, which at 10M docs repaid the full two-scan cost
+    on top of the logweights pass (78.9 s + 71.0 s, BASELINE.md
+    §Round 9)."""
+    if weights is not None:
+        missing = {"doc_id", "n_grams", "logw"} - set(weights.columns)
+        if missing:
+            raise ValueError(
+                f"weights frame lacks column(s) {sorted(missing)}"
+            )
+        w = weights
+    else:
+        w = dsir_logweights(
+            spark, sf_dir, target_source, buckets, smooth, hash_method,
+            share_scan,
+        )
     score = F.round(F.col("logw") + _gumbel(F.col("doc_id")), 6)
     return (
         w.select(

@@ -114,3 +114,99 @@ def test_image_dhash_brightness_invariant():
     # sanity: a genuinely different image differs
     other = [(i * 91 + 3) % 256 for i in range(9 * 8 * 3)]
     assert dhash(base) != dhash(other)
+
+
+# --- real WAV decode -----------------------------------------------------
+def test_wav_parser_roundtrip_and_malformed():
+    import struct
+
+    samples = [0, 100, -100, 32767, -32768, 5]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert M._decode_wav(wav) == (8000, 1, samples)
+    # an extra odd-sized chunk before data exercises word alignment
+    wav2 = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert M._decode_wav(wav2) == (44100, 2, samples)
+    with pytest.raises(ValueError, match="RIFF"):
+        M._decode_wav(b"OggS" + wav[4:])
+    with pytest.raises(ValueError, match="PCM16"):
+        bad = wav.replace(
+            struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16),
+            struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32),
+        )
+        M._decode_wav(bad)
+    with pytest.raises(ValueError, match="missing"):
+        M._decode_wav(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        M._decode_wav(wav[:-2])
+
+
+def test_audio_stats_oracle_parity(spark):
+    """End-to-end WAV encode -> parse -> stats matches the closed-form
+    DuckDB recomputation (the driver's own compare; off-registry under
+    the 50-entry cap)."""
+    from tests.conftest import ORACLE_SF_DIR
+    from tests.oracle_harness import compare
+
+    for sf_dir in (TEST_SF_DIR, ORACLE_SF_DIR):
+        df = M.multimodal_audio_stats(spark, sf_dir)
+        ok, msg = compare(df, M.MULTIMODAL_AUDIO_STATS_SQL, sf_dir)
+        assert ok, msg
+
+
+def test_audio_stats_hand_computed(spark, tmp_path):
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(3, "x", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    got = M.multimodal_audio_stats(spark, sf_dir).collect()[0]
+    s = [(3 * 7 + i * 13) % 2048 - 1024 for i in range(M.WAV_SAMPLES)]
+    assert (got.sample_rate, got.channels, got.n_samples) == (
+        M.WAV_RATE, 1, M.WAV_SAMPLES,
+    )
+    assert got.peak == max(abs(x) for x in s)
+    assert got.sum_abs == sum(abs(x) for x in s)
+    assert got.sum_sq == sum(x * x for x in s)
+    assert got.zero_crossings == sum(
+        1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0)
+    )
+
+
+def test_image_neardup_oracle_parity(spark):
+    """Blocked dHash band join == the DuckDB oracle (same 28 tables,
+    same per-band XOR popcount) at sf0.001."""
+    from tests.oracle_harness import compare
+
+    df = M.image_neardup_pairs(spark, TEST_SF_DIR)
+    ok, msg = compare(df, M.IMAGE_NEARDUP_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+
+def test_image_neardup_planted_and_validation(spark, tmp_path):
+    """doc_id and doc_id+256 render the identical image (the pixel
+    formula is 256-periodic in doc_id), so the pair comes back at
+    Hamming 0; the exact-detection bound is enforced."""
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(d, "x", "en", "s", 1) for d in (5, 261, 1000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    rows = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in M.image_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert rows[(5, 261)] == 0
+    with pytest.raises(ValueError, match="exact-detection"):
+        M.image_neardup_pairs(spark, sf_dir, max_hamming=7)
+    with pytest.raises(ValueError, match="1 <= m"):
+        M.image_neardup_pairs(spark, sf_dir, m=0)

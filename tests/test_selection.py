@@ -236,3 +236,27 @@ def test_source_divergence_no_joins(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_select_reuses_precomputed_weights(spark):
+    """Passing a precomputed dsir_logweights frame skips the weight
+    re-derivation (the 10M probe's +71 s) and selects the identical
+    set; a frame missing the weight columns is rejected."""
+    import pytest
+
+    w = selection.dsir_logweights(spark, TEST_SF_DIR)
+    got = {
+        (r.doc_id, r.logw, r.score)
+        for r in selection.corpus_dsir_select(
+            spark, TEST_SF_DIR, weights=w
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.logw, r.score)
+        for r in selection.corpus_dsir_select(spark, TEST_SF_DIR).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="logw"):
+        selection.corpus_dsir_select(
+            spark, TEST_SF_DIR, weights=w.select("doc_id", "n_grams")
+        )
