@@ -242,43 +242,95 @@ def image_stats(media: DataFrame) -> DataFrame:
     the image-side analogue of the SimHash text path.
 
     One mapInPandas pass, no shuffle; channel sums are exact integers
-    (no float tolerance in the oracle compare)."""
+    (no float tolerance in the oracle compare). After the header
+    parse, rows of the standard one-byte-per-row geometry (W = 9)
+    stack into ONE numpy matrix per batch — channel sums, gray plane,
+    gradient comparisons, and ``packbits`` all run vectorized (the
+    pure-Python pixel loops were the measured bottleneck: ~34 µs/doc
+    at the 200k probe); other geometries take the scalar fallback.
+    Python-side byte equality of both paths is pinned in tests."""
     decode = _decode_ppm  # closure capture -> pickled by value
 
+    def scalar_row(w, h, buf):
+        gray = [
+            (buf[3 * k] + buf[3 * k + 1] + buf[3 * k + 2]) // 3
+            for k in range(w * h)
+        ]
+        hash_hex = []
+        for r in range(h):
+            byte = 0
+            for c in range(w - 1):
+                if gray[r * w + c] < gray[r * w + c + 1]:
+                    byte |= 1 << (w - 2 - c)
+            hash_hex.append(f"{byte:0{-(-(w - 1) // 4)}x}")
+        return (
+            sum(buf[0::3]),
+            sum(buf[1::3]),
+            sum(buf[2::3]),
+            "".join(hash_hex),
+        )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            out: dict[str, list] = {
-                "doc_id": [],
-                "width": [],
-                "height": [],
-                "maxval": [],
-                "sum_r": [],
-                "sum_g": [],
-                "sum_b": [],
-                "dhash": [],
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(pdf)
+            if not n:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()
+            widths = np.empty(n, dtype=np.int32)
+            heights = np.empty(n, dtype=np.int32)
+            maxvals = np.empty(n, dtype=np.int32)
+            sums = np.empty((n, 3), dtype=np.int64)
+            dhashes: list[str | None] = [None] * n
+            bufs: list[bytes] = [b""] * n
+            for i, payload in enumerate(pdf["payload"]):
                 w, h, maxval, buf = decode(payload)
-                gray = [
-                    (buf[3 * k] + buf[3 * k + 1] + buf[3 * k + 2]) // 3
-                    for k in range(w * h)
-                ]
-                hash_hex = []
-                for r in range(h):
-                    byte = 0
-                    for c in range(w - 1):
-                        if gray[r * w + c] < gray[r * w + c + 1]:
-                            byte |= 1 << (w - 2 - c)
-                    hash_hex.append(f"{byte:0{-(-(w - 1) // 4)}x}")
-                out["doc_id"].append(doc_id)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["maxval"].append(maxval)
-                out["sum_r"].append(sum(buf[0::3]))
-                out["sum_g"].append(sum(buf[1::3]))
-                out["sum_b"].append(sum(buf[2::3]))
-                out["dhash"].append("".join(hash_hex))
-            yield pd.DataFrame(out)
+                widths[i], heights[i], maxvals[i] = w, h, maxval
+                bufs[i] = buf
+            # vectorized fast path per (w, h) group with w == 9 (one
+            # dHash byte per row); scalar fallback otherwise
+            order = np.lexsort((heights, widths))
+            pos = 0
+            while pos < n:
+                w, h = int(widths[order[pos]]), int(heights[order[pos]])
+                end = pos
+                while (
+                    end < n
+                    and widths[order[end]] == w
+                    and heights[order[end]] == h
+                ):
+                    end += 1
+                idx = order[pos:end]
+                pos = end
+                if w != 9:
+                    for i in idx:
+                        sr, sg, sb, dh = scalar_row(w, h, bufs[i])
+                        sums[i] = (sr, sg, sb)
+                        dhashes[i] = dh
+                    continue
+                px = np.stack(
+                    [np.frombuffer(bufs[i], dtype=np.uint8) for i in idx]
+                ).astype(np.int64).reshape(len(idx), w * h, 3)
+                sums[idx] = px.sum(axis=1)
+                gray = (px.sum(axis=2) // 3).reshape(len(idx), h, w)
+                bits = gray[:, :, :-1] < gray[:, :, 1:]
+                packed = np.packbits(bits, axis=-1, bitorder="big")
+                packed = packed.reshape(len(idx), h)
+                for j, i in enumerate(idx):
+                    dhashes[i] = packed[j].tobytes().hex()
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "width": widths,
+                    "height": heights,
+                    "maxval": maxvals,
+                    "sum_r": sums[:, 0],
+                    "sum_g": sums[:, 1],
+                    "sum_b": sums[:, 2],
+                    "dhash": dhashes,
+                }
+            )
 
     return media.mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
@@ -532,10 +584,122 @@ FROM s
 """
 
 
-# --- image near-dup pairs over the dHash column ------------------------------
+# --- blocked Hamming near-dup join over a hex fingerprint column -------------
+# Shared by the image dHash and audio energy-fingerprint paths: a
+# fingerprint is 2*n_bands hex chars (one byte per band); candidates
+# come from C(n_bands, m) tables keyed on m-band concatenations (Manku
+# WWW'07), exact for Hamming <= n_bands - m; verification is per-band
+# XOR popcount (8-bit values, no signed-64 conv overflow).
 IMG_MAX_HAMMING = 4
 IMG_BANDS = IMG_H  # one 8-bit band per dHash row byte
 IMG_BLOCK_M = 2  # bands per candidate key (Manku blocked scheme)
+
+
+def _band_neardup_pairs(
+    st: DataFrame,
+    hash_col: str,
+    n_bands: int,
+    m: int,
+    max_hamming: int,
+) -> DataFrame:
+    """(doc_id, <hash_col>) frame -> (doc_a, doc_b, hamming) pairs with
+    Hamming <= max_hamming, via the blocked candidate scheme. Plan: one
+    narrow scan -> explode C(n_bands, m) keys -> fine-grained
+    (tbl, key) equi-join -> distinct -> codegen'd Hamming filter."""
+    import itertools
+
+    if not (1 <= m <= n_bands):
+        raise ValueError(f"need 1 <= m <= {n_bands}, got {m}")
+    if max_hamming > n_bands - m:
+        raise ValueError(
+            f"max_hamming {max_hamming} beyond the exact-detection bound "
+            f"{n_bands - m} for m={m}; lower m or max_hamming"
+        )
+
+    def band(col: str, i: int) -> Column:
+        return F.substring(col, 1 + 2 * i, 2)
+
+    combos = list(itertools.combinations(range(n_bands), m))
+    keys = st.select(
+        "doc_id",
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.concat(*[band(hash_col, i) for i in c]).alias("kk"),
+                    )
+                    for t, c in enumerate(combos)
+                ]
+            )
+        ).alias("tk"),
+    ).select("doc_id", hash_col, "tk.tbl", "tk.kk")
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, ["tbl", "kk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col(f"a.{hash_col}").alias("fp_a"),
+            F.col(f"b.{hash_col}").alias("fp_b"),
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(
+            F.conv(band("fp_a", i), 16, 10).cast("long").bitwiseXOR(
+                F.conv(band("fp_b", i), 16, 10).cast("long")
+            )
+        )
+        for i in range(n_bands)
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _band_neardup_sql(
+    stats_sql: str, hash_col: str, n_bands: int, m: int, max_hamming: int
+) -> str:
+    """DuckDB twin of ``_band_neardup_pairs``: identical tables,
+    identical per-band XOR popcount, over the given stats CTE."""
+    import itertools
+
+    combos = list(itertools.combinations(range(n_bands), m))
+    key_rows = ", ".join(
+        "({t}, {parts})".format(
+            t=t,
+            parts=" || ".join(
+                f"substr({hash_col}, {1 + 2 * i}, 2)" for i in c
+            ),
+        )
+        for t, c in enumerate(combos)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(('0x' || substr(fp_a, {1 + 2 * i}, 2))::BIGINT, "
+        f"('0x' || substr(fp_b, {1 + 2 * i}, 2))::BIGINT))"
+        for i in range(n_bands)
+    )
+    return f"""
+WITH st AS ({stats_sql}),
+keys AS (
+    SELECT doc_id, {hash_col}, t.tbl, t.kk
+    FROM st, LATERAL (VALUES {key_rows}) t(tbl, kk)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.{hash_col} AS fp_a, b.{hash_col} AS fp_b
+    FROM keys a JOIN keys b USING (tbl, kk)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS INTEGER) AS hamming
+FROM cand
+WHERE {ham} <= {max_hamming}
+"""
 
 
 def image_neardup_pairs(
@@ -543,6 +707,7 @@ def image_neardup_pairs(
     sf_dir: str,
     max_hamming: int = IMG_MAX_HAMMING,
     m: int = IMG_BLOCK_M,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by dHash Hamming distance — the
     image-side analogue of the text SimHash path, reusing the repo's
@@ -561,100 +726,163 @@ def image_neardup_pairs(
     explode C(8,m) keys → fine-grained (tbl, key) equi-join →
     distinct → codegen'd Hamming filter; the same posting-list shape
     as the Jaccard/SimHash dedup family.
+
+    Sizing ``m`` at scale: candidate volume on hash-diverse corpora is
+    ~C(8,m) · 2^(8m) · C(N/2^(8m), 2); at 10M docs the m=2 default's
+    16-bit keys leave ~150 docs/bucket (~2e10 candidates — too many),
+    while m=3's 24-bit keys leave buckets below one doc (~2e8) at the
+    cost of lowering the exact-detection bound to Hamming ≤ 5. Pass
+    ``stats`` (a precomputed (doc_id, dhash) frame — production images
+    arrive with real hashes, and re-decoding for every join is waste)
+    to decouple the join from the synthetic decode path.
     """
-    import itertools
-
-    if not (1 <= m <= IMG_BANDS):
-        raise ValueError(f"need 1 <= m <= {IMG_BANDS}, got {m}")
-    if max_hamming > IMG_BANDS - m:
-        raise ValueError(
-            f"max_hamming {max_hamming} beyond the exact-detection bound "
-            f"{IMG_BANDS - m} for m={m}; lower m or max_hamming"
-        )
-    st = image_stats(image_table(spark, sf_dir)).select("doc_id", "dhash")
-
-    def band(col: str, i: int) -> Column:
-        return F.substring(col, 1 + 2 * i, 2)
-
-    combos = list(itertools.combinations(range(IMG_BANDS), m))
-    keys = st.select(
-        "doc_id",
-        "dhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        F.concat(*[band("dhash", i) for i in c]).alias("kk"),
-                    )
-                    for t, c in enumerate(combos)
-                ]
-            )
-        ).alias("tk"),
-    ).select("doc_id", "dhash", "tk.tbl", "tk.kk")
-    a, b = keys.alias("a"), keys.alias("b")
-    cand = (
-        a.join(b, ["tbl", "kk"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.dhash").alias("dhash_a"),
-            F.col("b.dhash").alias("dhash_b"),
-        )
-        .distinct()
-    )
-    ham = sum(
-        F.bit_count(
-            F.conv(band("dhash_a", i), 16, 10).cast("long").bitwiseXOR(
-                F.conv(band("dhash_b", i), 16, 10).cast("long")
-            )
-        )
-        for i in range(IMG_BANDS)
-    )
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    if stats is not None:
+        missing = {"doc_id", "dhash"} - set(stats.columns)
+        if missing:
+            raise ValueError(f"stats frame lacks column(s) {sorted(missing)}")
+        st = stats.select("doc_id", "dhash")
+    else:
+        st = image_stats(image_table(spark, sf_dir)).select("doc_id", "dhash")
+    return _band_neardup_pairs(st, "dhash", IMG_BANDS, m, max_hamming)
 
 
-def _image_neardup_sql(
-    max_hamming: int = IMG_MAX_HAMMING, m: int = IMG_BLOCK_M
-) -> str:
-    import itertools
-
-    combos = list(itertools.combinations(range(IMG_BANDS), m))
-    key_rows = ", ".join(
-        "({t}, {parts})".format(
-            t=t,
-            parts=" || ".join(
-                f"substr(dhash, {1 + 2 * i}, 2)" for i in c
-            ),
-        )
-        for t, c in enumerate(combos)
-    )
-    ham = " + ".join(
-        f"bit_count(xor(('0x' || substr(dhash_a, {1 + 2 * i}, 2))::BIGINT, "
-        f"('0x' || substr(dhash_b, {1 + 2 * i}, 2))::BIGINT))"
-        for i in range(IMG_BANDS)
-    )
-    return f"""
-WITH st AS ({MULTIMODAL_IMAGE_STATS_SQL}),
-keys AS (
-    SELECT doc_id, dhash, t.tbl, t.kk
-    FROM st, LATERAL (VALUES {key_rows}) t(tbl, kk)
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           a.dhash AS dhash_a, b.dhash AS dhash_b
-    FROM keys a JOIN keys b USING (tbl, kk)
-    WHERE a.doc_id < b.doc_id
+IMAGE_NEARDUP_SQL = _band_neardup_sql(
+    MULTIMODAL_IMAGE_STATS_SQL, "dhash", IMG_BANDS, IMG_BLOCK_M, IMG_MAX_HAMMING
 )
-SELECT doc_a, doc_b, CAST({ham} AS INTEGER) AS hamming
-FROM cand
-WHERE {ham} <= {max_hamming}
+
+
+# --- audio near-dup pairs over an energy-envelope fingerprint ----------------
+# The audio-side sibling of the dHash join: a Haitsma-Kalker-style
+# robust hash (ISMIR'02) reduced to its time-domain core — window
+# energies compared pairwise — which is what survives without an FFT
+# library in the container. Gain changes scale every window energy by
+# the same factor, so the comparisons (and the fingerprint) are
+# invariant, the property that makes it a near-dup signature.
+AFP_BITS = 64
+AFP_BANDS = 8  # one byte per band, same layout as the image dHash
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """Decode every WAV payload and emit a 64-bit energy-envelope
+    fingerprint as 16 hex chars: the samples split into 64 equal
+    windows (n_samples must be divisible by 64), e_w = sum of squares
+    over window w, and bit w is set iff e_w > e_{(w+1) mod 64} — the
+    circular delta keeps all 64 bits meaningful. Byte b packs bits
+    8b..8b+7 big-endian, so band i of the hex string is byte i, the
+    exact layout ``_band_neardup_pairs`` keys on.
+
+    One mapInPandas pass, no shuffle. After the Python chunk-walk
+    parse, rows sharing a sample count stack into one numpy matrix
+    per batch — energies, circular deltas, and ``packbits`` all run
+    vectorized (the image-stats fast-path pattern; a 256-sample
+    square-sum loop in pure Python was the measured bottleneck)."""
+    decode = _decode_wav  # closure capture -> pickled by value
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()
+            counts = np.empty(n, dtype=np.int64)
+            all_samples: list[list[int]] = [[]] * n
+            for i, payload in enumerate(pdf["payload"]):
+                _, _, s = decode(payload)
+                if len(s) % AFP_BITS:
+                    raise ValueError(
+                        f"fingerprint needs n_samples divisible by "
+                        f"{AFP_BITS}, got {len(s)}"
+                    )
+                counts[i] = len(s)
+                all_samples[i] = s
+            fps: list[str | None] = [None] * n
+            order = np.argsort(counts, kind="stable")
+            pos = 0
+            while pos < n:
+                c = counts[order[pos]]
+                end = pos
+                while end < n and counts[order[end]] == c:
+                    end += 1
+                idx = order[pos:end]
+                pos = end
+                s = np.stack(
+                    [np.asarray(all_samples[i], dtype=np.int64) for i in idx]
+                )
+                e = (s * s).reshape(len(idx), AFP_BITS, c // AFP_BITS).sum(
+                    axis=2
+                )
+                bits = e > np.roll(e, -1, axis=1)
+                packed = np.packbits(bits, axis=-1, bitorder="big")
+                for j, i in enumerate(idx):
+                    fps[i] = packed[j].tobytes().hex()
+            yield pd.DataFrame({"doc_id": doc_ids, "afp": fps})
+
+    return media.mapInPandas(batches, "doc_id long, afp string")
+
+
+def multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_fingerprints(audio_table(spark, sf_dir))
+
+
+# closed-form oracle over the same sample formula: 64 window energies,
+# circular strict-greater deltas, big-endian byte packing
+MULTIMODAL_AUDIO_FP_SQL = f"""
+WITH s AS (
+    SELECT doc_id,
+           list_transform(range(0, {WAV_SAMPLES}),
+                          i -> (doc_id * 7 + i * 13) % 2048 - 1024) AS v
+    FROM documents
+), e AS (
+    SELECT doc_id,
+           list_transform(range(0, {AFP_BITS}), w ->
+               list_aggregate(
+                   list_transform(range(0, {WAV_SAMPLES // AFP_BITS}),
+                       j -> v[w*{WAV_SAMPLES // AFP_BITS}+j+1]
+                            * v[w*{WAV_SAMPLES // AFP_BITS}+j+1]),
+                   'sum')) AS e
+    FROM s
+)
+SELECT doc_id,
+       array_to_string(list_transform(range(0, {AFP_BANDS}), b ->
+           lpad(lower(to_hex(list_aggregate(
+               list_transform(range(0, 8), j ->
+                   CASE WHEN e[8*b+j+1] > e[((8*b+j+1) % {AFP_BITS}) + 1]
+                        THEN (1 << (7 - j)) ELSE 0 END),
+               'sum'))), 2, '0')), '') AS afp
+FROM e
 """
 
 
-IMAGE_NEARDUP_SQL = _image_neardup_sql()
+AUDIO_MAX_HAMMING = 4
+AUDIO_BLOCK_M = 2
+
+
+def audio_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = AUDIO_MAX_HAMMING,
+    m: int = AUDIO_BLOCK_M,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs by fingerprint Hamming distance:
+    the blocked candidate scheme over ``audio_fingerprints``' 8 bands
+    — identical machinery, sizing rule, and exact-detection bound
+    (Hamming <= 8-m) as ``image_neardup_pairs``; see
+    ``_band_neardup_pairs``. Pass ``stats`` (a precomputed
+    (doc_id, afp) frame) to decouple the join from the synthetic
+    decode path."""
+    if stats is not None:
+        missing = {"doc_id", "afp"} - set(stats.columns)
+        if missing:
+            raise ValueError(f"stats frame lacks column(s) {sorted(missing)}")
+        st = stats.select("doc_id", "afp")
+    else:
+        st = audio_fingerprints(audio_table(spark, sf_dir))
+    return _band_neardup_pairs(st, "afp", AFP_BANDS, m, max_hamming)
+
+
+AUDIO_NEARDUP_SQL = _band_neardup_sql(
+    MULTIMODAL_AUDIO_FP_SQL, "afp", AFP_BANDS, AUDIO_BLOCK_M, AUDIO_MAX_HAMMING
+)

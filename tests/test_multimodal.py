@@ -210,3 +210,158 @@ def test_image_neardup_planted_and_validation(spark, tmp_path):
         M.image_neardup_pairs(spark, sf_dir, max_hamming=7)
     with pytest.raises(ValueError, match="1 <= m"):
         M.image_neardup_pairs(spark, sf_dir, m=0)
+
+
+def _ref_image_stats(w, h, buf):
+    """Pure-Python reference for image_stats' per-image math (channel
+    sums + row-packed dHash with ceil((w-1)/4) hex digits per row)."""
+    gray = [(buf[3 * k] + buf[3 * k + 1] + buf[3 * k + 2]) // 3 for k in range(w * h)]
+    digits = -(-(w - 1) // 4)
+    hh = []
+    for r in range(h):
+        byte = 0
+        for c in range(w - 1):
+            if gray[r * w + c] < gray[r * w + c + 1]:
+                byte |= 1 << (w - 2 - c)
+        hh.append(f"{byte:0{digits}x}")
+    return (
+        sum(buf[0::3]), sum(buf[1::3]), sum(buf[2::3]), "".join(hh),
+    )
+
+
+def test_image_stats_mixed_geometry_scalar_and_vector_paths(spark):
+    """One batch mixing w=9 (vectorized numpy path) and w=5 / w=13
+    (scalar fallback) images: every row matches the pure-Python
+    reference byte for byte, pinning both dispatch paths and the
+    per-(w,h) group split."""
+    geoms = {1: (9, 8), 2: (5, 4), 3: (13, 2), 4: (9, 8), 5: (2, 2)}
+    rows, want = [], {}
+    for d, (w, h) in geoms.items():
+        px = bytes((d * 37 + i * 11) % 256 for i in range(w * h * 3))
+        rows.append((d, bytearray(_ppm(w, h, px))))
+        want[d] = (w, h) + _ref_image_stats(w, h, px)
+    media = spark.createDataFrame(rows, "doc_id long, payload binary").coalesce(1)
+    got = {r.doc_id: r for r in M.image_stats(media).collect()}
+    assert set(got) == set(want)
+    for d, (w, h, sr, sg, sb, dh) in want.items():
+        r = got[d]
+        assert (r.width, r.height, r.maxval) == (w, h, 255), d
+        assert (r.sum_r, r.sum_g, r.sum_b, r.dhash) == (sr, sg, sb, dh), d
+
+
+def test_image_neardup_precomputed_stats(spark, tmp_path):
+    """The ``stats=`` injection point: a precomputed (doc_id, dhash)
+    frame drives the join without re-decoding, and a frame missing the
+    hash column is rejected."""
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(d, "x", "en", "s", 1) for d in (5, 261, 1000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    pre = M.image_stats(M.image_table(spark, sf_dir)).select("doc_id", "dhash")
+    rows = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in M.image_neardup_pairs(spark, sf_dir, stats=pre).collect()
+    }
+    assert rows[(5, 261)] == 0
+    with pytest.raises(ValueError, match="lacks column"):
+        M.image_neardup_pairs(
+            spark, sf_dir, stats=pre.select("doc_id")
+        )
+
+
+# --- audio energy-envelope fingerprint + near-dup ------------------------
+def _wav(samples, rate=8000, channels=1):
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate, rate * 2 * channels,
+            2 * channels, 16,
+        )
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _ref_afp(samples):
+    w = len(samples) // 64
+    e = [sum(x * x for x in samples[k * w : (k + 1) * w]) for k in range(64)]
+    bits = [e[k] > e[(k + 1) % 64] for k in range(64)]
+    out = ""
+    for b in range(8):
+        byte = 0
+        for j in range(8):
+            if bits[8 * b + j]:
+                byte |= 1 << (7 - j)
+        out += f"{byte:02x}"
+    return out
+
+
+def test_audio_fp_oracle_parity(spark):
+    """End-to-end WAV encode -> parse -> fingerprint matches the
+    closed-form DuckDB recomputation (driver's own compare;
+    off-registry under the 50-entry cap)."""
+    from tests.conftest import ORACLE_SF_DIR
+    from tests.oracle_harness import compare
+
+    for sf_dir in (TEST_SF_DIR, ORACLE_SF_DIR):
+        df = M.multimodal_audio_fp(spark, sf_dir)
+        ok, msg = compare(df, M.MULTIMODAL_AUDIO_FP_SQL, sf_dir)
+        assert ok, msg
+
+
+def test_audio_fp_gain_invariant_and_validates(spark):
+    """Scaling every sample by a constant scales every window energy
+    by its square, so all pairwise comparisons — and the fingerprint —
+    are unchanged; a different signal differs; a sample count not
+    divisible by 64 is rejected (worker-side)."""
+    base = [((i * 37) % 400) - 200 for i in range(256)]
+    rows = [
+        (1, bytearray(_wav(base))),
+        (2, bytearray(_wav([3 * x for x in base]))),
+        (3, bytearray(_wav([((i * i * 11) % 500) - 250 for i in range(256)]))),
+        (4, bytearray(_wav(base[:128]))),  # 128 samples: also valid
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary"
+    ).coalesce(1)
+    got = {r.doc_id: r.afp for r in M.audio_fingerprints(media).collect()}
+    assert got[1] == _ref_afp(base)
+    assert got[2] == got[1]
+    assert got[3] != got[1]
+    assert got[4] == _ref_afp(base[:128])
+    bad = spark.createDataFrame(
+        [(9, bytearray(_wav([0] * 100)))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="divisible"):
+        M.audio_fingerprints(bad).collect()
+
+
+def test_audio_neardup_oracle_parity_and_planted(spark, tmp_path):
+    """Blocked fingerprint band join == the DuckDB oracle at sf0.001;
+    the sample formula is 2048-periodic in doc_id, so docs d and
+    d+2048 render identical audio and come back at Hamming 0."""
+    from tests.oracle_harness import compare
+
+    df = M.audio_neardup_pairs(spark, TEST_SF_DIR)
+    ok, msg = compare(df, M.AUDIO_NEARDUP_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(d, "x", "en", "s", 1) for d in (5, 2053, 100000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    rows = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in M.audio_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert rows[(5, 2053)] == 0
+    with pytest.raises(ValueError, match="exact-detection"):
+        M.audio_neardup_pairs(spark, sf_dir, max_hamming=7)
+    pre = spark.createDataFrame([(1, "00" * 8)], "doc_id long, afp string")
+    assert M.audio_neardup_pairs(spark, sf_dir, stats=pre).count() == 0
+    with pytest.raises(ValueError, match="lacks column"):
+        M.audio_neardup_pairs(spark, sf_dir, stats=pre.select("doc_id"))
