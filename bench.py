@@ -42,6 +42,7 @@ from fledge_south_csvplayback_spark import registry
 from fledge_south_csvplayback_spark.operators import (
     curation,
     events,
+    multimodal,
     similarity,
     text,
 )
@@ -88,6 +89,7 @@ HEADLINE = [
     "corpus_shuffle_order",  # deterministic sharded training shuffle (round 7)
     "corpus_source_divergence",  # per-source KL drift diagnostic (round 7)
     "multimodal_image_stats",  # real PPM decode + dHash (round 9)
+    "multimodal_video_stats",  # real AVI decode, per-frame stats (round 9)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -105,6 +107,7 @@ EXTRA_QUERIES = {
     "text_repeated_span_scrub": text.text_repeated_span_scrub,
     "semantic_dedup": similarity.semantic_dedup,
     "corpus_shuffle_order": curation.corpus_shuffle_order,
+    "multimodal_video_stats": multimodal.multimodal_video_stats,
 }
 
 

@@ -886,3 +886,356 @@ def audio_neardup_pairs(
 AUDIO_NEARDUP_SQL = _band_neardup_sql(
     MULTIMODAL_AUDIO_FP_SQL, "afp", AFP_BANDS, AUDIO_BLOCK_M, AUDIO_MAX_HAMMING
 )
+
+
+# --- real video decode: uncompressed AVI (RIFF) + per-frame stats ------------
+# The video analogue of the PPM/WAV paths: AVI is a RIFF container
+# whose LIST chunks nest (hdrl -> strl, movi -> frames), so the same
+# chunk-walking approach extends with LIST descent; frames are
+# uncompressed DIBs, which carry the three classic bitmap storage
+# traps — BOTTOM-UP row order (positive biHeight), BGR channel order,
+# and 4-byte row stride padding — all of which the decoder must undo
+# to recover the logical top-down RGB plane. The pixel formula is
+# defined over that LOGICAL plane (frame 0 of doc d is byte-for-byte
+# the PPM image of doc d), so the oracle never models the storage
+# layout: a stride/flip/swap bug anywhere in build or decode is a
+# value mismatch, not a silently-consistent error.
+VID_W, VID_H = IMG_W, IMG_H  # per-frame dHash geometry, shared with images
+VID_FRAMES = 4
+VID_STRIDE = ((VID_W * 3 + 3) // 4) * 4  # DIB rows pad to 4-byte words
+VIDEO_STATS_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, n_frames int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, dhash string"
+)
+
+
+def _avi_header_bytes(w: int, h: int, n_frames: int) -> bytes:
+    """RIFF/AVI prefix up to (and including) the 'movi' list fourcc:
+    avih + strl(strh 'vids'/'DIB ' + strf BITMAPINFOHEADER, 24bpp
+    BI_RGB, positive = bottom-up height). Frames ('00db' chunks)
+    follow; sizes are exact for n_frames of stride*h bytes each."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    frame_bytes = stride * h
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIIi", 0, 0, 0, 0, 1, 30, 0, n_frames, frame_bytes, 0, -1
+        )
+        + struct.pack("<HHHH", 0, 0, w, h)
+    )
+    avih = struct.pack(
+        "<14I", 33333, 0, 0, 0, n_frames, 0, 1, frame_bytes, w, h, 0, 0, 0, 0
+    )
+    strl = b"strl" + b"strh" + struct.pack("<I", 56) + strh
+    strl += b"strf" + struct.pack("<I", 40) + strf
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", 56) + avih
+    hdrl += b"LIST" + struct.pack("<I", len(strl)) + strl
+    movi_size = 4 + n_frames * (8 + frame_bytes)
+    riff_size = 4 + (8 + len(hdrl)) + (8 + movi_size)
+    return (
+        b"RIFF"
+        + struct.pack("<I", riff_size)
+        + b"AVI "
+        + b"LIST"
+        + struct.pack("<I", len(hdrl))
+        + hdrl
+        + b"LIST"
+        + struct.pack("<I", movi_size)
+        + b"movi"
+    )
+
+
+def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload binary, meta struct) where the
+    payload is a complete deterministic uncompressed AVI (VID_FRAMES
+    frames of VID_W x VID_H 24bpp DIB): logical top-down RGB byte
+    ``i`` of frame ``f`` of doc ``d`` is ``(d*131 + f*37 + i*17) %
+    256`` — frame 0 is exactly ``image_table``'s PPM pixel plane.
+    Like the image/audio builders, construction is declarative: each
+    STORAGE byte (bottom-up row, BGR order, zero padding to the
+    4-byte stride) maps back to its logical index with integer
+    arithmetic inside ``transform``, hex-encodes, and ``unhex``
+    concatenates after the fixed RIFF prefix — JVM-side synthesis,
+    Python only on decode."""
+    import struct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w, h, stride, nf = VID_W, VID_H, VID_STRIDE, VID_FRAMES
+    frame_bytes = stride * h
+    header = _avi_header_bytes(w, h, nf)
+
+    def storage_byte(f: int, j):
+        # j: storage byte index in [0, stride*h); padding bytes are 0
+        sr = (j - j % stride) / stride  # integer in double form
+        o = j % stride
+        r = F.lit(h - 1) - sr  # bottom-up -> logical row
+        c = (o - o % 3) / 3
+        ch = F.lit(2) - (o % 3)  # BGR -> logical channel
+        i = ((r * w + c) * 3 + ch).cast("long")
+        return F.when(
+            o >= w * 3, F.lit(0)
+        ).otherwise((F.col("doc_id") * 131 + f * 37 + i * 17) % 256)
+
+    idx = F.sequence(F.lit(0), F.lit(frame_bytes - 1))
+    parts = [F.lit(bytearray(header)).cast("binary")]
+
+    def hex_byte(f: int):
+        # single-parameter lambda factory: F.transform counts lambda
+        # parameters, so a `lambda j, f=f` would be fed (element, INDEX)
+        return lambda j: F.lpad(F.hex(storage_byte(f, j)), 2, "0")
+
+    for f in range(nf):
+        chunk_hdr = b"00db" + struct.pack("<I", frame_bytes)
+        hexstr = F.concat_ws("", F.transform(idx, hex_byte(f)))
+        parts.append(F.lit(bytearray(chunk_hdr)).cast("binary"))
+        parts.append(F.unhex(hexstr))
+    payload = F.concat(*parts)
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("video/x-msvideo").alias("media_type"),
+            F.octet_length(payload).alias("declared_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _make_avi_decoder():
+    """Factory (cloudpickle by-value) for a generic RIFF/AVI parser:
+    walks the chunk list with LIST descent (word-aligned per the RIFF
+    spec), reads avih + the video stream's BITMAPINFOHEADER, validates
+    24bpp BI_RGB and the declared frame count/geometry, and returns
+    (width, height, bottom_up, stride, raw DIB frames). Row
+    normalization (flip/swap/un-pad) stays with the caller so it can
+    run vectorized."""
+
+    def decode_avi(payload: bytes):
+        import struct
+
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            raise ValueError(
+                f"not a RIFF/AVI payload: {payload[:4]!r}/{payload[8:12]!r}"
+            )
+        frames: list[bytes] = []
+        bmi = avih = None
+
+        def walk(pos: int, end: int) -> None:
+            nonlocal bmi, avih
+            while pos + 8 <= end:
+                cid = payload[pos : pos + 4]
+                (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                body = pos + 8
+                if body + size > end:
+                    raise ValueError(f"truncated {cid!r} chunk")
+                if cid == b"LIST":
+                    walk(body + 4, body + size)
+                elif cid == b"avih":
+                    avih = struct.unpack("<14I", payload[body : body + 56])
+                elif cid == b"strf":
+                    bmi = struct.unpack(
+                        "<IiiHHIIiiII", payload[body : body + 40]
+                    )
+                elif cid == b"00db":
+                    frames.append(payload[body : body + size])
+                pos = body + size + (size & 1)  # chunks are word-aligned
+
+        walk(12, len(payload))
+        if bmi is None or avih is None:
+            raise ValueError("missing avih/strf header chunk")
+        _, w, h_signed, planes, bits, compression = bmi[:6]
+        if planes != 1 or bits != 24 or compression != 0:
+            raise ValueError(
+                "only 24bpp BI_RGB DIB frames supported, got "
+                f"planes={planes} bits={bits} compression={compression}"
+            )
+        if avih[4] != len(frames):
+            raise ValueError(
+                f"avih declares {avih[4]} frames, movi holds {len(frames)}"
+            )
+        bottom_up = h_signed > 0
+        h = abs(h_signed)
+        stride = ((w * 3 + 3) // 4) * 4
+        for k, fr in enumerate(frames):
+            if len(fr) != stride * h:
+                raise ValueError(
+                    f"frame {k} holds {len(fr)} bytes, need {stride * h}"
+                )
+        return w, h, bottom_up, stride, frames
+
+    return decode_avi
+
+
+_decode_avi = _make_avi_decoder()
+
+
+def video_stats(media: DataFrame) -> DataFrame:
+    """Decode every AVI payload and emit one row PER FRAME: exact
+    per-channel pixel sums plus the frame's 64-bit dHash (the image
+    convention — bit (r, c) set when gray[r][c] < gray[r][c+1], one
+    byte per row at the standard 9-wide geometry), so frame hashes
+    join directly against image dHashes and feed the shared blocked
+    band machinery. The 1->N fan-out (docs in, frames out) is the
+    batch shape real frame extraction has.
+
+    One mapInPandas pass, no shuffle. After the Python chunk walk,
+    all frames of a (w, h, bottom_up) group stack into ONE numpy
+    array per batch; un-padding, the bottom-up flip, the BGR->RGB
+    swap, channel sums, and the gradient packbits all run vectorized
+    (the image-stats fast-path precedent)."""
+    decode = _decode_avi  # closure capture -> pickled by value
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            metas = []  # (doc_id, frame_idx, w, h, n_frames, bottom_up)
+            raws: list[bytes] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, bottom_up, stride, frames = decode(payload)
+                for fi, fr in enumerate(frames):
+                    metas.append(
+                        (doc_id, fi, w, h, len(frames), bottom_up, stride)
+                    )
+                    raws.append(fr)
+            n = len(raws)
+            sums = np.empty((n, 3), dtype=np.int64)
+            dhashes: list[str | None] = [None] * n
+            geom = np.array(
+                [(m[2], m[3], m[5], m[6]) for m in metas], dtype=np.int64
+            )
+            order = np.lexsort(geom.T)
+            pos = 0
+            while pos < n:
+                g = geom[order[pos]]
+                end = pos
+                while end < n and (geom[order[end]] == g).all():
+                    end += 1
+                idx = order[pos:end]
+                pos = end
+                w, h, bottom_up, stride = (int(x) for x in g)
+                arr = np.stack(
+                    [np.frombuffer(raws[i], dtype=np.uint8) for i in idx]
+                ).reshape(len(idx), h, stride)[:, :, : w * 3]
+                rgb = arr.reshape(len(idx), h, w, 3).astype(np.int64)
+                if bottom_up:
+                    rgb = rgb[:, ::-1, :, :]
+                rgb = rgb[..., ::-1]  # BGR -> RGB
+                sums[idx] = rgb.reshape(len(idx), h * w, 3).sum(axis=1)
+                gray = rgb.sum(axis=3) // 3
+                bits = gray[:, :, :-1] < gray[:, :, 1:]
+                packed = np.packbits(bits, axis=-1, bitorder="big")
+                flat = packed.reshape(len(idx), -1)
+                for j, i in enumerate(idx):
+                    dhashes[i] = flat[j].tobytes().hex()
+            yield pd.DataFrame(
+                {
+                    "doc_id": [m[0] for m in metas],
+                    "frame_idx": [m[1] for m in metas],
+                    "width": [m[2] for m in metas],
+                    "height": [m[3] for m in metas],
+                    "n_frames": [m[4] for m in metas],
+                    "sum_r": sums[:, 0],
+                    "sum_g": sums[:, 1],
+                    "sum_b": sums[:, 2],
+                    "dhash": dhashes,
+                }
+            )
+
+    return media.mapInPandas(batches, VIDEO_STATS_SCHEMA)
+
+
+def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return video_stats(video_table(spark, sf_dir))
+
+
+# closed-form oracle over the LOGICAL pixel formula — the Spark side
+# must round-trip the values through the full storage layout (RIFF
+# build -> bottom-up BGR padded rows -> parse -> normalize) to match
+MULTIMODAL_VIDEO_STATS_SQL = f"""
+WITH fr AS (
+    SELECT doc_id, f
+    FROM documents, unnest(generate_series(0, {VID_FRAMES - 1})) t(f)
+), px AS (
+    SELECT doc_id, f,
+           list_transform(range(0, {VID_W * VID_H * 3}),
+                          i -> (doc_id * 131 + f * 37 + i * 17) % 256) AS p
+    FROM fr
+), g AS (
+    SELECT doc_id, f, p,
+           list_transform(range(0, {VID_W * VID_H}),
+                          k -> (p[3*k+1] + p[3*k+2] + p[3*k+3]) // 3) AS gray
+    FROM px
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST({VID_W} AS INTEGER) AS width,
+       CAST({VID_H} AS INTEGER) AS height,
+       CAST({VID_FRAMES} AS INTEGER) AS n_frames,
+       CAST(list_aggregate(list_transform(range(0, {VID_W * VID_H}),
+            k -> p[3*k+1]), 'sum') AS BIGINT) AS sum_r,
+       CAST(list_aggregate(list_transform(range(0, {VID_W * VID_H}),
+            k -> p[3*k+2]), 'sum') AS BIGINT) AS sum_g,
+       CAST(list_aggregate(list_transform(range(0, {VID_W * VID_H}),
+            k -> p[3*k+3]), 'sum') AS BIGINT) AS sum_b,
+       array_to_string(list_transform(range(0, {VID_H}), r ->
+           lpad(lower(to_hex(list_aggregate(
+               list_transform(range(0, {VID_W - 1}), c ->
+                   CASE WHEN gray[r*{VID_W}+c+1] < gray[r*{VID_W}+c+2]
+                        THEN (1 << ({VID_W} - 2 - c)) ELSE 0 END),
+               'sum'))), 2, '0')), '') AS dhash
+FROM g
+"""
+
+
+VIDEO_MAX_HAMMING = 4
+VIDEO_BLOCK_M = 2
+
+
+def video_neardup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = VIDEO_MAX_HAMMING,
+    m: int = VIDEO_BLOCK_M,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs by FRAME-level dHash matching — two
+    videos are near-dups when ANY sampled frame of one is within
+    Hamming <= max_hamming of any frame of the other, the standard
+    shared-frame video-dedup criterion (a clip re-encode, trim, or
+    re-title keeps most frames). Machinery: the same blocked band
+    join (``_band_neardup_pairs``) runs over FRAME rows (a doc
+    contributes VID_FRAMES hash rows), then a doc-pair min-Hamming
+    aggregate collapses frame matches — one extra fine-grained
+    Exchange on (doc_a, doc_b), no quadratic stage anywhere.
+    Intra-video frame matches are excluded by the helper's
+    doc_a < doc_b candidate filter. Pass ``stats`` (a precomputed
+    (doc_id, dhash) frame-rows frame) to decouple the join from the
+    synthetic decode path."""
+    if stats is not None:
+        missing = {"doc_id", "dhash"} - set(stats.columns)
+        if missing:
+            raise ValueError(f"stats frame lacks column(s) {sorted(missing)}")
+        st = stats.select("doc_id", "dhash")
+    else:
+        st = video_stats(video_table(spark, sf_dir)).select("doc_id", "dhash")
+    pairs = _band_neardup_pairs(st, "dhash", IMG_BANDS, m, max_hamming)
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.min("hamming").cast("int").alias("hamming")
+    )
+
+
+VIDEO_NEARDUP_SQL = f"""
+SELECT doc_a, doc_b, CAST(min(hamming) AS INTEGER) AS hamming
+FROM ({_band_neardup_sql(
+    MULTIMODAL_VIDEO_STATS_SQL, "dhash", IMG_BANDS,
+    VIDEO_BLOCK_M, VIDEO_MAX_HAMMING)})
+GROUP BY doc_a, doc_b
+"""

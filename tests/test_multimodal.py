@@ -365,3 +365,160 @@ def test_audio_neardup_oracle_parity_and_planted(spark, tmp_path):
     assert M.audio_neardup_pairs(spark, sf_dir, stats=pre).count() == 0
     with pytest.raises(ValueError, match="lacks column"):
         M.audio_neardup_pairs(spark, sf_dir, stats=pre.select("doc_id"))
+
+
+# --- real AVI video decode ------------------------------------------------
+def _avi_payload(doc_id, w=M.VID_W, h=M.VID_H, nf=M.VID_FRAMES):
+    """Pure-Python replica of ``video_table``'s payload build: logical
+    top-down RGB formula laid out as bottom-up BGR rows padded to the
+    4-byte stride."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    out = bytearray(M._avi_header_bytes(w, h, nf))
+    for f in range(nf):
+        out += b"00db" + struct.pack("<I", stride * h)
+        for j in range(stride * h):
+            sr, o = divmod(j, stride)
+            if o >= w * 3:
+                out.append(0)
+            else:
+                r = h - 1 - sr
+                c, bch = divmod(o, 3)
+                i = (r * w + c) * 3 + (2 - bch)
+                out.append((doc_id * 131 + f * 37 + i * 17) % 256)
+    return bytes(out)
+
+
+def _normalize_frame(fr, w, h, stride, bottom_up):
+    """Undo padding/flip/swap by hand -> logical top-down RGB bytes."""
+    logical = []
+    for r in range(h):
+        sr = h - 1 - r if bottom_up else r
+        row = fr[sr * stride : sr * stride + w * 3]
+        for c in range(w):
+            b, g, rr = row[3 * c : 3 * c + 3]
+            logical += [rr, g, b]
+    return logical
+
+
+def test_avi_parser_roundtrip_and_malformed():
+    import struct
+
+    pay = _avi_payload(3)
+    w, h, bottom_up, stride, frames = M._decode_avi(pay)
+    assert (w, h, bottom_up, stride) == (
+        M.VID_W, M.VID_H, True, M.VID_STRIDE,
+    )
+    assert len(frames) == M.VID_FRAMES
+    for f, fr in enumerate(frames):
+        expect = [
+            (3 * 131 + f * 37 + i * 17) % 256 for i in range(w * h * 3)
+        ]
+        assert _normalize_frame(fr, w, h, stride, bottom_up) == expect
+    # malformed inputs fail loudly
+    with pytest.raises(ValueError):
+        M._decode_avi(b"RIFX" + pay[4:])
+    with pytest.raises(ValueError):
+        M._decode_avi(pay[:-10])  # truncated final frame chunk
+    # avih dwTotalFrames (5th DWORD of the avih body at offset 32)
+    assert struct.unpack_from("<I", pay, 48)[0] == M.VID_FRAMES
+    bad = bytearray(pay)
+    struct.pack_into("<I", bad, 48, 9)
+    with pytest.raises(ValueError, match="declares 9 frames"):
+        M._decode_avi(bytes(bad))
+    # strf biBitCount (offset 14 into the strf body at offset 172)
+    assert struct.unpack_from("<H", pay, 186)[0] == 24
+    bad = bytearray(pay)
+    struct.pack_into("<H", bad, 186, 8)
+    with pytest.raises(ValueError, match="24bpp"):
+        M._decode_avi(bytes(bad))
+
+
+def test_avi_padding_bytes_ignored():
+    """Junk in the stride padding must not reach the logical plane."""
+    pay = bytearray(_avi_payload(7))
+    hdr = len(M._avi_header_bytes(M.VID_W, M.VID_H, M.VID_FRAMES))
+    fb = M.VID_STRIDE * M.VID_H
+    for f in range(M.VID_FRAMES):
+        base = hdr + f * (8 + fb) + 8
+        for sr in range(M.VID_H):
+            for o in range(M.VID_W * 3, M.VID_STRIDE):
+                pay[base + sr * M.VID_STRIDE + o] = 0xFF
+    w, h, bu, stride, frames = M._decode_avi(bytes(pay))
+    _, _, _, _, clean = M._decode_avi(_avi_payload(7))
+    for fr, cl in zip(frames, clean):
+        assert _normalize_frame(fr, w, h, stride, bu) == _normalize_frame(
+            cl, w, h, stride, bu
+        )
+
+
+def test_video_stats_oracle_parity(spark):
+    """End-to-end AVI encode -> parse -> per-frame stats matches the
+    closed-form DuckDB recomputation of the LOGICAL pixel formula —
+    any stride/flip/BGR bug in build or decode is a value mismatch."""
+    from tests.conftest import ORACLE_SF_DIR
+    from tests.oracle_harness import compare
+
+    for sf_dir in (TEST_SF_DIR, ORACLE_SF_DIR):
+        df = M.multimodal_video_stats(spark, sf_dir)
+        ok, msg = compare(df, M.MULTIMODAL_VIDEO_STATS_SQL, sf_dir)
+        assert ok, msg
+
+
+def test_video_frame0_matches_image_stats(spark):
+    """Frame 0's logical plane IS the PPM image's, but the two ops
+    round-trip through different containers and storage layouts
+    (netpbm top-down RGB vs DIB bottom-up BGR padded) — equality
+    cross-checks both decoders against each other."""
+    v = (
+        M.multimodal_video_stats(spark, TEST_SF_DIR)
+        .filter("frame_idx = 0")
+        .select("doc_id", "sum_r", "sum_g", "sum_b", "dhash")
+        .alias("v")
+    )
+    i = (
+        M.multimodal_image_stats(spark, TEST_SF_DIR)
+        .select("doc_id", "sum_r", "sum_g", "sum_b", "dhash")
+        .alias("i")
+    )
+    j = v.join(i, "doc_id")
+    n_docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").count()
+    assert j.count() == n_docs
+    assert (
+        j.filter(
+            "v.sum_r != i.sum_r OR v.sum_g != i.sum_g "
+            "OR v.sum_b != i.sum_b OR v.dhash != i.dhash"
+        ).count()
+        == 0
+    )
+
+
+def test_video_neardup_oracle_parity_and_planted(spark, tmp_path):
+    """Frame-level blocked band join + doc-pair min == the DuckDB
+    oracle at sf0.001; doc_id and doc_id+256 render identical frames
+    (the formula is 256-periodic), so the planted pair is Hamming 0."""
+    from tests.oracle_harness import compare
+
+    df = M.video_neardup_pairs(spark, TEST_SF_DIR)
+    ok, msg = compare(df, M.VIDEO_NEARDUP_SQL, TEST_SF_DIR)
+    assert ok, msg
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(5, "a", "en", "s", 1), (261, "b", "en", "s", 1),
+         (1000, "c", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in M.video_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert got[(5, 261)] == 0
+    # validation: bound enforcement + stats-frame schema
+    with pytest.raises(ValueError, match="exact-detection bound"):
+        M.video_neardup_pairs(spark, sf_dir, max_hamming=7, m=2)
+    with pytest.raises(ValueError, match="lacks column"):
+        M.video_neardup_pairs(
+            spark, sf_dir, stats=spark.range(3).select("id")
+        )
