@@ -90,6 +90,7 @@ HEADLINE = [
     "corpus_source_divergence",  # per-source KL drift diagnostic (round 7)
     "multimodal_image_stats",  # real PPM decode + dHash (round 9)
     "multimodal_video_stats",  # real AVI decode, per-frame stats (round 9)
+    "ann_cosine_topk_sq8",  # SQ8 encode + two-stage rescored ANN (round 9)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -108,6 +109,7 @@ EXTRA_QUERIES = {
     "semantic_dedup": similarity.semantic_dedup,
     "corpus_shuffle_order": curation.corpus_shuffle_order,
     "multimodal_video_stats": multimodal.multimodal_video_stats,
+    "ann_cosine_topk_sq8": similarity.ann_cosine_topk_sq8,
 }
 
 

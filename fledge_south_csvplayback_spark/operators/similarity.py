@@ -1871,3 +1871,240 @@ def semantic_dedup(
         "vec_id long, cell_id long, sq_dist double, "
         "max_prior_cos double, keep boolean",
     )
+
+
+# --- int8 scalar quantization (SQ8): encode + rescored ANN --------------------
+# The storage-scale quantizer between full floats and PQ: per-DIMENSION
+# trained (vmin, vmax), each coordinate rounds to one of 256 levels —
+# 64 bytes/vector instead of 256 (fp32) with far less distortion than
+# PQ's 8 bytes. Faiss's ScalarQuantizer(QT_8bit) trains exactly this
+# min/max-per-dim model. Unlike PQ (per-subspace argmin -> Python),
+# SQ8 ENCODING is pure arithmetic, so it runs as a codegen'd Catalyst
+# expression — the quantizer is an exact, oracle-checkable operator;
+# only the scoring GEMM is Arrow-batched Python. Search is the classic
+# two-stage serving pipeline: scan the compressed codes for approximate
+# top-C, then rescore JUST those C·|Q| candidates against the exact
+# floats fetched via a pushed-down point-lookup filter, and re-rank.
+SQ8_LEVELS = 255  # codes 0..255 -> 255 intervals
+SQ8_RESCORE_C = 4 * TOP_K
+
+
+def sq8_fit(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[float]]:
+    """Train the quantizer: per-dimension (vmin, vmax) in ONE scan —
+    2·DIM min/max aggregate expressions (no explode, no per-dim jobs),
+    map-side partials reduce to a single 128-number row. Min/max over
+    doubles is exact (no summation-order float drift), so the trained
+    model is bit-identical to any oracle recomputation."""
+    row = _emb(spark, sf_dir).select(
+        *[F.min(F.col("v")[d]).alias(f"lo{d}") for d in range(DIM)],
+        *[F.max(F.col("v")[d]).alias(f"hi{d}") for d in range(DIM)],
+    ).collect()[0]
+    return (
+        [row[f"lo{d}"] for d in range(DIM)],
+        [row[f"hi{d}"] for d in range(DIM)],
+    )
+
+
+def _sq8_code_expr(vmin: list[float], vmax: list[float]) -> Column:
+    """codes[d] = clamp(floor((v[d]-lo)·255/(hi-lo) + 0.5), 0, 255) as a
+    Catalyst expression over the embedding array — floor(x+0.5) instead
+    of round() so Spark and DuckDB agree bit-for-bit on ties, clamping
+    AFTER the floor in both engines. A constant dimension (hi == lo)
+    encodes as 0 and reconstructs to lo exactly."""
+    lo = F.array(*[F.lit(float(x)) for x in vmin])
+    hi = F.array(*[F.lit(float(x)) for x in vmax])
+
+    def code(x, d):
+        lo_d, hi_d = F.get(lo, d), F.get(hi, d)
+        raw = F.floor((x - lo_d) * SQ8_LEVELS / (hi_d - lo_d) + F.lit(0.5))
+        return (
+            F.when(hi_d == lo_d, F.lit(0).cast("double"))
+            .otherwise(F.least(F.lit(255.0), F.greatest(F.lit(0.0), raw)))
+            .cast("int")
+        )
+
+    return F.transform(F.col("v"), code)
+
+
+def sq8_code_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-oracle entry for the quantizer: every vector's 64
+    codes hex-packed into one 128-char string (2 chars/dim, the
+    fingerprint convention) so the value hash is layout-stable across
+    engines."""
+    vmin, vmax = sq8_fit(spark, sf_dir)
+    codes = _sq8_code_expr(vmin, vmax)
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        F.concat_ws(
+            "", F.transform(codes, lambda c: F.lpad(F.lower(F.hex(c)), 2, "0"))
+        ).alias("code_hex"),
+    )
+
+
+def _sq8_code_hex_sql() -> str:
+    los = ", ".join(f"min(v[{d + 1}])" for d in range(DIM))
+    his = ", ".join(f"max(v[{d + 1}])" for d in range(DIM))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mm AS (SELECT [{los}] AS lo, [{his}] AS hi FROM e)
+SELECT vec_id,
+       array_to_string(list_transform(range(0, {DIM}), d ->
+           lpad(lower(to_hex(CAST(
+               CASE WHEN hi[d+1] = lo[d+1] THEN 0.0
+                    ELSE least(255.0, greatest(0.0,
+                        floor((v[d+1] - lo[d+1]) * {SQ8_LEVELS}
+                              / (hi[d+1] - lo[d+1]) + 0.5)))
+               END AS INTEGER))), 2, '0')), '') AS code_hex
+FROM e, mm
+"""
+
+
+SQ8_CODE_HEX_SQL = _sq8_code_hex_sql()
+
+
+def build_sq8_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Encode once and persist (vec_id, codes array<int>) — 64 small
+    ints of payload per vector; the quantizer persists under
+    ``{index_dir}/_quantizer`` (the IVF ``_centroids`` sidecar pattern:
+    written AFTER the data so overwrite cannot wipe it, read back at
+    query time so index and query can never disagree). Encoding is the
+    codegen'd expression — no Python anywhere in the build."""
+    vmin, vmax = sq8_fit(spark, sf_dir)
+    _emb(spark, sf_dir).select(
+        "vec_id", _sq8_code_expr(vmin, vmax).alias("codes")
+    ).write.mode("overwrite").parquet(index_dir)
+    spark.createDataFrame(
+        [(vmin, vmax)], "lo array<double>, hi array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_quantizer")
+
+
+def _sq8_search(
+    spark: SparkSession,
+    sf_dir: str,
+    codes_df: DataFrame,
+    vmin: list[float],
+    vmax: list[float],
+    rescore_c: int,
+) -> DataFrame:
+    """Shared SQ8 two-stage scorer. Stage 1 scans ONLY the codes:
+    each Arrow batch reconstructs v̂ = lo + codes·(hi-lo)/255 with one
+    vectorized affine transform, GEMMs against the query matrix, and
+    emits its per-batch top-C per query (the `_masked_partial_topk`
+    contract: round-6, vec_id tiebreak, self-excluded); a global
+    window keeps the top-C candidates. Stage 2 collects the ≤ |Q|·C
+    candidate ids (tiny, driver-bounded), fetches their EXACT vectors
+    through an ``isin`` filter — a pushed-down parquet point lookup,
+    not a second full scan — and re-ranks on exact cosine computed
+    declaratively. With perfect stage-1 recall the result EQUALS the
+    brute-force top-k, and the equality is oracle-pinned at fixture
+    scales; recall is what the 10M probe measures."""
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    embq = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    qrows = embq.filter(F.col("vec_id") < N_QUERIES).collect()
+    qm = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
+    qn = np.array([r["norm"] for r in qrows], dtype=np.float64)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    lo = np.array(vmin, dtype=np.float64)
+    scale = (np.array(vmax, dtype=np.float64) - lo) / SQ8_LEVELS
+
+    def _score(batches, lo=lo, scale=scale, qm=qm, qn=qn, qids=qids,
+               top_c=rescore_c):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.float64)
+            recon = lo[None, :] + codes * scale[None, :]
+            nrm = np.sqrt((recon * recon).sum(axis=1))
+            sims = np.round(
+                (recon @ qm.T) / (nrm[:, None] * qn[None, :] + 1e-300), 6
+            )
+            out = {"query_id": [], "vec_id": [], "approx": []}
+            for j, qid in enumerate(qids):
+                mask = ids != qid
+                cand_ids, cand_sims = ids[mask], sims[mask, j]
+                order = np.lexsort((cand_ids, -cand_sims))[:top_c]
+                out["query_id"].extend([qid] * len(order))
+                out["vec_id"].extend(cand_ids[order])
+                out["approx"].extend(cand_sims[order])
+            yield pd.DataFrame(out)
+
+    partial = codes_df.mapInPandas(
+        _score, "query_id long, vec_id long, approx double"
+    )
+    cand = (
+        partial.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("approx").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= rescore_c)
+        .select("query_id", "vec_id")
+    )
+    cand_rows = cand.collect()  # ≤ |Q|·C rows — driver-bounded by design
+    ids = sorted({r["vec_id"] for r in cand_rows})
+    exact = embq.filter(F.col("vec_id").isin(ids)).select(
+        "vec_id", "v", "norm"
+    )
+    qdf = spark.createDataFrame(
+        [(int(r["vec_id"]), list(r["v"]), float(r["norm"])) for r in qrows],
+        "query_id long, qv array<double>, qn double",
+    )
+    rescored = (
+        spark.createDataFrame(
+            [(int(r["query_id"]), int(r["vec_id"])) for r in cand_rows],
+            "query_id long, vec_id long",
+        )
+        .join(F.broadcast(exact), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.col("norm") * F.col("qn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(rescored)
+
+
+def ann_cosine_topk_sq8(
+    spark: SparkSession, sf_dir: str, rescore_c: int = SQ8_RESCORE_C
+) -> DataFrame:
+    """Self-contained SQ8 ANN: fit + codegen'd encode + two-stage
+    search in one plan (the inline sibling of
+    ``ann_cosine_topk_sq8_indexed``, like the inline IVF/LSH entries)."""
+    vmin, vmax = sq8_fit(spark, sf_dir)
+    codes_df = _emb(spark, sf_dir).select(
+        "vec_id", _sq8_code_expr(vmin, vmax).alias("codes")
+    )
+    return _sq8_search(spark, sf_dir, codes_df, vmin, vmax, rescore_c)
+
+
+def ann_cosine_topk_sq8_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    rescore_c: int = SQ8_RESCORE_C,
+) -> DataFrame:
+    """Two-stage SQ8 ANN over a ``build_sq8_index``: the codes scan
+    reads 64 bytes of payload per vector (never the embedding column);
+    the quantizer comes from the ``_quantizer`` sidecar."""
+    q = spark.read.parquet(f"{index_dir}/_quantizer").collect()[0]
+    codes_df = spark.read.parquet(index_dir).select("vec_id", "codes")
+    return _sq8_search(
+        spark, sf_dir, codes_df, list(q["lo"]), list(q["hi"]), rescore_c
+    )

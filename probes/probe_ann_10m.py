@@ -83,6 +83,7 @@ def main() -> None:
             "lsh_prod",
             "lsh_indexed",
             "pq_indexed",
+            "sq8_indexed",
             "ivfpq",
             "pca",
             "kmeans",
@@ -224,6 +225,34 @@ def main() -> None:
         builders["pq_indexed"] = (
             lambda s, d: similarity.ann_cosine_topk_pq_indexed(s, d, index_dir)
         )
+    elif args.op == "sq8_indexed":
+        # two-stage SQ8: 64-byte codes scan for approx top-C, exact
+        # rescore via pushed-down point lookups; compression reported
+        # like the PQ row
+        import os as _os
+
+        index_dir = f"{sf_dir}/sq8_index"
+        t0 = time.perf_counter()
+        similarity.build_sq8_index(spark, sf_dir, index_dir)
+        build_sec = round(time.perf_counter() - t0, 1)
+        idx_bytes = sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(index_dir)
+            for f in fs
+            if f.endswith(".parquet") and "_quantizer" not in r
+        )
+        raw = f"{sf_dir}/embeddings.parquet"
+        raw_bytes = sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(raw)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        print(json.dumps({"sq8_index_bytes": idx_bytes, "raw_bytes": raw_bytes,
+                          "compression": round(raw_bytes / idx_bytes, 1)}))
+        builders["sq8_indexed"] = (
+            lambda s, d: similarity.ann_cosine_topk_sq8_indexed(s, d, index_dir)
+        )
     elif args.op == "ivfpq":
         # the full IVFADC: kmeans cells (partition-pruned probes) +
         # residual-PQ codes (compressed in-cell ADC)
@@ -261,7 +290,7 @@ def main() -> None:
         result["index_build_sec"] = build_sec
     if args.op in (
         "ivf", "ivf_indexed", "ivf_kmeans_indexed", "lsh", "lsh_prod",
-        "lsh_indexed", "pq_indexed", "ivfpq",
+        "lsh_indexed", "pq_indexed", "sq8_indexed", "ivfpq",
     ):
         # recall@k vs the brute-force operator run in the same session
         truth = {

@@ -864,3 +864,74 @@ def test_semdedup_deterministic_and_validates(spark):
     assert a == b
     with pytest.raises(ValueError, match="eps"):
         S.semantic_dedup(spark, TEST_SF_DIR, eps=0.0)
+
+
+# --- SQ8 scalar quantization --------------------------------------------------
+def test_sq8_code_hex_oracle_parity(spark):
+    """The codegen'd encoder == DuckDB's closed-form recomputation of
+    the same fit (exact per-dim min/max, floor(x+0.5), clamp-after-
+    floor) at sf0.001 and sf0.01 — the quantizer is an exact operator,
+    unlike PQ's iterative codebooks."""
+    from tests.conftest import ORACLE_SF_DIR
+    from tests.oracle_harness import compare
+
+    for sf in (TEST_SF_DIR, ORACLE_SF_DIR):
+        ok, msg = compare(S.sq8_code_hex(spark, sf), S.SQ8_CODE_HEX_SQL, sf)
+        assert ok, msg
+
+
+def test_sq8_reconstruction_error_bounded(spark):
+    """|v̂ - v| <= (hi-lo)/(2·255) per coordinate for in-range values —
+    the quantizer's defining guarantee (round-to-nearest level)."""
+    import numpy as np
+
+    vmin, vmax = S.sq8_fit(spark, TEST_SF_DIR)
+    lo, hi = np.array(vmin), np.array(vmax)
+    scale = (hi - lo) / S.SQ8_LEVELS
+    rows = (
+        S._emb(spark, TEST_SF_DIR)
+        .select("vec_id", "v", S._sq8_code_expr(vmin, vmax).alias("codes"))
+        .limit(200)
+        .collect()
+    )
+    for r in rows:
+        v = np.array(list(r["v"]))
+        recon = lo + np.array(list(r["codes"])) * scale
+        assert (np.abs(recon - v) <= scale / 2 + 1e-12).all()
+
+
+def test_sq8_topk_matches_brute(spark):
+    """With stage-1 recall@C perfect (C = 4k over 8-bit codes at 64-d,
+    quantization error ~1e-3 in cosine), the exact-rescored top-k
+    EQUALS the brute-force top-k — pinned against the brute oracle SQL
+    at both fixture scales."""
+    from tests.conftest import ORACLE_SF_DIR
+    from tests.oracle_harness import compare
+
+    for sf in (TEST_SF_DIR, ORACLE_SF_DIR):
+        df = S.ann_cosine_topk_sq8(spark, sf)
+        ok, msg = compare(df, S.ANN_COSINE_TOPK_SQL, sf)
+        assert ok, msg
+
+
+def test_sq8_indexed_matches_inline_and_reads_codes_only(spark, tmp_path):
+    """The persisted-index path returns the inline result; its stage-1
+    scan reads the 64-byte codes (never the embedding column), and the
+    stage-2 exact fetch arrives as a pushed-down point lookup."""
+    index_dir = str(tmp_path / "sq8_index")
+    S.build_sq8_index(spark, TEST_SF_DIR, index_dir)
+    got = S.ann_cosine_topk_sq8_indexed(spark, TEST_SF_DIR, index_dir)
+    want = {
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in S.ann_cosine_topk_sq8(spark, TEST_SF_DIR).collect()
+    }
+    assert {
+        (r.query_id, r.rank, r.vec_id, r.cosine) for r in got.collect()
+    } == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # stage-2 point lookup is pushed to the parquet scan
+    assert "in(vec_id" in plan.lower(), plan
+    # the sidecar quantizer round-trips exactly
+    q = spark.read.parquet(f"{index_dir}/_quantizer").collect()[0]
+    vmin, vmax = S.sq8_fit(spark, TEST_SF_DIR)
+    assert list(q["lo"]) == vmin and list(q["hi"]) == vmax
