@@ -91,6 +91,7 @@ HEADLINE = [
     "multimodal_image_stats",  # real PPM decode + dHash (round 9)
     "multimodal_video_stats",  # real AVI decode, per-frame stats (round 9)
     "ann_cosine_topk_sq8",  # SQ8 encode + two-stage rescored ANN (round 9)
+    "corpus_snapshot_diff",  # crawl-over-crawl fingerprint diff (round 9)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -110,6 +111,7 @@ EXTRA_QUERIES = {
     "corpus_shuffle_order": curation.corpus_shuffle_order,
     "multimodal_video_stats": multimodal.multimodal_video_stats,
     "ann_cosine_topk_sq8": similarity.ann_cosine_topk_sq8,
+    "corpus_snapshot_diff": curation.corpus_snapshot_diff,
 }
 
 

@@ -2100,3 +2100,128 @@ def write_shuffled_corpus(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+# --- corpus snapshot diff (crawl-over-crawl audit) ----------------------------
+# The maintenance question every recurring-crawl pipeline asks before
+# reprocessing: what changed between snapshot N and N+1? Diffing 100 TB
+# against 100 TB is cheap ONLY if the join never carries the payload:
+# each side reduces to (key, 16-byte content fingerprint) in a narrow
+# codegen'd projection BEFORE the full-outer join, so the two shuffles
+# move ~48 bytes/doc regardless of document size, and snapshots stored
+# bucketed by doc_id (operators/bucketing.py) merge with no Exchange at
+# all. doc_id is unique per side, so the join is skew-free by
+# construction.
+DIFF_MOD = 50  # synthetic snapshot-B mutation classes (see _snapshot_b)
+DIFF_ADD_OFFSET = 1 << 40  # added docs get ids far above any real doc_id
+DIFF_FP_COLS = ("text", "lang", "source")
+
+
+def _diff_fp(cols: tuple[str, ...]) -> Column:
+    """Content fingerprint: md5 over the unit-separator join of the
+    stringified columns (coalesced to '' — concat_ws would otherwise
+    SKIP a null, making ('a', null) collide with (null, 'a'))."""
+    return F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(""))
+                for c in cols
+            ],
+        )
+    )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    fp_cols: tuple[str, ...] = DIFF_FP_COLS,
+) -> DataFrame:
+    """(old snapshot, new snapshot) -> one row per NON-identical doc:
+    (key, status in {added, removed, changed}, fp_old, fp_new).
+    Unchanged docs (same key, same fingerprint) are dropped before the
+    result leaves the join, so the output is proportional to the churn,
+    not the corpus."""
+    missing = [c for c in (key, *fp_cols) if c not in old.columns]
+    missing += [c for c in (key, *fp_cols) if c not in new.columns]
+    if missing:
+        raise ValueError(f"snapshot lacks column(s) {sorted(set(missing))}")
+    o = old.select(F.col(key), _diff_fp(fp_cols).alias("fp_old"))
+    n = new.select(F.col(key), _diff_fp(fp_cols).alias("fp_new"))
+    j = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status") != "unchanged")
+        .select(key, "status", "fp_old", "fp_new")
+    )
+
+
+def _snapshot_b(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic 'next crawl': hash class k = bucket(doc_id)
+    mod DIFF_MOD — class 0 docs are REMOVED, class 1 docs get revised
+    text, class 2 docs additionally spawn a NEW doc at
+    doc_id + DIFF_ADD_OFFSET; everything else is untouched. Pure
+    md5-bucket arithmetic (the module's no-RNG rule), so the DuckDB
+    oracle rebuilds the identical snapshot."""
+    b = docs.withColumn("_k", _bucket(F.col("doc_id")) % DIFF_MOD)
+    kept = b.filter(F.col("_k") != 0).withColumn(
+        "text",
+        F.when(
+            F.col("_k") == 1, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    added = b.filter(F.col("_k") == 2).select(
+        (F.col("doc_id") + DIFF_ADD_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" [new]")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return kept.drop("_k").unionByName(added)
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable entry: diff the documents table against its
+    deterministic synthetic next crawl."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_diff(docs, _snapshot_b(docs))
+
+
+def _snapshot_diff_sql() -> str:
+    fp = (
+        "md5(COALESCE(CAST(text AS VARCHAR), '') || chr(31) || "
+        "COALESCE(CAST(lang AS VARCHAR), '') || chr(31) || "
+        "COALESCE(CAST(source AS VARCHAR), ''))"
+    )
+    k = f"({_bucket_sql('doc_id')} % {DIFF_MOD})"
+    return f"""
+WITH b AS (SELECT *, {k} AS kls FROM documents),
+snap_b AS (
+    SELECT doc_id,
+           CASE WHEN kls = 1 THEN text || ' [rev2]' ELSE text END AS text,
+           lang, source FROM b WHERE kls != 0
+    UNION ALL
+    SELECT doc_id + {DIFF_ADD_OFFSET}, text || ' [new]', lang, source
+    FROM b WHERE kls = 2
+),
+o AS (SELECT doc_id, {fp} AS fp_old FROM documents),
+n AS (SELECT doc_id, {fp} AS fp_new FROM snap_b)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN fp_old != fp_new THEN 'changed'
+       END AS status,
+       fp_old, fp_new
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR fp_old != fp_new
+"""
+
+
+SNAPSHOT_DIFF_SQL = _snapshot_diff_sql()

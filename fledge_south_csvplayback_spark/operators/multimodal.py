@@ -957,12 +957,18 @@ def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames of VID_W x VID_H 24bpp DIB): logical top-down RGB byte
     ``i`` of frame ``f`` of doc ``d`` is ``(d*131 + f*37 + i*17) %
     256`` — frame 0 is exactly ``image_table``'s PPM pixel plane.
-    Like the image/audio builders, construction is declarative: each
-    STORAGE byte (bottom-up row, BGR order, zero padding to the
-    4-byte stride) maps back to its logical index with integer
-    arithmetic inside ``transform``, hex-encodes, and ``unhex``
-    concatenates after the fixed RIFF prefix — JVM-side synthesis,
-    Python only on decode."""
+
+    Synthesis shape: the formula depends on ``d`` only through
+    ``d*131 % 256``, so each frame has exactly 256 possible byte
+    strings. A first cut evaluated the storage mapping (bottom-up
+    rows, BGR order, stride padding) per BYTE inside ``transform`` —
+    measured 40 s / 200k docs, 130× the decode cost, all of it
+    synthesis overhead a real pipeline (bytes from storage) never
+    pays. Now the 256×VID_FRAMES frame hex strings are precomputed
+    driver-side and a 256-row broadcast join keyed on
+    ``pmod(doc_id*131, 256)`` assembles payload = header ‖
+    ('00db' ‖ size ‖ unhex(frame)) per frame — per-row cost is one
+    broadcast probe + concat, and the probe measures the DECODE."""
     import struct
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -970,39 +976,44 @@ def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame_bytes = stride * h
     header = _avi_header_bytes(w, h, nf)
 
-    def storage_byte(f: int, j):
-        # j: storage byte index in [0, stride*h); padding bytes are 0
-        sr = (j - j % stride) / stride  # integer in double form
-        o = j % stride
-        r = F.lit(h - 1) - sr  # bottom-up -> logical row
-        c = (o - o % 3) / 3
-        ch = F.lit(2) - (o % 3)  # BGR -> logical channel
-        i = ((r * w + c) * 3 + ch).cast("long")
-        return F.when(
-            o >= w * 3, F.lit(0)
-        ).otherwise((F.col("doc_id") * 131 + f * 37 + i * 17) % 256)
+    lut_rows = []
+    for dd in range(256):
+        hexes = []
+        for f in range(nf):
+            fb = bytearray()
+            for j in range(frame_bytes):
+                sr, o = divmod(j, stride)
+                if o >= w * 3:
+                    fb.append(0)  # stride padding
+                else:
+                    r = h - 1 - sr  # bottom-up -> logical row
+                    c, bch = divmod(o, 3)
+                    i = (r * w + c) * 3 + (2 - bch)  # BGR -> logical ch
+                    fb.append((dd + f * 37 + i * 17) % 256)
+            hexes.append(fb.hex())
+        lut_rows.append((dd, *hexes))
+    lut = spark.createDataFrame(
+        lut_rows,
+        "dd int, " + ", ".join(f"fhex{f} string" for f in range(nf)),
+    )
 
-    idx = F.sequence(F.lit(0), F.lit(frame_bytes - 1))
     parts = [F.lit(bytearray(header)).cast("binary")]
-
-    def hex_byte(f: int):
-        # single-parameter lambda factory: F.transform counts lambda
-        # parameters, so a `lambda j, f=f` would be fed (element, INDEX)
-        return lambda j: F.lpad(F.hex(storage_byte(f, j)), 2, "0")
-
     for f in range(nf):
         chunk_hdr = b"00db" + struct.pack("<I", frame_bytes)
-        hexstr = F.concat_ws("", F.transform(idx, hex_byte(f)))
         parts.append(F.lit(bytearray(chunk_hdr)).cast("binary"))
-        parts.append(F.unhex(hexstr))
+        parts.append(F.unhex(F.col(f"fhex{f}")))
     payload = F.concat(*parts)
-    return docs.select(
-        "doc_id",
-        payload.alias("payload"),
-        F.struct(
-            F.lit("video/x-msvideo").alias("media_type"),
-            F.octet_length(payload).alias("declared_bytes"),
-        ).alias("meta"),
+    return (
+        docs.withColumn("dd", F.pmod(F.col("doc_id") * 131, F.lit(256)).cast("int"))
+        .join(F.broadcast(lut), "dd")
+        .select(
+            "doc_id",
+            payload.alias("payload"),
+            F.struct(
+                F.lit("video/x-msvideo").alias("media_type"),
+                F.octet_length(payload).alias("declared_bytes"),
+            ).alias("meta"),
+        )
     )
 
 

@@ -43,7 +43,7 @@ from probes._common import (
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("op", choices=["stats", "neardup"])
+    ap.add_argument("op", choices=["stats", "video", "neardup"])
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--m", type=int, default=3)
     ap.add_argument("--max-hamming", type=int, default=4)
@@ -53,12 +53,15 @@ def main() -> None:
     if not os.path.exists(f"{d}/documents.parquet"):
         raise SystemExit(f"run probe_curation.py gen --rows {args.rows} first")
 
-    if args.op == "stats":
-        out = {"op": "stats", "rows": args.rows}
-        for name, fn in (
-            ("image", multimodal.multimodal_image_stats),
-            ("audio", multimodal.multimodal_audio_stats),
-        ):
+    if args.op in ("stats", "video"):
+        out = {"op": args.op, "rows": args.rows}
+        ops = (
+            (("image", multimodal.multimodal_image_stats),
+             ("audio", multimodal.multimodal_audio_stats))
+            if args.op == "stats"
+            else (("video", multimodal.multimodal_video_stats),)
+        )
+        for name, fn in ops:
             t0 = time.perf_counter()
             fn(spark, d).write.format("noop").mode("overwrite").save()
             out[f"{name}_sec"] = round(time.perf_counter() - t0, 1)

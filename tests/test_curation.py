@@ -47,6 +47,11 @@ _ORACLES = [
         curation.corpus_pack_batches,
         curation.CORPUS_PACK_BATCHES_SQL,
     ),
+    (
+        "corpus_snapshot_diff",
+        curation.corpus_snapshot_diff,
+        curation.SNAPSHOT_DIFF_SQL,
+    ),
 ]
 
 
@@ -1555,3 +1560,65 @@ def test_write_shuffled_corpus_reserved_columns_reshard(spark, tmp_path):
     for doc_id, r in rows.items():
         h = hashlib.md5(f"shuffle:{doc_id}".encode()).hexdigest()
         assert r.shard == int(h[:8], 16) % 2
+
+
+# --- corpus snapshot diff ------------------------------------------------
+def test_corpus_snapshot_diff_oracle_parity_sf001(spark):
+    """The diff also at the driver's oracle SF (the sf0.001 run rides
+    the parametrized _ORACLES row)."""
+    ok, msg = compare(
+        curation.corpus_snapshot_diff(spark, ORACLE_SF_DIR),
+        curation.SNAPSHOT_DIFF_SQL,
+        ORACLE_SF_DIR,
+    )
+    assert ok, msg
+
+
+def test_corpus_diff_statuses_and_validation(spark):
+    """Planted two-snapshot fixture: every status class, unchanged
+    dropped, fingerprint covers ALL fp_cols (a lang-only change is
+    'changed'), and the coalesce keeps null vs '' from colliding."""
+    schema = "doc_id long, text string, lang string, source string"
+    old = spark.createDataFrame(
+        [
+            (1, "same", "en", "a"),       # unchanged -> dropped
+            (2, "old text", "en", "a"),   # changed (text)
+            (3, "same", "en", "a"),       # changed (lang only)
+            (4, "gone", "en", "a"),       # removed
+            (5, None, "en", "a"),         # null text == '' -> unchanged
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "same", "en", "a"),
+            (2, "new text", "en", "a"),
+            (3, "same", "de", "a"),
+            (5, "", "en", "a"),
+            (6, "fresh", "en", "a"),      # added
+        ],
+        schema,
+    )
+    got = {
+        r.doc_id: r.status
+        for r in curation.corpus_diff(old, new).collect()
+    }
+    assert got == {
+        2: "changed",
+        3: "changed",
+        4: "removed",
+        6: "added",
+    }
+    with pytest.raises(ValueError, match="lacks column"):
+        curation.corpus_diff(old.drop("lang"), new)
+
+
+def test_corpus_diff_shuffle_carries_fingerprints_not_text(spark):
+    """The 100 TB property: both sides reduce to (doc_id, md5) BEFORE
+    the full-outer join, so no Exchange carries a text/payload column."""
+    df = curation.corpus_snapshot_diff(spark, TEST_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
