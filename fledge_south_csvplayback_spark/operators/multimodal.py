@@ -163,22 +163,37 @@ def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage, Python runs the codec)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_px = IMG_W * IMG_H * 3
-    idx = F.sequence(F.lit(0), F.lit(n_px - 1))
-    pix = F.transform(
-        idx, lambda i: (F.col("doc_id") * 131 + i * 17) % 256
-    )
-    hexstr = F.concat_ws(
-        "", F.transform(pix, lambda v: F.lpad(F.hex(v), 2, "0"))
+    # the formula depends on doc_id only through doc_id*131 % 256, so
+    # the 256 possible pixel planes precompute driver-side and a
+    # 256-row broadcast join assembles the payload — synthesis
+    # scaffolding costs ~0 and decode probes measure the DECODE (the
+    # per-byte transform formulation measurably dominated the wall;
+    # see video_table's post-mortem)
+    lut = spark.createDataFrame(
+        [
+            (
+                dd,
+                bytes((dd + i * 17) % 256 for i in range(n_px)).hex(),
+            )
+            for dd in range(256)
+        ],
+        "dd int, pxhex string",
     )
     header = F.encode(F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n"), "UTF-8")
-    payload = F.concat(header, F.unhex(hexstr))
-    return docs.select(
-        "doc_id",
-        payload.alias("payload"),
-        F.struct(
-            F.lit("image/x-portable-pixmap").alias("media_type"),
-            F.octet_length(payload).alias("declared_bytes"),
-        ).alias("meta"),
+    payload = F.concat(header, F.unhex(F.col("pxhex")))
+    return (
+        docs.withColumn(
+            "dd", F.pmod(F.col("doc_id") * 131, F.lit(256)).cast("int")
+        )
+        .join(F.broadcast(lut), "dd")
+        .select(
+            "doc_id",
+            payload.alias("payload"),
+            F.struct(
+                F.lit("image/x-portable-pixmap").alias("media_type"),
+                F.octet_length(payload).alias("declared_bytes"),
+            ).alias("meta"),
+        )
     )
 
 
@@ -443,28 +458,40 @@ def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         + b"data"
         + struct.pack("<I", data_bytes)
     )
-    idx = F.sequence(F.lit(0), F.lit(n - 1))
-    sample = F.transform(
-        idx, lambda i: (F.col("doc_id") * 7 + i * 13) % 2048 - 1024
-    )
-    le16 = F.transform(
-        sample,
-        lambda s: F.concat(
-            F.substring(F.lpad(F.hex(F.pmod(s, F.lit(65536))), 4, "0"), 3, 2),
-            F.substring(F.lpad(F.hex(F.pmod(s, F.lit(65536))), 4, "0"), 1, 2),
-        ),
+    # the sample formula depends on doc_id only through doc_id*7 %
+    # 2048, so the 2048 possible PCM planes precompute driver-side
+    # (LE-int16 packed exactly as before) and a broadcast join
+    # assembles the payload — see video_table's synthesis post-mortem
+    lut = spark.createDataFrame(
+        [
+            (
+                aa,
+                b"".join(
+                    struct.pack("<h", (aa + i * 13) % 2048 - 1024)
+                    for i in range(n)
+                ).hex(),
+            )
+            for aa in range(2048)
+        ],
+        "aa int, pcmhex string",
     )
     payload = F.concat(
         F.lit(bytearray(header)).cast("binary"),
-        F.unhex(F.concat_ws("", le16)),
+        F.unhex(F.col("pcmhex")),
     )
-    return docs.select(
-        "doc_id",
-        payload.alias("payload"),
-        F.struct(
-            F.lit("audio/wav").alias("media_type"),
-            F.octet_length(payload).alias("declared_bytes"),
-        ).alias("meta"),
+    return (
+        docs.withColumn(
+            "aa", F.pmod(F.col("doc_id") * 7, F.lit(2048)).cast("int")
+        )
+        .join(F.broadcast(lut), "aa")
+        .select(
+            "doc_id",
+            payload.alias("payload"),
+            F.struct(
+                F.lit("audio/wav").alias("media_type"),
+                F.octet_length(payload).alias("declared_bytes"),
+            ).alias("meta"),
+        )
     )
 
 
