@@ -2225,3 +2225,56 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR fp_old != fp_new
 
 
 SNAPSHOT_DIFF_SQL = _snapshot_diff_sql()
+
+
+def diff_shards_to_recompute(
+    diff: DataFrame, n_shards: int = SHUFFLE_SHARDS
+) -> DataFrame:
+    """``corpus_diff`` output -> the training shards that must be
+    re-exported: (shard, n_added, n_removed, n_changed). A doc's shard
+    is a pure function of doc_id (``corpus_shuffle_order``'s salted-md5
+    rule), so added/changed docs land in — and removed docs vacate —
+    exactly one shard each, and the incremental re-export touches ONLY
+    these shards instead of rewriting the corpus. One tiny aggregate
+    over the (churn-sized) diff; no scan of either snapshot."""
+    if n_shards < 1:
+        raise ValueError(
+            f"diff_shards_to_recompute: n_shards >= 1, got {n_shards}"
+        )
+    shard = (
+        F.conv(F.substring(_shuffle_key(F.col("doc_id")), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    ).alias("shard")
+    return (
+        diff.select(shard, "status")
+        .groupBy("shard")
+        .agg(
+            F.count_if(F.col("status") == "added").alias("n_added"),
+            F.count_if(F.col("status") == "removed").alias("n_removed"),
+            F.count_if(F.col("status") == "changed").alias("n_changed"),
+        )
+    )
+
+
+def corpus_diff_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle entry: the incremental re-export plan for the synthetic
+    next crawl."""
+    return diff_shards_to_recompute(corpus_snapshot_diff(spark, sf_dir))
+
+
+def _diff_shards_sql(n_shards: int = SHUFFLE_SHARDS) -> str:
+    key = f"md5('{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR))"
+    shard = f"(('0x' || substring({key}, 1, 8))::BIGINT % {n_shards})"
+    return f"""
+WITH diff AS ({SNAPSHOT_DIFF_SQL})
+SELECT {shard} AS shard,
+       CAST(COUNT(*) FILTER (WHERE status = 'added') AS BIGINT) AS n_added,
+       CAST(COUNT(*) FILTER (WHERE status = 'removed') AS BIGINT) AS n_removed,
+       CAST(COUNT(*) FILTER (WHERE status = 'changed') AS BIGINT) AS n_changed
+FROM diff
+GROUP BY 1
+"""
+
+
+CORPUS_DIFF_SHARDS_SQL = _diff_shards_sql()

@@ -164,20 +164,23 @@ def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_px = IMG_W * IMG_H * 3
     # the formula depends on doc_id only through doc_id*131 % 256, so
-    # the 256 possible pixel planes precompute driver-side and a
-    # 256-row broadcast join assembles the payload — synthesis
-    # scaffolding costs ~0 and decode probes measure the DECODE (the
-    # per-byte transform formulation measurably dominated the wall;
-    # see video_table's post-mortem)
-    lut = spark.createDataFrame(
-        [
-            (
-                dd,
-                bytes((dd + i * 17) % 256 for i in range(n_px)).hex(),
-            )
-            for dd in range(256)
-        ],
-        "dd int, pxhex string",
+    # the 256 possible pixel planes build ONCE over a 256-row Range
+    # (declarative — createDataFrame would plant a Scan ExistingRDD in
+    # the registered plan, the hygiene pin forbids it) and a broadcast
+    # join assembles the payload — synthesis scaffolding costs ~0 and
+    # decode probes measure the DECODE (the per-row-per-byte transform
+    # formulation measurably dominated the wall; see video_table's
+    # post-mortem)
+    consts = F.array(*[F.lit((i * 17) % 256) for i in range(n_px)])
+    lut = spark.range(256).select(
+        F.col("id").cast("int").alias("dd"),
+        F.concat_ws(
+            "",
+            F.transform(
+                consts,
+                lambda c: F.lpad(F.hex((F.col("id") + c) % 256), 2, "0"),
+            ),
+        ).alias("pxhex"),
     )
     header = F.encode(F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n"), "UTF-8")
     payload = F.concat(header, F.unhex(F.col("pxhex")))
@@ -459,21 +462,20 @@ def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         + struct.pack("<I", data_bytes)
     )
     # the sample formula depends on doc_id only through doc_id*7 %
-    # 2048, so the 2048 possible PCM planes precompute driver-side
-    # (LE-int16 packed exactly as before) and a broadcast join
-    # assembles the payload — see video_table's synthesis post-mortem
-    lut = spark.createDataFrame(
-        [
-            (
-                aa,
-                b"".join(
-                    struct.pack("<h", (aa + i * 13) % 2048 - 1024)
-                    for i in range(n)
-                ).hex(),
-            )
-            for aa in range(2048)
-        ],
-        "aa int, pcmhex string",
+    # 2048, so the 2048 possible PCM planes build ONCE over a 2048-row
+    # Range (declarative, no ExistingRDD; LE-int16 packed exactly as
+    # before) and a broadcast join assembles the payload — see
+    # video_table's synthesis post-mortem
+    consts = F.array(*[F.lit((i * 13) % 2048) for i in range(n)])
+
+    def le16(c):
+        s = (F.col("id") + c) % 2048 - 1024
+        hx = F.lpad(F.hex(F.pmod(s, F.lit(65536))), 4, "0")
+        return F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2))
+
+    lut = spark.range(2048).select(
+        F.col("id").cast("int").alias("aa"),
+        F.concat_ws("", F.transform(consts, le16)).alias("pcmhex"),
     )
     payload = F.concat(
         F.lit(bytearray(header)).cast("binary"),
@@ -991,8 +993,8 @@ def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, BGR order, stride padding) per BYTE inside ``transform`` —
     measured 40 s / 200k docs, 130× the decode cost, all of it
     synthesis overhead a real pipeline (bytes from storage) never
-    pays. Now the 256×VID_FRAMES frame hex strings are precomputed
-    driver-side and a 256-row broadcast join keyed on
+    pays. Now the 256×VID_FRAMES frame hex strings build ONCE over a
+    256-row Range and a broadcast join keyed on
     ``pmod(doc_id*131, 256)`` assembles payload = header ‖
     ('00db' ‖ size ‖ unhex(frame)) per frame — per-row cost is one
     broadcast probe + concat, and the probe measures the DECODE."""
@@ -1003,25 +1005,41 @@ def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame_bytes = stride * h
     header = _avi_header_bytes(w, h, nf)
 
-    lut_rows = []
-    for dd in range(256):
-        hexes = []
-        for f in range(nf):
-            fb = bytearray()
-            for j in range(frame_bytes):
-                sr, o = divmod(j, stride)
-                if o >= w * 3:
-                    fb.append(0)  # stride padding
-                else:
-                    r = h - 1 - sr  # bottom-up -> logical row
-                    c, bch = divmod(o, 3)
-                    i = (r * w + c) * 3 + (2 - bch)  # BGR -> logical ch
-                    fb.append((dd + f * 37 + i * 17) % 256)
-            hexes.append(fb.hex())
-        lut_rows.append((dd, *hexes))
-    lut = spark.createDataFrame(
-        lut_rows,
-        "dd int, " + ", ".join(f"fhex{f} string" for f in range(nf)),
+    # per (frame, storage byte) the formula's non-doc term is a
+    # CONSTANT: c = (f*37 + i*17) % 256 for data bytes (i = the
+    # logical index the bottom-up/BGR/stride mapping lands on), -1 for
+    # padding. The LUT builds declaratively over a 256-row Range
+    # (createDataFrame would plant a Scan ExistingRDD; the repo's plan
+    # hygiene forbids it in any query path)
+    frame_consts = []
+    for f in range(nf):
+        cs = []
+        for j in range(frame_bytes):
+            sr, o = divmod(j, stride)
+            if o >= w * 3:
+                cs.append(-1)  # stride padding -> byte 0
+            else:
+                r = h - 1 - sr  # bottom-up -> logical row
+                c, bch = divmod(o, 3)
+                i = (r * w + c) * 3 + (2 - bch)  # BGR -> logical ch
+                cs.append((f * 37 + i * 17) % 256)
+        frame_consts.append(cs)
+
+    def frame_hex(cs):
+        arr = F.array(*[F.lit(c) for c in cs])
+        return F.concat_ws(
+            "",
+            F.transform(
+                arr,
+                lambda c: F.when(c < 0, F.lit("00")).otherwise(
+                    F.lpad(F.hex((F.col("id") + c) % 256), 2, "0")
+                ),
+            ),
+        )
+
+    lut = spark.range(256).select(
+        F.col("id").cast("int").alias("dd"),
+        *[frame_hex(cs).alias(f"fhex{f}") for f, cs in enumerate(frame_consts)],
     )
 
     parts = [F.lit(bytearray(header)).cast("binary")]

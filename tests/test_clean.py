@@ -3,6 +3,8 @@ calls (process_csv_data.py:109-148) executed on the dirty fixture."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -14,7 +16,7 @@ from fledge_south_csvplayback_spark.operators.clean_queries import (
     clean_repair_nans,
 )
 
-FIXTURE = "tests/fixtures/dirty.csv"
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "dirty.csv")
 
 
 def _pandas_numeric() -> pd.DataFrame:

@@ -52,6 +52,11 @@ _ORACLES = [
         curation.corpus_snapshot_diff,
         curation.SNAPSHOT_DIFF_SQL,
     ),
+    (
+        "corpus_diff_shards",
+        curation.corpus_diff_shards,
+        curation.CORPUS_DIFF_SHARDS_SQL,
+    ),
 ]
 
 
@@ -1622,3 +1627,18 @@ def test_corpus_diff_shuffle_carries_fingerprints_not_text(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_diff_shards_counts_and_validation(spark):
+    """Shard counts reconcile with the diff's status totals, the shard
+    rule is corpus_shuffle_order's, and n_shards is validated."""
+    diff = curation.corpus_snapshot_diff(spark, TEST_SF_DIR)
+    per_status = {r.status: r.n for r in
+                  diff.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    shards = curation.diff_shards_to_recompute(diff).collect()
+    assert sum(r.n_added for r in shards) == per_status.get("added", 0)
+    assert sum(r.n_removed for r in shards) == per_status.get("removed", 0)
+    assert sum(r.n_changed for r in shards) == per_status.get("changed", 0)
+    assert all(0 <= r.shard < curation.SHUFFLE_SHARDS for r in shards)
+    with pytest.raises(ValueError, match="n_shards"):
+        curation.diff_shards_to_recompute(diff, n_shards=0)

@@ -4,7 +4,9 @@ from __future__ import annotations
 
 from fledge_south_csvplayback_spark import etl
 
-FIX = "tests/fixtures"
+import os
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
 def test_etl_flattens_dump(spark, tmp_path):
