@@ -108,10 +108,8 @@ EXTRA_QUERIES = {
     "text_bm25_topk": text.text_bm25_topk,
     "text_repeated_span_scrub": text.text_repeated_span_scrub,
     "semantic_dedup": similarity.semantic_dedup,
-    "corpus_shuffle_order": curation.corpus_shuffle_order,
     "multimodal_video_stats": multimodal.multimodal_video_stats,
     "ann_cosine_topk_sq8": similarity.ann_cosine_topk_sq8,
-    "corpus_snapshot_diff": curation.corpus_snapshot_diff,
 }
 
 

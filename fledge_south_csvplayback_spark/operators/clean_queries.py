@@ -306,3 +306,35 @@ def clean_repair_nans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CLEAN_REPAIR_SQL = CLEAN_INTERP_LINEAR_SQL  # allblank dropped by A2 on the Spark side
+
+
+# --- W1/W2 folded driver entry (round-9 registry rotation) ---------------------
+def clean_rolling_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both rolling-fill variants as ONE method-tagged union, per the
+    COVERAGE.md rotation rule (they verify sibling §2 rows W1/W2 over
+    the same fixture with the same window shape): each constituent
+    stays distinguishable via the ``method`` tag and the unmerged
+    callables stay public/registered-style. Rounded to 6 in both
+    engines, the clean_interpolate union protocol."""
+    parts = [
+        fn(spark, sf_dir).select(
+            F.lit(m).alias("method"),
+            "ts",
+            F.round("a", 6).alias("a"),
+            F.round("b", 6).alias("b"),
+        )
+        for m, fn in (
+            ("mean", clean_rolling_mean_fill),
+            ("median", clean_rolling_median_fill),
+        )
+    ]
+    return parts[0].unionAll(parts[1])
+
+
+CLEAN_ROLLING_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{m}' AS method, ts, ROUND(a, 6) AS a, ROUND(b, 6) AS b\nFROM ({sql})"
+    for m, sql in (
+        ("mean", CLEAN_ROLLING_MEAN_SQL),
+        ("median", CLEAN_ROLLING_MEDIAN_SQL),
+    )
+)

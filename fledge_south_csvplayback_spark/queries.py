@@ -105,6 +105,14 @@ register(
     curation.corpus_shuffle_order,
     curation.CORPUS_SHUFFLE_ORDER_SQL,
 )
+# rotated in round 9 (slot freed by the rolling-fill fold): the
+# crawl-over-crawl snapshot diff — exact SQL oracle (DuckDB rebuilds
+# the synthetic next crawl + FULL OUTER JOIN), benched since round 9
+register(
+    "corpus_snapshot_diff",
+    curation.corpus_snapshot_diff,
+    curation.SNAPSHOT_DIFF_SQL,
+)
 
 # --- similarity search (embeddings table) -----------------------------------
 register("ann_cosine_topk", similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL)
@@ -209,15 +217,15 @@ register(
     clean_queries.clean_null_report,
     clean_queries.CLEAN_NULL_REPORT_SQL,
 )
+# Round-9 registry rotation (COVERAGE.md selection rule): W1/W2 are
+# sibling rolling fills over the same fixture and window shape, so
+# they fold into ONE method-tagged union entry (the clean_interpolate
+# precedent) — freeing the slot that registers corpus_snapshot_diff
+# below; the unmerged callables stay public and pytest-covered.
 register(
-    "clean_rolling_mean_fill",
-    clean_queries.clean_rolling_mean_fill,
-    clean_queries.CLEAN_ROLLING_MEAN_SQL,
-)
-register(
-    "clean_rolling_median_fill",
-    clean_queries.clean_rolling_median_fill,
-    clean_queries.CLEAN_ROLLING_MEDIAN_SQL,
+    "clean_rolling_fill",
+    clean_queries.clean_rolling_fill,
+    clean_queries.CLEAN_ROLLING_SQL,
 )
 # Round-7 registry rotation (COVERAGE.md selection rule): the three
 # interpolation variants all verify the SAME §2 row (W3) over the same
