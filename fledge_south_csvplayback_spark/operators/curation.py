@@ -1666,7 +1666,7 @@ def quality_model_fit(
     traffic with row count); the ≤ partitions partials reduce on the
     driver, which takes the step. No shuffle at any corpus size; per
     epoch the cross-node traffic is one weight vector down and one
-    partial per batch up. Deterministic: full-batch (no sampling
+    partial per PARTITION up — flat in row count. Deterministic: full-batch (no sampling
     order), float64 partials; cross-partition summation jitter is
     below the 1e-6 the replica test allows.
 

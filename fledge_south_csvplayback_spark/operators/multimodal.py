@@ -223,16 +223,26 @@ def _make_ppm_decoder():
                 pos += 1
             else:
                 start = pos
-                while (
-                    pos < len(payload)
-                    and not payload[pos : pos + 1].isspace()
+                while pos < len(payload) and not (
+                    payload[pos : pos + 1].isspace()
+                    or payload[pos : pos + 1] == b"#"
                 ):
                     pos += 1
                 toks.append(payload[start:pos])
-        pos += 1  # the single whitespace after maxval
+        # the raster starts after ONE whitespace byte; a comment glued
+        # to the maxval token ("255# note\n") ends at its newline,
+        # which IS that whitespace (netpbm allows comments anywhere in
+        # header whitespace)
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        pos += 1
         if len(toks) < 3:
             raise ValueError("truncated PPM header")
-        w, h, maxval = (int(t) for t in toks)
+        try:
+            w, h, maxval = (int(t) for t in toks)
+        except ValueError:
+            raise ValueError(f"non-numeric PPM header token in {toks!r}")
         if w < 1 or h < 1 or not (0 < maxval <= 255):
             raise ValueError(f"bad PPM dimensions/maxval: {w}x{h}/{maxval}")
         buf = payload[pos : pos + w * h * 3]
@@ -518,6 +528,10 @@ def _make_wav_decoder():
             if len(body) != size:
                 raise ValueError(f"truncated {cid!r} chunk")
             if cid == b"fmt ":
+                if size < 16:
+                    raise ValueError(
+                        f"'fmt ' chunk declares {size} bytes, need >= 16"
+                    )
                 fmt = struct.unpack("<HHIIHH", body[:16])
             elif cid == b"data":
                 data = body
@@ -563,6 +577,14 @@ def audio_stats(media: DataFrame) -> DataFrame:
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rate, channels, s = decode(payload)
+                if channels != 1:
+                    # the stream is channel-INTERLEAVED: flat stats over
+                    # it would mix channels (zero-crossings especially);
+                    # fail loudly rather than report wrong numbers
+                    raise ValueError(
+                        f"audio_stats is mono-only, got {channels} "
+                        "channels — deinterleave upstream"
+                    )
                 out["doc_id"].append(doc_id)
                 out["sample_rate"].append(rate)
                 out["channels"].append(channels)
@@ -624,6 +646,19 @@ IMG_BANDS = IMG_H  # one 8-bit band per dHash row byte
 IMG_BLOCK_M = 2  # bands per candidate key (Manku blocked scheme)
 
 
+def _hash_frame(stats: DataFrame | None, hash_col: str, default_fn):
+    """Shared stats-injection contract of the three near-dup ops: a
+    caller-supplied (doc_id, <hash_col>) frame (production hashes
+    arrive precomputed; re-decoding for every join is waste) or the
+    op's own decode path."""
+    if stats is None:
+        return default_fn()
+    missing = {"doc_id", hash_col} - set(stats.columns)
+    if missing:
+        raise ValueError(f"stats frame lacks column(s) {sorted(missing)}")
+    return stats.select("doc_id", hash_col)
+
+
 def _band_neardup_pairs(
     st: DataFrame,
     hash_col: str,
@@ -644,6 +679,26 @@ def _band_neardup_pairs(
             f"max_hamming {max_hamming} beyond the exact-detection bound "
             f"{n_bands - m} for m={m}; lower m or max_hamming"
         )
+    # enforce the band geometry per row, loudly: substring past a short
+    # hash returns '' and conv('')/bit_count(NULL) would NULL the
+    # Hamming sum — silently dropping every candidate pair instead of
+    # erroring (a non-standard-geometry fingerprint would do this)
+    st = st.withColumn(
+        hash_col,
+        F.when(
+            F.length(F.col(hash_col)) == 2 * n_bands, F.col(hash_col)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{hash_col} must be {2 * n_bands} hex chars "
+                        f"({n_bands} bands), got: "
+                    ),
+                    F.coalesce(F.col(hash_col), F.lit("NULL")),
+                )
+            )
+        ),
+    )
 
     def band(col: str, i: int) -> Column:
         return F.substring(col, 1 + 2 * i, 2)
@@ -765,13 +820,13 @@ def image_neardup_pairs(
     arrive with real hashes, and re-decoding for every join is waste)
     to decouple the join from the synthetic decode path.
     """
-    if stats is not None:
-        missing = {"doc_id", "dhash"} - set(stats.columns)
-        if missing:
-            raise ValueError(f"stats frame lacks column(s) {sorted(missing)}")
-        st = stats.select("doc_id", "dhash")
-    else:
-        st = image_stats(image_table(spark, sf_dir)).select("doc_id", "dhash")
+    st = _hash_frame(
+        stats,
+        "dhash",
+        lambda: image_stats(image_table(spark, sf_dir)).select(
+            "doc_id", "dhash"
+        ),
+    )
     return _band_neardup_pairs(st, "dhash", IMG_BANDS, m, max_hamming)
 
 
@@ -818,7 +873,14 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
             counts = np.empty(n, dtype=np.int64)
             all_samples: list[list[int]] = [[]] * n
             for i, payload in enumerate(pdf["payload"]):
-                _, _, s = decode(payload)
+                _, channels, s = decode(payload)
+                if channels != 1:
+                    # interleaved windows would mix channels into each
+                    # energy — wrong fingerprint, not a degraded one
+                    raise ValueError(
+                        f"audio_fingerprints is mono-only, got {channels} "
+                        "channels — deinterleave upstream"
+                    )
                 if len(s) % AFP_BITS:
                     raise ValueError(
                         f"fingerprint needs n_samples divisible by "
@@ -902,13 +964,9 @@ def audio_neardup_pairs(
     ``_band_neardup_pairs``. Pass ``stats`` (a precomputed
     (doc_id, afp) frame) to decouple the join from the synthetic
     decode path."""
-    if stats is not None:
-        missing = {"doc_id", "afp"} - set(stats.columns)
-        if missing:
-            raise ValueError(f"stats frame lacks column(s) {sorted(missing)}")
-        st = stats.select("doc_id", "afp")
-    else:
-        st = audio_fingerprints(audio_table(spark, sf_dir))
+    st = _hash_frame(
+        stats, "afp", lambda: audio_fingerprints(audio_table(spark, sf_dir))
+    )
     return _band_neardup_pairs(st, "afp", AFP_BANDS, m, max_hamming)
 
 
@@ -1092,8 +1150,16 @@ def _make_avi_decoder():
                 if cid == b"LIST":
                     walk(body + 4, body + size)
                 elif cid == b"avih":
+                    if size < 56:
+                        raise ValueError(
+                            f"'avih' chunk declares {size} bytes, need >= 56"
+                        )
                     avih = struct.unpack("<14I", payload[body : body + 56])
                 elif cid == b"strf":
+                    if size < 40:
+                        raise ValueError(
+                            f"'strf' chunk declares {size} bytes, need >= 40"
+                        )
                     bmi = struct.unpack(
                         "<IiiHHIIiiII", payload[body : body + 40]
                     )
@@ -1186,11 +1252,30 @@ def video_stats(media: DataFrame) -> DataFrame:
                 rgb = rgb[..., ::-1]  # BGR -> RGB
                 sums[idx] = rgb.reshape(len(idx), h * w, 3).sum(axis=1)
                 gray = rgb.sum(axis=3) // 3
-                bits = gray[:, :, :-1] < gray[:, :, 1:]
-                packed = np.packbits(bits, axis=-1, bitorder="big")
-                flat = packed.reshape(len(idx), -1)
-                for j, i in enumerate(idx):
-                    dhashes[i] = flat[j].tobytes().hex()
+                if w == IMG_W:
+                    # one byte per row: packbits big-endian == the
+                    # image convention exactly (bit c at 1 << (7-c))
+                    bits = gray[:, :, :-1] < gray[:, :, 1:]
+                    packed = np.packbits(bits, axis=-1, bitorder="big")
+                    flat = packed.reshape(len(idx), -1)
+                    for j, i in enumerate(idx):
+                        dhashes[i] = flat[j].tobytes().hex()
+                else:
+                    # scalar fallback in image_stats' RIGHT-aligned
+                    # per-row hex convention (packbits LEFT-aligns the
+                    # trailing byte, which would break the documented
+                    # "joins directly against image dHashes" contract
+                    # for non-standard widths)
+                    nhex = -(-(w - 1) // 4)
+                    for j, i in enumerate(idx):
+                        rows_hex = []
+                        for r in range(h):
+                            byte = 0
+                            for c in range(w - 1):
+                                if gray[j, r, c] < gray[j, r, c + 1]:
+                                    byte |= 1 << (w - 2 - c)
+                            rows_hex.append(f"{byte:0{nhex}x}")
+                        dhashes[i] = "".join(rows_hex)
             yield pd.DataFrame(
                 {
                     "doc_id": [m[0] for m in metas],
@@ -1275,13 +1360,13 @@ def video_neardup_pairs(
     doc_a < doc_b candidate filter. Pass ``stats`` (a precomputed
     (doc_id, dhash) frame-rows frame) to decouple the join from the
     synthetic decode path."""
-    if stats is not None:
-        missing = {"doc_id", "dhash"} - set(stats.columns)
-        if missing:
-            raise ValueError(f"stats frame lacks column(s) {sorted(missing)}")
-        st = stats.select("doc_id", "dhash")
-    else:
-        st = video_stats(video_table(spark, sf_dir)).select("doc_id", "dhash")
+    st = _hash_frame(
+        stats,
+        "dhash",
+        lambda: video_stats(video_table(spark, sf_dir)).select(
+            "doc_id", "dhash"
+        ),
+    )
     pairs = _band_neardup_pairs(st, "dhash", IMG_BANDS, m, max_hamming)
     return pairs.groupBy("doc_a", "doc_b").agg(
         F.min("hamming").cast("int").alias("hamming")

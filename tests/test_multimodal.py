@@ -522,3 +522,88 @@ def test_video_neardup_oracle_parity_and_planted(spark, tmp_path):
         M.video_neardup_pairs(
             spark, sf_dir, stats=spark.range(3).select("id")
         )
+
+
+# --- round-9 review hardening ----------------------------------------------
+def test_audio_ops_reject_multichannel(spark):
+    """Interleaved multi-channel streams would yield wrong
+    zero-crossings/fingerprints; both ops fail loudly instead."""
+    stereo = _wav([0, 0, 100, -100] * 32, channels=2)
+    media = spark.createDataFrame(
+        [(1, bytearray(stereo))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="mono-only"):
+        M.audio_stats(media).collect()
+    with pytest.raises(Exception, match="mono-only"):
+        M.audio_fingerprints(media).collect()
+
+
+def test_ppm_comment_glued_to_token():
+    """A '#' immediately after a header token is spec-legal (comments
+    live in header whitespace); the comment's newline IS the single
+    whitespace before the raster."""
+    raster = bytes((i * 3) % 256 for i in range(9 * 8 * 3))
+    pay = b"P6\n9# width comment\n8\n255# maxval comment\n" + raster
+    w, h, maxval, buf = M._decode_ppm(pay)
+    assert (w, h, maxval) == (9, 8, 255)
+    assert buf == raster
+    with pytest.raises(ValueError, match="non-numeric"):
+        M._decode_ppm(b"P6\nab 8\n255\n" + raster)
+
+
+def test_undersized_header_chunks_rejected():
+    """Declared chunk sizes below the fixed header layouts fail as
+    ValueError instead of leaking struct.error or reading neighbors."""
+    import struct
+
+    bad_wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x01\x00\x40\x1f\x00\x00"
+        + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    )
+    with pytest.raises(ValueError, match="need >= 16"):
+        M._decode_wav(bad_wav)
+    pay = bytearray(_avi_payload(1))
+    # shrink the declared avih size (offset 28 is its size field)
+    assert pay[24:28] == b"avih"
+    struct.pack_into("<I", pay, 28, 40)
+    with pytest.raises(ValueError, match="need >= 56"):
+        M._decode_avi(bytes(pay))
+
+
+def test_video_scalar_dhash_matches_image_convention(spark):
+    """Non-standard widths take the scalar fallback, which packs each
+    row RIGHT-aligned like image_stats' scalar path (packbits would
+    left-align the trailing byte and break cross-joining)."""
+    w, h, nf = 5, 3, 2
+    pay = _avi_payload(3, w=w, h=h, nf=nf)
+    media = spark.createDataFrame(
+        [(3, bytearray(pay))], "doc_id long, payload binary"
+    )
+    rows = {r.frame_idx: r for r in M.video_stats(media).collect()}
+    assert len(rows) == nf
+    nhex = -(-(w - 1) // 4)
+    for f in range(nf):
+        logical = [(3 * 131 + f * 37 + i * 17) % 256 for i in range(w * h * 3)]
+        gray = [
+            (logical[3 * k] + logical[3 * k + 1] + logical[3 * k + 2]) // 3
+            for k in range(w * h)
+        ]
+        expect = []
+        for r in range(h):
+            byte = 0
+            for c in range(w - 1):
+                if gray[r * w + c] < gray[r * w + c + 1]:
+                    byte |= 1 << (w - 2 - c)
+            expect.append(f"{byte:0{nhex}x}")
+        assert rows[f].dhash == "".join(expect)
+
+
+def test_band_join_rejects_wrong_length_hashes(spark):
+    """A fingerprint that is not 2*n_bands hex chars raises instead of
+    silently NULLing the Hamming sum and dropping every pair."""
+    bad = spark.createDataFrame(
+        [(1, "aabb"), (2, "aabb")], "doc_id long, dhash string"
+    )
+    with pytest.raises(Exception, match="hex chars"):
+        M.image_neardup_pairs(spark, TEST_SF_DIR, stats=bad).collect()
