@@ -92,6 +92,7 @@ HEADLINE = [
     "multimodal_video_stats",  # real AVI decode, per-frame stats (round 9)
     "ann_cosine_topk_sq8",  # SQ8 encode + two-stage rescored ANN (round 9)
     "corpus_snapshot_diff",  # crawl-over-crawl fingerprint diff (round 9)
+    "text_normalize",  # standalone codegen'd normalization pass (round 9)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -107,6 +108,7 @@ EXTRA_QUERIES = {
     "events_funnel": events.events_funnel,
     "text_bm25_topk": text.text_bm25_topk,
     "text_repeated_span_scrub": text.text_repeated_span_scrub,
+    "text_normalize": text.text_normalize,
     "semantic_dedup": similarity.semantic_dedup,
     "multimodal_video_stats": multimodal.multimodal_video_stats,
     "ann_cosine_topk_sq8": similarity.ann_cosine_topk_sq8,

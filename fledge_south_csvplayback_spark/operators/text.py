@@ -1233,3 +1233,67 @@ def text_bpe_tokenize(
     return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(
         _apply, "doc_id long, n_ws_tokens long, n_bpe_tokens long"
     )
+
+
+# --- standalone text normalization (the preprocessing every text op assumes) --
+# The CCNet/Dolma cleanup pass as ONE codegen'd projection: every
+# downstream text operator in this repo (fingerprints, DSIR grams,
+# boilerplate lines, quality features) normalizes implicitly; this op
+# makes the pass standalone and reusable so a pipeline can materialize
+# normalized text ONCE instead of re-normalizing in every stage. Fixed
+# rule order; patterns stay in the Java-regex/RE2 shared subset (the PII
+# module's rule, spelled with \\x{....} escapes both engines parse the
+# same way) so Spark and DuckDB transform identically. The pipeline is
+# IDEMPOTENT -- normalize(normalize(x)) == normalize(x) -- which is
+# what lets stages compose without double-transform drift
+# (property-pinned corpus-wide).
+_NORM_RULES: list[tuple[str, str]] = [
+    # \x{....} escapes: the one Unicode-escape syntax BOTH Java regex
+    # and RE2 parse (RE2 rejects \uXXXX)
+    ("[\\x{2018}\\x{2019}\\x{201A}\\x{201B}]", "'"),  # curly single quotes
+    ('[\\x{201C}\\x{201D}\\x{201E}\\x{201F}]', '"'),  # curly double quotes
+    ("[\\x{2012}\\x{2013}\\x{2014}\\x{2015}]", "-"),  # figure/en/em dashes
+    ("[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", ""),  # zero-width + BOM
+    ("[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]", ""),  # control chars
+    ("\\s+", " "),  # collapse runs (incl. newline/tab) to one space
+]
+
+
+def normalize_expr(col: Column) -> Column:
+    """The normalization chain as a composable Column expression:
+    unify quotes/dashes, strip zero-width + control characters,
+    collapse whitespace, trim, lowercase. Null text -> null."""
+    out = col
+    for pat, rep in _NORM_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return F.lower(F.trim(out))
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, norm_text, changed): one narrow codegen'd scan -- no
+    shuffle, no Python; at 100 TB this runs at read speed and the
+    materialized output feeds every downstream stage."""
+    t = F.col("text")
+    norm = normalize_expr(t)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (~norm.eqNullSafe(t)).alias("changed"),
+    )
+
+
+def _normalize_sql_chain(expr: str) -> str:
+    out = expr
+    for pat, rep in _NORM_RULES:
+        esc = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{esc}', 'g')"
+    return f"lower(trim({out}))"
+
+
+TEXT_NORMALIZE_SQL = f"""
+SELECT doc_id,
+       {_normalize_sql_chain('text')} AS norm_text,
+       NOT ({_normalize_sql_chain('text')} IS NOT DISTINCT FROM text)
+           AS changed
+FROM documents
+"""
