@@ -2177,14 +2177,14 @@ def _snapshot_b(docs: DataFrame) -> DataFrame:
             F.col("_k") == 1, F.concat(F.col("text"), F.lit(" [rev2]"))
         ).otherwise(F.col("text")),
     )
-    added = b.filter(F.col("_k") == 2).select(
-        (F.col("doc_id") + DIFF_ADD_OFFSET).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" [new]")).alias("text"),
-        "lang",
-        "source",
-        "n_chars",
+    # withColumn (not a column list) keeps the derivation
+    # schema-agnostic: every other column passes through untouched
+    added = (
+        b.filter(F.col("_k") == 2)
+        .withColumn("doc_id", F.col("doc_id") + DIFF_ADD_OFFSET)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [new]")))
     )
-    return kept.drop("_k").unionByName(added)
+    return kept.drop("_k").unionByName(added.drop("_k"))
 
 
 def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

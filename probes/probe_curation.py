@@ -148,6 +148,8 @@ def main() -> None:
             "repetition_ab",
             "chunk",
             "bm25",
+            "diff",
+            "normalize",
         ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
@@ -305,6 +307,43 @@ def main() -> None:
             json.dumps(
                 {
                     "op": "chunk",
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": shuf,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "diff":
+        # crawl-over-crawl audit at 10M vs the synthetic next crawl:
+        # the scale claim under test is that both full-outer-join
+        # shuffles carry (doc_id, md5) projections, never text
+        wall, shuf = timed(spark, curation.corpus_snapshot_diff(spark, sf_dir))
+        out_rows = curation.corpus_snapshot_diff(spark, sf_dir).count()
+        print(
+            json.dumps(
+                {
+                    "op": "diff",
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": shuf,
+                    "out_rows": out_rows,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "normalize":
+        from fledge_south_csvplayback_spark.operators import text as text_ops
+
+        wall, shuf = timed(spark, text_ops.text_normalize(spark, sf_dir))
+        print(
+            json.dumps(
+                {
+                    "op": "normalize",
                     "rows": args.rows,
                     "sec": wall,
                     "shuffle_bytes": shuf,
