@@ -150,6 +150,7 @@ def main() -> None:
             "bm25",
             "diff",
             "normalize",
+            "materialize",
         ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
@@ -313,6 +314,46 @@ def main() -> None:
                 }
             )
         )
+        spark.stop()
+        return
+
+    if args.op == "materialize":
+        # the END-TO-END pipeline at 10M: Gopher filter -> exact-dedup
+        # keeper -> near-dup loser removal -> hash split -> sequence
+        # chunking -> parquet partitionBy(split, lang). The widest
+        # dependencies are the fingerprint exchange and the pair miner;
+        # everything else is narrow or tiny.
+        import shutil
+
+        out = f"{PROBE_ROOT}/train_corpus_{args.rows}"
+        shutil.rmtree(out, ignore_errors=True)
+        before = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        curation.write_training_corpus(spark, sf_dir, out)
+        wall = round(time.perf_counter() - t0, 1)
+        shuf = shuffle_delta(before, shuffle_write_bytes(spark))
+        written = spark.read.parquet(out)
+        n_out = written.count()
+        n_parts = written.select("split", "lang").distinct().count()
+        out_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(out)
+            for f in fs
+        )
+        print(
+            json.dumps(
+                {
+                    "op": "materialize",
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": shuf,
+                    "out_rows": n_out,
+                    "partitions": n_parts,
+                    "out_bytes": out_bytes,
+                }
+            )
+        )
+        shutil.rmtree(out, ignore_errors=True)
         spark.stop()
         return
 
