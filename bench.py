@@ -93,6 +93,7 @@ HEADLINE = [
     "ann_cosine_topk_sq8",  # SQ8 encode + two-stage rescored ANN (round 9)
     "corpus_snapshot_diff",  # crawl-over-crawl fingerprint diff (round 9)
     "text_normalize",  # standalone codegen'd normalization pass (round 9)
+    "multimodal_image_resize",  # decode->box-resize->re-hash pipeline (round 9)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -109,6 +110,7 @@ EXTRA_QUERIES = {
     "text_bm25_topk": text.text_bm25_topk,
     "text_repeated_span_scrub": text.text_repeated_span_scrub,
     "text_normalize": text.text_normalize,
+    "multimodal_image_resize": multimodal.multimodal_image_resize_stats,
     "semantic_dedup": similarity.semantic_dedup,
     "multimodal_video_stats": multimodal.multimodal_video_stats,
     "ann_cosine_topk_sq8": similarity.ann_cosine_topk_sq8,

@@ -1380,3 +1380,170 @@ FROM ({_band_neardup_sql(
     VIDEO_BLOCK_M, VIDEO_MAX_HAMMING)})
 GROUP BY doc_a, doc_b
 """
+
+
+# --- image resize (box downsample) -------------------------------------------
+# The resize stage of a real image pipeline (decode -> RESIZE to the
+# hash geometry -> dHash): box averaging — each output pixel is the
+# mean of its bh x bw source block — is the standard antialiasing
+# downsample (PIL's Image.BOX), and with integer floor-division means
+# it is EXACTLY reproducible in SQL, so unlike interpolating kernels
+# the whole stage is oracle-checkable. Output is a complete PPM P6
+# payload of the target geometry, so the op COMPOSES with image_stats
+# (decode -> resize -> decode -> stats, two Arrow-batched passes, the
+# shape a thumbnail-then-hash pipeline has).
+IMG2_W, IMG2_H = 2 * IMG_W, 2 * IMG_H  # 18 x 16 source -> 2x2 boxes
+
+
+def image_table_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> PPM payloads at 18x16 (4x the pixel count of
+    ``image_table``): pixel byte ``i`` of doc ``d`` is the same
+    ``(d*131 + i*17) % 256`` formula over the larger plane; built via
+    the 256-row Range LUT like every synthetic builder (see
+    ``image_table``)."""
+    n_px = IMG2_W * IMG2_H * 3
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    consts = F.array(*[F.lit((i * 17) % 256) for i in range(n_px)])
+    lut = spark.range(256).select(
+        F.col("id").cast("int").alias("dd"),
+        F.concat_ws(
+            "",
+            F.transform(
+                consts,
+                lambda c: F.lpad(F.hex((F.col("id") + c) % 256), 2, "0"),
+            ),
+        ).alias("pxhex"),
+    )
+    header = F.encode(F.lit(f"P6\n{IMG2_W} {IMG2_H}\n255\n"), "UTF-8")
+    payload = F.concat(header, F.unhex(F.col("pxhex")))
+    return (
+        docs.withColumn(
+            "dd", F.pmod(F.col("doc_id") * 131, F.lit(256)).cast("int")
+        )
+        .join(F.broadcast(lut), "dd")
+        .select(
+            "doc_id",
+            payload.alias("payload"),
+            F.struct(
+                F.lit("image/x-portable-pixmap").alias("media_type"),
+                F.octet_length(payload).alias("declared_bytes"),
+            ).alias("meta"),
+        )
+    )
+
+
+def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode every PPM payload and box-downsample to (out_w, out_h):
+    output pixel = floor(mean of its block), per channel. Source dims
+    must be exact multiples of the target (the divisible-box case is
+    where box averaging is exact; fractional boxes need weighting —
+    raise rather than approximate silently). Emits (doc_id, width,
+    height, payload) where payload is a complete PPM P6 of the target
+    geometry — feed it straight back into ``image_stats``.
+
+    One mapInPandas pass; per (w, h) group the block mean is a single
+    reshape + sum, vectorized."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"bad target geometry {out_w}x{out_h}")
+    decode = _decode_ppm  # closure capture -> pickled by value
+    header = f"P6\n{out_w} {out_h}\n255\n".encode()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            dims = np.empty((n, 2), dtype=np.int64)
+            bufs: list[bytes] = [b""] * n
+            for i, payload in enumerate(pdf["payload"]):
+                w, h, _, buf = decode(payload)
+                if w % out_w or h % out_h:
+                    raise ValueError(
+                        f"box resize needs source {w}x{h} divisible by "
+                        f"target {out_w}x{out_h}"
+                    )
+                dims[i] = (w, h)
+                bufs[i] = buf
+            payloads: list[bytes] = [b""] * n
+            order = np.lexsort(dims.T)
+            pos = 0
+            while pos < n:
+                g = dims[order[pos]]
+                end = pos
+                while end < n and (dims[order[end]] == g).all():
+                    end += 1
+                idx = order[pos:end]
+                pos = end
+                w, h = (int(x) for x in g)
+                bh, bw = h // out_h, w // out_w
+                px = np.stack(
+                    [np.frombuffer(bufs[i], dtype=np.uint8) for i in idx]
+                ).astype(np.int64).reshape(len(idx), out_h, bh, out_w, bw, 3)
+                small = px.sum(axis=(2, 4)) // (bh * bw)  # (k, oh, ow, 3)
+                small = small.astype(np.uint8)
+                for j, i in enumerate(idx):
+                    payloads[i] = header + small[j].tobytes()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(
+        batches, "doc_id long, width int, height int, payload binary"
+    )
+
+
+def multimodal_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-image hashing pipeline end-to-end: decode the 18x16
+    source, box-resize to the 9x8 dHash geometry, re-decode the
+    emitted PPM, and hash — two composed Arrow-batched decode passes."""
+    resized = image_resize(image_table_large(spark, sf_dir), IMG_W, IMG_H)
+    return image_stats(resized.select("doc_id", "payload"))
+
+
+# closed-form oracle: box means over the 18x16 formula plane, then the
+# standard stats+dHash recomputation over the resized plane
+MULTIMODAL_IMAGE_RESIZE_SQL = f"""
+WITH px AS (
+    SELECT doc_id,
+           list_transform(range(0, {IMG_W * IMG_H * 3}), k ->
+               -- k = (r*{IMG_W}+c)*3+ch; its 2x2 source block in the
+               -- {IMG2_W}x{IMG2_H} plane: rows 2r,2r+1, cols 2c,2c+1
+               (
+                 ((doc_id*131 + (((k//3)//{IMG_W}*2  )*{IMG2_W} + (k//3)%{IMG_W}*2  )*3*17 + (k%3)*17) % 256) +
+                 ((doc_id*131 + (((k//3)//{IMG_W}*2  )*{IMG2_W} + (k//3)%{IMG_W}*2+1)*3*17 + (k%3)*17) % 256) +
+                 ((doc_id*131 + (((k//3)//{IMG_W}*2+1)*{IMG2_W} + (k//3)%{IMG_W}*2  )*3*17 + (k%3)*17) % 256) +
+                 ((doc_id*131 + (((k//3)//{IMG_W}*2+1)*{IMG2_W} + (k//3)%{IMG_W}*2+1)*3*17 + (k%3)*17) % 256)
+               ) // 4
+           ) AS p
+    FROM documents
+), g AS (
+    SELECT doc_id, p,
+           list_transform(range(0, {IMG_W * IMG_H}),
+                          k -> (p[3*k+1] + p[3*k+2] + p[3*k+3]) // 3) AS gray
+    FROM px
+)
+SELECT doc_id,
+       CAST({IMG_W} AS INTEGER) AS width,
+       CAST({IMG_H} AS INTEGER) AS height,
+       CAST(255 AS INTEGER) AS maxval,
+       CAST(list_aggregate(list_transform(range(0, {IMG_W * IMG_H}),
+            k -> p[3*k+1]), 'sum') AS BIGINT) AS sum_r,
+       CAST(list_aggregate(list_transform(range(0, {IMG_W * IMG_H}),
+            k -> p[3*k+2]), 'sum') AS BIGINT) AS sum_g,
+       CAST(list_aggregate(list_transform(range(0, {IMG_W * IMG_H}),
+            k -> p[3*k+3]), 'sum') AS BIGINT) AS sum_b,
+       array_to_string(list_transform(range(0, {IMG_H}), r ->
+           lpad(lower(to_hex(list_aggregate(
+               list_transform(range(0, {IMG_W - 1}), c ->
+                   CASE WHEN gray[r*{IMG_W}+c+1] < gray[r*{IMG_W}+c+2]
+                        THEN (1 << ({IMG_W} - 2 - c)) ELSE 0 END),
+               'sum'))), 2, '0')), '') AS dhash
+FROM g
+"""

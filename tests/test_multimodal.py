@@ -607,3 +607,47 @@ def test_band_join_rejects_wrong_length_hashes(spark):
     )
     with pytest.raises(Exception, match="hex chars"):
         M.image_neardup_pairs(spark, TEST_SF_DIR, stats=bad).collect()
+
+
+# --- image resize (box downsample) ----------------------------------------
+def test_image_resize_pipeline_oracle_parity(spark):
+    """decode -> box-resize to the dHash geometry -> re-decode ->
+    stats+hash matches the closed-form DuckDB recomputation of the box
+    means over the 18x16 formula plane."""
+    from tests.conftest import ORACLE_SF_DIR
+    from tests.oracle_harness import compare
+
+    for sf in (TEST_SF_DIR, ORACLE_SF_DIR):
+        df = M.multimodal_image_resize_stats(spark, sf)
+        ok, msg = compare(df, M.MULTIMODAL_IMAGE_RESIZE_SQL, sf)
+        assert ok, msg
+
+
+def test_image_resize_emits_valid_ppm_and_box_means(spark):
+    """The emitted payload is a parseable PPM of the target geometry
+    and each output pixel is the exact floor-mean of its 2x2 block."""
+    media = M.image_table_large(spark, TEST_SF_DIR).limit(3)
+    rows = M.image_resize(media, M.IMG_W, M.IMG_H).collect()
+    for r in rows:
+        w, h, maxval, buf = M._decode_ppm(bytes(r.payload))
+        assert (w, h, maxval) == (M.IMG_W, M.IMG_H, 255)
+        d = r.doc_id
+        src = [
+            (d * 131 + i * 17) % 256
+            for i in range(M.IMG2_W * M.IMG2_H * 3)
+        ]
+        for k in range(w * h):
+            rr, cc = divmod(k, w)
+            for ch in range(3):
+                vals = [
+                    src[((2 * rr + dr) * M.IMG2_W + 2 * cc + dc) * 3 + ch]
+                    for dr in (0, 1)
+                    for dc in (0, 1)
+                ]
+                assert buf[3 * k + ch] == sum(vals) // 4
+    with pytest.raises(Exception, match="divisible"):
+        M.image_resize(
+            M.image_table(spark, TEST_SF_DIR).limit(1), 4, 3
+        ).collect()
+    with pytest.raises(ValueError, match="bad target"):
+        M.image_resize(media, 0, 8)
