@@ -151,26 +151,19 @@ IMAGE_STATS_SCHEMA = (
 )
 
 
-def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, payload binary, meta struct) where the
-    payload is a complete deterministic PPM P6 image (9×8 RGB): pixel
-    byte ``i`` of doc ``d`` is ``(d*131 + i*17) % 256``. Construction
-    is fully declarative — the pixel bytes become a hex string
-    (``transform`` + ``lpad(hex(...))``) and ``unhex`` turns it into
-    the binary buffer, concatenated after the encoded header — so
-    payload synthesis runs JVM-side at scan speed; only the DECODE is
-    Python, which is the shape a real pipeline has (bytes arrive from
-    storage, Python runs the codec)."""
+def _ppm_table(spark: SparkSession, sf_dir: str, w: int, h: int) -> DataFrame:
+    """Shared synthetic-PPM builder: pixel byte ``i`` of doc ``d`` is
+    ``(d*131 + i*17) % 256`` over a ``w`` x ``h`` RGB plane. The
+    formula depends on doc_id only through doc_id*131 % 256, so the
+    256 possible pixel planes build ONCE over a 256-row Range
+    (declarative — createDataFrame would plant a Scan ExistingRDD in
+    the registered plan, the hygiene pin forbids it) and a broadcast
+    join assembles the payload — synthesis scaffolding costs ~0 and
+    decode probes measure the DECODE (the per-row-per-byte transform
+    formulation measurably dominated the wall; see video_table's
+    post-mortem)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_px = IMG_W * IMG_H * 3
-    # the formula depends on doc_id only through doc_id*131 % 256, so
-    # the 256 possible pixel planes build ONCE over a 256-row Range
-    # (declarative — createDataFrame would plant a Scan ExistingRDD in
-    # the registered plan, the hygiene pin forbids it) and a broadcast
-    # join assembles the payload — synthesis scaffolding costs ~0 and
-    # decode probes measure the DECODE (the per-row-per-byte transform
-    # formulation measurably dominated the wall; see video_table's
-    # post-mortem)
+    n_px = w * h * 3
     consts = F.array(*[F.lit((i * 17) % 256) for i in range(n_px)])
     lut = spark.range(256).select(
         F.col("id").cast("int").alias("dd"),
@@ -182,7 +175,7 @@ def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("pxhex"),
     )
-    header = F.encode(F.lit(f"P6\n{IMG_W} {IMG_H}\n255\n"), "UTF-8")
+    header = F.encode(F.lit(f"P6\n{w} {h}\n255\n"), "UTF-8")
     payload = F.concat(header, F.unhex(F.col("pxhex")))
     return (
         docs.withColumn(
@@ -198,6 +191,38 @@ def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("meta"),
         )
     )
+
+
+def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload binary, meta struct) where the
+    payload is a complete deterministic PPM P6 image (9×8 RGB); see
+    ``_ppm_table`` for the formula and the broadcast-LUT synthesis
+    shape. Only the DECODE is Python, which is the shape a real
+    pipeline has (bytes arrive from storage, Python runs the codec)."""
+    return _ppm_table(spark, sf_dir, IMG_W, IMG_H)
+
+
+def _make_group_runs():
+    """Factory (cloudpickle by-value; see ``_make_decode_stub``) for
+    the grouping scan every vectorized decode op shares: given an
+    (n, k) int key array, yields (key_tuple, index array) per run of
+    identical rows — the per-geometry batching that lets numpy stack
+    frames of one shape."""
+
+    def group_runs(keys2d):
+        import numpy as np
+
+        order = np.lexsort(keys2d.T)
+        pos, n = 0, len(order)
+        while pos < n:
+            g = keys2d[order[pos]]
+            end = pos
+            while end < n and (keys2d[order[end]] == g).all():
+                end += 1
+            yield tuple(int(x) for x in g), order[pos:end]
+            pos = end
+
+    return group_runs
 
 
 def _make_ppm_decoder():
@@ -278,6 +303,7 @@ def image_stats(media: DataFrame) -> DataFrame:
     at the 200k probe); other geometries take the scalar fallback.
     Python-side byte equality of both paths is pinned in tests."""
     decode = _decode_ppm  # closure capture -> pickled by value
+    group_runs = _make_group_runs()
 
     def scalar_row(w, h, buf):
         gray = [
@@ -318,19 +344,8 @@ def image_stats(media: DataFrame) -> DataFrame:
                 bufs[i] = buf
             # vectorized fast path per (w, h) group with w == 9 (one
             # dHash byte per row); scalar fallback otherwise
-            order = np.lexsort((heights, widths))
-            pos = 0
-            while pos < n:
-                w, h = int(widths[order[pos]]), int(heights[order[pos]])
-                end = pos
-                while (
-                    end < n
-                    and widths[order[end]] == w
-                    and heights[order[end]] == h
-                ):
-                    end += 1
-                idx = order[pos:end]
-                pos = end
+            keys = np.stack([widths, heights], axis=1).astype(np.int64)
+            for (w, h), idx in group_runs(keys):
                 if w != 9:
                     for i in idx:
                         sr, sg, sb, dh = scalar_row(w, h, bufs[i])
@@ -386,22 +401,11 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(image_table(spark, sf_dir))
 
 
-# The oracle rebuilds the pixel formula closed-form and recomputes the
-# stats + dHash from it — the Spark side must round-trip those values
-# through a real binary encode -> parse -> decode to match.
-MULTIMODAL_IMAGE_STATS_SQL = f"""
-WITH px AS (
-    SELECT doc_id,
-           list_transform(range(0, {IMG_W * IMG_H * 3}),
-                          i -> (doc_id * 131 + i * 17) % 256) AS p
-    FROM documents
-), g AS (
-    SELECT doc_id, p,
-           list_transform(range(0, {IMG_W * IMG_H}),
-                          k -> (p[3*k+1] + p[3*k+2] + p[3*k+3]) // 3) AS gray
-    FROM px
-)
-SELECT doc_id,
+# shared oracle tail: the stats+dHash SELECT over a CTE g(doc_id, p,
+# gray) at the standard 9x8 geometry — interpolated by BOTH the image
+# stats and the resize-pipeline oracles so the dHash bit packing can
+# never drift between them
+_PPM_STATS_TAIL_SQL = f"""SELECT doc_id,
        CAST({IMG_W} AS INTEGER) AS width,
        CAST({IMG_H} AS INTEGER) AS height,
        CAST(255 AS INTEGER) AS maxval,
@@ -417,7 +421,25 @@ SELECT doc_id,
                    CASE WHEN gray[r*{IMG_W}+c+1] < gray[r*{IMG_W}+c+2]
                         THEN (1 << ({IMG_W} - 2 - c)) ELSE 0 END),
                'sum'))), 2, '0')), '') AS dhash
-FROM g
+FROM g"""
+
+
+# The oracle rebuilds the pixel formula closed-form and recomputes the
+# stats + dHash from it — the Spark side must round-trip those values
+# through a real binary encode -> parse -> decode to match.
+MULTIMODAL_IMAGE_STATS_SQL = f"""
+WITH px AS (
+    SELECT doc_id,
+           list_transform(range(0, {IMG_W * IMG_H * 3}),
+                          i -> (doc_id * 131 + i * 17) % 256) AS p
+    FROM documents
+), g AS (
+    SELECT doc_id, p,
+           list_transform(range(0, {IMG_W * IMG_H}),
+                          k -> (p[3*k+1] + p[3*k+2] + p[3*k+3]) // 3) AS gray
+    FROM px
+)
+{_PPM_STATS_TAIL_SQL}
 """
 
 
@@ -861,6 +883,7 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
     vectorized (the image-stats fast-path pattern; a 256-sample
     square-sum loop in pure Python was the measured bottleneck)."""
     decode = _decode_wav  # closure capture -> pickled by value
+    group_runs = _make_group_runs()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -889,15 +912,7 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
                 counts[i] = len(s)
                 all_samples[i] = s
             fps: list[str | None] = [None] * n
-            order = np.argsort(counts, kind="stable")
-            pos = 0
-            while pos < n:
-                c = counts[order[pos]]
-                end = pos
-                while end < n and counts[order[end]] == c:
-                    end += 1
-                idx = order[pos:end]
-                pos = end
+            for (c,), idx in group_runs(counts.reshape(-1, 1)):
                 s = np.stack(
                     [np.asarray(all_samples[i], dtype=np.int64) for i in idx]
                 )
@@ -1211,6 +1226,7 @@ def video_stats(media: DataFrame) -> DataFrame:
     swap, channel sums, and the gradient packbits all run vectorized
     (the image-stats fast-path precedent)."""
     decode = _decode_avi  # closure capture -> pickled by value
+    group_runs = _make_group_runs()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1233,16 +1249,7 @@ def video_stats(media: DataFrame) -> DataFrame:
             geom = np.array(
                 [(m[2], m[3], m[5], m[6]) for m in metas], dtype=np.int64
             )
-            order = np.lexsort(geom.T)
-            pos = 0
-            while pos < n:
-                g = geom[order[pos]]
-                end = pos
-                while end < n and (geom[order[end]] == g).all():
-                    end += 1
-                idx = order[pos:end]
-                pos = end
-                w, h, bottom_up, stride = (int(x) for x in g)
+            for (w, h, bottom_up, stride), idx in group_runs(geom):
                 arr = np.stack(
                     [np.frombuffer(raws[i], dtype=np.uint8) for i in idx]
                 ).reshape(len(idx), h, stride)[:, :, : w * 3]
@@ -1397,39 +1404,9 @@ IMG2_W, IMG2_H = 2 * IMG_W, 2 * IMG_H  # 18 x 16 source -> 2x2 boxes
 
 def image_table_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> PPM payloads at 18x16 (4x the pixel count of
-    ``image_table``): pixel byte ``i`` of doc ``d`` is the same
-    ``(d*131 + i*17) % 256`` formula over the larger plane; built via
-    the 256-row Range LUT like every synthetic builder (see
-    ``image_table``)."""
-    n_px = IMG2_W * IMG2_H * 3
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    consts = F.array(*[F.lit((i * 17) % 256) for i in range(n_px)])
-    lut = spark.range(256).select(
-        F.col("id").cast("int").alias("dd"),
-        F.concat_ws(
-            "",
-            F.transform(
-                consts,
-                lambda c: F.lpad(F.hex((F.col("id") + c) % 256), 2, "0"),
-            ),
-        ).alias("pxhex"),
-    )
-    header = F.encode(F.lit(f"P6\n{IMG2_W} {IMG2_H}\n255\n"), "UTF-8")
-    payload = F.concat(header, F.unhex(F.col("pxhex")))
-    return (
-        docs.withColumn(
-            "dd", F.pmod(F.col("doc_id") * 131, F.lit(256)).cast("int")
-        )
-        .join(F.broadcast(lut), "dd")
-        .select(
-            "doc_id",
-            payload.alias("payload"),
-            F.struct(
-                F.lit("image/x-portable-pixmap").alias("media_type"),
-                F.octet_length(payload).alias("declared_bytes"),
-            ).alias("meta"),
-        )
-    )
+    ``image_table``, same formula over the larger plane); see
+    ``_ppm_table``."""
+    return _ppm_table(spark, sf_dir, IMG2_W, IMG2_H)
 
 
 def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
@@ -1439,14 +1416,17 @@ def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     where box averaging is exact; fractional boxes need weighting —
     raise rather than approximate silently). Emits (doc_id, width,
     height, payload) where payload is a complete PPM P6 of the target
-    geometry — feed it straight back into ``image_stats``.
+    geometry CARRYING the source's maxval (box means of values in
+    [0, maxval] stay in range, and relabeling a maxval-127 image as
+    255 would silently halve its normalized brightness downstream) —
+    feed it straight back into ``image_stats``.
 
     One mapInPandas pass; per (w, h) group the block mean is a single
     reshape + sum, vectorized."""
     if out_w < 1 or out_h < 1:
         raise ValueError(f"bad target geometry {out_w}x{out_h}")
     decode = _decode_ppm  # closure capture -> pickled by value
-    header = f"P6\n{out_w} {out_h}\n255\n".encode()
+    group_runs = _make_group_runs()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1456,27 +1436,20 @@ def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             if not n:
                 continue
             dims = np.empty((n, 2), dtype=np.int64)
+            maxvals = np.empty(n, dtype=np.int64)
             bufs: list[bytes] = [b""] * n
             for i, payload in enumerate(pdf["payload"]):
-                w, h, _, buf = decode(payload)
+                w, h, maxval, buf = decode(payload)
                 if w % out_w or h % out_h:
                     raise ValueError(
                         f"box resize needs source {w}x{h} divisible by "
                         f"target {out_w}x{out_h}"
                     )
                 dims[i] = (w, h)
+                maxvals[i] = maxval
                 bufs[i] = buf
             payloads: list[bytes] = [b""] * n
-            order = np.lexsort(dims.T)
-            pos = 0
-            while pos < n:
-                g = dims[order[pos]]
-                end = pos
-                while end < n and (dims[order[end]] == g).all():
-                    end += 1
-                idx = order[pos:end]
-                pos = end
-                w, h = (int(x) for x in g)
+            for (w, h), idx in group_runs(dims):
                 bh, bw = h // out_h, w // out_w
                 px = np.stack(
                     [np.frombuffer(bufs[i], dtype=np.uint8) for i in idx]
@@ -1484,7 +1457,8 @@ def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 small = px.sum(axis=(2, 4)) // (bh * bw)  # (k, oh, ow, 3)
                 small = small.astype(np.uint8)
                 for j, i in enumerate(idx):
-                    payloads[i] = header + small[j].tobytes()
+                    hdr = f"P6\n{out_w} {out_h}\n{maxvals[i]}\n".encode()
+                    payloads[i] = hdr + small[j].tobytes()
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -1529,21 +1503,5 @@ WITH px AS (
                           k -> (p[3*k+1] + p[3*k+2] + p[3*k+3]) // 3) AS gray
     FROM px
 )
-SELECT doc_id,
-       CAST({IMG_W} AS INTEGER) AS width,
-       CAST({IMG_H} AS INTEGER) AS height,
-       CAST(255 AS INTEGER) AS maxval,
-       CAST(list_aggregate(list_transform(range(0, {IMG_W * IMG_H}),
-            k -> p[3*k+1]), 'sum') AS BIGINT) AS sum_r,
-       CAST(list_aggregate(list_transform(range(0, {IMG_W * IMG_H}),
-            k -> p[3*k+2]), 'sum') AS BIGINT) AS sum_g,
-       CAST(list_aggregate(list_transform(range(0, {IMG_W * IMG_H}),
-            k -> p[3*k+3]), 'sum') AS BIGINT) AS sum_b,
-       array_to_string(list_transform(range(0, {IMG_H}), r ->
-           lpad(lower(to_hex(list_aggregate(
-               list_transform(range(0, {IMG_W - 1}), c ->
-                   CASE WHEN gray[r*{IMG_W}+c+1] < gray[r*{IMG_W}+c+2]
-                        THEN (1 << ({IMG_W} - 2 - c)) ELSE 0 END),
-               'sum'))), 2, '0')), '') AS dhash
-FROM g
+{_PPM_STATS_TAIL_SQL}
 """

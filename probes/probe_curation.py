@@ -361,8 +361,14 @@ def main() -> None:
         # crawl-over-crawl audit at 10M vs the synthetic next crawl:
         # the scale claim under test is that both full-outer-join
         # shuffles carry (doc_id, md5) projections, never text
-        wall, shuf = timed(spark, curation.corpus_snapshot_diff(spark, sf_dir))
+        # ONE execution: count() drives the full plan (both scans +
+        # the full-outer join) and returns the churn size; a separate
+        # noop pass would double the probe's cost for no information
+        before = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
         out_rows = curation.corpus_snapshot_diff(spark, sf_dir).count()
+        wall = round(time.perf_counter() - t0, 1)
+        shuf = shuffle_delta(before, shuffle_write_bytes(spark))
         print(
             json.dumps(
                 {

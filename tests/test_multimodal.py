@@ -651,3 +651,24 @@ def test_image_resize_emits_valid_ppm_and_box_means(spark):
         ).collect()
     with pytest.raises(ValueError, match="bad target"):
         M.image_resize(media, 0, 8)
+
+
+def test_image_resize_propagates_maxval(spark):
+    """A maxval-127 source must emit a maxval-127 PPM — relabeling as
+    255 would silently halve normalized brightness downstream."""
+    pay = _ppm(M.IMG2_W, M.IMG2_H, [100] * (M.IMG2_W * M.IMG2_H * 3),
+               maxval=127)
+    media = spark.createDataFrame(
+        [(1, bytearray(pay))], "doc_id long, payload binary"
+    )
+    out = M.image_resize(media, M.IMG_W, M.IMG_H).collect()[0]
+    w, h, maxval, buf = M._decode_ppm(bytes(out.payload))
+    assert (w, h, maxval) == (M.IMG_W, M.IMG_H, 127)
+    assert set(buf) == {100}  # box mean of a constant plane
+    stats = M.image_stats(
+        spark.createDataFrame(
+            [(1, bytearray(bytes(out.payload)))],
+            "doc_id long, payload binary",
+        )
+    ).collect()[0]
+    assert stats.maxval == 127
