@@ -78,7 +78,15 @@ def _paths_overlap(a: str, b: str) -> bool:
 
     def norm(p: str) -> str:
         if _URI_SCHEME_RE.match(p):
-            return p.rstrip("/")
+            # scheme and authority are case-insensitive per RFC 3986
+            # (and S3/HDFS hosts follow DNS rules): 'S3://Bucket/x'
+            # must not escape the guard against 's3://bucket/x'; the
+            # path component stays case-sensitive (object keys are)
+            scheme, rest = p.split("://", 1)
+            host, slash, path = rest.partition("/")
+            return f"{scheme.lower()}://{host.lower()}{slash}{path}".rstrip(
+                "/"
+            )
         return os.path.realpath(os.path.abspath(p))
 
     na, nb = norm(a), norm(b)

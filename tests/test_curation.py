@@ -1532,6 +1532,12 @@ def test_paths_overlap_symlink_and_uri(tmp_path):
     assert not curation._paths_overlap("s3://bucket/corpus2", "s3://bucket/corpus")
     # a URI never collides with a local path spelled like its suffix
     assert not curation._paths_overlap("s3://bucket/corpus", "/bucket/corpus")
+    # RFC 3986: scheme and authority are case-INsensitive (S3/HDFS
+    # hosts follow DNS rules) — a recased spelling must not escape the
+    # guard; the path component stays case-sensitive (object keys are)
+    assert curation._paths_overlap("S3://Bucket/corpus/out", "s3://bucket/corpus")
+    assert curation._paths_overlap("HDFS://NN:8020/data", "hdfs://nn:8020/data/out")
+    assert not curation._paths_overlap("s3://bucket/Corpus", "s3://bucket/corpus")
 
 
 def test_write_shuffled_corpus_reserved_columns_reshard(spark, tmp_path):
