@@ -471,25 +471,46 @@ AUDIO_STATS_SCHEMA = (
 )
 
 
-def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def audio_table(
+    spark: SparkSession, sf_dir: str, channels: int = 1
+) -> DataFrame:
     """documents -> (doc_id, payload binary, meta struct) where the
-    payload is a complete deterministic mono PCM16 WAV: sample ``i``
-    of doc ``d`` is ``((d*7 + i*13) % 2048) - 1024``. Like
+    payload is a complete deterministic PCM16 WAV: interleaved int16
+    value ``i`` of doc ``d`` is ``((d*7 + i*13) % 2048) - 1024``. Like
     ``image_table``, construction is declarative — each sample becomes
     its little-endian int16 hex (byte-swapped ``lpad(hex(...))``) and
     ``unhex`` builds the data chunk after the fixed RIFF/fmt header —
-    so payload synthesis is JVM-side; only the decode is Python."""
+    so payload synthesis is JVM-side; only the decode is Python.
+
+    ``channels > 1`` reuses the SAME interleaved data plane (and LUT)
+    under a stereo/N-channel fmt header — frame f, channel c is
+    interleaved value ``f*channels + c`` per the WAV layout — so the
+    multi-channel fixture costs nothing extra to build and its
+    per-channel oracle stays closed-form."""
     import struct
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n, rate = WAV_SAMPLES, WAV_RATE
+    if channels < 1 or n % channels:
+        raise ValueError(
+            f"channels must be >= 1 and divide {n}, got {channels}"
+        )
     data_bytes = n * 2
     header = (
         b"RIFF"
         + struct.pack("<I", 36 + data_bytes)
         + b"WAVE"
         + b"fmt "
-        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + struct.pack(
+            "<IHHIIHH",
+            16,
+            1,
+            channels,
+            rate,
+            rate * 2 * channels,
+            2 * channels,
+            16,
+        )
         + b"data"
         + struct.pack("<I", data_bytes)
     )
@@ -533,9 +554,14 @@ def _make_wav_decoder():
     """Factory (cloudpickle by-value) for a generic RIFF/WAVE PCM16
     parser: walks the chunk list (word-aligned, per the RIFF spec),
     reads 'fmt ' and 'data', validates PCM/16-bit, and returns
-    (sample_rate, channels, samples as a list of signed int16)."""
+    (sample_rate, channels, raw little-endian PCM16 data bytes).
+    Returning the raw byte slice (not a Python int list) is what lets
+    every consumer go straight to ``np.frombuffer(data, '<i2')`` and
+    keep the per-sample math vectorized — the measured bottleneck of
+    the earlier list-based decode was building 256 Python ints per
+    row, not the chunk walk."""
 
-    def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    def decode_wav(payload: bytes) -> tuple[int, int, bytes]:
         import struct
 
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -567,8 +593,7 @@ def _make_wav_decoder():
             )
         if len(data) % 2:
             raise ValueError("odd PCM16 data length")
-        samples = list(struct.unpack(f"<{len(data) // 2}h", data))
-        return rate, channels, samples
+        return rate, channels, data
 
     return decode_wav
 
@@ -582,46 +607,67 @@ def audio_stats(media: DataFrame) -> DataFrame:
     count (sign(s[i-1]) != sign(s[i]) with sign := s < 0) — the
     classic cheap voiced/unvoiced + loudness features. Integers only,
     so the oracle compare has no float tolerance. One mapInPandas
-    pass, no shuffle."""
+    pass, no shuffle. After the Python chunk-walk parse, rows sharing
+    a sample count stack into one ``np.frombuffer`` int16 matrix per
+    batch and all four stats run vectorized (the audio_fingerprints /
+    image-stats fast-path pattern; the earlier per-sample Python
+    loops were the measured bottleneck — 35.2 s vs 22.5 s for the
+    image path doing MORE work at 10M)."""
     decode = _decode_wav  # closure capture -> pickled by value
+    group_runs = _make_group_runs()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            out: dict[str, list] = {
-                "doc_id": [],
-                "sample_rate": [],
-                "channels": [],
-                "n_samples": [],
-                "peak": [],
-                "sum_abs": [],
-                "sum_sq": [],
-                "zero_crossings": [],
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                rate, channels, s = decode(payload)
+            n = len(pdf)
+            if not n:
+                continue
+            rates = np.empty(n, dtype=np.int64)
+            counts = np.empty(n, dtype=np.int64)
+            raws: list[bytes] = [b""] * n
+            for i, payload in enumerate(pdf["payload"]):
+                rate, channels, data = decode(payload)
                 if channels != 1:
                     # the stream is channel-INTERLEAVED: flat stats over
                     # it would mix channels (zero-crossings especially);
-                    # fail loudly rather than report wrong numbers
+                    # fail loudly rather than report wrong numbers.
+                    # Per-channel semantics live in audio_stats_per_channel.
                     raise ValueError(
                         f"audio_stats is mono-only, got {channels} "
-                        "channels — deinterleave upstream"
+                        "channels — use audio_stats_per_channel"
                     )
-                out["doc_id"].append(doc_id)
-                out["sample_rate"].append(rate)
-                out["channels"].append(channels)
-                out["n_samples"].append(len(s))
-                out["peak"].append(max((abs(x) for x in s), default=0))
-                out["sum_abs"].append(sum(abs(x) for x in s))
-                out["sum_sq"].append(sum(x * x for x in s))
-                out["zero_crossings"].append(
-                    sum(
-                        1
-                        for a, b in zip(s, s[1:])
-                        if (a < 0) != (b < 0)
-                    )
-                )
-            yield pd.DataFrame(out)
+                rates[i] = rate
+                counts[i] = len(data) // 2
+                raws[i] = data
+            peak = np.zeros(n, dtype=np.int64)
+            sum_abs = np.zeros(n, dtype=np.int64)
+            sum_sq = np.zeros(n, dtype=np.int64)
+            zc = np.zeros(n, dtype=np.int64)
+            for (c,), idx in group_runs(counts.reshape(-1, 1)):
+                if c == 0:
+                    continue  # the zero-init rows ARE the empty stats
+                s = np.stack(
+                    [np.frombuffer(raws[i], dtype="<i2") for i in idx]
+                ).astype(np.int64)
+                a = np.abs(s)
+                peak[idx] = a.max(axis=1)
+                sum_abs[idx] = a.sum(axis=1)
+                sum_sq[idx] = (s * s).sum(axis=1)
+                neg = s < 0
+                zc[idx] = (neg[:, :-1] != neg[:, 1:]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "sample_rate": rates,
+                    "channels": np.ones(n, dtype=np.int64),
+                    "n_samples": counts,
+                    "peak": peak,
+                    "sum_abs": sum_abs,
+                    "sum_sq": sum_sq,
+                    "zero_crossings": zc,
+                }
+            )
 
     return media.mapInPandas(batches, AUDIO_STATS_SCHEMA)
 
@@ -651,6 +697,135 @@ SELECT doc_id,
        CAST(list_aggregate(
             list_transform(range(1, {WAV_SAMPLES}),
                 i -> CASE WHEN (v[i] < 0) != (v[i+1] < 0)
+                     THEN 1 ELSE 0 END),
+            'sum') AS INTEGER) AS zero_crossings
+FROM s
+"""
+
+
+# --- per-channel audio stats (stereo / N-channel WAV) ------------------------
+AUDIO_STATS_CH_SCHEMA = (
+    "doc_id long, channel int, sample_rate int, channels int, "
+    "n_frames int, peak int, sum_abs bigint, sum_sq bigint, "
+    "zero_crossings int"
+)
+
+
+def audio_stats_per_channel(media: DataFrame) -> DataFrame:
+    """Decode every WAV payload (ANY channel count) and emit the exact
+    signal stats of ``audio_stats`` PER CHANNEL — one output row per
+    (doc, channel), the 1->N fan-out shape. The interleaved PCM stream
+    deinterleaves by a (frames, channels) reshape; zero-crossings are
+    counted within each channel's own sample sequence, the semantics a
+    flat scan over the interleaved stream gets wrong (which is why
+    ``audio_stats`` refuses multi-channel input rather than degrade).
+
+    One mapInPandas pass, no shuffle. Rows group by (channels,
+    n_frames) so each group is one 3-D numpy block; stats, the
+    doc-major/channel-minor ravel, and the repeat/tile key columns all
+    run vectorized — no per-row (or per-channel) Python math."""
+    decode = _decode_wav  # closure capture -> pickled by value
+    group_runs = _make_group_runs()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()
+            rates = np.empty(n, dtype=np.int64)
+            geom = np.empty((n, 2), dtype=np.int64)  # (channels, frames)
+            raws: list[bytes] = [b""] * n
+            for i, payload in enumerate(pdf["payload"]):
+                rate, channels, data = decode(payload)
+                n16 = len(data) // 2
+                if channels < 1:
+                    raise ValueError("fmt declares 0 channels")
+                if n16 % channels:
+                    raise ValueError(
+                        f"PCM stream of {n16} int16 values does not "
+                        f"deinterleave into {channels} channels"
+                    )
+                rates[i] = rate
+                geom[i] = (channels, n16 // channels)
+                raws[i] = data
+            parts: list[pd.DataFrame] = []
+            for (ch, nf), idx in group_runs(geom):
+                k = len(idx)
+                s = (
+                    np.stack(
+                        [np.frombuffer(raws[i], dtype="<i2") for i in idx]
+                    )
+                    .astype(np.int64)
+                    .reshape(k, nf, ch)
+                )
+                a = np.abs(s)
+                neg = s < 0
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.repeat(doc_ids[idx], ch),
+                            "channel": np.tile(
+                                np.arange(ch, dtype=np.int64), k
+                            ),
+                            "sample_rate": np.repeat(rates[idx], ch),
+                            "channels": np.full(k * ch, ch, np.int64),
+                            "n_frames": np.full(k * ch, nf, np.int64),
+                            # (k, ch) stat blocks ravel row-major ==
+                            # doc-major/channel-minor, matching the
+                            # repeat/tile key columns above
+                            "peak": a.max(axis=1, initial=0).ravel(),
+                            "sum_abs": a.sum(axis=1).ravel(),
+                            "sum_sq": (s * s).sum(axis=1).ravel(),
+                            "zero_crossings": (
+                                neg[:, :-1, :] != neg[:, 1:, :]
+                            )
+                            .sum(axis=1)
+                            .ravel(),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if len(parts) > 1
+                else parts[0]
+            )
+
+    return media.mapInPandas(batches, AUDIO_STATS_CH_SCHEMA)
+
+
+def multimodal_audio_stats_stereo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return audio_stats_per_channel(audio_table(spark, sf_dir, channels=2))
+
+
+# closed-form oracle: frame f, channel c of doc d is interleaved value
+# i = f*2 + c of the same sample formula the mono fixture uses
+MULTIMODAL_AUDIO_STATS_STEREO_SQL = f"""
+WITH ch AS (SELECT * FROM (VALUES (0), (1)) AS t(channel)),
+s AS (
+    SELECT doc_id, channel,
+           list_transform(range(0, {WAV_SAMPLES // 2}),
+                          f -> (doc_id * 7 + (2 * f + channel) * 13)
+                               % 2048 - 1024) AS v
+    FROM documents, ch
+)
+SELECT doc_id,
+       CAST(channel AS INTEGER) AS channel,
+       CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+       CAST(2 AS INTEGER) AS channels,
+       CAST({WAV_SAMPLES // 2} AS INTEGER) AS n_frames,
+       CAST(list_max(list_transform(v, x -> abs(x))) AS INTEGER) AS peak,
+       CAST(list_aggregate(list_transform(v, x -> abs(x)), 'sum')
+            AS BIGINT) AS sum_abs,
+       CAST(list_aggregate(list_transform(v, x -> x * x), 'sum')
+            AS BIGINT) AS sum_sq,
+       CAST(list_aggregate(
+            list_transform(range(1, {WAV_SAMPLES // 2}),
+                f -> CASE WHEN (v[f] < 0) != (v[f+1] < 0)
                      THEN 1 ELSE 0 END),
             'sum') AS INTEGER) AS zero_crossings
 FROM s
@@ -894,9 +1069,9 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
                 continue
             doc_ids = pdf["doc_id"].to_numpy()
             counts = np.empty(n, dtype=np.int64)
-            all_samples: list[list[int]] = [[]] * n
+            raws: list[bytes] = [b""] * n
             for i, payload in enumerate(pdf["payload"]):
-                _, channels, s = decode(payload)
+                _, channels, data = decode(payload)
                 if channels != 1:
                     # interleaved windows would mix channels into each
                     # energy — wrong fingerprint, not a degraded one
@@ -904,18 +1079,18 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
                         f"audio_fingerprints is mono-only, got {channels} "
                         "channels — deinterleave upstream"
                     )
-                if len(s) % AFP_BITS:
+                if (len(data) // 2) % AFP_BITS:
                     raise ValueError(
                         f"fingerprint needs n_samples divisible by "
-                        f"{AFP_BITS}, got {len(s)}"
+                        f"{AFP_BITS}, got {len(data) // 2}"
                     )
-                counts[i] = len(s)
-                all_samples[i] = s
+                counts[i] = len(data) // 2
+                raws[i] = data
             fps: list[str | None] = [None] * n
             for (c,), idx in group_runs(counts.reshape(-1, 1)):
                 s = np.stack(
-                    [np.asarray(all_samples[i], dtype=np.int64) for i in idx]
-                )
+                    [np.frombuffer(raws[i], dtype="<i2") for i in idx]
+                ).astype(np.int64)
                 e = (s * s).reshape(len(idx), AFP_BITS, c // AFP_BITS).sum(
                     axis=2
                 )
@@ -1243,6 +1418,12 @@ def video_stats(media: DataFrame) -> DataFrame:
                         (doc_id, fi, w, h, len(frames), bottom_up, stride)
                     )
                     raws.append(fr)
+            if not raws:
+                # a batch of only zero-frame AVIs (valid: avih declares
+                # 0 frames, movi empty) yields zero rows; without this
+                # guard the empty geom array makes lexsort inside
+                # group_runs raise an opaque ValueError
+                continue
             n = len(raws)
             sums = np.empty((n, 3), dtype=np.int64)
             dhashes: list[str | None] = [None] * n

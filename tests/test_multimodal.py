@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from fledge_south_csvplayback_spark.operators import multimodal as M
@@ -127,7 +128,10 @@ def test_wav_parser_roundtrip_and_malformed():
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
         + b"data" + struct.pack("<I", len(data)) + data
     )
-    assert M._decode_wav(wav) == (8000, 1, samples)
+    # the decoder returns the RAW LE-PCM16 byte slice (consumers go
+    # straight to np.frombuffer), not a Python int list
+    assert M._decode_wav(wav) == (8000, 1, data)
+    assert list(np.frombuffer(M._decode_wav(wav)[2], "<i2")) == samples
     # an extra odd-sized chunk before data exercises word alignment
     wav2 = (
         b"RIFF" + struct.pack("<I", 0) + b"WAVE"
@@ -135,7 +139,7 @@ def test_wav_parser_roundtrip_and_malformed():
         + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
         + b"data" + struct.pack("<I", len(data)) + data
     )
-    assert M._decode_wav(wav2) == (44100, 2, samples)
+    assert M._decode_wav(wav2) == (44100, 2, data)
     with pytest.raises(ValueError, match="RIFF"):
         M._decode_wav(b"OggS" + wav[4:])
     with pytest.raises(ValueError, match="PCM16"):
@@ -453,6 +457,25 @@ def test_avi_padding_bytes_ignored():
         )
 
 
+def test_video_stats_zero_frame_avi(spark):
+    """A zero-frame AVI is valid (avih declares 0, movi empty): alone
+    it yields zero rows instead of an opaque lexsort ValueError, and
+    in a mixed batch it must not suppress the other docs' frames."""
+    empty = _avi_payload(3, nf=0)
+    full = _avi_payload(5)
+    media = spark.createDataFrame(
+        [(3, bytearray(empty))], "doc_id long, payload binary"
+    )
+    assert M.video_stats(media).count() == 0
+    mixed = spark.createDataFrame(
+        [(3, bytearray(empty)), (5, bytearray(full))],
+        "doc_id long, payload binary",
+    ).repartition(1)
+    rows = M.video_stats(mixed).collect()
+    assert sorted({r.doc_id for r in rows}) == [5]
+    assert len(rows) == M.VID_FRAMES
+
+
 def test_video_stats_oracle_parity(spark):
     """End-to-end AVI encode -> parse -> per-frame stats matches the
     closed-form DuckDB recomputation of the LOGICAL pixel formula —
@@ -536,6 +559,66 @@ def test_audio_ops_reject_multichannel(spark):
         M.audio_stats(media).collect()
     with pytest.raises(Exception, match="mono-only"):
         M.audio_fingerprints(media).collect()
+
+
+def test_audio_stats_per_channel_stereo_oracle_parity(spark):
+    """End-to-end stereo WAV encode -> deinterleave -> per-channel
+    stats matches the closed-form DuckDB recomputation over the
+    interleaved sample formula (frame f, channel c = value 2f+c)."""
+    from tests.conftest import ORACLE_SF_DIR
+    from tests.oracle_harness import compare
+
+    for sf_dir in (TEST_SF_DIR, ORACLE_SF_DIR):
+        df = M.multimodal_audio_stats_stereo(spark, sf_dir)
+        ok, msg = compare(df, M.MULTIMODAL_AUDIO_STATS_STEREO_SQL, sf_dir)
+        assert ok, msg
+
+
+def test_audio_stats_per_channel_semantics(spark):
+    """Hand-planted stereo: per-channel zero-crossings differ from any
+    flat scan of the interleaved stream (the exact wrongness the
+    mono-only guard exists for); mono input reduces to audio_stats
+    rows exactly; malformed channel layouts fail loudly."""
+    # L alternates sign every frame (63 crossings over 64 frames);
+    # R is the constant 50 (0 crossings). Interleaved flat scan would
+    # cross at EVERY step instead.
+    inter = []
+    for f in range(64):
+        inter += [100 if f % 2 == 0 else -100, 50]
+    media = spark.createDataFrame(
+        [(1, bytearray(_wav(inter, channels=2)))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.channel: r for r in M.audio_stats_per_channel(media).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0].zero_crossings == 63
+    assert rows[1].zero_crossings == 0
+    assert rows[0].peak == 100 and rows[1].peak == 50
+    assert rows[0].n_frames == 64 and rows[0].channels == 2
+    assert rows[1].sum_sq == 64 * 50 * 50
+    # mono input: identical numbers to audio_stats, channel pinned 0
+    mono_media = M.audio_table(spark, TEST_SF_DIR)
+    per_ch = {
+        r.doc_id: r
+        for r in M.audio_stats_per_channel(mono_media).collect()
+    }
+    for r in M.audio_stats(mono_media).collect():
+        p = per_ch[r.doc_id]
+        assert (p.channel, p.channels, p.n_frames) == (0, 1, r.n_samples)
+        assert (p.peak, p.sum_abs, p.sum_sq, p.zero_crossings) == (
+            r.peak, r.sum_abs, r.sum_sq, r.zero_crossings,
+        )
+    # 3 int16 values do not deinterleave into 2 channels
+    bad = spark.createDataFrame(
+        [(1, bytearray(_wav([1, 2, 3], channels=2)))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="deinterleave"):
+        M.audio_stats_per_channel(bad).collect()
+    # the stereo fixture builder rejects channel counts that don't
+    # divide the sample plane
+    with pytest.raises(ValueError, match="divide"):
+        M.audio_table(spark, TEST_SF_DIR, channels=3)
 
 
 def test_ppm_comment_glued_to_token():
