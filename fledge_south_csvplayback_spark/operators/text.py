@@ -1297,3 +1297,128 @@ SELECT doc_id,
            AS changed
 FROM documents
 """
+
+
+# --- markup extraction (the stage BEFORE normalization on a web corpus) -------
+# Real corpora arrive as HTML; every downstream op here assumes plain
+# text. This pass is the minimal deterministic extractor: drop
+# script/style/comment subtrees, turn block-level tags into newlines
+# (so "<p>a</p><p>b</p>" keeps its paragraph boundary instead of
+# fusing into "ab"), strip remaining tags, decode the named-entity
+# subset, and tidy whitespace. Rule ORDER is load-bearing: tags are
+# stripped before entities decode so a literal "&lt;b&gt;" in the
+# source renders as text "<b>" instead of being re-parsed as a tag,
+# and "&amp;" decodes LAST so double-escaped text un-escapes exactly
+# one level. Patterns stay in the Java-regex/RE2 shared subset (no
+# backreferences — script and style get separate rules — no lookarounds)
+# so Spark and the DuckDB twin transform identically; like
+# text_normalize this is ONE codegen'd projection: no shuffle, no
+# Python, runs at scan speed at 100 TB.
+_HTML_BLOCK_TAGS = (
+    "p|div|br|hr|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|table|thead|tbody|"
+    "blockquote|section|article|aside|nav|header|footer|pre|form|title"
+)
+_HTML_RULES: list[tuple[str, str]] = [
+    # subtree drops: non-greedy spans, (?is) = case-insensitive +
+    # dot-matches-newline in BOTH engines
+    ("(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+    ("(?is)<style\\b[^>]*>.*?</style\\s*>", " "),
+    ("(?s)<!--.*?-->", " "),
+    # block-level open/close tags become paragraph breaks
+    (f"(?i)</?(?:{_HTML_BLOCK_TAGS})\\b[^>]*>", "\n"),
+    # remaining (inline) tags vanish without breaking words apart
+    ("<[^>]*>", ""),
+    # named-entity subset; &amp; LAST (one un-escape level only)
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    # whitespace tidy: CR + horizontal runs -> one space, spaces
+    # hugging a newline fold into it, 3+ newlines -> a blank line,
+    # edge newlines drop (trim() strips spaces only, in BOTH engines)
+    ("[ \\t\\x{0D}]+", " "),
+    (" ?\\n ?", "\n"),
+    ("\\n\\n\\n+", "\n\n"),
+    ("^\\n+", ""),
+    ("\\n+$", ""),
+]
+
+
+def html_extract_expr(col) -> "F.Column":
+    """The extraction chain as a composable Column expression.
+    Null html -> null. Composes with ``normalize_expr`` downstream
+    (extract -> normalize is the canonical web-corpus prep order)."""
+    out = col
+    for pat, rep in _HTML_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
+def _html_sql_chain(expr: str) -> str:
+    out = expr
+    for pat, rep in _HTML_RULES:
+        esc = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{esc}', 'g')"
+    return f"trim({out})"
+
+
+def html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, html): each doc's text wrapped in a
+    deterministic HTML page exercising every extraction rule — head
+    with title/style/script subtrees, a comment, entity-bearing
+    heading, the body text in a <p>, and a trailing entity-soup <div>.
+    Declarative concat (JVM-side, no Python), mirrored closed-form in
+    the oracle so the fixture costs nothing at any scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d,
+        F.lit("</title><style>p{color:red}</style>"),
+        F.lit("<script>var x=1 &amp;&amp; 2;</script></head>"),
+        F.lit("<body><!-- id "),
+        d,
+        F.lit(" --><h1>Doc &quot;"),
+        d,
+        F.lit("&quot;</h1>\n<p>"),
+        F.col("text"),
+        F.lit("</p><div>5 &lt; 6 &nbsp;&amp;&amp; 7 &gt; 4</div>"),
+        F.lit("<span>tail</span></body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+HTML_TABLE_SQL_EXPR = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</title><style>p{color:red}</style>"
+    "<script>var x=1 &amp;&amp; 2;</script></head>"
+    "<body><!-- id ' || CAST(doc_id AS VARCHAR) || "
+    "' --><h1>Doc &quot;' || CAST(doc_id AS VARCHAR) || "
+    "'&quot;</h1>' || chr(10) || '<p>' || text || "
+    "'</p><div>5 &lt; 6 &nbsp;&amp;&amp; 7 &gt; 4</div>"
+    "<span>tail</span></body></html>'"
+)
+
+
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, extracted, n_chars): one narrow codegen'd scan over
+    the planted-HTML fixture — the markup-removal stage a web corpus
+    runs before ``text_normalize``."""
+    ext = html_extract_expr(F.col("html"))
+    return html_table(spark, sf_dir).select(
+        "doc_id",
+        ext.alias("extracted"),
+        F.length(ext).alias("n_chars"),
+    )
+
+
+TEXT_HTML_EXTRACT_SQL = f"""
+SELECT doc_id,
+       {_html_sql_chain(HTML_TABLE_SQL_EXPR)} AS extracted,
+       CAST(length({_html_sql_chain(HTML_TABLE_SQL_EXPR)}) AS INTEGER)
+           AS n_chars
+FROM documents
+"""

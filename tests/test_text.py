@@ -48,3 +48,74 @@ def test_text_normalize_planted_and_idempotent(spark, tmp_path):
         "norm_text",
     )
     assert twice.filter(~F.col("again").eqNullSafe(F.col("norm_text"))).count() == 0
+
+
+# --- HTML / markup extraction ----------------------------------------------
+def test_text_html_extract_oracle_parity(spark):
+    """Java-regex and RE2 run the identical rule chain over the
+    identical planted-HTML fixture — any engine-semantics divergence
+    in the shared-subset patterns is a value mismatch here."""
+    from tests.conftest import ORACLE_SF_DIR, TEST_SF_DIR
+    from tests.oracle_harness import compare
+
+    for sf in (TEST_SF_DIR, ORACLE_SF_DIR):
+        ok, msg = compare(
+            text.text_html_extract(spark, sf), text.TEXT_HTML_EXTRACT_SQL, sf
+        )
+        assert ok, msg
+
+
+def test_html_extract_planted_rules(spark):
+    """Every extraction rule pinned on hand-written HTML: subtree
+    drops, block newlines, inline strips, entity decode order (tags
+    strip BEFORE entities decode; &amp; decodes last), whitespace
+    tidy."""
+    import pyspark.sql.functions as F
+
+    cases = [
+        # script/style/comment subtrees vanish entirely (case-insensitive,
+        # multi-line, attribute-bearing)
+        ("<SCRIPT type='x'>\nalert(1)<p></SCRIPT>after", "after"),
+        ("<style>\np { a: b }\n</style>kept", "kept"),
+        ("pre<!-- multi\nline\ncomment -->post", "pre post"),
+        # block tags are paragraph breaks (adjacent close+open = one
+        # blank line); inline tags strip silently
+        ("<p>one</p><p>two</p>", "one\n\ntwo"),
+        ("an <b>inline</b> and wo<i>r</i>d", "an inline and word"),
+        ("<ul><li>a</li><li>b</li></ul>", "a\n\nb"),
+        # literal markup survives as TEXT: tags strip before entities
+        # decode, so &lt;b&gt; renders, not re-parses
+        ("use &lt;b&gt; for bold", "use <b> for bold"),
+        # one un-escape level only: &amp;lt; -> &lt;
+        ("&amp;lt;", "&lt;"),
+        ("5 &lt; 6 &nbsp;&amp;&amp; 7 &gt; 4", "5 < 6 && 7 > 4"),
+        ("say &quot;hi&#39;s&quot; &apos;x&apos;", "say \"hi's\" 'x'"),
+        # whitespace: CR/tab runs -> space, spaces fold into newlines,
+        # 3+ newlines collapse to a blank line
+        ("a \r\n\t b<br><br><br>c", "a\nb\n\nc"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "doc_id long, html string"
+    ).select("doc_id", text.html_extract_expr(F.col("html")).alias("got"))
+    got = {r.doc_id: r.got for r in df.collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, (h, got[i], want)
+
+
+def test_html_extract_composes_with_normalize(spark):
+    """extract -> normalize is the canonical order; the composed
+    output is a fixed point of normalize (no double-transform drift
+    when stages re-run)."""
+    import pyspark.sql.functions as F
+    from tests.conftest import TEST_SF_DIR
+
+    ext = text.text_html_extract(spark, TEST_SF_DIR).select(
+        "doc_id", text.normalize_expr(F.col("extracted")).alias("norm")
+    )
+    again = ext.select(
+        "doc_id", "norm", text.normalize_expr(F.col("norm")).alias("again")
+    )
+    assert (
+        again.filter(~F.col("again").eqNullSafe(F.col("norm"))).count() == 0
+    )
