@@ -856,26 +856,22 @@ def _hash_frame(stats: DataFrame | None, hash_col: str, default_fn):
     return stats.select("doc_id", hash_col)
 
 
-def _band_neardup_pairs(
-    st: DataFrame,
-    hash_col: str,
-    n_bands: int,
-    m: int,
-    max_hamming: int,
+def _band(col: str, i: int) -> Column:
+    return F.substring(col, 1 + 2 * i, 2)
+
+
+def _band_keys(
+    st: DataFrame, hash_col: str, n_bands: int, m: int
 ) -> DataFrame:
-    """(doc_id, <hash_col>) frame -> (doc_a, doc_b, hamming) pairs with
-    Hamming <= max_hamming, via the blocked candidate scheme. Plan: one
-    narrow scan -> explode C(n_bands, m) keys -> fine-grained
-    (tbl, key) equi-join -> distinct -> codegen'd Hamming filter."""
+    """(doc_id, <hash_col>) frame -> (doc_id, <hash_col>, tbl, kk)
+    blocked candidate keys: one row per C(n_bands, m) combination,
+    keyed on the concatenation of that combination's bands. This IS
+    the probe/index layout — the inline miner self-joins it, and
+    ``build_media_neardup_index`` persists it."""
     import itertools
 
     if not (1 <= m <= n_bands):
         raise ValueError(f"need 1 <= m <= {n_bands}, got {m}")
-    if max_hamming > n_bands - m:
-        raise ValueError(
-            f"max_hamming {max_hamming} beyond the exact-detection bound "
-            f"{n_bands - m} for m={m}; lower m or max_hamming"
-        )
     # enforce the band geometry per row, loudly: substring past a short
     # hash returns '' and conv('')/bit_count(NULL) would NULL the
     # Hamming sum — silently dropping every candidate pair instead of
@@ -896,12 +892,8 @@ def _band_neardup_pairs(
             )
         ),
     )
-
-    def band(col: str, i: int) -> Column:
-        return F.substring(col, 1 + 2 * i, 2)
-
     combos = list(itertools.combinations(range(n_bands), m))
-    keys = st.select(
+    return st.select(
         "doc_id",
         hash_col,
         F.explode(
@@ -909,13 +901,51 @@ def _band_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        F.concat(*[band(hash_col, i) for i in c]).alias("kk"),
+                        F.concat(*[_band(hash_col, i) for i in c]).alias(
+                            "kk"
+                        ),
                     )
                     for t, c in enumerate(combos)
                 ]
             )
         ).alias("tk"),
     ).select("doc_id", hash_col, "tk.tbl", "tk.kk")
+
+
+def _hamming_expr(hash_col: str, n_bands: int) -> Column:
+    """Σ over bands of bit_count(band_a XOR band_b) between ``fp_a``
+    and ``fp_b`` columns — 8-bit values, no signed-64 conv overflow."""
+    return sum(
+        F.bit_count(
+            F.conv(_band("fp_a", i), 16, 10).cast("long").bitwiseXOR(
+                F.conv(_band("fp_b", i), 16, 10).cast("long")
+            )
+        )
+        for i in range(n_bands)
+    ).cast("int")
+
+
+def _check_block_bound(n_bands: int, m: int, max_hamming: int) -> None:
+    if max_hamming > n_bands - m:
+        raise ValueError(
+            f"max_hamming {max_hamming} beyond the exact-detection bound "
+            f"{n_bands - m} for m={m}; lower m or max_hamming"
+        )
+
+
+def _band_neardup_pairs(
+    st: DataFrame,
+    hash_col: str,
+    n_bands: int,
+    m: int,
+    max_hamming: int,
+) -> DataFrame:
+    """(doc_id, <hash_col>) frame -> (doc_a, doc_b, hamming) pairs with
+    Hamming <= max_hamming, via the blocked candidate scheme. Plan: one
+    narrow scan -> explode C(n_bands, m) keys -> fine-grained
+    (tbl, key) equi-join -> distinct -> codegen'd Hamming filter."""
+    _check_block_bound(n_bands, m, max_hamming)
+    keys = _band_keys(st, hash_col, n_bands, m)
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(b, ["tbl", "kk"])
@@ -928,16 +958,8 @@ def _band_neardup_pairs(
         )
         .distinct()
     )
-    ham = sum(
-        F.bit_count(
-            F.conv(band("fp_a", i), 16, 10).cast("long").bitwiseXOR(
-                F.conv(band("fp_b", i), 16, 10).cast("long")
-            )
-        )
-        for i in range(n_bands)
-    )
     return (
-        cand.withColumn("hamming", ham.cast("int"))
+        cand.withColumn("hamming", _hamming_expr(hash_col, n_bands))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -1568,6 +1590,255 @@ FROM ({_band_neardup_sql(
     VIDEO_BLOCK_M, VIDEO_MAX_HAMMING)})
 GROUP BY doc_a, doc_b
 """
+
+
+# --- incremental near-dup ingest over a persisted band index -----------------
+# The multimodal sibling of dedup.build_neardup_index/neardup_ingest:
+# a 100 TB pipeline maintains the exploded (tbl, key) band table of
+# the corpus's fingerprints so a crawl batch probes it instead of
+# re-mining 10M+ hashes per ingest (the full image join measured
+# 418 s / 14.1 GB shuffle at 10M — per crawl). The Hamming family is
+# SIMPLER than the MinHash one: verification reads only the two
+# fingerprints, which ride the band rows — no shingle store, no df
+# cap, so the index is ONE table plus a geometry meta row.
+
+
+def build_media_neardup_index(
+    st: DataFrame,
+    index_dir: str,
+    hash_col: str,
+    n_bands: int,
+    m: int,
+) -> None:
+    """Persist a fingerprint frame's blocked band table (the exact
+    ``_band_keys`` layout the inline miner self-joins, so candidate
+    semantics cannot drift) plus a one-row ``meta`` parquet recording
+    the geometry. Ingest reads ``m`` FROM the meta — a probe exploded
+    with a different ``m`` would produce different-length keys and
+    silently join to nothing, so the geometry is index state, not a
+    caller argument. Maintenance contract: after an ingest is
+    accepted, append the batch's band rows (per-doc increment,
+    nothing global recomputes). A production layout would bucket by
+    (tbl, kk) for probe-side scan pruning; plain parquet keeps the
+    fixture honest (the probe is a broadcast hash join against a scan
+    either way)."""
+    spark = st.sparkSession
+    _band_keys(st, hash_col, n_bands, m).write.mode("overwrite").parquet(
+        f"{index_dir}/bands"
+    )
+    spark.createDataFrame(
+        [(hash_col, n_bands, m)], "hash_col string, n_bands int, m int"
+    ).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def media_neardup_ingest(
+    spark: SparkSession,
+    index_dir: str,
+    batch_st: DataFrame,
+    hash_col: str,
+    n_bands: int,
+    max_hamming: int,
+    split_id: int | None = None,
+    per_doc_min: bool = False,
+) -> DataFrame:
+    """Near-dup pairs an ingest batch introduces — against the
+    existing corpus (via the persisted band index) and within itself —
+    without re-mining the corpus. Output: exactly the full-corpus
+    miner's (doc_a, doc_b, hamming) pairs that touch a batch doc
+    (pinned by the agreement pytest).
+
+    Work shape (the reason this op exists): the batch's band rows are
+    computed in one batch-sized pass and — guarded by the
+    ``HOT_BROADCAST_MAX`` policy, a multi-million-row batch degrades
+    to a shuffle rather than a broadcast OOM — BROADCAST against one
+    scan of the index's band table: the corpus is scanned, never
+    shuffled, and verification is inline (the fingerprints ride the
+    candidate rows; no second corpus access of any kind). Within-batch
+    pairs reuse the inline miner on the batch alone. Cross and within
+    pair sets are disjoint (one endpoint in corpus vs both in batch),
+    so the union needs no dedup.
+
+    ``split_id`` filters the index to pre-batch docs (the staged-test
+    contract, mirroring ``dedup.neardup_ingest``: an index that
+    already contains the batch's own rows would duplicate every
+    within-batch pair as a cross pair). ``per_doc_min`` enables the
+    video semantics: inputs are FRAME rows and the output collapses
+    to doc pairs by min-Hamming."""
+    from fledge_south_csvplayback_spark.operators.dedup import (
+        HOT_BROADCAST_MAX,
+    )
+
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    if (meta.hash_col, meta.n_bands) != (hash_col, n_bands):
+        raise ValueError(
+            f"index at {index_dir!r} holds {meta.hash_col!r}/"
+            f"{meta.n_bands} bands, queried as {hash_col!r}/{n_bands}"
+        )
+    m = meta.m
+    _check_block_bound(n_bands, m, max_hamming)
+    batch_keys = _band_keys(batch_st, hash_col, n_bands, m).cache()
+    probe = (
+        F.broadcast(batch_keys)
+        if batch_keys.count() <= HOT_BROADCAST_MAX
+        else batch_keys
+    )
+    idx = spark.read.parquet(f"{index_dir}/bands")
+    if split_id is not None:
+        idx = idx.filter(F.col("doc_id") < split_id)
+    i, b = idx.alias("i"), probe.alias("b")
+    flip = F.col("i.doc_id") > F.col("b.doc_id")
+    cross = (
+        i.join(b, ["tbl", "kk"])
+        .filter(F.col("i.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.when(flip, F.col("b.doc_id"))
+            .otherwise(F.col("i.doc_id"))
+            .alias("doc_a"),
+            F.when(flip, F.col("i.doc_id"))
+            .otherwise(F.col("b.doc_id"))
+            .alias("doc_b"),
+            # hamming is symmetric; fp sides need not follow the flip
+            F.col(f"i.{hash_col}").alias("fp_a"),
+            F.col(f"b.{hash_col}").alias("fp_b"),
+        )
+        .distinct()
+        .withColumn("hamming", _hamming_expr(hash_col, n_bands))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    within = _band_neardup_pairs(batch_st, hash_col, n_bands, m, max_hamming)
+    out = cross.unionByName(within)
+    if per_doc_min:
+        out = out.groupBy("doc_a", "doc_b").agg(
+            F.min("hamming").cast("int").alias("hamming")
+        )
+    return out
+
+
+def build_image_neardup_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    m: int = IMG_BLOCK_M,
+    max_doc_id: int | None = None,
+    stats: DataFrame | None = None,
+) -> None:
+    st = _hash_frame(
+        stats,
+        "dhash",
+        lambda: image_stats(image_table(spark, sf_dir)).select(
+            "doc_id", "dhash"
+        ),
+    )
+    if max_doc_id is not None:
+        st = st.filter(F.col("doc_id") < max_doc_id)
+    build_media_neardup_index(st, index_dir, "dhash", IMG_BANDS, m)
+
+
+def image_neardup_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    split_id: int,
+    max_hamming: int = IMG_MAX_HAMMING,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Image near-dup pairs introduced by the ``doc_id >= split_id``
+    batch, probed against a ``build_image_neardup_index`` index. Pass
+    ``stats`` (full-corpus (doc_id, dhash)) to decouple from the
+    synthetic decode path; it is filtered to the batch here."""
+    st = _hash_frame(
+        stats,
+        "dhash",
+        lambda: image_stats(image_table(spark, sf_dir)).select(
+            "doc_id", "dhash"
+        ),
+    ).filter(F.col("doc_id") >= split_id)
+    return media_neardup_ingest(
+        spark, index_dir, st, "dhash", IMG_BANDS, max_hamming, split_id
+    )
+
+
+def build_audio_neardup_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    m: int = AUDIO_BLOCK_M,
+    max_doc_id: int | None = None,
+    stats: DataFrame | None = None,
+) -> None:
+    st = _hash_frame(
+        stats, "afp", lambda: audio_fingerprints(audio_table(spark, sf_dir))
+    )
+    if max_doc_id is not None:
+        st = st.filter(F.col("doc_id") < max_doc_id)
+    build_media_neardup_index(st, index_dir, "afp", AFP_BANDS, m)
+
+
+def audio_neardup_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    split_id: int,
+    max_hamming: int = AUDIO_MAX_HAMMING,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    st = _hash_frame(
+        stats, "afp", lambda: audio_fingerprints(audio_table(spark, sf_dir))
+    ).filter(F.col("doc_id") >= split_id)
+    return media_neardup_ingest(
+        spark, index_dir, st, "afp", AFP_BANDS, max_hamming, split_id
+    )
+
+
+def build_video_neardup_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    m: int = VIDEO_BLOCK_M,
+    max_doc_id: int | None = None,
+    stats: DataFrame | None = None,
+) -> None:
+    """Video index rows are FRAME-level (a doc contributes VID_FRAMES
+    band-row groups); the ingest's min-Hamming collapse restores doc
+    pairs."""
+    st = _hash_frame(
+        stats,
+        "dhash",
+        lambda: video_stats(video_table(spark, sf_dir)).select(
+            "doc_id", "dhash"
+        ),
+    )
+    if max_doc_id is not None:
+        st = st.filter(F.col("doc_id") < max_doc_id)
+    build_media_neardup_index(st, index_dir, "dhash", IMG_BANDS, m)
+
+
+def video_neardup_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    split_id: int,
+    max_hamming: int = VIDEO_MAX_HAMMING,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    st = _hash_frame(
+        stats,
+        "dhash",
+        lambda: video_stats(video_table(spark, sf_dir)).select(
+            "doc_id", "dhash"
+        ),
+    ).filter(F.col("doc_id") >= split_id)
+    return media_neardup_ingest(
+        spark,
+        index_dir,
+        st,
+        "dhash",
+        IMG_BANDS,
+        max_hamming,
+        split_id,
+        per_doc_min=True,
+    )
 
 
 # --- image resize (box downsample) -------------------------------------------

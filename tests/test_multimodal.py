@@ -755,3 +755,153 @@ def test_image_resize_propagates_maxval(spark):
         )
     ).collect()[0]
     assert stats.maxval == 127
+
+
+# --- incremental near-dup ingest over the persisted band index ------------
+def _md5hex16(i, salt=""):
+    import hashlib
+
+    return hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:16]
+
+
+def _flip_bits(hex16, bits):
+    v = int(hex16, 16)
+    for b in bits:
+        v ^= 1 << b
+    return f"{v:016x}"
+
+
+def test_media_neardup_ingest_matches_full_miner(spark, tmp_path):
+    """The ingest gate (dedup.neardup_ingest's contract, extended to
+    the Hamming family): ingest output == the full miner restricted to
+    batch-touching pairs, on a diverse-hash corpus with planted
+    corpus-corpus (must NOT surface), corpus-batch, and batch-batch
+    near-dups."""
+    split, n = 400, 500
+    hashes = {i: _md5hex16(i) for i in range(n)}
+    hashes[11] = _flip_bits(hashes[10], [3])          # corpus-corpus
+    hashes[450] = _flip_bits(hashes[20], [0, 9, 17])  # corpus-batch
+    hashes[470] = _flip_bits(hashes[460], [5, 40])    # batch-batch
+    st = spark.createDataFrame(
+        [(i, h) for i, h in hashes.items()], "doc_id long, dhash string"
+    )
+    full = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in M.image_neardup_pairs(spark, TEST_SF_DIR, stats=st).collect()
+    }
+    assert (10, 11, 1) in full
+    want = {p for p in full if p[0] >= split or p[1] >= split}
+    assert {(20, 450, 3), (460, 470, 2)} <= want
+    assert (10, 11, 1) not in want
+
+    idx = str(tmp_path / "img_idx")
+    M.build_image_neardup_index(
+        spark, TEST_SF_DIR, idx, max_doc_id=split, stats=st
+    )
+    ingest_df = M.image_neardup_ingest(spark, TEST_SF_DIR, idx, split, stats=st)
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in ingest_df.collect()}
+    assert got == want
+    # the cross probe BROADCASTS the batch bands against one scan of
+    # the index — the corpus side never enters an Exchange
+    plan = ingest_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # geometry is index state: querying with the wrong hash family
+    # fails loudly instead of joining to nothing
+    with pytest.raises(ValueError, match="holds 'dhash'"):
+        M.media_neardup_ingest(
+            spark,
+            idx,
+            st.withColumnRenamed("dhash", "afp"),
+            "afp",
+            M.AFP_BANDS,
+            M.AUDIO_MAX_HAMMING,
+            split,
+        )
+
+
+def test_audio_neardup_ingest_matches_full_miner(spark, tmp_path):
+    split, n = 300, 360
+    hashes = {i: _md5hex16(i, "a") for i in range(n)}
+    hashes[330] = _flip_bits(hashes[7], [12, 33])
+    st = spark.createDataFrame(
+        [(i, h) for i, h in hashes.items()], "doc_id long, afp string"
+    )
+    full = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in M.audio_neardup_pairs(spark, TEST_SF_DIR, stats=st).collect()
+    }
+    want = {p for p in full if p[0] >= split or p[1] >= split}
+    assert (7, 330, 2) in want
+    idx = str(tmp_path / "afp_idx")
+    M.build_audio_neardup_index(
+        spark, TEST_SF_DIR, idx, max_doc_id=split, stats=st
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in M.audio_neardup_ingest(
+            spark, TEST_SF_DIR, idx, split, stats=st
+        ).collect()
+    }
+    assert got == want
+
+
+def test_video_neardup_ingest_matches_full_miner(spark, tmp_path):
+    """Frame-level index rows, doc-pair min-Hamming collapse: a batch
+    clip sharing ONE frame with a corpus clip is a pair; the min over
+    several matching frames is taken across cross+within."""
+    split, n, nf = 80, 100, 3
+    rows = []
+    fh = {}
+    for d in range(n):
+        for f in range(nf):
+            fh[(d, f)] = _md5hex16(d * 7 + f, "v")
+    fh[(90, 1)] = _flip_bits(fh[(30, 2)], [8])       # corpus-batch, ham 1
+    fh[(91, 0)] = _flip_bits(fh[(92, 2)], [2, 50])   # batch-batch, ham 2
+    fh[(91, 2)] = fh[(92, 0)]                        # same pair, ham 0 -> min
+    rows = [(d, h) for (d, _f), h in fh.items()]
+    st = spark.createDataFrame(rows, "doc_id long, dhash string")
+    full = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in M.video_neardup_pairs(spark, TEST_SF_DIR, stats=st).collect()
+    }
+    want = {p for p in full if p[0] >= split or p[1] >= split}
+    assert {(30, 90, 1), (91, 92, 0)} <= want
+    idx = str(tmp_path / "vid_idx")
+    M.build_video_neardup_index(
+        spark, TEST_SF_DIR, idx, max_doc_id=split, stats=st
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in M.video_neardup_ingest(
+            spark, TEST_SF_DIR, idx, split, stats=st
+        ).collect()
+    }
+    assert got == want
+
+
+def test_image_neardup_ingest_end_to_end_decode_path(spark):
+    """No injected hashes: the sf0.001 decode path itself (256-periodic
+    formula, so heavy genuine duplicates) through build-index + ingest
+    agrees with the full miner's batch-touching restriction."""
+    import tempfile
+
+    n_docs = spark.read.parquet(
+        f"{TEST_SF_DIR}/documents.parquet"
+    ).count()
+    split = n_docs // 2
+    full = M.image_neardup_pairs(spark, TEST_SF_DIR)
+    want = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in full.collect()
+        if r.doc_a >= split or r.doc_b >= split
+    }
+    assert want  # the periodic fixture guarantees batch-touching dups
+    with tempfile.TemporaryDirectory() as idx:
+        M.build_image_neardup_index(spark, TEST_SF_DIR, idx, max_doc_id=split)
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in M.image_neardup_ingest(
+                spark, TEST_SF_DIR, idx, split
+            ).collect()
+        }
+    assert got == want
