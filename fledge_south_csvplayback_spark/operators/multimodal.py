@@ -352,8 +352,11 @@ def image_stats(media: DataFrame) -> DataFrame:
                         sums[i] = (sr, sg, sb)
                         dhashes[i] = dh
                     continue
-                px = np.stack(
-                    [np.frombuffer(bufs[i], dtype=np.uint8) for i in idx]
+                # ONE frombuffer over the joined group buffer: np.stack
+                # over thousands of tiny per-row arrays was the measured
+                # hot spot (~20x this), not the math
+                px = np.frombuffer(
+                    b"".join(bufs[i] for i in idx), dtype=np.uint8
                 ).astype(np.int64).reshape(len(idx), w * h, 3)
                 sums[idx] = px.sum(axis=1)
                 gray = (px.sum(axis=2) // 3).reshape(len(idx), h, w)
@@ -647,9 +650,11 @@ def audio_stats(media: DataFrame) -> DataFrame:
             for (c,), idx in group_runs(counts.reshape(-1, 1)):
                 if c == 0:
                     continue  # the zero-init rows ARE the empty stats
-                s = np.stack(
-                    [np.frombuffer(raws[i], dtype="<i2") for i in idx]
-                ).astype(np.int64)
+                # one frombuffer over the joined group buffer (the
+                # image-stats rule: per-row np.stack was the hot spot)
+                s = np.frombuffer(
+                    b"".join(raws[i] for i in idx), dtype="<i2"
+                ).astype(np.int64).reshape(len(idx), c)
                 a = np.abs(s)
                 peak[idx] = a.max(axis=1)
                 sum_abs[idx] = a.sum(axis=1)
@@ -755,8 +760,8 @@ def audio_stats_per_channel(media: DataFrame) -> DataFrame:
             for (ch, nf), idx in group_runs(geom):
                 k = len(idx)
                 s = (
-                    np.stack(
-                        [np.frombuffer(raws[i], dtype="<i2") for i in idx]
+                    np.frombuffer(
+                        b"".join(raws[i] for i in idx), dtype="<i2"
                     )
                     .astype(np.int64)
                     .reshape(k, nf, ch)
@@ -1110,9 +1115,9 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
                 raws[i] = data
             fps: list[str | None] = [None] * n
             for (c,), idx in group_runs(counts.reshape(-1, 1)):
-                s = np.stack(
-                    [np.frombuffer(raws[i], dtype="<i2") for i in idx]
-                ).astype(np.int64)
+                s = np.frombuffer(
+                    b"".join(raws[i] for i in idx), dtype="<i2"
+                ).astype(np.int64).reshape(len(idx), c)
                 e = (s * s).reshape(len(idx), AFP_BITS, c // AFP_BITS).sum(
                     axis=2
                 )
@@ -1453,8 +1458,8 @@ def video_stats(media: DataFrame) -> DataFrame:
                 [(m[2], m[3], m[5], m[6]) for m in metas], dtype=np.int64
             )
             for (w, h, bottom_up, stride), idx in group_runs(geom):
-                arr = np.stack(
-                    [np.frombuffer(raws[i], dtype=np.uint8) for i in idx]
+                arr = np.frombuffer(
+                    b"".join(raws[i] for i in idx), dtype=np.uint8
                 ).reshape(len(idx), h, stride)[:, :, : w * 3]
                 rgb = arr.reshape(len(idx), h, w, 3).astype(np.int64)
                 if bottom_up:
@@ -1903,8 +1908,8 @@ def image_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             payloads: list[bytes] = [b""] * n
             for (w, h), idx in group_runs(dims):
                 bh, bw = h // out_h, w // out_w
-                px = np.stack(
-                    [np.frombuffer(bufs[i], dtype=np.uint8) for i in idx]
+                px = np.frombuffer(
+                    b"".join(bufs[i] for i in idx), dtype=np.uint8
                 ).astype(np.int64).reshape(len(idx), out_h, bh, out_w, bw, 3)
                 small = px.sum(axis=(2, 4)) // (bh * bw)  # (k, oh, ow, 3)
                 small = small.astype(np.uint8)
