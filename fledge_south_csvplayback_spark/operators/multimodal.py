@@ -1846,6 +1846,134 @@ def video_neardup_ingest(
     )
 
 
+# --- diff-driven index maintenance --------------------------------------------
+# Composes curation.corpus_diff with the persisted band index: a new
+# crawl's churn (added/changed/removed docs) maps to exactly the
+# (tbl, kk) key groups whose rows move, and the index advances by a
+# churn-sized copy-on-write rewrite instead of a full re-explode of
+# the corpus hashes (the diff_shards_to_recompute precedent, applied
+# to index state instead of training shards).
+
+
+def _diff_doc_sets(diff: DataFrame):
+    """churn frame -> (doc_ids leaving the index, doc_ids (re)entering
+    it). A 'changed' doc does both: its old band rows are stale and
+    its new hash mints new ones."""
+    if not {"doc_id", "status"} <= set(diff.columns):
+        raise ValueError("diff frame needs (doc_id, status) columns")
+    gone = diff.filter(
+        F.col("status").isin("removed", "changed")
+    ).select("doc_id")
+    fresh = diff.filter(
+        F.col("status").isin("added", "changed")
+    ).select("doc_id")
+    return gone, fresh
+
+
+def media_index_maintenance_plan(
+    spark: SparkSession,
+    index_dir: str,
+    diff: DataFrame,
+    new_stats: DataFrame,
+) -> DataFrame:
+    """``corpus_diff`` churn + the new snapshot's hashes -> the
+    distinct (tbl, kk) band-key groups a rewrite must touch:
+    (tbl, kk, n_remove, n_add). Row-movement accounting for a bucketed
+    (tbl, kk) index layout — the partitions NOT in this plan are
+    byte-identical before and after, which is what lets a 100 TB
+    deployment rewrite only churn-touched buckets.
+
+    Work shape: the diff is churn-sized, so both sides are cheap —
+    stale keys come from ONE scan of the index semi-joined (broadcast,
+    ``HOT_BROADCAST_MAX``-guarded) by the leaving doc_ids; new keys
+    explode from the churn docs' hashes only. One fine-grained
+    (tbl, kk) aggregate over the union; neither snapshot is scanned."""
+    from fledge_south_csvplayback_spark.operators.dedup import (
+        HOT_BROADCAST_MAX,
+    )
+
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    gone, fresh = _diff_doc_sets(diff)
+
+    def bounded(t: DataFrame) -> DataFrame:
+        return F.broadcast(t) if t.count() <= HOT_BROADCAST_MAX else t
+
+    stale = (
+        spark.read.parquet(f"{index_dir}/bands")
+        .join(bounded(gone), "doc_id", "left_semi")
+        .select("tbl", "kk", F.lit(1).alias("rm"), F.lit(0).alias("ad"))
+    )
+    minted = (
+        _band_keys(
+            new_stats.join(bounded(fresh), "doc_id", "left_semi"),
+            meta.hash_col,
+            meta.n_bands,
+            meta.m,
+        ).select("tbl", "kk", F.lit(0).alias("rm"), F.lit(1).alias("ad"))
+    )
+    return (
+        stale.unionByName(minted)
+        .groupBy("tbl", "kk")
+        .agg(
+            F.sum("rm").cast("bigint").alias("n_remove"),
+            F.sum("ad").cast("bigint").alias("n_add"),
+        )
+    )
+
+
+def media_index_apply_diff(
+    spark: SparkSession,
+    index_dir: str,
+    diff: DataFrame,
+    new_stats: DataFrame,
+    out_dir: str,
+) -> None:
+    """Advance the band index to the new snapshot: copy-on-write to
+    ``out_dir`` (parquet cannot rewrite in place; versioned index dirs
+    are also what lets in-flight ingests finish against the old
+    snapshot). Carried rows = old bands anti-joined by the leaving
+    doc_ids (broadcast-guarded — the corpus-sized side never
+    shuffles); minted rows = the churn docs' hashes exploded through
+    the SAME ``_band_keys`` the full builder uses, so the result is
+    row-identical to a full rebuild from the new snapshot (the
+    reconciliation pytest pins frame equality, and the plan above is
+    exactly the touched-key support of the rewrite)."""
+    from fledge_south_csvplayback_spark.operators.dedup import (
+        HOT_BROADCAST_MAX,
+    )
+
+    from fledge_south_csvplayback_spark.operators.curation import (
+        _paths_overlap,
+    )
+
+    if _paths_overlap(out_dir, index_dir):
+        raise ValueError(
+            f"media_index_apply_diff: out_dir {out_dir!r} collides with "
+            "the index read path"
+        )
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    gone, fresh = _diff_doc_sets(diff)
+
+    def bounded(t: DataFrame) -> DataFrame:
+        return F.broadcast(t) if t.count() <= HOT_BROADCAST_MAX else t
+
+    carried = spark.read.parquet(f"{index_dir}/bands").join(
+        bounded(gone), "doc_id", "left_anti"
+    )
+    minted = _band_keys(
+        new_stats.join(bounded(fresh), "doc_id", "left_semi"),
+        meta.hash_col,
+        meta.n_bands,
+        meta.m,
+    )
+    carried.unionByName(minted).write.mode("overwrite").parquet(
+        f"{out_dir}/bands"
+    )
+    spark.read.parquet(f"{index_dir}/meta").write.mode("overwrite").parquet(
+        f"{out_dir}/meta"
+    )
+
+
 # --- image resize (box downsample) -------------------------------------------
 # The resize stage of a real image pipeline (decode -> RESIZE to the
 # hash geometry -> dHash): box averaging — each output pixel is the

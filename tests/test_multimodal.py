@@ -905,3 +905,77 @@ def test_image_neardup_ingest_end_to_end_decode_path(spark):
             ).collect()
         }
     assert got == want
+
+
+def test_media_index_diff_maintenance_reconciles(spark, tmp_path):
+    """Diff-driven maintenance: applying a crawl's churn to the band
+    index copy-on-write equals a full rebuild from the new snapshot
+    (frame equality), the plan's keys are exactly the touched-key
+    support of the rewrite, and untouched keys never appear."""
+    n = 200
+    old = {i: _md5hex16(i, "m") for i in range(n)}
+    new = dict(old)
+    del new[5]                                # removed
+    new[7] = _md5hex16(7, "changed")          # changed
+    new[300] = _md5hex16(300, "m")            # added
+    old_st = spark.createDataFrame(
+        list(old.items()), "doc_id long, dhash string"
+    )
+    new_st = spark.createDataFrame(
+        list(new.items()), "doc_id long, dhash string"
+    )
+    diff = spark.createDataFrame(
+        [(5, "removed"), (7, "changed"), (300, "added")],
+        "doc_id long, status string",
+    )
+    idx = str(tmp_path / "idx")
+    nxt = str(tmp_path / "next")
+    M.build_image_neardup_index(spark, "unused", idx, stats=old_st)
+    M.media_index_apply_diff(spark, idx, diff, new_st, nxt)
+    # reconciliation: copy-on-write result == full rebuild on new snap
+    rebuilt = str(tmp_path / "rebuilt")
+    M.build_image_neardup_index(spark, "unused", rebuilt, stats=new_st)
+    got = {
+        tuple(r) for r in spark.read.parquet(f"{nxt}/bands").collect()
+    }
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(f"{rebuilt}/bands").collect()
+    }
+    assert got == want
+    assert (
+        spark.read.parquet(f"{nxt}/meta").collect()
+        == spark.read.parquet(f"{idx}/meta").collect()
+    )
+    # the plan is the exact touched-key support of the rewrite
+    plan = M.media_index_maintenance_plan(spark, idx, diff, new_st)
+    plan_rows = {(r.tbl, r.kk): (r.n_remove, r.n_add) for r in plan.collect()}
+    before = {
+        tuple(r)
+        for r in spark.read.parquet(f"{idx}/bands")
+        .select("tbl", "kk", "doc_id")
+        .collect()
+    }
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(f"{nxt}/bands")
+        .select("tbl", "kk", "doc_id")
+        .collect()
+    }
+    touched = {(t, k) for (t, k, _d) in before ^ after}
+    assert set(plan_rows) == touched
+    # counts: removed doc 5 + changed doc 7 leave; added 300 + changed
+    # 7 enter; every key group's totals line up with the row movement
+    for (t, k), (nr, na) in plan_rows.items():
+        assert nr == len(
+            {(t2, k2, d) for (t2, k2, d) in before - after
+             if (t2, k2) == (t, k)}
+        )
+        assert na == len(
+            {(t2, k2, d) for (t2, k2, d) in after - before
+             if (t2, k2) == (t, k)}
+        )
+    # an ingest against the advanced index sees the new snapshot: the
+    # changed doc's OLD hash no longer collides
+    with pytest.raises(ValueError, match="collides"):
+        M.media_index_apply_diff(spark, idx, diff, new_st, f"{idx}/sub")
