@@ -94,6 +94,7 @@ HEADLINE = [
     "corpus_snapshot_diff",  # crawl-over-crawl fingerprint diff (round 9)
     "text_normalize",  # standalone codegen'd normalization pass (round 9)
     "multimodal_image_resize",  # decode->box-resize->re-hash pipeline (round 9)
+    "text_html_extract",  # markup extraction before normalize (round 10)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in

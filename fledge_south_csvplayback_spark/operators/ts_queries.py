@@ -134,3 +134,29 @@ SELECT ts, channel1, channel2,
        TIMESTAMP '{DELTA_ANCHOR}' + to_microseconds(k * delta_us) AS timestamp
 FROM n, d
 """
+
+
+# --- T1+T2 union (round-10 registry fold) ------------------------------------
+def ts_current_time_stamping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 registry fold (COVERAGE.md selection rule): burst and
+    continuous stamping emit the same (channel1, channel2, user_ts,
+    timestamp) schema over the same vibration fixture and differ only
+    in the within-chunk spread, so they fold into ONE mode-tagged
+    union — every constituent row stays hash-distinguishable; the
+    unmerged callables stay public + pytest-oracle-checked."""
+    from pyspark.sql import functions as F
+
+    burst = ts_current_time_burst(spark, sf_dir).withColumn(
+        "mode", F.lit("burst")
+    )
+    cont = ts_current_time_continuous(spark, sf_dir).withColumn(
+        "mode", F.lit("continuous")
+    )
+    return burst.unionByName(cont)
+
+
+TS_CURRENT_TIME_SQL = f"""
+SELECT *, 'burst' AS mode FROM ({TS_BURST_SQL})
+UNION ALL
+SELECT *, 'continuous' AS mode FROM ({TS_CONTINUOUS_SQL})
+"""

@@ -76,6 +76,15 @@ register(
 register("text_lang_id", text.text_lang_id, text.TEXT_LANG_ID_SQL)
 register("text_token_classes", text.text_token_classes, text.TEXT_TOKEN_CLASSES_SQL)
 register("text_fingerprint", text.text_fingerprint, text.TEXT_FINGERPRINT_SQL)
+# rotated in round 10 (slot freed by the ts_current_time_stamping
+# fold): HTML/markup extraction — the stage a web corpus runs before
+# text_normalize, and the largest cross-engine regex surface in the
+# repo (subtree drops, block newlines, entity decode order)
+register(
+    "text_html_extract",
+    text.text_html_extract,
+    text.TEXT_HTML_EXTRACT_SQL,
+)
 
 # --- data selection (documents table; round-7 rotation fills the two
 # slots freed by the W3 interpolation fold) ----------------------------------
@@ -185,15 +194,16 @@ register(
 # --- timestamp synthesis T1-T5 (SURVEY.md §2.4) -----------------------------
 register("ts_copy_csv_value", ts_queries.ts_copy_csv_value, ts_queries.TS_COPY_SQL)
 register("ts_move_csv_value", ts_queries.ts_move_csv_value, ts_queries.TS_MOVE_SQL)
+# Round-10 registry fold (COVERAGE.md selection rule): burst and
+# continuous stamping share the vibration fixture and output schema,
+# differing only in the within-chunk spread, so they fold into ONE
+# mode-tagged union (the csv_directory_codecs pattern); the unmerged
+# callables stay public + pytest-oracle-checked. The freed slot
+# registers `text_html_extract` below.
 register(
-    "ts_current_time_burst",
-    ts_queries.ts_current_time_burst,
-    ts_queries.TS_BURST_SQL,
-)
-register(
-    "ts_current_time_continuous",
-    ts_queries.ts_current_time_continuous,
-    ts_queries.TS_CONTINUOUS_SQL,
+    "ts_current_time_stamping",
+    ts_queries.ts_current_time_stamping,
+    ts_queries.TS_CURRENT_TIME_SQL,
 )
 register("ts_sample_delta", ts_queries.ts_sample_delta, ts_queries.TS_DELTA_SQL)
 

@@ -50,3 +50,17 @@ def test_envelope_constituents_oracle_parity(spark):
     ):
         ok, msg = compare(fn(spark, TEST_SF_DIR), sql, TEST_SF_DIR)
         assert ok, f"{fn.__name__}: {msg}"
+
+
+def test_ts_current_time_constituents_oracle_parity(spark):
+    """T1/T2 folded into ts_current_time_stamping in round 10; the
+    de-registration convention keeps the driver's own value check on
+    each unmerged callable here."""
+    from fledge_south_csvplayback_spark.operators import ts_queries as T
+
+    for fn, sql in (
+        (T.ts_current_time_burst, T.TS_BURST_SQL),
+        (T.ts_current_time_continuous, T.TS_CONTINUOUS_SQL),
+    ):
+        ok, msg = compare(fn(spark, TEST_SF_DIR), sql, TEST_SF_DIR)
+        assert ok, f"{fn.__name__}: {msg}"
