@@ -1608,6 +1608,18 @@ GROUP BY doc_a, doc_b
 # cap, so the index is ONE table plus a geometry meta row.
 
 
+def _comb(n: int, k: int) -> int:
+    import math
+
+    return math.comb(n, k)
+
+
+# Keys-only broadcast cap for the ingest probe: (tbl int, kk <=2m hex)
+# rows serialize to ~25 B, so the cap is a few hundred MB broadcast —
+# deliberately above dedup.HOT_BROADCAST_MAX, which prices FULL rows.
+_KEY_BROADCAST_MAX = 16_000_000
+
+
 def build_media_neardup_index(
     st: DataFrame,
     index_dir: str,
@@ -1634,6 +1646,24 @@ def build_media_neardup_index(
     spark.createDataFrame(
         [(hash_col, n_bands, m)], "hash_col string, n_bands int, m int"
     ).write.mode("overwrite").parquet(f"{index_dir}/meta")
+
+
+def media_index_append(
+    spark: SparkSession,
+    index_dir: str,
+    batch_st: DataFrame,
+) -> None:
+    """The maintenance step after an ingest batch is ACCEPTED: append
+    the batch's band rows to the index so the next batch probes
+    against them. Per-doc increment — nothing global recomputes, the
+    geometry comes from the index's own meta, and the appended rows
+    are the same ``_band_keys`` layout the builder writes, so
+    build(corpus)+append(batch) ≡ build(corpus ∪ batch) row-for-row
+    (pinned by the sequential-ingest pytest)."""
+    meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
+    _band_keys(batch_st, meta.hash_col, meta.n_bands, meta.m).write.mode(
+        "append"
+    ).parquet(f"{index_dir}/bands")
 
 
 def media_neardup_ingest(
@@ -1669,10 +1699,6 @@ def media_neardup_ingest(
     within-batch pair as a cross pair). ``per_doc_min`` enables the
     video semantics: inputs are FRAME rows and the output collapses
     to doc pairs by min-Hamming."""
-    from fledge_south_csvplayback_spark.operators.dedup import (
-        HOT_BROADCAST_MAX,
-    )
-
     meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
     if (meta.hash_col, meta.n_bands) != (hash_col, n_bands):
         raise ValueError(
@@ -1682,15 +1708,27 @@ def media_neardup_ingest(
     m = meta.m
     _check_block_bound(n_bands, m, max_hamming)
     batch_keys = _band_keys(batch_st, hash_col, n_bands, m).cache()
-    probe = (
-        F.broadcast(batch_keys)
-        if batch_keys.count() <= HOT_BROADCAST_MAX
-        else batch_keys
-    )
     idx = spark.read.parquet(f"{index_dir}/bands")
     if split_id is not None:
         idx = idx.filter(F.col("doc_id") < split_id)
-    i, b = idx.alias("i"), probe.alias("b")
+    # The probe must never shuffle the corpus-sized index. A batch of
+    # B docs explodes to B·C(n_bands, m) band rows (100k docs at m=3
+    # is already 5.6M — measured: letting that fall through to a
+    # shuffle join moved 14.4 GB at a 10M index, the exact full-miner
+    # cost this op exists to avoid), so the broadcast is the batch's
+    # distinct (tbl, kk) KEY SET — two skinny columns, ~25 B/row —
+    # semi-pruning the index scan down to candidate rows before any
+    # wide join; the remaining equi-join is candidate×batch sized.
+    # ``_KEY_BROADCAST_MAX`` caps the keys-only broadcast (a few
+    # hundred MB at the cap); a larger batch degrades to the shuffle,
+    # which at that size amortizes like a rebuild and should be one.
+    if batch_st.count() * _comb(n_bands, m) <= _KEY_BROADCAST_MAX:
+        idx = idx.join(
+            F.broadcast(batch_keys.select("tbl", "kk").distinct()),
+            ["tbl", "kk"],
+            "left_semi",
+        )
+    i, b = idx.alias("i"), batch_keys.alias("b")
     flip = F.col("i.doc_id") > F.col("b.doc_id")
     cross = (
         i.join(b, ["tbl", "kk"])

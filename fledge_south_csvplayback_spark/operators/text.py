@@ -1422,3 +1422,106 @@ SELECT doc_id,
            AS n_chars
 FROM documents
 """
+
+
+# --- link extraction (the URL-graph side of the markup pass) ------------------
+# A crawl pipeline mines <a href> targets for the URL frontier, domain
+# stats, and URL-level dedup. Same engine rules as the extractor: the
+# href pattern is backreference/lookaround-free so Java regex and RE2
+# agree, and the whole op is regexp_extract_all -> explode -> one
+# codegen'd projection; the per-domain rollup is one fine-grained
+# aggregate over the (churn-of-links)-sized explode, never the corpus.
+_HREF_PATTERN = (
+    "(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'#>][^\"'>]*)[\"']"
+)
+_DOMAIN_PATTERN = "^(?:[a-zA-Z][a-zA-Z0-9+.\\-]*://)?([^/?:]+)"
+
+
+def html_links(html_df: DataFrame) -> DataFrame:
+    """(doc_id, html) -> (doc_id, url, domain): one row per <a href>
+    occurrence in document order (fragment-only hrefs excluded by the
+    pattern), with the authority extracted scheme-tolerantly and
+    lowercased (DNS rules; the path keeps its case)."""
+    urls = F.regexp_extract_all(F.col("html"), F.lit(_HREF_PATTERN), 1)
+    url = F.explode(urls).alias("url")
+    out = html_df.select("doc_id", url)
+    return out.select(
+        "doc_id",
+        "url",
+        F.lower(
+            F.regexp_extract(F.col("url"), _DOMAIN_PATTERN, 1)
+        ).alias("domain"),
+    )
+
+
+def link_domain_stats(html_df: DataFrame) -> DataFrame:
+    """Per-domain link rollup: (domain, n_links, n_docs) — the crawl
+    frontier's prioritization table. One explode + one fine-grained
+    domain-keyed aggregate."""
+    return (
+        html_links(html_df)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+def links_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, html) with deterministic planted links:
+    every doc links its successor (relative), every 3rd doc links a
+    shared hub (absolute), every 5th doc carries an uppercase-scheme
+    duplicate and a fragment-only href (excluded by the pattern) —
+    declarative concat mirrored closed-form in the oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = F.concat(
+        F.lit('<html><body><p>t</p><a href="/doc/'),
+        (d + 1).cast("string"),
+        F.lit('">next</a>'),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<a class="x" href="https://Hub.example.com/h/'),
+                ds,
+                F.lit('">hub</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.lit('<A HREF="HTTPS://cdn.example.com/a.js">x</A>'
+                  '<a href="#frag">skip</a>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def text_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return html_links(links_table(spark, sf_dir))
+
+
+_LINKS_TABLE_SQL = (
+    "'<html><body><p>t</p><a href=\"/doc/' || CAST(doc_id + 1 AS VARCHAR)"
+    " || '\">next</a>' || "
+    "CASE WHEN doc_id % 3 = 0 THEN '<a class=\"x\" "
+    "href=\"https://Hub.example.com/h/' || CAST(doc_id AS VARCHAR) || "
+    "'\">hub</a>' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN '<A HREF=\"HTTPS://cdn.example.com/a.js\">"
+    "x</A><a href=\"#frag\">skip</a>' ELSE '' END || '</body></html>'"
+)
+
+TEXT_HTML_LINKS_SQL = f"""
+WITH h AS (SELECT doc_id, {_LINKS_TABLE_SQL} AS html FROM documents),
+u AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(html,
+               '{_HREF_PATTERN.replace("'", "''")}', 1)) AS url
+    FROM h
+)
+SELECT doc_id, url,
+       lower(regexp_extract(url, '{_DOMAIN_PATTERN}', 1)) AS domain
+FROM u
+"""

@@ -979,3 +979,55 @@ def test_media_index_diff_maintenance_reconciles(spark, tmp_path):
     # changed doc's OLD hash no longer collides
     with pytest.raises(ValueError, match="collides"):
         M.media_index_apply_diff(spark, idx, diff, new_st, f"{idx}/sub")
+
+
+def test_media_index_append_sequential_ingests(spark, tmp_path):
+    """The index lifecycle end-to-end: build(corpus) + ingest(batch1)
+    + append(batch1) + ingest(batch2) produces, across the two
+    ingests, exactly the full miner's batch-touching pairs for each
+    stage — batch2 collides against batch1 only because the append
+    advanced the index."""
+    s1, s2, n = 300, 400, 500
+    hashes = {i: _md5hex16(i, "q") for i in range(n)}
+    hashes[350] = _flip_bits(hashes[8], [4])    # corpus x batch1
+    hashes[450] = _flip_bits(hashes[350], [9])  # batch1 x batch2 (!)
+    st = spark.createDataFrame(
+        [(i, h) for i, h in hashes.items()], "doc_id long, dhash string"
+    )
+    idx = str(tmp_path / "idx")
+    M.build_image_neardup_index(spark, "unused", idx, max_doc_id=s1, stats=st)
+    got1 = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in M.image_neardup_ingest(
+            spark, "unused", idx, s1, stats=st.filter(f"doc_id < {s2}")
+        ).collect()
+    }
+    # batch1 = [s1, s2): pairs touching it, both endpoints < s2
+    full = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in M.image_neardup_pairs(spark, "unused", stats=st).collect()
+    }
+    want1 = {
+        p for p in full
+        if (s1 <= p[0] < s2 or s1 <= p[1] < s2) and p[0] < s2 and p[1] < s2
+    }
+    assert got1 == want1 and (8, 350, 1) in got1
+    # accept batch1 -> append, then ingest batch2 = [s2, n)
+    M.media_index_append(
+        spark, idx, st.filter(f"doc_id >= {s1} and doc_id < {s2}")
+    )
+    got2 = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in M.image_neardup_ingest(spark, "unused", idx, s2, stats=st)
+        .collect()
+    }
+    want2 = {p for p in full if p[0] >= s2 or p[1] >= s2}
+    assert got2 == want2 and (350, 450, 1) in got2
+    # build(corpus)+append(batch1) == build(corpus ∪ batch1) row-for-row
+    rebuilt = str(tmp_path / "rb")
+    M.build_image_neardup_index(
+        spark, "unused", rebuilt, max_doc_id=s2, stats=st
+    )
+    a = {tuple(r) for r in spark.read.parquet(f"{idx}/bands").collect()}
+    b = {tuple(r) for r in spark.read.parquet(f"{rebuilt}/bands").collect()}
+    assert a == b

@@ -119,3 +119,47 @@ def test_html_extract_composes_with_normalize(spark):
     assert (
         again.filter(~F.col("again").eqNullSafe(F.col("norm"))).count() == 0
     )
+
+
+def test_text_html_links_oracle_parity(spark):
+    """regexp_extract_all link mining, Java-regex vs RE2 over the
+    planted-link fixture (pytest oracle; off-registry under the
+    50-entry cap)."""
+    from tests.conftest import ORACLE_SF_DIR, TEST_SF_DIR
+    from tests.oracle_harness import compare
+
+    for sf in (TEST_SF_DIR, ORACLE_SF_DIR):
+        ok, msg = compare(
+            text.text_html_links(spark, sf), text.TEXT_HTML_LINKS_SQL, sf
+        )
+        assert ok, msg
+
+
+def test_html_links_planted_semantics(spark):
+    """href mining pins: attribute-order/case tolerance, fragment-only
+    exclusion, scheme-tolerant lowercased domain, relative links get
+    domain ''."""
+    import pyspark.sql.functions as F
+
+    html = (
+        '<a href="/doc/7#sec">rel</a>'
+        '<A HREF="HTTPS://Ex.COM/Path/X">abs</A>'
+        '<a class="k" href="ftp://files.net/a">attr-before</a>'
+        '<a href="#only-fragment">skip</a>'
+        "<a href=unquoted>skip-too</a>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = text.html_links(df).orderBy("url").collect()
+    got = [(r.url, r.domain) for r in rows]
+    assert got == sorted(
+        [
+            ("/doc/7#sec", ""),
+            ("HTTPS://Ex.COM/Path/X", "ex.com"),
+            ("ftp://files.net/a", "files.net"),
+        ]
+    ), got
+    stats = {
+        r.domain: (r.n_links, r.n_docs)
+        for r in text.link_domain_stats(df).collect()
+    }
+    assert stats["ex.com"] == (1, 1)
