@@ -654,6 +654,41 @@ def _coarse_centroids(
     raise ValueError(f"unknown centroids mode: {centroids!r}")
 
 
+def _assign_cells(emb: DataFrame, cents: list[tuple]) -> DataFrame:
+    """(vec_id, v, norm) + centroid tuples -> the same rows with their
+    coarse cell_id: one BLAS GEMM per Arrow batch (m @ centroids.T,
+    argmax; FIRST max = lowest cell_id on exact ties, the inline/
+    oracle rule). Shared by the index builder and the diff-maintenance
+    apply so ingest-time and maintenance-time assignment cannot
+    drift."""
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        cid = np.array([c[0] for c in cents], dtype=np.int64)
+        cm = np.array([c[1] for c in cents], dtype=np.float64)
+        cn = np.array([c[2] for c in cents], dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            nrm = pdf["norm"].to_numpy()
+            sims = (m @ cm.T) / (nrm[:, None] * cn[None, :])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "norm": nrm,
+                    "cell_id": cid[np.argmax(sims, axis=1)],
+                }
+            )
+
+    return emb.mapInPandas(
+        _assign, "vec_id long, v array<double>, norm double, cell_id long"
+    )
+
+
 def build_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -702,32 +737,7 @@ def build_ivf_index(
     """
     emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
     cents = _coarse_centroids(spark, sf_dir, cells, centroids, kmeans_iters)
-
-    def _assign(batches):
-        import numpy as np
-        import pandas as pd
-
-        cid = np.array([c[0] for c in cents], dtype=np.int64)
-        cm = np.array([c[1] for c in cents], dtype=np.float64)
-        cn = np.array([c[2] for c in cents], dtype=np.float64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.stack(pdf["v"].to_numpy())
-            nrm = pdf["norm"].to_numpy()
-            sims = (m @ cm.T) / (nrm[:, None] * cn[None, :])
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "v": pdf["v"],
-                    "norm": nrm,
-                    "cell_id": cid[np.argmax(sims, axis=1)],
-                }
-            )
-
-    assigned = emb.mapInPandas(
-        _assign, "vec_id long, v array<double>, norm double, cell_id long"
-    )
+    assigned = _assign_cells(emb, cents)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(index_dir)
     # AFTER the data write: overwriting index_dir would wipe a
     # previously-written sidecar (underscore prefix keeps it invisible
@@ -785,6 +795,151 @@ def ann_cosine_topk_ivf_indexed(
         _masked_partial_topk(qmat), "query_id long, vec_id long, cosine double"
     )
     return _rank_topk(partial)
+
+
+# --- diff-driven IVF index maintenance ----------------------------------------
+# The cell_id sibling of multimodal.media_index_maintenance_plan: a
+# crawl's vector churn maps to exactly the cell partitions whose rows
+# move, and the index advances by rewriting ONLY those partition
+# directories (dynamic partition overwrite) — the other cells' files
+# are untouched bytes, which is the whole point of the
+# partitionBy(cell_id) layout at 100 TB.
+
+
+def _read_centroids(spark: SparkSession, index_dir: str) -> list[tuple]:
+    return sorted(
+        (r.cell_id, list(r.cv), r.cn)
+        for r in spark.read.parquet(f"{index_dir}/_centroids").collect()
+    )
+
+
+def _ivf_diff_sets(diff: DataFrame):
+    """-> (leaving, entering) vec_id frames, each broadcast when under
+    the shared ``HOT_BROADCAST_MAX`` policy (churn normally is; a
+    corpus-sized churn degrades to a shuffle, not a broadcast OOM)."""
+    from fledge_south_csvplayback_spark.operators.dedup import (
+        HOT_BROADCAST_MAX,
+    )
+
+    if not {"vec_id", "status"} <= set(diff.columns):
+        raise ValueError("diff frame needs (vec_id, status) columns")
+
+    def bounded(t: DataFrame) -> DataFrame:
+        return F.broadcast(t) if t.count() <= HOT_BROADCAST_MAX else t
+
+    gone = bounded(
+        diff.filter(F.col("status").isin("removed", "changed")).select(
+            "vec_id"
+        )
+    )
+    fresh = bounded(
+        diff.filter(F.col("status").isin("added", "changed")).select(
+            "vec_id"
+        )
+    )
+    return gone, fresh
+
+
+def ivf_index_maintenance_plan(
+    spark: SparkSession,
+    index_dir: str,
+    diff: DataFrame,
+    new_emb: DataFrame,
+) -> DataFrame:
+    """Vector churn (vec_id, status) + the new snapshot's (vec_id, v)
+    rows -> the cell partitions a rewrite must touch:
+    (cell_id, n_remove, n_add). Leaving vecs' cells come from ONE
+    index scan semi-joined (broadcast — churn-sized) by the leaving
+    ids; entering vecs assign through the index's own persisted
+    centroids via the same GEMM the builder uses. Cells absent from
+    this plan are byte-identical before and after the apply."""
+    cents = _read_centroids(spark, index_dir)
+    gone, fresh = _ivf_diff_sets(diff)
+    stale = (
+        spark.read.parquet(index_dir)
+        .join(gone, "vec_id", "left_semi")
+        .select("cell_id", F.lit(1).alias("rm"), F.lit(0).alias("ad"))
+    )
+    entering = new_emb.join(fresh, "vec_id", "left_semi")
+    minted = _assign_cells(
+        entering.select("vec_id", "v", _norm(F.col("v")).alias("norm")),
+        cents,
+    ).select("cell_id", F.lit(0).alias("rm"), F.lit(1).alias("ad"))
+    return (
+        stale.unionByName(minted)
+        .groupBy("cell_id")
+        .agg(
+            F.sum("rm").cast("bigint").alias("n_remove"),
+            F.sum("ad").cast("bigint").alias("n_add"),
+        )
+    )
+
+
+def ivf_index_apply_diff(
+    spark: SparkSession,
+    index_dir: str,
+    diff: DataFrame,
+    new_emb: DataFrame,
+) -> list[int]:
+    """Advance the IVF index to the new snapshot IN PLACE, rewriting
+    only the churn-touched cell partitions: carried rows of those
+    cells (minus leaving vecs) plus the entering vecs' newly-assigned
+    rows are eagerly materialized (``localCheckpoint`` — the write
+    overwrites the very files the carried rows came from, so lineage
+    to them must be severed first), then written with DYNAMIC
+    partition overwrite, which replaces exactly the partitions present
+    in the written data. Untouched cells keep their files byte-for-
+    byte (pinned in tests). Returns the rewritten cell_ids.
+
+    Trade, stated: in-place dynamic overwrite has a failure window on
+    the touched partitions (a torn job can lose them); a deployment
+    wanting snapshot isolation runs the same op against a versioned
+    table format — the partition-level churn math is identical. The
+    media band index takes the copy-on-write road instead
+    (``media_index_apply_diff``); this op demonstrates the in-place
+    one because the IVF index is corpus-sized and a full copy per
+    crawl is the cost being avoided."""
+    cents = _read_centroids(spark, index_dir)
+    gone, fresh = _ivf_diff_sets(diff)
+    idx = spark.read.parquet(index_dir)
+    touched_old = (
+        idx.join(gone, "vec_id", "left_semi")
+        .select("cell_id")
+        .distinct()
+    )
+    entering = new_emb.join(fresh, "vec_id", "left_semi")
+    minted = _assign_cells(
+        entering.select("vec_id", "v", _norm(F.col("v")).alias("norm")),
+        cents,
+    )
+    touched = sorted(
+        r.cell_id
+        for r in touched_old.unionByName(
+            minted.select("cell_id").distinct()
+        )
+        .distinct()
+        .collect()
+    )
+    carried = (
+        idx.filter(F.col("cell_id").isin(touched))
+        .join(gone, "vec_id", "left_anti")
+        .select("vec_id", "v", "norm", "cell_id")
+    )
+    out = carried.unionByName(
+        minted.select("vec_id", "v", "norm", "cell_id")
+    ).localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("cell_id").parquet(index_dir)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+    return touched
 
 
 def ann_cosine_topk_lsh(

@@ -935,3 +935,92 @@ def test_sq8_indexed_matches_inline_and_reads_codes_only(spark, tmp_path):
     q = spark.read.parquet(f"{index_dir}/_quantizer").collect()[0]
     vmin, vmax = S.sq8_fit(spark, TEST_SF_DIR)
     assert list(q["lo"]) == vmin and list(q["hi"]) == vmax
+
+
+def test_ivf_index_diff_maintenance(spark, tmp_path):
+    """Diff-driven IVF maintenance: the in-place dynamic-partition-
+    overwrite apply equals a full rebuild from the new snapshot (row
+    sets), UNTOUCHED cell partitions keep their files byte-for-byte,
+    and the plan's cells are exactly the rewritten ones."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    index_dir = str(tmp_path / "ivf_index")
+    S.build_ivf_index(spark, TEST_SF_DIR, index_dir)
+
+    def files_by_cell():
+        out = {}
+        for d in os.listdir(index_dir):
+            if d.startswith("cell_id="):
+                cell = int(d.split("=")[1])
+                out[cell] = sorted(
+                    (f, os.path.getsize(f"{index_dir}/{d}/{f}"))
+                    for f in os.listdir(f"{index_dir}/{d}")
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before_files = files_by_cell()
+    emb = spark.read.parquet(f"{TEST_SF_DIR}/embeddings.parquet")
+    ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    rm, ch = ids[-1], ids[-2]
+    add_id = max(ids) + 1
+    # new snapshot: drop rm, negate ch's vector (flips its best cell
+    # in general), add a copy of the first non-query vector under a
+    # fresh id
+    src = emb.filter(F.col("vec_id") == ids[S.N_QUERIES]).select(
+        F.lit(add_id).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    new_emb_tbl = (
+        emb.filter(F.col("vec_id") != rm)
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") == ch,
+                F.transform(F.col("embedding"), lambda x: -x),
+            ).otherwise(F.col("embedding")),
+        )
+        .unionByName(src)
+    )
+    new_dir = str(tmp_path / "snap2")
+    new_emb_tbl.write.parquet(f"{new_dir}/embeddings.parquet")
+    diff = spark.createDataFrame(
+        [(rm, "removed"), (ch, "changed"), (add_id, "added")],
+        "vec_id long, status string",
+    )
+    new_v = spark.read.parquet(f"{new_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    plan = {
+        r.cell_id: (r.n_remove, r.n_add)
+        for r in S.ivf_index_maintenance_plan(
+            spark, index_dir, diff, new_v
+        ).collect()
+    }
+    touched = S.ivf_index_apply_diff(spark, index_dir, diff, new_v)
+    assert sorted(plan) == touched
+    # untouched partitions: identical file names AND sizes
+    after_files = files_by_cell()
+    for cell, files in before_files.items():
+        if cell not in touched:
+            assert after_files[cell] == files, cell
+    # reconciliation: in-place result == full rebuild on the new snap
+    rebuilt = str(tmp_path / "rebuilt")
+    S.build_ivf_index(spark, new_dir, rebuilt)
+    got = {
+        (r.vec_id, tuple(r.v), r.cell_id)
+        for r in spark.read.parquet(index_dir).collect()
+    }
+    want = {
+        (r.vec_id, tuple(r.v), r.cell_id)
+        for r in spark.read.parquet(rebuilt).collect()
+    }
+    assert got == want
+    # total movement counts line up with the diff classes
+    assert sum(nr for nr, _ in plan.values()) == 2  # rm + ch leave
+    assert sum(na for _, na in plan.values()) == 2  # add + ch enter
