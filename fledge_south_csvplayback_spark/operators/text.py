@@ -1525,3 +1525,193 @@ SELECT doc_id, url,
        lower(regexp_extract(url, '{_DOMAIN_PATTERN}', 1)) AS domain
 FROM u
 """
+
+
+# --- URL canonicalization (the first dedup key of a crawl pipeline) -----------
+# CommonCrawl-style pipelines dedup on CANONICAL URLs before any
+# content pass: scheme/host case, default ports, fragments, and
+# tracking parameters are all spelling variation of one resource.
+# Scheme/host/port/fragment rules are a codegen'd regexp chain; the
+# tracking-parameter filter needs per-parameter logic, which is a
+# higher-order array expression (split -> filter -> rejoin) — the
+# documented interpreted-lambda cost (~15 µs/row, selection.py) is
+# paid on the URL table, which is orders smaller than the corpus.
+_TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid")
+_URL_SCHEME_HOST = "^([a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*)"
+
+
+def url_normalize_expr(col) -> "F.Column":
+    """Canonical URL as a Column: lowercase scheme+authority, strip
+    the fragment, drop :80/:443 default ports (http/https), drop
+    tracking parameters (utm_*, fbclid, gclid, msclkid), drop an
+    emptied query. Path and remaining query keep their case. Null in,
+    null out; idempotent."""
+    u = F.regexp_replace(col, "#.*$", "")  # fragment first
+    # lowercase ONLY the scheme://authority prefix (path is case-
+    # sensitive): rebuild as lower(prefix) + rest
+    prefix = F.regexp_extract(u, _URL_SCHEME_HOST, 1)
+    rest = F.regexp_replace(u, _URL_SCHEME_HOST, "")
+    u = F.concat(F.lower(prefix), rest)
+    u = F.regexp_replace(u, "^(http://[^/?#]*):80(?:/|$)([^?#]*)", "$1/$2")
+    u = F.regexp_replace(u, "^(https://[^/?#]*):443(?:/|$)([^?#]*)", "$1/$2")
+    # tracking params: split query, filter, rejoin
+    base = F.regexp_replace(u, "\\?.*$", "")
+    query = F.when(
+        u.contains("?"), F.regexp_replace(u, "^[^?]*\\?", "")
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.lower(p).startswith(_TRACKING_PARAMS[0])
+        & ~F.lower(p).startswith(_TRACKING_PARAMS[1])
+        & ~F.lower(p).startswith(_TRACKING_PARAMS[2])
+        & ~F.lower(p).startswith(_TRACKING_PARAMS[3]),
+    )
+    rejoined = F.when(
+        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(base)
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        rejoined
+    )
+
+
+def text_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, norm_url) over the planted-link fixture enriched
+    with tracking params / ports / fragments / recased authorities —
+    the canonicalization a URL-level dedup keys on."""
+    links = html_links(links_table(spark, sf_dir))
+    d = F.col("doc_id")
+    # deterministically decorate each mined url with spelling noise
+    noisy = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP://Ex.COM:80/")).otherwise(
+            F.lit("https://ex.com:443/")
+        ),
+        F.regexp_replace(F.col("url"), "^/", ""),
+        F.lit("?utm_source=x&id="),
+        d.cast("string"),
+        F.lit("&UTM_medium=y#frag"),
+    )
+    return links.select(
+        "doc_id",
+        noisy.alias("url"),
+        url_normalize_expr(noisy).alias("norm_url"),
+    )
+
+
+_NOISY_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Ex.COM:80/' "
+    "ELSE 'https://ex.com:443/' END || regexp_replace(url, '^/', '') || "
+    "'?utm_source=x&id=' || CAST(doc_id AS VARCHAR) || '&UTM_medium=y#frag')"
+)
+
+
+def _url_normalize_sql(expr: str) -> str:
+    """DuckDB twin of ``url_normalize_expr`` over a VARCHAR expr."""
+    u = f"regexp_replace({expr}, '#.*$', '')"
+    prefix = f"lower(regexp_extract({u}, '{_URL_SCHEME_HOST}', 1))"
+    rest = f"regexp_replace({u}, '{_URL_SCHEME_HOST}', '')"
+    u2 = f"({prefix} || {rest})"
+    u3 = (
+        f"regexp_replace(regexp_replace({u2}, "
+        "'^(http://[^/?#]*):80(?:/|$)([^?#]*)', '\\1/\\2'), "
+        "'^(https://[^/?#]*):443(?:/|$)([^?#]*)', '\\1/\\2')"
+    )
+    base = f"regexp_replace({u3}, '\\?.*$', '')"
+    query = (
+        f"CASE WHEN contains({u3}, '?') "
+        f"THEN regexp_replace({u3}, '^[^?]*\\?', '') ELSE '' END"
+    )
+    kept = (
+        f"list_filter(string_split({query}, '&'), p -> p != '' "
+        "AND NOT starts_with(lower(p), 'utm_') "
+        "AND NOT starts_with(lower(p), 'fbclid') "
+        "AND NOT starts_with(lower(p), 'gclid') "
+        "AND NOT starts_with(lower(p), 'msclkid'))"
+    )
+    return (
+        f"CASE WHEN len({kept}) > 0 "
+        f"THEN {base} || '?' || array_to_string({kept}, '&') "
+        f"ELSE {base} END"
+    )
+
+
+TEXT_URL_NORMALIZE_SQL = f"""
+WITH h AS (SELECT doc_id, {_LINKS_TABLE_SQL} AS html FROM documents),
+u AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(html,
+               '{_HREF_PATTERN.replace("'", "''")}', 1)) AS url
+    FROM h
+),
+n AS (SELECT doc_id, {_NOISY_URL_SQL} AS url FROM u)
+SELECT doc_id, url, {_url_normalize_sql('url')} AS norm_url
+FROM n
+"""
+
+
+# --- sentence segmentation (the unit of sentence-level dedup/packing) ---------
+# Terminator rule: one of [.!?] followed by whitespace ends a
+# sentence. RE2 has no lookbehind, so the split point is MARKED first
+# (terminator + whitespace -> terminator + US control char) and the
+# split runs on the marker — the same two-step both engines execute
+# identically. Indexing happens BEFORE empty-drop in both engines, so
+# sent_idx is stable under artifacts.
+_SENT_MARK = "\x1e"
+
+
+def sentence_split_expr(col) -> "F.Column":
+    """array<string> of trimmed sentences (empties kept; callers
+    filter) in document order."""
+    marked = F.regexp_replace(col, "([.!?])\\s+", "$1" + _SENT_MARK)
+    return F.transform(F.split(marked, _SENT_MARK), F.trim)
+
+
+def sentence_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, prose): the corpus text wrapped in
+    deterministic multi-sentence prose exercising every rule
+    (terminator variety, run-on whitespace, trailing unterminated
+    tail)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prose = F.concat(
+        F.lit("Alpha beta. "),
+        F.col("text"),
+        F.lit(" ends here! Gamma?  Tail without terminator"),
+    )
+    return docs.select("doc_id", prose.alias("prose"))
+
+
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sent_idx, sentence): one row per non-empty sentence of
+    the prose fixture, 0-based index in document order."""
+    t = sentence_table(spark, sf_dir)
+    pos = F.posexplode(sentence_split_expr(F.col("prose")))
+    return (
+        t.select("doc_id", pos.alias("sent_idx", "sentence"))
+        .filter(F.col("sentence") != "")
+        .select("doc_id", F.col("sent_idx").cast("int"), "sentence")
+    )
+
+
+_SENTENCE_TABLE_SQL = (
+    "('Alpha beta. ' || text || ' ends here! Gamma?  "
+    "Tail without terminator')"
+)
+
+TEXT_SENTENCE_SPLIT_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           string_split(
+               regexp_replace({_SENTENCE_TABLE_SQL},
+                              '([.!?])\\s+', '\\1' || chr(30), 'g'),
+               chr(30)) AS l
+    FROM documents
+),
+u AS (
+    SELECT doc_id,
+           unnest(range(1, len(l) + 1)) - 1 AS sent_idx,
+           trim(unnest(l)) AS sentence
+    FROM t
+)
+SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence
+FROM u WHERE sentence != ''
+"""
