@@ -917,9 +917,10 @@ def _band_keys(
     ).select("doc_id", hash_col, "tk.tbl", "tk.kk")
 
 
-def _hamming_expr(hash_col: str, n_bands: int) -> Column:
-    """Σ over bands of bit_count(band_a XOR band_b) between ``fp_a``
-    and ``fp_b`` columns — 8-bit values, no signed-64 conv overflow."""
+def _hamming_expr(n_bands: int) -> Column:
+    """Σ over bands of bit_count(band_a XOR band_b) between the fixed
+    ``fp_a``/``fp_b`` columns — 8-bit values, no signed-64 conv
+    overflow."""
     return sum(
         F.bit_count(
             F.conv(_band("fp_a", i), 16, 10).cast("long").bitwiseXOR(
@@ -950,7 +951,17 @@ def _band_neardup_pairs(
     narrow scan -> explode C(n_bands, m) keys -> fine-grained
     (tbl, key) equi-join -> distinct -> codegen'd Hamming filter."""
     _check_block_bound(n_bands, m, max_hamming)
-    keys = _band_keys(st, hash_col, n_bands, m)
+    return _band_pairs_from_keys(
+        _band_keys(st, hash_col, n_bands, m), hash_col, n_bands, max_hamming
+    )
+
+
+def _band_pairs_from_keys(
+    keys: DataFrame, hash_col: str, n_bands: int, max_hamming: int
+) -> DataFrame:
+    """The self-join half of the miner over an ALREADY-exploded
+    ``_band_keys`` frame — callers that hold the keys (the ingest
+    probe caches them) pass them here instead of re-exploding."""
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(b, ["tbl", "kk"])
@@ -964,7 +975,7 @@ def _band_neardup_pairs(
         .distinct()
     )
     return (
-        cand.withColumn("hamming", _hamming_expr(hash_col, n_bands))
+        cand.withColumn("hamming", _hamming_expr(n_bands))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -1608,12 +1619,6 @@ GROUP BY doc_a, doc_b
 # cap, so the index is ONE table plus a geometry meta row.
 
 
-def _comb(n: int, k: int) -> int:
-    import math
-
-    return math.comb(n, k)
-
-
 # Keys-only broadcast cap for the ingest probe: (tbl int, kk <=2m hex)
 # rows serialize to ~25 B, so the cap is a few hundred MB broadcast —
 # deliberately above dedup.HOT_BROADCAST_MAX, which prices FULL rows.
@@ -1722,7 +1727,10 @@ def media_neardup_ingest(
     # ``_KEY_BROADCAST_MAX`` caps the keys-only broadcast (a few
     # hundred MB at the cap); a larger batch degrades to the shuffle,
     # which at that size amortizes like a rebuild and should be one.
-    if batch_st.count() * _comb(n_bands, m) <= _KEY_BROADCAST_MAX:
+    # count() both sizes the guard and MATERIALIZES the cache, so the
+    # upstream decode/explode runs once for the probe, the within-batch
+    # miner, and the join below combined
+    if batch_keys.count() <= _KEY_BROADCAST_MAX:
         idx = idx.join(
             F.broadcast(batch_keys.select("tbl", "kk").distinct()),
             ["tbl", "kk"],
@@ -1745,11 +1753,13 @@ def media_neardup_ingest(
             F.col(f"b.{hash_col}").alias("fp_b"),
         )
         .distinct()
-        .withColumn("hamming", _hamming_expr(hash_col, n_bands))
+        .withColumn("hamming", _hamming_expr(n_bands))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
-    within = _band_neardup_pairs(batch_st, hash_col, n_bands, m, max_hamming)
+    within = _band_pairs_from_keys(
+        batch_keys, hash_col, n_bands, max_hamming
+    )
     out = cross.unionByName(within)
     if per_doc_min:
         out = out.groupBy("doc_a", "doc_b").agg(

@@ -778,10 +778,7 @@ def ann_cosine_topk_ivf_indexed(
         (r["vec_id"], list(r["v"]), r["norm"])
         for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
     ]
-    cents = sorted(
-        (r["cell_id"], list(r["cv"]), r["cn"])
-        for r in spark.read.parquet(f"{index_dir}/_centroids").collect()
-    )
+    cents = _read_centroids(spark, index_dir)
     probe_cells = _probe_sets(queries, cents, nprobe)
     qmat = [(qid, qv, qn, set(probe_cells[qid])) for qid, qv, qn in queries]
 
@@ -908,10 +905,13 @@ def ivf_index_apply_diff(
         .distinct()
     )
     entering = new_emb.join(fresh, "vec_id", "left_semi")
+    # eager: minted feeds both the touched-cell collect and the write
+    # below — without the barrier the entering vecs' GEMM assignment
+    # runs twice
     minted = _assign_cells(
         entering.select("vec_id", "v", _norm(F.col("v")).alias("norm")),
         cents,
-    )
+    ).localCheckpoint(eager=True)
     touched = sorted(
         r.cell_id
         for r in touched_old.unionByName(
@@ -939,6 +939,24 @@ def ivf_index_apply_diff(
             spark.conf.set(
                 "spark.sql.sources.partitionOverwriteMode", prev
             )
+    # dynamic overwrite only replaces partitions PRESENT in the
+    # written data: a touched cell whose vectors ALL leave (none
+    # enter) writes no cell_id=<k> rows, so its directory — stale
+    # removed vectors included — would survive. Delete emptied cells'
+    # partition directories explicitly (Hadoop FS API, so any scheme
+    # works, not just file://).
+    survivors = {
+        r.cell_id for r in out.select("cell_id").distinct().collect()
+    }
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for cell in touched:
+        if cell not in survivors:
+            path = jvm.org.apache.hadoop.fs.Path(
+                f"{index_dir}/cell_id={cell}"
+            )
+            fs = path.getFileSystem(hconf)
+            fs.delete(path, True)
     return touched
 
 

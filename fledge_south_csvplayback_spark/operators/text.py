@@ -1552,8 +1552,15 @@ def url_normalize_expr(col) -> "F.Column":
     prefix = F.regexp_extract(u, _URL_SCHEME_HOST, 1)
     rest = F.regexp_replace(u, _URL_SCHEME_HOST, "")
     u = F.concat(F.lower(prefix), rest)
-    u = F.regexp_replace(u, "^(http://[^/?#]*):80(?:/|$)([^?#]*)", "$1/$2")
-    u = F.regexp_replace(u, "^(https://[^/?#]*):443(?:/|$)([^?#]*)", "$1/$2")
+    # default ports strip before ANY path delimiter ('/', '?', or
+    # end — the fragment is already gone); then an EMPTY path
+    # canonicalizes to '/', so 'http://ex.com', 'http://ex.com:80'
+    # and 'http://ex.com/' all produce one dedup key
+    u = F.regexp_replace(u, "^(http://[^/?#]*):80([/?]|$)", "$1$2")
+    u = F.regexp_replace(u, "^(https://[^/?#]*):443([/?]|$)", "$1$2")
+    u = F.regexp_replace(
+        u, "^([a-z][a-z0-9+.\\-]*://[^/?#]+)(\\?|$)", "$1/$2"
+    )
     # tracking params: split query, filter, rejoin
     base = F.regexp_replace(u, "\\?.*$", "")
     query = F.when(
@@ -1612,9 +1619,10 @@ def _url_normalize_sql(expr: str) -> str:
     rest = f"regexp_replace({u}, '{_URL_SCHEME_HOST}', '')"
     u2 = f"({prefix} || {rest})"
     u3 = (
-        f"regexp_replace(regexp_replace({u2}, "
-        "'^(http://[^/?#]*):80(?:/|$)([^?#]*)', '\\1/\\2'), "
-        "'^(https://[^/?#]*):443(?:/|$)([^?#]*)', '\\1/\\2')"
+        f"regexp_replace(regexp_replace(regexp_replace({u2}, "
+        "'^(http://[^/?#]*):80([/?]|$)', '\\1\\2'), "
+        "'^(https://[^/?#]*):443([/?]|$)', '\\1\\2'), "
+        "'^([a-z][a-z0-9+.\\-]*://[^/?#]+)(\\?|$)', '\\1/\\2')"
     )
     base = f"regexp_replace({u3}, '\\?.*$', '')"
     query = (
@@ -1654,15 +1662,19 @@ FROM n
 # sentence. RE2 has no lookbehind, so the split point is MARKED first
 # (terminator + whitespace -> terminator + US control char) and the
 # split runs on the marker — the same two-step both engines execute
-# identically. Indexing happens BEFORE empty-drop in both engines, so
-# sent_idx is stable under artifacts.
+# identically. The whitespace class is EXPLICIT, not \s: Java's \s
+# includes \x0B (vertical tab) and RE2's does not, so \s here would
+# split differently per engine on VT-bearing text. Indexing happens
+# BEFORE empty-drop in both engines, so sent_idx is stable under
+# artifacts.
 _SENT_MARK = "\x1e"
+_SENT_WS = "[ \\t\\n\\f\\r]+"
 
 
 def sentence_split_expr(col) -> "F.Column":
     """array<string> of trimmed sentences (empties kept; callers
     filter) in document order."""
-    marked = F.regexp_replace(col, "([.!?])\\s+", "$1" + _SENT_MARK)
+    marked = F.regexp_replace(col, "([.!?])" + _SENT_WS, "$1" + _SENT_MARK)
     return F.transform(F.split(marked, _SENT_MARK), F.trim)
 
 
@@ -1702,7 +1714,8 @@ WITH t AS (
     SELECT doc_id,
            string_split(
                regexp_replace({_SENTENCE_TABLE_SQL},
-                              '([.!?])\\s+', '\\1' || chr(30), 'g'),
+                              '([.!?])[ \\t\\n\\f\\r]+',
+                              '\\1' || chr(30), 'g'),
                chr(30)) AS l
     FROM documents
 ),

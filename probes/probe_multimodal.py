@@ -81,7 +81,9 @@ def main() -> None:
         # corpus instead of re-mining it (the full miner's row: 418 s /
         # 14.1 GB shuffle at 10M per crawl)
         split = args.rows - args.batch
-        idx = f"{PROBE_ROOT}/img_band_idx_{args.rows}_{args.m}"
+        # cache key carries --batch too: the index content depends on the
+        # corpus/batch split (built with max_doc_id = rows - batch)
+        idx = f"{PROBE_ROOT}/img_band_idx_{args.rows}_{args.m}_{args.batch}"
         if os.path.exists(f"{idx}/bands/_SUCCESS"):
             build_sec = None  # cached from a prior run (ingest is the op)
         else:

@@ -1024,3 +1024,55 @@ def test_ivf_index_diff_maintenance(spark, tmp_path):
     # total movement counts line up with the diff classes
     assert sum(nr for nr, _ in plan.values()) == 2  # rm + ch leave
     assert sum(na for _, na in plan.values()) == 2  # add + ch enter
+
+
+def test_ivf_index_apply_diff_empties_cell(spark, tmp_path):
+    """A touched cell whose vectors ALL leave must not survive as a
+    stale partition: dynamic overwrite cannot rewrite an absent
+    partition, so the apply deletes the emptied cell's directory
+    (review finding, round 10). Reconciliation vs a full rebuild pins
+    that no removed vector is still queryable."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    index_dir = str(tmp_path / "ivf_index")
+    S.build_ivf_index(spark, TEST_SF_DIR, index_dir)
+    by_cell = {
+        r.cell_id: r.ids
+        for r in spark.read.parquet(index_dir)
+        .groupBy("cell_id")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .collect()
+    }
+    # empty the smallest cell (minimizes fixture churn)
+    cell, ids = min(by_cell.items(), key=lambda kv: len(kv[1]))
+    diff = spark.createDataFrame(
+        [(int(i), "removed") for i in ids], "vec_id long, status string"
+    )
+    emb = spark.read.parquet(f"{TEST_SF_DIR}/embeddings.parquet")
+    new_dir = str(tmp_path / "snap2")
+    emb.filter(~F.col("vec_id").isin([int(i) for i in ids])).write.parquet(
+        f"{new_dir}/embeddings.parquet"
+    )
+    new_v = spark.read.parquet(f"{new_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "v"
+        ),
+    )
+    touched = S.ivf_index_apply_diff(spark, index_dir, diff, new_v)
+    assert cell in touched
+    assert not os.path.exists(f"{index_dir}/cell_id={cell}")
+    rebuilt = str(tmp_path / "rebuilt")
+    S.build_ivf_index(spark, new_dir, rebuilt)
+    got = {
+        (r.vec_id, r.cell_id)
+        for r in spark.read.parquet(index_dir).collect()
+    }
+    want = {
+        (r.vec_id, r.cell_id)
+        for r in spark.read.parquet(rebuilt).collect()
+    }
+    assert got == want
+    assert not any(v in {int(i) for i in ids} for v, _c in got)

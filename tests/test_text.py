@@ -192,6 +192,12 @@ def test_url_normalize_planted_and_idempotent(spark):
         ("https://a.net/p?fbclid=x&gclid=y&msclkid=z", "https://a.net/p"),
         ("https://a.net:8443/p", "https://a.net:8443/p"),  # real port kept
         ("/relative/Path?utm_x=1", "/relative/Path"),
+        # one dedup key for every spelling of the same root resource:
+        # default port before '?', bare default port, bare host
+        ("http://ex.com:80?q=1", "http://ex.com/?q=1"),
+        ("http://ex.com:80", "http://ex.com/"),
+        ("http://ex.com", "http://ex.com/"),
+        ("http://ex.com/", "http://ex.com/"),
         (None, None),
     ]
     df = spark.createDataFrame(
