@@ -1671,6 +1671,64 @@ def media_index_append(
     ).parquet(f"{index_dir}/bands")
 
 
+def _probe_pairs(
+    idx: DataFrame,
+    batch_keys: DataFrame,
+    hash_col: str,
+    n_bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Index band rows + a CACHED batch ``_band_keys`` frame ->
+    cross-pairs (index x batch) unioned with within-batch pairs.
+    Shared by the batch ingest and the streaming acceptance loop.
+
+    The probe must never shuffle the corpus-sized index. A batch of
+    B docs explodes to B·C(n_bands, m) band rows (100k docs at m=3
+    is already 5.6M — measured: letting that fall through to a
+    shuffle join moved 14.4 GB at a 10M index, the exact full-miner
+    cost this op exists to avoid), so the broadcast is the batch's
+    distinct (tbl, kk) KEY SET — two skinny columns, ~25 B/row —
+    semi-pruning the index scan down to candidate rows before any
+    wide join; the remaining equi-join is candidate×batch sized.
+    ``_KEY_BROADCAST_MAX`` caps the keys-only broadcast (a few
+    hundred MB at the cap); a larger batch degrades to the shuffle,
+    which at that size amortizes like a rebuild and should be one.
+    count() both sizes the guard and MATERIALIZES the cache, so the
+    upstream decode/explode runs once for the probe, the within-batch
+    miner, and the join below combined."""
+    if batch_keys.count() <= _KEY_BROADCAST_MAX:
+        idx = idx.join(
+            F.broadcast(batch_keys.select("tbl", "kk").distinct()),
+            ["tbl", "kk"],
+            "left_semi",
+        )
+    i, b = idx.alias("i"), batch_keys.alias("b")
+    flip = F.col("i.doc_id") > F.col("b.doc_id")
+    cross = (
+        i.join(b, ["tbl", "kk"])
+        .filter(F.col("i.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.when(flip, F.col("b.doc_id"))
+            .otherwise(F.col("i.doc_id"))
+            .alias("doc_a"),
+            F.when(flip, F.col("i.doc_id"))
+            .otherwise(F.col("b.doc_id"))
+            .alias("doc_b"),
+            # hamming is symmetric; fp sides need not follow the flip
+            F.col(f"i.{hash_col}").alias("fp_a"),
+            F.col(f"b.{hash_col}").alias("fp_b"),
+        )
+        .distinct()
+        .withColumn("hamming", _hamming_expr(n_bands))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    within = _band_pairs_from_keys(
+        batch_keys, hash_col, n_bands, max_hamming
+    )
+    return cross.unionByName(within)
+
+
 def media_neardup_ingest(
     spark: SparkSession,
     index_dir: str,
@@ -1716,51 +1774,7 @@ def media_neardup_ingest(
     idx = spark.read.parquet(f"{index_dir}/bands")
     if split_id is not None:
         idx = idx.filter(F.col("doc_id") < split_id)
-    # The probe must never shuffle the corpus-sized index. A batch of
-    # B docs explodes to B·C(n_bands, m) band rows (100k docs at m=3
-    # is already 5.6M — measured: letting that fall through to a
-    # shuffle join moved 14.4 GB at a 10M index, the exact full-miner
-    # cost this op exists to avoid), so the broadcast is the batch's
-    # distinct (tbl, kk) KEY SET — two skinny columns, ~25 B/row —
-    # semi-pruning the index scan down to candidate rows before any
-    # wide join; the remaining equi-join is candidate×batch sized.
-    # ``_KEY_BROADCAST_MAX`` caps the keys-only broadcast (a few
-    # hundred MB at the cap); a larger batch degrades to the shuffle,
-    # which at that size amortizes like a rebuild and should be one.
-    # count() both sizes the guard and MATERIALIZES the cache, so the
-    # upstream decode/explode runs once for the probe, the within-batch
-    # miner, and the join below combined
-    if batch_keys.count() <= _KEY_BROADCAST_MAX:
-        idx = idx.join(
-            F.broadcast(batch_keys.select("tbl", "kk").distinct()),
-            ["tbl", "kk"],
-            "left_semi",
-        )
-    i, b = idx.alias("i"), batch_keys.alias("b")
-    flip = F.col("i.doc_id") > F.col("b.doc_id")
-    cross = (
-        i.join(b, ["tbl", "kk"])
-        .filter(F.col("i.doc_id") != F.col("b.doc_id"))
-        .select(
-            F.when(flip, F.col("b.doc_id"))
-            .otherwise(F.col("i.doc_id"))
-            .alias("doc_a"),
-            F.when(flip, F.col("i.doc_id"))
-            .otherwise(F.col("b.doc_id"))
-            .alias("doc_b"),
-            # hamming is symmetric; fp sides need not follow the flip
-            F.col(f"i.{hash_col}").alias("fp_a"),
-            F.col(f"b.{hash_col}").alias("fp_b"),
-        )
-        .distinct()
-        .withColumn("hamming", _hamming_expr(n_bands))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
-    within = _band_pairs_from_keys(
-        batch_keys, hash_col, n_bands, max_hamming
-    )
-    out = cross.unionByName(within)
+    out = _probe_pairs(idx, batch_keys, hash_col, n_bands, max_hamming)
     if per_doc_min:
         out = out.groupBy("doc_a", "doc_b").agg(
             F.min("hamming").cast("int").alias("hamming")
