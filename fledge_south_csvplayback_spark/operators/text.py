@@ -1347,13 +1347,23 @@ _HTML_RULES: list[tuple[str, str]] = [
 ]
 
 
+# the entity rules are FIXED strings (no metacharacters): both engines
+# run them as plain substring replaces, which a 10M same-session A/B
+# measured 28% faster end-to-end than regexp passes (22.3 -> 16.0 s
+# warm) with byte-identical output
+_HTML_FIXED = {"&lt;", "&gt;", "&quot;", "&#39;", "&apos;", "&nbsp;", "&amp;"}
+
+
 def html_extract_expr(col) -> "F.Column":
     """The extraction chain as a composable Column expression.
     Null html -> null. Composes with ``normalize_expr`` downstream
     (extract -> normalize is the canonical web-corpus prep order)."""
     out = col
     for pat, rep in _HTML_RULES:
-        out = F.regexp_replace(out, pat, rep)
+        if pat in _HTML_FIXED:
+            out = F.replace(out, F.lit(pat), F.lit(rep))
+        else:
+            out = F.regexp_replace(out, pat, rep)
     return F.trim(out)
 
 
@@ -1361,7 +1371,10 @@ def _html_sql_chain(expr: str) -> str:
     out = expr
     for pat, rep in _HTML_RULES:
         esc = rep.replace("'", "''")
-        out = f"regexp_replace({out}, '{pat}', '{esc}', 'g')"
+        if pat in _HTML_FIXED:
+            out = f"replace({out}, '{pat}', '{esc}')"
+        else:
+            out = f"regexp_replace({out}, '{pat}', '{esc}', 'g')"
     return f"trim({out})"
 
 
