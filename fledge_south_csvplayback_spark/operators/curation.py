@@ -2286,3 +2286,114 @@ GROUP BY 1
 
 
 CORPUS_DIFF_SHARDS_SQL = _diff_shards_sql()
+
+
+# --- benchmark decontamination -------------------------------------------------
+# The eval-integrity stage every serious pretraining pipeline runs
+# (GPT-3 appendix C; open reproductions follow it): a document sharing
+# an n-gram window with a held-out benchmark is flagged so the
+# benchmark stays a measurement, not a memorization probe. n = 13
+# words is the GPT-3 convention — long enough that chance collision
+# on natural text is negligible, short enough to catch paraphrase-free
+# leakage.
+DECON_NGRAM = 13
+
+
+def _benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in benchmark: every 97th document's text
+    verbatim — 'the eval set leaked into the crawl', the exact
+    situation decontamination exists to catch."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+
+
+def contamination_flags(
+    docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM
+) -> DataFrame:
+    """(doc_id, n_hits, contaminated) for EVERY doc: n_hits = how many
+    of the doc's distinct word n-grams appear anywhere in the
+    benchmark; contaminated = n_hits > 0.
+
+    Work shape (the whole point): the benchmark is eval-set sized, so
+    its distinct gram hashes BROADCAST (``HOT_BROADCAST_MAX``-guarded)
+    and the corpus explodes its grams into a broadcast-hash semi
+    join — the corpus never shuffles its gram table. Hit rows are
+    leak-sized, so the doc_id aggregate and the flag join back to the
+    corpus are churn-cheap (hits broadcast, same guard). Gram keys are
+    ``dedup.shingles``' 64-bit hashes; the oracle stays on STRING
+    grams per the repo's output-level-parity rule."""
+    from fledge_south_csvplayback_spark.operators.dedup import (
+        HOT_BROADCAST_MAX,
+        shingles,
+    )
+
+    def bounded(t: DataFrame) -> DataFrame:
+        return F.broadcast(t) if t.count() <= HOT_BROADCAST_MAX else t
+
+    min_words = F.size(F.split(F.col("text"), " ")) >= n
+    bench_grams = bounded(
+        benchmark.filter(min_words)
+        .select(F.explode(shingles(F.col("text"), n)).alias("g"))
+        .distinct()
+    )
+    doc_grams = (
+        docs.filter(min_words)
+        .select("doc_id", F.explode(shingles(F.col("text"), n)).alias("g"))
+        .join(bench_grams, "g")
+    )
+    hits = bounded(
+        doc_grams.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def corpus_decontaminate(
+    spark: SparkSession, sf_dir: str, n: int = DECON_NGRAM
+) -> DataFrame:
+    """The oracle entry: flags against the deterministic stand-in
+    benchmark. The benchmark docs themselves are contaminated by
+    construction (their text IS in the benchmark) whenever they carry
+    >= n words — the built-in positive class."""
+    return contamination_flags(
+        _docs(spark, sf_dir), _benchmark(spark, sf_dir), n
+    )
+
+
+def _decontaminate_sql(n: int = DECON_NGRAM) -> str:
+    gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    explode = (
+        "unnest(list_distinct(list_transform("
+        f"generate_series(1, len(t) - {n - 1}), i -> {gram})))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+    SELECT DISTINCT {explode} AS g
+    FROM toks WHERE doc_id % 97 = 0 AND len(t) >= {n}
+),
+dg AS (
+    SELECT doc_id, {explode} AS g
+    FROM toks WHERE len(t) >= {n}
+),
+hits AS (
+    SELECT doc_id, count(*) AS n_hits
+    FROM dg WHERE g IN (SELECT g FROM bg)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+CORPUS_DECONTAMINATE_SQL = _decontaminate_sql()

@@ -1648,3 +1648,64 @@ def test_diff_shards_counts_and_validation(spark):
     assert all(0 <= r.shard < curation.SHUFFLE_SHARDS for r in shards)
     with pytest.raises(ValueError, match="n_shards"):
         curation.diff_shards_to_recompute(diff, n_shards=0)
+
+
+# --- benchmark decontamination ---------------------------------------------
+def test_corpus_decontaminate_oracle_parity(spark):
+    """13-gram benchmark-overlap flags == the string-gram DuckDB
+    recomputation at sf0.001 + sf0.01 (pytest oracle; off-registry
+    under the 50-entry cap)."""
+    from tests.conftest import ORACLE_SF_DIR
+
+    from tests.oracle_harness import compare
+
+    for sf in (TEST_SF_DIR, ORACLE_SF_DIR):
+        ok, msg = compare(
+            curation.corpus_decontaminate(spark, sf),
+            curation.CORPUS_DECONTAMINATE_SQL,
+            sf,
+        )
+        assert ok, msg
+
+
+def test_contamination_flags_planted(spark):
+    """Planted leak classes: verbatim benchmark doc, a 13-word span
+    copied mid-document (exactly one shared gram), a 12-word copy
+    (below n -> clean), and an unrelated doc; every doc gets a row."""
+    import pyspark.sql.functions as F
+
+    bw = [f"b{i}" for i in range(20)]       # benchmark vocabulary
+    bench = spark.createDataFrame(
+        [(0, " ".join(bw))], "bench_id long, text string"
+    )
+    span13 = " ".join(bw[3:16])
+    span12 = " ".join(bw[3:15])
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(bw)),                        # verbatim leak
+            (2, "x1 x2 " + span13 + " x3 x4"),        # one 13-gram hit
+            (3, "x1 x2 " + span12 + " x3 x4 x5"),     # 12 words: clean
+            (4, " ".join(f"y{i}" for i in range(30))),  # unrelated
+            (5, "too short"),                          # < n words
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in curation.contamination_flags(docs, bench).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[1] == (20 - 13 + 1, True)  # all 8 grams of the verbatim doc
+    assert rows[2] == (1, True)
+    assert rows[3] == (0, False)
+    assert rows[4] == (0, False)
+    assert rows[5] == (0, False)
+    # the corpus gram table never enters an Exchange: benchmark grams
+    # and hit rows both broadcast (plan pin)
+    plan = (
+        curation.contamination_flags(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
