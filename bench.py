@@ -95,6 +95,7 @@ HEADLINE = [
     "text_normalize",  # standalone codegen'd normalization pass (round 9)
     "multimodal_image_resize",  # decode->box-resize->re-hash pipeline (round 9)
     "text_html_extract",  # markup extraction before normalize (round 10)
+    "corpus_decontaminate",  # 13-gram benchmark-overlap flags (round 10)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -115,6 +116,7 @@ EXTRA_QUERIES = {
     "semantic_dedup": similarity.semantic_dedup,
     "multimodal_video_stats": multimodal.multimodal_video_stats,
     "ann_cosine_topk_sq8": similarity.ann_cosine_topk_sq8,
+    "corpus_decontaminate": curation.corpus_decontaminate,
 }
 
 

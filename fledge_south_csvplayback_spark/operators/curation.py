@@ -1459,9 +1459,11 @@ def write_training_corpus(
     out_dir: str,
     chunk_tokens: int = CHUNK_TOKENS,
     stride: int = CHUNK_STRIDE,
+    benchmark: DataFrame | None = None,
 ) -> None:
     """The whole curation pipeline as one materializer: full Gopher
-    filter (stats + repetition) → exact-dedup keeper → near-dup
+    filter (stats + repetition) → benchmark decontamination (when a
+    ``benchmark`` frame is given) → exact-dedup keeper → near-dup
     cluster-loser removal → hash split label → fixed-length sequence
     chunking → parquet ``partitionBy(split, lang)``. A trainer reading
     one split/language opens only its own files (partition pruning,
@@ -1497,6 +1499,16 @@ def write_training_corpus(
         .filter(F.col("keep"))
         .select("doc_id")
     )
+    if benchmark is not None:
+        # decontamination gates WITH quality, before any exchange: a
+        # contaminated doc must not become a dedup keeper and shadow a
+        # clean copy out of the corpus (same reasoning as the Gopher
+        # gate's placement); flags are churn-cheap (broadcast both
+        # ways, see contamination_flags)
+        clean = contamination_flags(_docs(spark, sf_dir), benchmark).filter(
+            ~F.col("contaminated")
+        )
+        keep = keep.join(clean.select("doc_id"), "doc_id")
     survivors = _keep_first_per_fingerprint(
         _docs(spark, sf_dir).join(keep, "doc_id")
     )

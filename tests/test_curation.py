@@ -1709,3 +1709,53 @@ def test_contamination_flags_planted(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_write_training_corpus_decontaminates(spark, tmp_path):
+    """With a benchmark frame, the materializer's surviving doc set
+    additionally excludes every contaminated doc, and the gate sits
+    WITH quality (a contaminated doc neither becomes a dedup keeper
+    nor a cluster representative); without the frame the output is
+    the round-9 pipeline unchanged."""
+    out = str(tmp_path / "train_bench")
+    c = curation.CHUNK_TOKENS
+    bench = curation._benchmark(spark, TEST_SF_DIR)
+    curation.write_training_corpus(
+        spark, TEST_SF_DIR, out, c, c, benchmark=bench
+    )
+    got_ids = {
+        r.doc_id
+        for r in spark.read.parquet(out).select("doc_id").distinct().collect()
+    }
+    contaminated = {
+        r.doc_id
+        for r in curation.corpus_decontaminate(spark, TEST_SF_DIR)
+        .filter(F.col("contaminated"))
+        .collect()
+    }
+    assert contaminated  # the stand-in benchmark plants positives
+    assert not (got_ids & contaminated)
+    # exact replica over the decontaminated keep-set: gopher ∧ clean →
+    # dedup keeper → re-elected-loser removal (the roundtrip test's
+    # replica with the extra gate)
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    keep = {
+        r.doc_id
+        for r in curation.quality_filter_gopher(spark, TEST_SF_DIR)
+        .filter(F.col("keep"))
+        .collect()
+    } - contaminated
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    dedup_keepers = {
+        r.doc_id
+        for r in curation._keep_first_per_fingerprint(
+            docs.filter(F.col("doc_id").isin(keep))
+        ).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in dedup.dedup_clusters(spark, TEST_SF_DIR).collect():
+        if r.doc_id in keep:
+            members.setdefault(r.cluster_id, []).append(r.doc_id)
+    losers = {d for ms in members.values() for d in ms if d != min(ms)}
+    assert got_ids == dedup_keepers - losers
