@@ -2409,3 +2409,60 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 
 
 CORPUS_DECONTAMINATE_SQL = _decontaminate_sql()
+
+
+# --- split leakage report -------------------------------------------------------
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs STRADDLING split boundaries — the leakage exact
+    per-doc split hashing cannot prevent: a test doc whose near-copy
+    sits in train is memorization the eval will credit as
+    generalization. Output: (doc_a, doc_b, jaccard, split_a, split_b),
+    split_a != split_b, the audit a release gate reads before
+    shipping a corpus (cf. Lee et al. '22 §6.2, who found thousands of
+    such pairs in standard benchmarks).
+
+    Pure composition: the verified MinHash pair miner + two broadcast
+    joins of the ≤pair-count-sized pair table against the split
+    labels — pairs are corpus-churn-sized, so the label joins are
+    cheap and the corpus is never reshuffled."""
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    pairs = dedup.dedup_minhash_lsh(spark, sf_dir)
+    splits = corpus_split(spark, sf_dir).select("doc_id", "split")
+    a = splits.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    b = splits.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+    )
+
+
+def _split_leakage_sql() -> str:
+    # the MinHash miner's oracle IS the exact-Jaccard SQL (banded
+    # candidates + verification = exact output, the registered
+    # equivalence)
+    from fledge_south_csvplayback_spark.operators.dedup import (
+        NGRAM_JACCARD_SQL,
+    )
+
+    return f"""
+WITH pairs AS ({NGRAM_JACCARD_SQL}),
+sp AS (
+    SELECT doc_id, {_split_case_sql()} AS split
+    FROM (SELECT doc_id, {_bucket_sql('doc_id')} AS bucket FROM documents)
+)
+SELECT p.doc_a, p.doc_b, p.jaccard, a.split AS split_a, b.split AS split_b
+FROM pairs p
+JOIN sp a ON p.doc_a = a.doc_id
+JOIN sp b ON p.doc_b = b.doc_id
+WHERE a.split != b.split
+"""
+
+
+CORPUS_SPLIT_LEAKAGE_SQL = _split_leakage_sql()

@@ -1759,3 +1759,60 @@ def test_write_training_corpus_decontaminates(spark, tmp_path):
             members.setdefault(r.cluster_id, []).append(r.doc_id)
     losers = {d for ms in members.values() for d in ms if d != min(ms)}
     assert got_ids == dedup_keepers - losers
+
+
+def test_corpus_split_leakage_oracle_and_planted(spark, tmp_path):
+    """Cross-split near-dup audit: oracle parity on the driver corpus,
+    and a planted corpus where a train/test near-dup pair IS reported
+    while an intra-split pair is NOT."""
+    from tests.conftest import ORACLE_SF_DIR
+
+    from tests.oracle_harness import compare
+
+    for sf in (TEST_SF_DIR, ORACLE_SF_DIR):
+        ok, msg = compare(
+            curation.corpus_split_leakage(spark, sf),
+            curation.CORPUS_SPLIT_LEAKAGE_SQL,
+            sf,
+        )
+        assert ok, msg
+    # planted: find two doc_ids in different splits and two in the
+    # same split; give each pair near-identical long texts
+    sf_dir = str(tmp_path)
+    base = " ".join(f"w{i}" for i in range(30))
+    labels = {
+        r.doc_id: r.split
+        for r in spark.createDataFrame(
+            [(i,) for i in range(200)], "doc_id long"
+        )
+        .withColumn("bucket", curation._bucket(F.col("doc_id")))
+        .select("doc_id", curation._split_label().alias("split"))
+        .collect()
+    }
+    by_split: dict[str, list[int]] = {}
+    for d, s in labels.items():
+        by_split.setdefault(s, []).append(d)
+    tr = sorted(by_split["train"])
+    other_split, others = next(
+        (s, ds) for s, ds in by_split.items() if s != "train" and ds
+    )
+    cross = (tr[0], others[0])
+    intra = (tr[1], tr[2])
+    rows = [
+        (cross[0], base + " tailx"),
+        (cross[1], base + " taily"),
+        (intra[0], base.replace("w1 ", "q1 ") + " tailz"),
+        (intra[1], base.replace("w1 ", "q1 ") + " tailw"),
+    ]
+    spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): (r.split_a, r.split_b)
+        for r in curation.corpus_split_leakage(spark, sf_dir).collect()
+    }
+    key = (min(cross), max(cross))
+    assert key in got
+    assert set(got[key]) == {"train", other_split}
+    assert (min(intra), max(intra)) not in got
