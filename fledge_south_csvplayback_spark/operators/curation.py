@@ -2466,3 +2466,136 @@ WHERE a.split != b.split
 
 
 CORPUS_SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+
+def decontaminate_spans(
+    docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM
+) -> DataFrame:
+    """Span-level decontamination (the Lee et al. '22 move, vs the
+    whole-doc drop): cut every token covered by a matching n-gram
+    window, keep the rest of the document. Output: (doc_id,
+    clean_text, n_removed_tokens) for EVERY doc — clean docs pass
+    through with 0 removed.
+
+    Work shape: matching positions come from ``positional_shingles``
+    (the same gram keys the flags use, in position order) exploded
+    through the broadcast benchmark-gram join — leak-sized output —
+    then aggregated per doc and broadcast back. The token surgery is
+    a higher-order filter (position j survives unless some hit i
+    covers j in [i, i+n-1]); it runs ONLY on flagged docs (the
+    ``when`` guard), so the interpreted-lambda cost is paid on the
+    leak, not the corpus. Reconstruction joins surviving tokens with
+    single spaces — the corpus tokenization convention (byte-identical
+    for single-space text; multi-space runs normalize)."""
+    from fledge_south_csvplayback_spark.operators.dedup import (
+        HOT_BROADCAST_MAX,
+        positional_shingles,
+        shingles,
+    )
+
+    def bounded(t: DataFrame) -> DataFrame:
+        return F.broadcast(t) if t.count() <= HOT_BROADCAST_MAX else t
+
+    min_words = F.size(F.split(F.col("text"), " ")) >= n
+    bench_grams = bounded(
+        benchmark.filter(min_words)
+        .select(F.explode(shingles(F.col("text"), n)).alias("g"))
+        .distinct()
+    )
+    hits = bounded(
+        docs.filter(min_words)
+        .select(
+            "doc_id",
+            F.posexplode(positional_shingles(F.col("text"), n)).alias(
+                "idx0", "g"
+            ),
+        )
+        .join(bench_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.col("idx0") + 1).alias("hit_pos"))
+    )
+    toks = F.split(F.col("text"), " ")
+    covered = lambda j: F.exists(  # noqa: E731 — inline predicate
+        F.col("hit_pos"), lambda i: (j >= i) & (j <= i + F.lit(n - 1))
+    )
+    surviving = F.filter(
+        F.sequence(F.lit(1), F.size(toks)), lambda j: ~covered(j)
+    )
+    clean = F.array_join(
+        F.transform(surviving, lambda j: F.element_at(toks, j)), " "
+    )
+    has_hits = F.col("hit_pos").isNotNull()
+    return (
+        docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(has_hits, clean).otherwise(F.col("text")).alias(
+                "clean_text"
+            ),
+            F.when(
+                has_hits, F.size(toks) - F.size(surviving)
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("n_removed_tokens"),
+        )
+    )
+
+
+def corpus_decontaminate_spans(
+    spark: SparkSession, sf_dir: str, n: int = DECON_NGRAM
+) -> DataFrame:
+    """Oracle entry: span surgery against the stand-in benchmark —
+    benchmark docs themselves empty out entirely (every token is
+    covered by construction)."""
+    return decontaminate_spans(
+        _docs(spark, sf_dir), _benchmark(spark, sf_dir), n
+    )
+
+
+def _decontaminate_spans_sql(n: int = DECON_NGRAM) -> str:
+    gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+    SELECT DISTINCT unnest(list_distinct(list_transform(
+        generate_series(1, len(t) - {n - 1}), i -> {gram}))) AS g
+    FROM toks WHERE doc_id % 97 = 0 AND len(t) >= {n}
+),
+pg AS (
+    SELECT doc_id, i,
+           {gram} AS g
+    FROM toks, unnest(generate_series(1, len(t) - {n - 1})) AS r(i)
+    WHERE len(t) >= {n}
+),
+hits AS (
+    SELECT doc_id, list(i) AS hp
+    FROM pg WHERE g IN (SELECT g FROM bg)
+    GROUP BY 1
+),
+joined AS (
+    SELECT tk.doc_id, tk.t, h.hp
+    FROM toks tk LEFT JOIN hits h ON tk.doc_id = h.doc_id
+),
+cut AS (
+    SELECT doc_id, t, hp,
+           list_filter(generate_series(1, len(t)),
+               j -> len(list_filter(hp,
+                        i -> j >= i AND j <= i + {n - 1})) = 0) AS sv
+    FROM joined
+)
+SELECT doc_id,
+       CASE WHEN hp IS NULL
+            THEN array_to_string(t, ' ')
+            -- COALESCE: DuckDB's array_to_string([]) is NULL where
+            -- Spark's array_join([]) is '' (the fully-covered doc)
+            ELSE COALESCE(
+                array_to_string(list_transform(sv, j -> t[j]), ' '), '')
+       END AS clean_text,
+       CAST(CASE WHEN hp IS NULL THEN 0 ELSE len(t) - len(sv) END
+            AS INTEGER) AS n_removed_tokens
+FROM cut
+"""
+
+
+CORPUS_DECONTAMINATE_SPANS_SQL = _decontaminate_spans_sql()

@@ -196,6 +196,30 @@ def shingles(text: Column, n: int = NGRAM) -> Column:
     return F.element_at(F.transform(F.array(token_hashes), build), 1)
 
 
+def positional_shingles(text: Column, n: int = NGRAM) -> Column:
+    """Word n-gram shingle hashes IN POSITION ORDER (no distinct):
+    element j of the result (1-based) is the gram key starting at
+    token j — the span-surgery consumer (decontaminate_spans) needs to
+    know WHERE a benchmark gram matched, not just that it did. Same
+    per-token xxhash64 + shifted-xor key construction (and let-binding
+    trick) as ``shingles``, so positional and distinct gram keys can
+    never disagree."""
+
+    def build(toks: Column) -> Column:
+        def gram(i: Column) -> Column:
+            out = F.element_at(toks, i)
+            for k in range(1, n):
+                out = out.bitwiseXOR(
+                    F.shiftleft(F.element_at(toks, i + k), 2 * k)
+                )
+            return out
+
+        return F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+
+    token_hashes = F.transform(F.split(text, " "), lambda t: F.xxhash64(t))
+    return F.element_at(F.transform(F.array(token_hashes), build), 1)
+
+
 def shingle_strings(text: Column, n: int = NGRAM) -> Column:
     """Distinct word n-gram shingles as STRINGS — the slow path, kept
     for operators whose oracle must re-derive per-gram hash values

@@ -1816,3 +1816,49 @@ def test_corpus_split_leakage_oracle_and_planted(spark, tmp_path):
     assert key in got
     assert set(got[key]) == {"train", other_split}
     assert (min(intra), max(intra)) not in got
+
+
+def test_corpus_decontaminate_spans_oracle_parity(spark):
+    from tests.conftest import ORACLE_SF_DIR
+
+    from tests.oracle_harness import compare
+
+    for sf in (TEST_SF_DIR, ORACLE_SF_DIR):
+        ok, msg = compare(
+            curation.corpus_decontaminate_spans(spark, sf),
+            curation.CORPUS_DECONTAMINATE_SPANS_SQL,
+            sf,
+        )
+        assert ok, msg
+
+
+def test_decontaminate_spans_planted(spark):
+    """Span surgery pins: a mid-document 13-word leak removes EXACTLY
+    its window (prefix+suffix survive), overlapping windows merge, a
+    verbatim benchmark doc empties to '', clean and sub-n docs pass
+    through byte-identical."""
+    bw = [f"b{i}" for i in range(20)]
+    bench = spark.createDataFrame(
+        [(0, " ".join(bw))], "bench_id long, text string"
+    )
+    span13 = " ".join(bw[3:16])
+    span14 = " ".join(bw[3:17])  # two overlapping 13-gram windows
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(bw)),                    # verbatim -> empties
+            (2, "x1 x2 " + span13 + " x3 x4"),    # exact window cut
+            (3, "x1 " + span14 + " x2"),          # merged windows cut
+            (4, "clean doc " + " ".join(f"y{i}" for i in range(15))),
+            (5, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in curation.decontaminate_spans(docs, bench).collect()
+    }
+    assert rows[1] == ("", 20)
+    assert rows[2] == ("x1 x2 x3 x4", 13)
+    assert rows[3] == ("x1 x2", 14)
+    assert rows[4][1] == 0 and rows[4][0].startswith("clean doc")
+    assert rows[5] == ("too short", 0)
