@@ -2322,44 +2322,108 @@ def _benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _guarded_broadcast(t: DataFrame) -> DataFrame:
+    """The module's ONE broadcast policy (review finding: three
+    hand-copied closures had started to drift): cache, then count —
+    which MATERIALIZES the cache, so the frame's lineage runs once
+    across the guard and every later consumer — then broadcast under
+    ``HOT_BROADCAST_MAX``, else leave it to shuffle."""
+    from fledge_south_csvplayback_spark.operators.dedup import (
+        HOT_BROADCAST_MAX,
+    )
+
+    t = t.cache()
+    return F.broadcast(t) if t.count() <= HOT_BROADCAST_MAX else t
+
+
+def _bench_window_sizes(benchmark: DataFrame, n: int) -> list[int]:
+    """Distinct EFFECTIVE window sizes ``min(n, row length)`` present
+    in the benchmark, collected driver-side (the benchmark is
+    eval-set-sized by contract). A benchmark row shorter than n
+    contributes its full length as the window — without this, short
+    eval items (review finding: 'What is the capital of France?
+    Paris' is 8 words) leak verbatim and are reported CLEAN, the
+    exact failure the stage exists to prevent. Blank rows are
+    dropped."""
+    return sorted(
+        r.ne
+        for r in benchmark.filter(F.trim(F.col("text")) != "")
+        .select(
+            F.least(
+                F.lit(n), F.size(F.split(F.col("text"), " "))
+            ).alias("ne")
+        )
+        .distinct()
+        .collect()
+    )
+
+
+def _bench_grams(
+    benchmark: DataFrame, n: int, ne_values: list[int]
+) -> DataFrame:
+    """Distinct (ne, g) benchmark gram keys: window size n for rows
+    with >= n words, the row's own length for shorter rows."""
+    from fledge_south_csvplayback_spark.operators.dedup import shingles
+
+    sz = F.size(F.split(F.col("text"), " "))
+    frames = []
+    for ne in ne_values:
+        rows = benchmark.filter(sz >= n if ne == n else sz == ne)
+        frames.append(
+            rows.select(
+                F.lit(ne).alias("ne"),
+                F.explode(shingles(F.col("text"), ne)).alias("g"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
 def contamination_flags(
     docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM
 ) -> DataFrame:
     """(doc_id, n_hits, contaminated) for EVERY doc: n_hits = how many
-    of the doc's distinct word n-grams appear anywhere in the
-    benchmark; contaminated = n_hits > 0.
+    distinct (window-size, gram) benchmark keys the doc's word n-grams
+    hit; contaminated = n_hits > 0. Benchmark rows shorter than n
+    match at their own full length (see ``_bench_window_sizes``).
 
     Work shape (the whole point): the benchmark is eval-set sized, so
-    its distinct gram hashes BROADCAST (``HOT_BROADCAST_MAX``-guarded)
-    and the corpus explodes its grams into a broadcast-hash semi
-    join — the corpus never shuffles its gram table. Hit rows are
+    its distinct gram keys BROADCAST (``_guarded_broadcast``) and the
+    corpus explodes its grams — once per effective window size, and a
+    uniform-length benchmark has exactly one — into a broadcast-hash
+    join; the corpus never shuffles its gram table. Hit rows are
     leak-sized, so the doc_id aggregate and the flag join back to the
     corpus are churn-cheap (hits broadcast, same guard). Gram keys are
     ``dedup.shingles``' 64-bit hashes; the oracle stays on STRING
     grams per the repo's output-level-parity rule."""
-    from fledge_south_csvplayback_spark.operators.dedup import (
-        HOT_BROADCAST_MAX,
-        shingles,
-    )
+    from fledge_south_csvplayback_spark.operators.dedup import shingles
 
-    def bounded(t: DataFrame) -> DataFrame:
-        return F.broadcast(t) if t.count() <= HOT_BROADCAST_MAX else t
-
-    min_words = F.size(F.split(F.col("text"), " ")) >= n
-    bench_grams = bounded(
-        benchmark.filter(min_words)
-        .select(F.explode(shingles(F.col("text"), n)).alias("g"))
-        .distinct()
-    )
-    doc_grams = (
-        docs.filter(min_words)
-        .select("doc_id", F.explode(shingles(F.col("text"), n)).alias("g"))
-        .join(bench_grams, "g")
-    )
-    hits = bounded(
-        doc_grams.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("n_hits")
+    ne_values = _bench_window_sizes(benchmark, n)
+    if not ne_values:
+        return docs.select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("n_hits"),
+            F.lit(False).alias("contaminated"),
         )
+    bg = _guarded_broadcast(_bench_grams(benchmark, n, ne_values))
+    sz = F.size(F.split(F.col("text"), " "))
+    gram_frames = [
+        docs.filter(sz >= ne).select(
+            "doc_id",
+            F.lit(ne).alias("ne"),
+            F.explode(shingles(F.col("text"), ne)).alias("g"),
+        )
+        for ne in ne_values
+    ]
+    doc_grams = gram_frames[0]
+    for f in gram_frames[1:]:
+        doc_grams = doc_grams.unionByName(f)
+    hits = _guarded_broadcast(
+        doc_grams.join(bg, ["ne", "g"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return docs.select("doc_id").join(hits, "doc_id", "left").select(
         "doc_id",
@@ -2427,7 +2491,11 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap and the corpus is never reshuffled."""
     from fledge_south_csvplayback_spark.operators import dedup
 
-    pairs = dedup.dedup_minhash_lsh(spark, sf_dir)
+    # the PAIR table is the small side: guard-broadcast it so the
+    # corpus-sized split frame streams through two broadcast joins
+    # instead of being shuffled twice (a pathologically duplicated
+    # corpus degrades to the shuffle via the shared guard)
+    pairs = _guarded_broadcast(dedup.dedup_minhash_lsh(spark, sf_dir))
     splits = corpus_split(spark, sf_dir).select("doc_id", "split")
     a = splits.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
         "split", "split_a"
@@ -2472,70 +2540,103 @@ def decontaminate_spans(
     docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM
 ) -> DataFrame:
     """Span-level decontamination (the Lee et al. '22 move, vs the
-    whole-doc drop): cut every token covered by a matching n-gram
+    whole-doc drop): cut every token covered by a matching benchmark
     window, keep the rest of the document. Output: (doc_id,
     clean_text, n_removed_tokens) for EVERY doc — clean docs pass
-    through with 0 removed.
+    through with 0 removed. Benchmark rows shorter than n match at
+    their own full length (``_bench_window_sizes``), the same
+    adaptive rule the flags use.
 
-    Work shape: matching positions come from ``positional_shingles``
-    (the same gram keys the flags use, in position order) exploded
-    through the broadcast benchmark-gram join — leak-sized output —
-    then aggregated per doc and broadcast back. The token surgery is
-    a higher-order filter (position j survives unless some hit i
-    covers j in [i, i+n-1]); it runs ONLY on flagged docs (the
-    ``when`` guard), so the interpreted-lambda cost is paid on the
-    leak, not the corpus. Reconstruction joins surviving tokens with
-    single spaces — the corpus tokenization convention (byte-identical
-    for single-space text; multi-space runs normalize)."""
+    Work shape: matching (position, window-size) hits come from
+    ``positional_shingles`` (the same gram keys the flags use, in
+    position order) exploded through the broadcast benchmark join —
+    leak-sized output — aggregated per doc and broadcast back (both
+    via ``_guarded_broadcast``, whose count materializes the cache so
+    the corpus gram explode runs once). The token surgery is a
+    higher-order filter (position j survives unless some hit (i, ne)
+    covers j in [i, i+ne-1]); it runs ONLY on flagged docs (the
+    ``when`` guard), the split/filter subtrees are LET-BOUND via the
+    ``transform(array(...))`` trick (dedup.shingles' rule: an
+    element_at lambda otherwise embeds its argument subtree per
+    element, O(len²)), and reconstruction joins surviving tokens with
+    single spaces — the corpus tokenization convention."""
     from fledge_south_csvplayback_spark.operators.dedup import (
-        HOT_BROADCAST_MAX,
         positional_shingles,
-        shingles,
     )
 
-    def bounded(t: DataFrame) -> DataFrame:
-        return F.broadcast(t) if t.count() <= HOT_BROADCAST_MAX else t
-
-    min_words = F.size(F.split(F.col("text"), " ")) >= n
-    bench_grams = bounded(
-        benchmark.filter(min_words)
-        .select(F.explode(shingles(F.col("text"), n)).alias("g"))
-        .distinct()
-    )
-    hits = bounded(
-        docs.filter(min_words)
-        .select(
+    ne_values = _bench_window_sizes(benchmark, n)
+    if not ne_values:
+        return docs.select(
             "doc_id",
-            F.posexplode(positional_shingles(F.col("text"), n)).alias(
+            F.col("text").alias("clean_text"),
+            F.lit(0).cast("int").alias("n_removed_tokens"),
+        )
+    bg = _guarded_broadcast(_bench_grams(benchmark, n, ne_values))
+    sz = F.size(F.split(F.col("text"), " "))
+    pos_frames = [
+        docs.filter(sz >= ne).select(
+            "doc_id",
+            F.lit(ne).alias("ne"),
+            F.posexplode(positional_shingles(F.col("text"), ne)).alias(
                 "idx0", "g"
             ),
         )
-        .join(bench_grams, "g")
+        for ne in ne_values
+    ]
+    pos_grams = pos_frames[0]
+    for f in pos_frames[1:]:
+        pos_grams = pos_grams.unionByName(f)
+    hits = _guarded_broadcast(
+        pos_grams.join(bg, ["ne", "g"])
         .groupBy("doc_id")
-        .agg(F.collect_list(F.col("idx0") + 1).alias("hit_pos"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    (F.col("idx0") + 1).alias("i"), F.col("ne").alias("ne")
+                )
+            ).alias("hit_win")
+        )
     )
-    toks = F.split(F.col("text"), " ")
-    covered = lambda j: F.exists(  # noqa: E731 — inline predicate
-        F.col("hit_pos"), lambda i: (j >= i) & (j <= i + F.lit(n - 1))
+
+    def covered(j):
+        return F.exists(
+            F.col("hit_win"),
+            lambda w: (j >= w["i"]) & (j <= w["i"] + w["ne"] - 1),
+        )
+
+    # let-bind toks, then the surviving-position list, so split() and
+    # the filter subtree each evaluate ONCE per row
+    def surgery(toks):
+        surviving = F.filter(
+            F.sequence(F.lit(1), F.size(toks)), lambda j: ~covered(j)
+        )
+        return F.element_at(
+            F.transform(
+                F.array(surviving),
+                lambda sv: F.struct(
+                    F.array_join(
+                        F.transform(sv, lambda j: F.element_at(toks, j)),
+                        " ",
+                    ).alias("clean"),
+                    (F.size(toks) - F.size(sv)).alias("removed"),
+                ),
+            ),
+            1,
+        )
+
+    res = F.element_at(
+        F.transform(F.array(F.split(F.col("text"), " ")), surgery), 1
     )
-    surviving = F.filter(
-        F.sequence(F.lit(1), F.size(toks)), lambda j: ~covered(j)
-    )
-    clean = F.array_join(
-        F.transform(surviving, lambda j: F.element_at(toks, j)), " "
-    )
-    has_hits = F.col("hit_pos").isNotNull()
+    has_hits = F.col("hit_win").isNotNull()
     return (
         docs.join(hits, "doc_id", "left")
+        .withColumn("_r", F.when(has_hits, res))
         .select(
             "doc_id",
-            F.when(has_hits, clean).otherwise(F.col("text")).alias(
-                "clean_text"
-            ),
-            F.when(
-                has_hits, F.size(toks) - F.size(surviving)
-            )
-            .otherwise(F.lit(0))
+            F.when(has_hits, F.col("_r")["clean"])
+            .otherwise(F.col("text"))
+            .alias("clean_text"),
+            F.coalesce(F.col("_r")["removed"], F.lit(0))
             .cast("int")
             .alias("n_removed_tokens"),
         )

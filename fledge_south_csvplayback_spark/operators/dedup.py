@@ -179,31 +179,17 @@ def shingles(text: Column, n: int = NGRAM) -> Column:
     ``shingle_strings`` + md5 instead.
     """
 
-    def build(toks: Column) -> Column:
-        def gram(i: Column) -> Column:
-            out = F.element_at(toks, i)
-            for k in range(1, n):
-                out = out.bitwiseXOR(
-                    F.shiftleft(F.element_at(toks, i + k), 2 * k)
-                )
-            return out
-
-        return F.array_distinct(
-            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
-        )
-
-    token_hashes = F.transform(F.split(text, " "), lambda t: F.xxhash64(t))
-    return F.element_at(F.transform(F.array(token_hashes), build), 1)
+    return F.array_distinct(positional_shingles(text, n))
 
 
 def positional_shingles(text: Column, n: int = NGRAM) -> Column:
     """Word n-gram shingle hashes IN POSITION ORDER (no distinct):
     element j of the result (1-based) is the gram key starting at
     token j — the span-surgery consumer (decontaminate_spans) needs to
-    know WHERE a benchmark gram matched, not just that it did. Same
-    per-token xxhash64 + shifted-xor key construction (and let-binding
-    trick) as ``shingles``, so positional and distinct gram keys can
-    never disagree."""
+    know WHERE a benchmark gram matched, not just that it did. This is
+    the ONE gram-key builder: ``shingles`` is its array_distinct, so
+    positional and distinct keys cannot disagree structurally (review
+    finding: two hand-copied builders could drift)."""
 
     def build(toks: Column) -> Column:
         def gram(i: Column) -> Column:

@@ -72,12 +72,17 @@ def media_accept_batch(
     index_dir: str,
     out_dir: str,
     max_hamming: int = IMG_MAX_HAMMING,
+    per_doc_min: bool = False,
 ) -> None:
     """The per-batch acceptance body (module-level so re-delivery is
     directly testable): explode the batch's band keys once → probe
     the index EXCLUDING this batch's own partition → write the pairs
     and the batch's band rows under ``ingest_batch=<id>`` with
-    overwrite."""
+    overwrite. ``per_doc_min`` applies the batch op's multi-
+    fingerprint semantics (video frames, any source emitting several
+    hash rows per doc): pairs collapse to doc level by min-Hamming —
+    without it a doc pair matched by several frame pairs lands as
+    several rows and downstream consumers double-count."""
     spark = batch_df.sparkSession
     meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
     _check_block_bound(meta.n_bands, meta.m, max_hamming)
@@ -98,6 +103,10 @@ def media_accept_batch(
             meta.n_bands,
             max_hamming,
         )
+        if per_doc_min:
+            pairs = pairs.groupBy("doc_a", "doc_b").agg(
+                F.min("hamming").cast("int").alias("hamming")
+            )
         pairs.write.mode("overwrite").parquet(
             f"{out_dir}/pairs/ingest_batch={batch_id}"
         )
@@ -120,6 +129,7 @@ def stream_media_neardup(
     max_hamming: int = IMG_MAX_HAMMING,
     schema: str = HASHES_SCHEMA,
     max_files_per_trigger: int = 1,
+    per_doc_min: bool = False,
 ) -> StreamingQuery:
     """Start the near-dup acceptance stream over a landing directory
     of (doc_id, <hash>) parquet shards; the index must have been
@@ -135,7 +145,8 @@ def stream_media_neardup(
 
     def _accept(batch_df: DataFrame, batch_id: int) -> None:
         media_accept_batch(
-            batch_df, batch_id, index_dir, out_dir, max_hamming
+            batch_df, batch_id, index_dir, out_dir, max_hamming,
+            per_doc_min,
         )
 
     stream = (

@@ -1862,3 +1862,37 @@ def test_decontaminate_spans_planted(spark):
     assert rows[3] == ("x1 x2", 14)
     assert rows[4][1] == 0 and rows[4][0].startswith("clean doc")
     assert rows[5] == ("too short", 0)
+
+
+def test_contamination_short_benchmark_rows_adaptive_window(spark):
+    """Review-finding regression: a benchmark row SHORTER than n must
+    match at its own full length — a verbatim 8-word eval item leaked
+    into a training doc is contaminated, not silently clean; the
+    adaptive window applies to span surgery identically; unrelated
+    docs stay clean and sub-window docs pass through."""
+    short = "what is the capital of france paris answer"  # 8 words
+    bench = spark.createDataFrame(
+        [(0, short), (1, " ".join(f"b{i}" for i in range(20)))],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + short + " trailing tail"),  # leak
+            (2, "what is the capital of france paris"),  # 7w: no window
+            (3, " ".join(f"z{i}" for i in range(12))),   # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    flags = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in curation.contamination_flags(docs, bench).collect()
+    }
+    assert flags[1] == (1, True)
+    assert flags[2] == (0, False)
+    assert flags[3] == (0, False)
+    spans = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in curation.decontaminate_spans(docs, bench).collect()
+    }
+    assert spans[1] == ("intro words trailing tail", 8)
+    assert spans[2][1] == 0 and spans[3][1] == 0

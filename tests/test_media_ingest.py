@@ -127,3 +127,25 @@ def test_media_accept_batch_replay_idempotent(spark, tmp_path):
         ).collect()
     }
     assert again == first
+
+
+def test_media_accept_batch_per_doc_min(spark, tmp_path):
+    """Multi-fingerprint sources (video frame rows): per_doc_min
+    collapses a doc pair matched by several frame pairs to ONE row at
+    min Hamming — the batch op's video semantics, reachable from the
+    stream."""
+    corpus_rows = [(d, _md5hex16(d * 10 + f, "v")) for d in range(50)
+                   for f in range(3)]
+    batch_rows = [(100, _md5hex16(7 * 10 + 0, "v")),        # == doc7 f0
+                  (100, _flip_bits(_md5hex16(7 * 10 + 1, "v"), [5])),
+                  (100, _md5hex16(9991, "vx"))]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, dhash string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, dhash string")
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    MI.seed_media_index(spark, corpus, idx)
+    MI.media_accept_batch(batch, 0, idx, out, per_doc_min=True)
+    rows = spark.read.parquet(f"{out}/pairs/ingest_batch=0").collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert got[(7, 100)] == 0          # min over the two frame matches
+    assert len([k for k in got if k == (7, 100)]) == 1
