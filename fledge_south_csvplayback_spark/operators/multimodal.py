@@ -807,6 +807,119 @@ def multimodal_audio_stats_stereo(
     return audio_stats_per_channel(audio_table(spark, sf_dir, channels=2))
 
 
+def audio_downmix(media: DataFrame) -> DataFrame:
+    """Stereo/N-channel -> mono WAV: each output frame is the
+    FLOOR-division mean of its channels' samples (exact integer, so
+    the composed decode->downmix->decode->stats pipeline is
+    oracle-checkable end-to-end — the audio analogue of the image box
+    downsample). Output rows carry a complete mono PCM16 WAV payload,
+    so the op COMPOSES with ``audio_stats``/``audio_fingerprints``.
+    Python floor division rounds toward -inf (not C's toward zero),
+    matching both numpy's ``//`` and DuckDB's ``//`` on negatives.
+    One mapInPandas pass, no shuffle; per-(channels, frames) groups
+    run the mean vectorized off one joined-buffer frombuffer."""
+    decode = _decode_wav  # closure capture -> pickled by value
+    group_runs = _make_group_runs()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import struct
+
+        for pdf in it:
+            n = len(pdf)
+            if not n:
+                continue
+            rates = np.empty(n, dtype=np.int64)
+            geom = np.empty((n, 2), dtype=np.int64)
+            raws: list[bytes] = [b""] * n
+            for i, payload in enumerate(pdf["payload"]):
+                rate, channels, data = decode(payload)
+                n16 = len(data) // 2
+                if channels < 1 or (n16 % channels):
+                    raise ValueError(
+                        f"cannot downmix {n16} int16 values over "
+                        f"{channels} channels"
+                    )
+                rates[i] = rate
+                geom[i] = (channels, n16 // channels)
+                raws[i] = data
+            mono: list[bytes] = [b""] * n
+            for (ch, nf), idx in group_runs(geom):
+                s = (
+                    np.frombuffer(
+                        b"".join(raws[i] for i in idx), dtype="<i2"
+                    )
+                    .astype(np.int64)
+                    .reshape(len(idx), nf, ch)
+                )
+                mixed = (s.sum(axis=2) // ch).astype("<i2")
+                for j, i in enumerate(idx):
+                    mono[i] = mixed[j].tobytes()
+            out = []
+            for i in range(n):
+                data = mono[i]
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack(
+                        "<IHHIIHH", 16, 1, 1, int(rates[i]),
+                        int(rates[i]) * 2, 2, 16,
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                out.append(hdr + data)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": out}
+            )
+
+    return media.mapInPandas(batches, "doc_id long, payload binary")
+
+
+def multimodal_audio_downmix_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed pipeline: stereo fixture -> downmix -> mono stats
+    (two Arrow passes; the second consumes real WAV payloads the
+    first BUILT)."""
+    return audio_stats(audio_downmix(audio_table(spark, sf_dir, channels=2)))
+
+
+# closed-form oracle: mono frame f = floor((v[2f] + v[2f+1]) / 2) of
+# the interleaved formula. EXPLICIT floor(): DuckDB's // TRUNCATES
+# toward zero on negatives while numpy's floors toward -inf; the
+# float division is exact for these magnitudes
+MULTIMODAL_AUDIO_DOWNMIX_SQL = f"""
+WITH s AS (
+    SELECT doc_id,
+           list_transform(range(0, {WAV_SAMPLES // 2}), f ->
+               CAST(floor((
+                   (doc_id * 7 + (2 * f) * 13) % 2048 - 1024
+                   + (doc_id * 7 + (2 * f + 1) * 13) % 2048 - 1024
+               ) / 2.0) AS BIGINT)
+           ) AS v
+    FROM documents
+)
+SELECT doc_id,
+       CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST({WAV_SAMPLES // 2} AS INTEGER) AS n_samples,
+       CAST(list_max(list_transform(v, x -> abs(x))) AS INTEGER) AS peak,
+       CAST(list_aggregate(list_transform(v, x -> abs(x)), 'sum')
+            AS BIGINT) AS sum_abs,
+       CAST(list_aggregate(list_transform(v, x -> x * x), 'sum')
+            AS BIGINT) AS sum_sq,
+       CAST(list_aggregate(
+            list_transform(range(1, {WAV_SAMPLES // 2}),
+                f -> CASE WHEN (v[f] < 0) != (v[f+1] < 0)
+                     THEN 1 ELSE 0 END),
+            'sum') AS INTEGER) AS zero_crossings
+FROM s
+"""
+
+
 # closed-form oracle: frame f, channel c of doc d is interleaved value
 # i = f*2 + c of the same sample formula the mono fixture uses
 MULTIMODAL_AUDIO_STATS_STEREO_SQL = f"""

@@ -1031,3 +1031,46 @@ def test_media_index_append_sequential_ingests(spark, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(f"{idx}/bands").collect()}
     b = {tuple(r) for r in spark.read.parquet(f"{rebuilt}/bands").collect()}
     assert a == b
+
+
+def test_audio_downmix_stats_oracle_parity(spark):
+    """decode -> floor-mean downmix -> re-encode -> decode -> stats
+    matches the closed-form interleaved-formula oracle (explicit
+    floor(): DuckDB's // truncates on negatives, numpy's floors)."""
+    from tests.conftest import ORACLE_SF_DIR
+    from tests.oracle_harness import compare
+
+    for sf_dir in (TEST_SF_DIR, ORACLE_SF_DIR):
+        df = M.multimodal_audio_downmix_stats(spark, sf_dir)
+        ok, msg = compare(df, M.MULTIMODAL_AUDIO_DOWNMIX_SQL, sf_dir)
+        assert ok, msg
+
+
+def test_audio_downmix_hand_computed_and_validates(spark):
+    """Hand-planted stereo: mono frame = floor((L+R)/2) incl. the
+    negative-odd case; mono input passes through value-identical;
+    malformed layouts fail loudly."""
+    inter = [100, 50, -101, 50, 7, -8, -32768, 32767]  # 4 frames
+    media = spark.createDataFrame(
+        [(1, bytearray(_wav(inter, channels=2)))],
+        "doc_id long, payload binary",
+    )
+    out = M.audio_downmix(media).collect()[0]
+    rate, ch, data = M._decode_wav(bytes(out.payload))
+    assert (rate, ch) == (8000, 1)
+    got = list(np.frombuffer(data, "<i2"))
+    assert got == [75, -26, -1, -1]  # floor((-101+50)/2) = -26
+    mono = M.audio_table(spark, TEST_SF_DIR)
+    same = M.audio_stats(M.audio_downmix(mono)).collect()
+    want = {r.doc_id: r for r in M.audio_stats(mono).collect()}
+    for r in same:
+        w = want[r.doc_id]
+        assert (r.peak, r.sum_abs, r.sum_sq, r.zero_crossings) == (
+            w.peak, w.sum_abs, w.sum_sq, w.zero_crossings,
+        )
+    bad = spark.createDataFrame(
+        [(1, bytearray(_wav([1, 2, 3], channels=2)))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="cannot downmix"):
+        M.audio_downmix(bad).collect()
