@@ -189,7 +189,18 @@ def positional_shingles(text: Column, n: int = NGRAM) -> Column:
     know WHERE a benchmark gram matched, not just that it did. This is
     the ONE gram-key builder: ``shingles`` is its array_distinct, so
     positional and distinct keys cannot disagree structurally (review
-    finding: two hand-copied builders could drift)."""
+    finding: two hand-copied builders could drift).
+
+    TOTAL by construction: the gram array is guarded by a ``when``
+    INSIDE the expression (a short doc yields ``array()``), because a
+    separate ``.filter(size >= n)`` node does NOT protect it —
+    Catalyst CSE evaluates the shared gram subtree inside the
+    generated Filter predicate, so ``sequence(1, size-(n-1))``
+    descends to ``[1, 0]`` on a sub-n-token doc and ``element_at``
+    throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT. ``when`` branches are
+    the one laziness Catalyst guarantees (conditional subexpressions
+    are excluded from the common pool). NULL text is also total here:
+    ``size(NULL)`` is NULL, the predicate is non-true, empty array."""
 
     def build(toks: Column) -> Column:
         def gram(i: Column) -> Column:
@@ -200,7 +211,10 @@ def positional_shingles(text: Column, n: int = NGRAM) -> Column:
                 )
             return out
 
-        return F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+        ).otherwise(F.array().cast("array<bigint>"))
 
     token_hashes = F.transform(F.split(text, " "), lambda t: F.xxhash64(t))
     return F.element_at(F.transform(F.array(token_hashes), build), 1)
@@ -209,17 +223,22 @@ def positional_shingles(text: Column, n: int = NGRAM) -> Column:
 def shingle_strings(text: Column, n: int = NGRAM) -> Column:
     """Distinct word n-gram shingles as STRINGS — the slow path, kept
     for operators whose oracle must re-derive per-gram hash values
-    (SimHash md5 halves). Same let-binding structure as shingles()."""
+    (SimHash md5 halves). Same let-binding structure AND the same
+    in-expression ``when`` totality guard as ``positional_shingles``
+    (see its docstring: a filter node does not protect against CSE)."""
 
     def build(toks: Column) -> Column:
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + k) for k in range(n)]
-                ),
-            )
-        )
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + k) for k in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
     return F.element_at(F.transform(F.array(F.split(text, " ")), build), 1)
 

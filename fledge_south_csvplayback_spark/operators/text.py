@@ -284,6 +284,9 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n, w = WINNOW_N, WINNOW_W
 
+    # both levels carry the in-expression `when` totality guard
+    # (dedup.positional_shingles docstring: a filter node does not
+    # protect a non-total gram subtree from Catalyst CSE)
     def build(toks):
         def gram(i):
             out = F.element_at(toks, i)
@@ -293,7 +296,10 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             return out
 
-        return F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+        ).otherwise(F.array().cast("array<bigint>"))
 
     token_hashes = F.transform(
         F.split(F.col("text"), " "),
@@ -302,12 +308,15 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.element_at(F.transform(F.array(token_hashes), build), 1)
 
     def minima(g):
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(g) - (w - 1)),
-                lambda i: F.array_min(F.slice(g, i, w)),
-            )
-        )
+        return F.when(
+            F.size(g) >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(g) - (w - 1)),
+                    lambda i: F.array_min(F.slice(g, i, w)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
 
     docs = _docs(spark, sf_dir).filter(
         F.size(F.split(F.col("text"), " ")) >= n + w - 1
@@ -347,7 +356,12 @@ def text_top_ngrams(
             parts = [F.element_at(t, i + j) for j in range(n)]
             return F.concat_ws(" ", *parts)
 
-        return F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram)
+        # in-expression totality guard (dedup.positional_shingles
+        # docstring): the .filter below does not protect against CSE
+        return F.when(
+            F.size(t) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram),
+        ).otherwise(F.array().cast("array<string>"))
 
     grams = F.element_at(F.transform(F.array(toks), build), 1)
     docs = _docs(spark, sf_dir).filter(F.size(F.split(F.col("text"), " ")) >= n)
