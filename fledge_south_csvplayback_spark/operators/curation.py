@@ -336,27 +336,45 @@ def _running_sum_two_pass(docs: DataFrame) -> DataFrame:
     n_tok, bucket) frame — ONE implementation shared by the
     expression-counted path above and the externally-counted path
     (``corpus_token_budget_bpe``), so the prefix/window shape cannot
-    drift between them."""
-    per_bucket = docs.groupBy("lang", "bucket").agg(
-        F.sum("n_tok").alias("b_tok")
+    drift between them.
+
+    The grouping/join key is ``coalesce(lang, NUL)``, not ``lang``: a
+    window PARTITION BY (the oracle's shape) treats NULL as a real
+    partition, but the prefix-broadcast JOIN here would silently drop
+    NULL-lang docs (NULL keys never equi-join) — found by the
+    hostile-docs sweep. No real language code contains NUL, so the
+    surrogate cannot collide."""
+    docs = docs.withColumn("_lkey", F.coalesce(F.col("lang"), F.lit("\x00")))
+    per_bucket = docs.groupBy("_lkey", "bucket").agg(
+        F.sum("n_tok").alias("b_tok"),
+        F.count("n_tok").alias("b_cnt"),  # non-NULL count
     )
     wb = (
-        Window.partitionBy("lang")
+        Window.partitionBy("_lkey")
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = per_bucket.select(
-        "lang",
+        "_lkey",
         "bucket",
         F.coalesce(F.sum("b_tok").over(wb), F.lit(0)).alias("pre_tok"),
+        F.coalesce(F.sum("b_cnt").over(wb), F.lit(0)).alias("pre_cnt"),
     )
     wr = (
-        Window.partitionBy("lang", "bucket")
+        Window.partitionBy("_lkey", "bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return docs.join(F.broadcast(prefix), ["lang", "bucket"]).withColumn(
-        "cum_tok", F.col("pre_tok") + F.sum("n_tok").over(wr)
+    # SQL window-SUM semantics exactly: NULL n_tok rows don't advance
+    # the sum, and cum_tok is NULL only while the ENTIRE per-language
+    # prefix holds no non-NULL count (a bucket-local sum alone returns
+    # NULL whenever a NULL-text doc leads its bucket — hostile sweep)
+    has_any = (F.col("pre_cnt") + F.count("n_tok").over(wr)) > 0
+    cum = F.col("pre_tok") + F.coalesce(F.sum("n_tok").over(wr), F.lit(0))
+    return (
+        docs.join(F.broadcast(prefix), ["_lkey", "bucket"])
+        .withColumn("cum_tok", F.when(has_any, cum))
+        .drop("_lkey", "pre_cnt")
     )
 
 
@@ -812,18 +830,35 @@ def corpus_pack_batches(
     the rank window runs over the DISTINCT (lang, raw bin) set
     (≤ total_tokens/batch_tokens tiny rows), broadcast back; the
     corpus itself never re-shuffles. Deterministic: re-runs and
-    engine replays produce identical assignments."""
-    raw = _running_token_sum(spark, sf_dir).withColumn(
-        "raw_bid",
-        ((F.col("cum_tok") - F.col("n_tok")) / batch_tokens).cast("bigint"),
+    engine replays produce identical assignments.
+
+    Ragged docs (hostile-docs sweep): a NULL-text doc has NULL n_tok,
+    so its raw bin is NULL — it still gets a batch_id, ranked LAST
+    (``asc_nulls_last``, matching DuckDB's NULLS LAST default, where
+    Spark's default would rank NULLs first), and both the lang and
+    bin join keys go through non-NULL surrogates because an equi-join
+    on a NULL key would silently drop the row the oracle keeps."""
+    raw = (
+        _running_token_sum(spark, sf_dir)
+        .withColumn(
+            "raw_bid",
+            ((F.col("cum_tok") - F.col("n_tok")) / batch_tokens).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("_lkey", F.coalesce(F.col("lang"), F.lit("\x00")))
+        .withColumn("_bkey", F.coalesce(F.col("raw_bid"), F.lit(-1)))
     )
-    wd = Window.partitionBy("lang").orderBy("raw_bid")
+    wd = Window.partitionBy("_lkey").orderBy(
+        F.col("raw_bid").asc_nulls_last()
+    )
     dense = (
-        raw.select("lang", "raw_bid")
+        raw.select("_lkey", "_bkey", "raw_bid")
         .distinct()
         .withColumn("batch_id", (F.dense_rank().over(wd) - 1).cast("bigint"))
+        .drop("raw_bid")
     )
-    return raw.join(F.broadcast(dense), ["lang", "raw_bid"]).select(
+    return raw.join(F.broadcast(dense), ["_lkey", "_bkey"]).select(
         "doc_id", "lang", "n_tok", "cum_tok", "batch_id"
     )
 
@@ -846,6 +881,7 @@ SELECT doc_id, lang, n_tok, cum_tok,
        CAST(DENSE_RANK() OVER (
            PARTITION BY lang
            ORDER BY CAST(FLOOR((cum_tok - n_tok) / {BATCH_TOKENS}.0) AS BIGINT)
+               NULLS LAST
        ) - 1 AS BIGINT) AS batch_id
 FROM c
 """
@@ -2362,9 +2398,13 @@ def _bench_grams(
     benchmark: DataFrame, n: int, ne_values: list[int]
 ) -> DataFrame:
     """Distinct (ne, g) benchmark gram keys: window size n for rows
-    with >= n words, the row's own length for shorter rows."""
+    with >= n words, the row's own length for shorter rows. Blank
+    rows are dropped here too (not just in ``_bench_window_sizes``):
+    a whitespace-only row whose token count happens to equal another
+    short row's class would otherwise contribute empty-token grams."""
     from fledge_south_csvplayback_spark.operators.dedup import shingles
 
+    benchmark = benchmark.filter(F.trim(F.col("text")) != "")
     sz = F.size(F.split(F.col("text"), " "))
     frames = []
     for ne in ne_values:
@@ -2445,24 +2485,34 @@ def corpus_decontaminate(
 
 
 def _decontaminate_sql(n: int = DECON_NGRAM) -> str:
-    gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
-    explode = (
-        "unnest(list_distinct(list_transform("
-        f"generate_series(1, len(t) - {n - 1}), i -> {gram})))"
-    )
+    """Generic over window sizes: every benchmark row contributes its
+    EFFECTIVE window ne = least(n, len) (the ``_bench_window_sizes``
+    adaptive rule), and the corpus explodes its grams once per
+    distinct ne — a data-independent SQL form, so the short-benchmark
+    classes are oracle-checked rather than pytest-pinned (round-10
+    verdict's asymmetry note). With a uniformly-long benchmark this
+    reduces exactly to the old fixed-n query."""
     return f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-bg AS (
-    SELECT DISTINCT {explode} AS g
-    FROM toks WHERE doc_id % 97 = 0 AND len(t) >= {n}
+bw AS (
+    SELECT t, LEAST({n}, len(t)) AS ne
+    FROM toks
+    WHERE doc_id % 97 = 0 AND trim(array_to_string(t, ' ')) != ''
 ),
+bg AS (
+    SELECT DISTINCT ne, array_to_string(t[i:i+ne-1], ' ') AS g
+    FROM bw, unnest(generate_series(1, len(t) - ne + 1)) r(i)
+),
+w AS (SELECT DISTINCT ne FROM bw),
 dg AS (
-    SELECT doc_id, {explode} AS g
-    FROM toks WHERE len(t) >= {n}
+    SELECT DISTINCT doc_id, w.ne,
+           array_to_string(t[i:i+w.ne-1], ' ') AS g
+    FROM toks, w, unnest(generate_series(1, len(t) - w.ne + 1)) r(i)
+    WHERE len(t) >= w.ne
 ),
 hits AS (
     SELECT doc_id, count(*) AS n_hits
-    FROM dg WHERE g IN (SELECT g FROM bg)
+    FROM dg JOIN bg USING (ne, g)
     GROUP BY 1
 )
 SELECT d.doc_id,
@@ -2655,45 +2705,53 @@ def corpus_decontaminate_spans(
 
 
 def _decontaminate_spans_sql(n: int = DECON_NGRAM) -> str:
-    gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    """Generic over window sizes like ``_decontaminate_sql``: hit
+    positions carry their window's ne so the surgery cuts [i, i+ne-1]
+    per hit — the adaptive short-benchmark classes are value-checked
+    end-to-end, not just pytest-pinned."""
     return f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-bg AS (
-    SELECT DISTINCT unnest(list_distinct(list_transform(
-        generate_series(1, len(t) - {n - 1}), i -> {gram}))) AS g
-    FROM toks WHERE doc_id % 97 = 0 AND len(t) >= {n}
+bw AS (
+    SELECT t, LEAST({n}, len(t)) AS ne
+    FROM toks
+    WHERE doc_id % 97 = 0 AND trim(array_to_string(t, ' ')) != ''
 ),
+bg AS (
+    SELECT DISTINCT ne, array_to_string(t[i:i+ne-1], ' ') AS g
+    FROM bw, unnest(generate_series(1, len(t) - ne + 1)) r(i)
+),
+w AS (SELECT DISTINCT ne FROM bw),
 pg AS (
-    SELECT doc_id, i,
-           {gram} AS g
-    FROM toks, unnest(generate_series(1, len(t) - {n - 1})) AS r(i)
-    WHERE len(t) >= {n}
+    SELECT doc_id, w.ne, i,
+           array_to_string(t[i:i+w.ne-1], ' ') AS g
+    FROM toks, w, unnest(generate_series(1, len(t) - w.ne + 1)) AS r(i)
+    WHERE len(t) >= w.ne
 ),
 hits AS (
-    SELECT doc_id, list(i) AS hp
-    FROM pg WHERE g IN (SELECT g FROM bg)
+    SELECT doc_id, list(struct_pack(i := i, ne := ne)) AS hw
+    FROM pg JOIN bg USING (ne, g)
     GROUP BY 1
 ),
 joined AS (
-    SELECT tk.doc_id, tk.t, h.hp
+    SELECT tk.doc_id, tk.t, h.hw
     FROM toks tk LEFT JOIN hits h ON tk.doc_id = h.doc_id
 ),
 cut AS (
-    SELECT doc_id, t, hp,
+    SELECT doc_id, t, hw,
            list_filter(generate_series(1, len(t)),
-               j -> len(list_filter(hp,
-                        i -> j >= i AND j <= i + {n - 1})) = 0) AS sv
+               j -> len(list_filter(hw,
+                        h -> j >= h.i AND j <= h.i + h.ne - 1)) = 0) AS sv
     FROM joined
 )
 SELECT doc_id,
-       CASE WHEN hp IS NULL
+       CASE WHEN hw IS NULL
             THEN array_to_string(t, ' ')
             -- COALESCE: DuckDB's array_to_string([]) is NULL where
             -- Spark's array_join([]) is '' (the fully-covered doc)
             ELSE COALESCE(
                 array_to_string(list_transform(sv, j -> t[j]), ' '), '')
        END AS clean_text,
-       CAST(CASE WHEN hp IS NULL THEN 0 ELSE len(t) - len(sv) END
+       CAST(CASE WHEN hw IS NULL THEN 0 ELSE len(t) - len(sv) END
             AS INTEGER) AS n_removed_tokens
 FROM cut
 """

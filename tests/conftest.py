@@ -29,3 +29,73 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def fixture_dir():
     return FIXTURE_DIR
+
+
+# Planted ragged documents: every shape the synthetic corpus (uniformly
+# 10-99 tokens, never NULL) cannot produce. The round-10 gram-builder
+# crash survived ten rounds precisely because no fixture contained a
+# sub-NGRAM doc; every documents-table operator now runs over these
+# (tests/test_hostile_docs.py). doc_ids start far above the corpus max.
+HOSTILE_DOCS = [
+    # (doc_id, text, lang, source)
+    (9000000, "", "en", "src0"),                      # empty string
+    (9000001, "one", "en", "src1"),                   # single token
+    (9000002, "two tokens", "en", "src2"),            # NGRAM-1
+    (9000003, "exactly three tokens", "en", "src3"),  # == NGRAM
+    (9000004, None, "en", "src4"),                    # NULL text
+    (9000005, "   ", "en", "src5"),                   # whitespace-only
+    (9000006, "a  b", "en", "src6"),                  # empty mid-token
+    (9000007, "six tokens for winnow edge case", "en", "src7"),  # == N+W-1
+    (9000008, "a b c d e f g h i j k l m", "zh", "src8"),  # == DECON_NGRAM
+    (9000009, "a b c d e f g h i j k l", "zh", "src9"),    # DECON_NGRAM-1
+    (9000010, "", None, "src10"),                     # NULL lang, empty text
+    (9000011, "solo", "fr", None),                    # NULL source
+    # 9000048 % 97 == 0: a SHORT benchmark row (5 tokens < DECON_NGRAM)
+    # so the adaptive decontamination window classes fire end-to-end
+    # against the generic oracle, plus the doc that leaks it verbatim
+    (9000048, "paris is the capital city", "en", "src11"),
+    (
+        9000049,
+        "we all know that paris is the capital city according to "
+        "the quiz answer key",
+        "en",
+        "src12",
+    ),
+]
+
+
+@pytest.fixture(scope="session")
+def hostile_sf_dir(tmp_path_factory):
+    """A scale-factor dir whose documents table is sf0.001 UNION the
+    planted ragged docs above; every other table symlinks sf0.001 so
+    any registered query can run against it."""
+    import duckdb
+
+    out = tmp_path_factory.mktemp("hostile_sf")
+    src = TEST_SF_DIR
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings".split()
+    ):
+        p = os.path.join(src, f"{t}.parquet")
+        if os.path.exists(p):
+            os.symlink(p, out / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE planted (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO planted VALUES (?, ?, ?, ?, ?)",
+        [
+            (i, t, lg, s, len(t) if t is not None else None)
+            for i, t, lg, s in HOSTILE_DOCS
+        ],
+    )
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}/documents.parquet') "
+        "UNION ALL SELECT * FROM planted ORDER BY doc_id) "
+        f"TO '{out}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    return str(out)
