@@ -1040,6 +1040,38 @@ def neardup_ingest(
     The full miner re-run costs O(corpus) shuffle per ingest; this
     costs O(batch + candidates) shuffle plus corpus-scan probes.
     """
+    idx_bands = spark.read.parquet(f"{index_dir}/bands").filter(
+        F.col("doc_id") < split_id
+    )
+    idx_shingles = spark.read.parquet(f"{index_dir}/shingles").filter(
+        F.col("doc_id") < split_id
+    )
+    idx_df = spark.read.parquet(f"{index_dir}/shingle_df")
+    return _neardup_probe(
+        _docs(spark, sf_dir).filter(F.col("doc_id") >= split_id),
+        idx_bands,
+        idx_shingles,
+        idx_df,
+    )
+
+
+def _neardup_probe(
+    batch_docs: DataFrame,
+    idx_bands: DataFrame,
+    idx_shingles: DataFrame,
+    idx_df: DataFrame,
+) -> DataFrame:
+    """The probe core of ``neardup_ingest`` over explicit index frames
+    — shared with the streaming text-ingest loop
+    (``streaming.corpus_ingest``), whose index is Hive-partitioned by
+    ingest batch rather than split by a doc_id threshold. Same work
+    shape as the wrapper's docstring; batch and index doc_id sets must
+    be disjoint (the wrapper's split filter / the stream's own-batch
+    partition exclusion both guarantee it). Pair orientation is
+    (min doc_id, max doc_id) so index-vs-batch pairs are correct even
+    when an index doc carries the HIGHER id — streaming shards make no
+    id-ordering promise the split-threshold wrapper could rely on."""
+
     def bounded(t: DataFrame, n: int) -> DataFrame:
         # every broadcast here is GUARDED (the HOT_BROADCAST_MAX
         # policy): batch tables are "tiny" only for sane batch sizes,
@@ -1047,41 +1079,33 @@ def neardup_ingest(
         # not a broadcast OOM
         return F.broadcast(t) if n <= HOT_BROADCAST_MAX else t
 
-    batch_sh = _shingled_docs(
-        _docs(spark, sf_dir).filter(F.col("doc_id") >= split_id)
-    ).cache()
+    batch_sh = _shingled_docs(batch_docs).cache()
     batch_idx = batch_sh.select("doc_id", F.explode("sh").alias("s"))
     batch_bands = _lsh_band_table(minhash_signatures(batch_idx))
     batch_bands = batch_bands.cache()
     n_bands = batch_bands.count()  # materialize: probed twice
 
-    # The index tables are filtered to PRE-split docs: an index built
-    # over the whole table (no max_doc_id) would otherwise feed the
-    # batch docs' rows in from BOTH sides — doubling posting-list
-    # intersection counts (jaccard > 1) and duplicating batch-batch
-    # candidates. With the filter, an index that happens to contain
-    # batch rows still yields the correct pair set; only the persisted
-    # shingle-df (unfilterable — it has no doc_id) then over-counts
-    # batch contributions, making the boilerplate cap stricter for
-    # shingles near SHINGLE_DF_CAP — a stricter cap drops those
-    # postings, which can lower intersection counts and MISS pairs the
-    # full miner would emit. Build the index over the corpus as it
-    # existed before the batch (max_doc_id) for exact full-miner
-    # agreement; an index that includes batch rows trades that
-    # exactness for near-cap recall.
-    idx_bands = spark.read.parquet(f"{index_dir}/bands").filter(
-        F.col("doc_id") < split_id
-    )
+    # The caller must hand in index frames DISJOINT from the batch
+    # (the wrapper's split filter, the stream's own-partition
+    # exclusion): index frames containing batch docs would feed their
+    # rows in from BOTH sides — doubling posting-list intersection
+    # counts (jaccard > 1) and duplicating batch-batch candidates.
+    # The shingle-df side is softer: an idx_df that over-counts batch
+    # contributions makes the cap stricter near SHINGLE_DF_CAP, which
+    # drops postings and can MISS pairs the full miner would emit —
+    # exact full-miner agreement needs the df of the corpus as it
+    # existed before the batch.
     a, b = idx_bands.alias("a"), batch_bands.alias("b")
     cross = (
         a.join(
             bounded(b, n_bands),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
         .distinct()
     )
@@ -1098,7 +1122,8 @@ def neardup_ingest(
         )
         .distinct()
     )
-    # disjoint by construction (cross has doc_a < split <= doc_b)
+    # disjoint by construction (cross pairs one index doc with one
+    # batch doc; within pairs two batch docs; the id sets are disjoint)
     cands = cross.union(within).cache()
     n_cands = cands.count()  # materialize: feeds the slice AND the final join
     cand_docs = (
@@ -1107,17 +1132,13 @@ def neardup_ingest(
         .distinct()
     )
     cand_b = bounded(cand_docs, 2 * n_cands)
-    slice_sh = (
-        spark.read.parquet(f"{index_dir}/shingles")
-        .filter(F.col("doc_id") < split_id)
-        .join(cand_b, "doc_id", "semi")
-        .unionByName(batch_sh.join(cand_b, "doc_id", "semi"))
+    slice_sh = idx_shingles.join(cand_b, "doc_id", "semi").unionByName(
+        batch_sh.join(cand_b, "doc_id", "semi")
     )
     # combined-corpus df cap: corpus df (persisted) + batch df
     batch_df = batch_idx.groupBy("s").agg(F.count(F.lit(1)).alias("bdf"))
     batch_df = batch_df.cache()
     n_bdf = batch_df.count()  # materialize: hot's two branches race it
-    idx_df = spark.read.parquet(f"{index_dir}/shingle_df")
     hot = (
         idx_df.join(bounded(batch_df, n_bdf), "s", "left")
         .filter(

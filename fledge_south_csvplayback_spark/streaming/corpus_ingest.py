@@ -42,17 +42,110 @@ from fledge_south_csvplayback_spark.operators.curation import (
     _keep_first_per_fingerprint,
     _quality_cols,
 )
+from fledge_south_csvplayback_spark.operators.dedup import (
+    _lsh_band_table,
+    _neardup_probe,
+    _shingled_docs,
+    minhash_signatures,
+)
 
 DOCS_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
 )
 
 
-def accept_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
+def seed_text_neardup_index(
+    spark: SparkSession, docs: DataFrame, index_dir: str
+) -> None:
+    """Seed the streaming near-dup index from an existing corpus's
+    documents frame: the three ``dedup.build_neardup_index`` tables
+    (shingles / MinHash-LSH bands / per-shingle df), each written as
+    partition ``ingest_batch=-1`` under a Hive-partitioned root so
+    per-batch growth and the replay exclusion filter are partition
+    pruning, not scans (the ``media_ingest`` layout)."""
+    _shingled_docs(docs).write.mode("overwrite").parquet(
+        f"{index_dir}/shingles/ingest_batch=-1"
+    )
+    idx = spark.read.parquet(f"{index_dir}/shingles/ingest_batch=-1").select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    _lsh_band_table(minhash_signatures(idx)).write.mode("overwrite").parquet(
+        f"{index_dir}/bands/ingest_batch=-1"
+    )
+    idx.groupBy("s").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/shingle_df/ingest_batch=-1")
+
+
+def _neardup_gate(
+    survivors: DataFrame, batch_id: int, index_dir: str, out_dir: str
+) -> None:
+    """Near-dup stage of the acceptance loop: probe the accepted docs
+    of this batch against the persisted band index (EXCLUDING this
+    batch's own partitions — replay safety, same argument as the
+    fingerprint state read), write the introduced pairs, then append
+    the batch's shingle/band/df rows as ``ingest_batch=<id>``
+    partitions so the NEXT batch's probe sees them. The probe is
+    ``dedup._neardup_probe`` — literally the batch miner's core, so
+    stream and batch candidate/verification semantics cannot drift.
+
+    Scale note: bands and shingles are probed via batch-broadcast
+    semi-joins (corpus scanned, never shuffled); the one
+    corpus-proportional step is re-summing the per-batch shingle-df
+    partitions ((s, df) rows, two longs each) — compact the df
+    partitions periodically if batch cadence makes that sum the
+    bottleneck."""
+    spark = survivors.sparkSession
+    not_self = F.col("ingest_batch") != batch_id
+    idx_sh = (
+        spark.read.parquet(f"{index_dir}/shingles")
+        .filter(not_self)
+        .drop("ingest_batch")
+    )
+    idx_bands = (
+        spark.read.parquet(f"{index_dir}/bands")
+        .filter(not_self)
+        .drop("ingest_batch")
+    )
+    idx_df = (
+        spark.read.parquet(f"{index_dir}/shingle_df")
+        .filter(not_self)
+        .groupBy("s")
+        .agg(F.sum("df").alias("df"))
+    )
+    batch_docs = survivors.select("doc_id", "text")
+    _neardup_probe(batch_docs, idx_bands, idx_sh, idx_df).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/neardup_pairs/ingest_batch={batch_id}")
+    # acceptance: the batch's rows become next batches' index state
+    # (same-path overwrite keeps re-delivery idempotent)
+    sh_dir = f"{index_dir}/shingles/ingest_batch={batch_id}"
+    _shingled_docs(batch_docs).write.mode("overwrite").parquet(sh_dir)
+    batch_idx = spark.read.parquet(sh_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    _lsh_band_table(minhash_signatures(batch_idx)).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/bands/ingest_batch={batch_id}")
+    batch_idx.groupBy("s").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/shingle_df/ingest_batch={batch_id}")
+
+
+def accept_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    index_dir: str | None = None,
+) -> None:
     """The per-batch acceptance body (module-level so re-delivery is
     directly testable): quality gate → anti-join vs every OTHER
     batch's accepted fingerprints → within-batch keep-first → write
-    both outputs under ``ingest_batch=<id>`` with overwrite.
+    both outputs under ``ingest_batch=<id>`` with overwrite. With
+    ``index_dir`` set, the accepted docs additionally run the near-dup
+    gate (``_neardup_gate``): band-index probe for the pairs this
+    batch introduces + index growth — exact duplicates alone can't
+    catch a re-crawl that changed one sentence.
 
     The state read excludes THIS batch id: foreachBatch is
     at-least-once, and a re-delivery after the previous attempt
@@ -98,6 +191,8 @@ def accept_batch(batch_df: DataFrame, batch_id: int, out_dir: str) -> None:
         survivors.select("fingerprint").write.mode("overwrite").parquet(
             f"{fps_dir}/ingest_batch={batch_id}"
         )
+        if index_dir is not None:
+            _neardup_gate(survivors, batch_id, index_dir, out_dir)
     finally:
         survivors.unpersist()
 
@@ -109,6 +204,7 @@ def stream_curate_corpus(
     checkpoint_dir: str,
     schema: str = DOCS_SCHEMA,
     max_files_per_trigger: int = 1,
+    index_dir: str | None = None,
 ) -> StreamingQuery:
     """Start the ingest stream over a landing directory of parquet
     shards; returns the query (``availableNow`` trigger — drains what
@@ -118,10 +214,15 @@ def stream_curate_corpus(
     - ``corpus/ingest_batch=N/``: accepted documents of batch N
       (quality-passing, corpus-unique), with ``fingerprint``;
     - ``fingerprints/ingest_batch=N/``: their content hashes — the
-      state the next batch's anti-join reads.
+      state the next batch's anti-join reads;
+    - with ``index_dir`` (seeded via ``seed_text_neardup_index``):
+      ``neardup_pairs/ingest_batch=N/`` — the near-dup pairs batch N
+      introduced against everything accepted before it and within
+      itself, with the batch's shingle/band/df rows appended to the
+      index as partition N.
     """
     def _accept(batch_df: DataFrame, batch_id: int) -> None:
-        accept_batch(batch_df, batch_id, out_dir)
+        accept_batch(batch_df, batch_id, out_dir, index_dir=index_dir)
 
     stream = (
         spark.readStream.schema(schema)

@@ -118,3 +118,122 @@ def test_accept_batch_replay_is_idempotent(spark, tmp_path):
     CI.accept_batch(docs, 1, out)
     b1 = spark.read.parquet(f"{out}/corpus").filter("ingest_batch = 1")
     assert b1.count() == 0  # all fingerprints already accepted
+
+
+# --- near-dup gate (round-11: the media_ingest pattern on the text side) -----
+def _nd_text(i, flip=None):
+    """30 unique tokens salted by doc id; ``flip`` replaces the last
+    token, making a near-dup (one trigram differs: jaccard 27/29)."""
+    toks = [f"w{i:03d}x{j:02d}" for j in range(30)]
+    if flip is not None:
+        toks[-1] = f"flip{flip}"
+    return " ".join(toks)
+
+
+def _nd_fixture(spark):
+    """Corpus [0,60) + shards [60,80) and [80,100) with planted cross-
+    and within-shard near-dups (same shapes as the media fixture)."""
+    texts = {i: _nd_text(i) for i in range(100)}
+    texts[70] = _nd_text(5, flip=1)   # corpus x shard1 (near-dup of 5)
+    texts[5] = _nd_text(5)
+    texts[75] = _nd_text(71, flip=2)  # within shard1 (near-dup of 71)
+    texts[85] = _nd_text(5, flip=3)   # shard1 x shard2 (near-dup of 5 AND 70)
+    texts[99] = _nd_text(8, flip=4)   # corpus x shard2 (near-dup of 8)
+
+    def frame(lo, hi):
+        return spark.createDataFrame(
+            [(i, texts[i], "en", "web", len(texts[i])) for i in range(lo, hi)],
+            CI.DOCS_SCHEMA,
+        )
+
+    return frame(0, 60), [frame(60, 80), frame(80, 100)], texts
+
+
+def test_stream_text_neardup_matches_full_miner(spark, tmp_path):
+    """The union of per-batch neardup_pairs outputs == the full
+    dedup_minhash_lsh miner over the whole (seed + accepted) corpus,
+    restricted to pairs touching a streamed doc — including the
+    shard1 x shard2 pair that exists only because shard1's acceptance
+    grew the index."""
+    import os
+
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    corpus, shards, texts = _nd_fixture(spark)
+    src = str(tmp_path / "landing")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for k, sh in enumerate(shards):
+        sh.coalesce(1).write.mode("append" if k else "overwrite").parquet(src)
+    CI.seed_text_neardup_index(spark, corpus, idx)
+    CI.stream_curate_corpus(
+        spark, src, out, ckpt, index_dir=idx
+    ).awaitTermination()
+
+    batches = {
+        d
+        for d in os.listdir(f"{out}/neardup_pairs")
+        if d.startswith("ingest_batch=")
+    }
+    assert len(batches) == 2
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(f"{out}/neardup_pairs").collect()
+    }
+
+    # full miner over the combined corpus (all docs are quality-passing
+    # and exact-unique, so accepted == streamed)
+    combined = str(tmp_path / "combined")
+    corpus.unionByName(shards[0]).unionByName(shards[1]).write.parquet(
+        f"{combined}/documents.parquet"
+    )
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_minhash_lsh(spark, combined).collect()
+    }
+    want = {p for p in full if p[0] >= 60 or p[1] >= 60}
+    assert got == want
+    # the planted shapes all surfaced, incl. the cross-shard pair
+    got_ids = {(a, b) for a, b, _ in got}
+    assert {(5, 70), (71, 75), (70, 85), (8, 99)} <= got_ids
+    # index state grew: seed partition + one per accepted batch
+    for table in ("bands", "shingles", "shingle_df"):
+        parts = {
+            d
+            for d in os.listdir(f"{idx}/{table}")
+            if d.startswith("ingest_batch=")
+        }
+        assert parts == {
+            "ingest_batch=-1",
+            "ingest_batch=0",
+            "ingest_batch=1",
+        }, (table, parts)
+
+
+def test_text_neardup_gate_replay_idempotent(spark, tmp_path):
+    """Re-delivering a batch whose previous attempt already committed
+    its index partitions must rewrite IDENTICAL pair rows: the index
+    reads exclude the batch's own partitions, so a replayed batch
+    never probes itself (which would duplicate every within-batch
+    pair as a cross pair)."""
+    corpus, shards, _ = _nd_fixture(spark)
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    CI.seed_text_neardup_index(spark, corpus, idx)
+    CI.accept_batch(shards[0], 0, out, index_dir=idx)
+    first = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            f"{out}/neardup_pairs/ingest_batch=0"
+        ).collect()
+    )
+    assert first  # the within-shard and corpus-cross plants surfaced
+    CI.accept_batch(shards[0], 0, out, index_dir=idx)  # re-delivery
+    replayed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            f"{out}/neardup_pairs/ingest_batch=0"
+        ).collect()
+    )
+    assert replayed == first
