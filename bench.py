@@ -40,6 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fledge_south_csvplayback_spark import registry
 from fledge_south_csvplayback_spark.operators import (
+    csv_queries,
     curation,
     events,
     multimodal,
@@ -96,6 +97,9 @@ HEADLINE = [
     "multimodal_image_resize",  # decode->box-resize->re-hash pipeline (round 9)
     "text_html_extract",  # markup extraction before normalize (round 10)
     "corpus_decontaminate",  # 13-gram benchmark-overlap flags (round 10)
+    "text_top_ngrams",  # corpus-wide heavy hitters, TakeOrdered (round 11)
+    "events_retention",  # weekly cohort retention windows (round 11)
+    "corpus_profile",  # per-language dataset-card aggregate (round 11)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -117,6 +121,9 @@ EXTRA_QUERIES = {
     "multimodal_video_stats": multimodal.multimodal_video_stats,
     "ann_cosine_topk_sq8": similarity.ann_cosine_topk_sq8,
     "corpus_decontaminate": curation.corpus_decontaminate,
+    # de-registered in the round-11 csv_directory_codecs fold; stays in
+    # the bench so the per-round series keeps its name-stable row
+    "csv_pick_from_file": csv_queries.csv_pick_from_file,
 }
 
 

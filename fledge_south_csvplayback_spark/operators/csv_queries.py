@@ -92,6 +92,39 @@ FROM read_csv('{_fx("typed.csv")}', skip=1, header=false,
 """
 
 
+def csv_explicit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 registry fold (COVERAGE.md selection rule): the full
+    and subset explicit-schema scans read the SAME typed.csv fixture
+    through the SAME spec parser, differing only in the skipped
+    column, so they fold into ONE variant-tagged union — subset rows
+    carry a NULL temperature, keeping every constituent row
+    hash-distinguishable; the unmerged callables stay public +
+    pytest-oracle-checked. The freed slot registers
+    ``text_top_ngrams``."""
+    full = csv_explicit_schema(spark, sf_dir).select(
+        F.lit("variant_full").alias("variant"),
+        "id",
+        F.col("temperature").cast("double").alias("temperature"),
+        "status",
+    )
+    sub = csv_explicit_subset(spark, sf_dir).select(
+        F.lit("variant_subset").alias("variant"),
+        "id",
+        F.lit(None).cast("double").alias("temperature"),
+        "status",
+    )
+    return full.unionByName(sub)
+
+
+CSV_EXPLICIT_SUITE_SQL = f"""
+SELECT 'variant_full' AS variant, id, temperature, status
+FROM ({CSV_EXPLICIT_SQL})
+UNION ALL
+SELECT 'variant_subset' AS variant, id, NULL::DOUBLE AS temperature, status
+FROM ({CSV_EXPLICIT_SUBSET_SQL})
+"""
+
+
 # --- §1.4.3 ragged rows → map, exploded for hashability (F3) -----------------
 def csv_ragged_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = cs.read_ragged(spark, _fx("ragged.csv"))
@@ -208,10 +241,14 @@ def csv_directory_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans verify adjacent §2.1 surface — merging them freed the slot
     the corpus-wide boilerplate scrub now occupies). The ``src`` tag
     keeps every constituent scan distinguishable in the hash compare;
-    the unmerged callables stay public and pytest-covered."""
+    the unmerged callables stay public and pytest-covered. Round 11
+    folds the plain single-file scan (``csv_pick_from_file``) in as
+    the ``file`` member — same vibration fixture family, same S3
+    surface — freeing the slot that registers ``events_retention``."""
     d = csv_directory_union(spark, sf_dir).withColumnRenamed("src_file", "src")
     c = csv_compressed_codecs(spark, sf_dir).withColumnRenamed("codec", "src")
-    return d.unionByName(c)
+    p = csv_pick_from_file(spark, sf_dir).withColumn("src", F.lit("file"))
+    return d.unionByName(c).unionByName(p)
 
 
 CSV_DIRECTORY_CODECS_SQL = f"""
@@ -225,4 +262,6 @@ SELECT *, 'gz' AS src FROM read_csv('{_fx("vibration.csv.gz")}', header=true,
 UNION ALL
 SELECT *, 'bz2' AS src FROM read_csv('{_fx("vibration.csv")}', header=true,
     columns={{'channel1': 'DOUBLE', 'channel2': 'DOUBLE', 'user_ts': 'VARCHAR'}})
+UNION ALL
+SELECT *, 'file' AS src FROM ({CSV_PICK_FROM_FILE_SQL})
 """

@@ -71,6 +71,39 @@ FROM {_TIMESTAMPED_DUCK}
 """
 
 
+# --- T3+T4 fold (round-11 registry rotation) ---------------------------------
+def ts_copy_move_csv_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (copy) and T4 (move) share the timestamped fixture and the
+    strptime conversion, differing only in whether the source column
+    survives, so they fold into ONE mode-tagged union (COVERAGE.md
+    selection rule) — move rows carry a NULL ``ts``, which IS the
+    behavior under test, hash-visible per row; the unmerged callables
+    stay public + pytest-oracle-checked. The freed slot registers
+    ``corpus_profile``."""
+    from pyspark.sql import functions as F
+
+    copy = ts_copy_csv_value(spark, sf_dir).select(
+        F.lit("copy").alias("mode"), "ts", "channel1", "channel2", "timestamp"
+    )
+    move = ts_move_csv_value(spark, sf_dir).select(
+        F.lit("move").alias("mode"),
+        F.lit(None).cast("string").alias("ts"),
+        "channel1",
+        "channel2",
+        "timestamp",
+    )
+    return copy.unionByName(move)
+
+
+TS_COPY_MOVE_SQL = f"""
+SELECT 'copy' AS mode, ts, channel1, channel2, timestamp
+FROM ({TS_COPY_SQL})
+UNION ALL
+SELECT 'move' AS mode, NULL::VARCHAR AS ts, channel1, channel2, timestamp
+FROM ({TS_MOVE_SQL})
+"""
+
+
 # --- T2 ---------------------------------------------------------------------
 def ts_current_time_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.current_time_burst(

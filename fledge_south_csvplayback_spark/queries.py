@@ -50,6 +50,10 @@ register(
 register(
     "events_hourly_rollup", events.events_hourly_rollup, events.EVENTS_HOURLY_SQL
 )
+# rotated in round 11 (slot freed by folding csv_pick_from_file into
+# the csv_directory_codecs union): weekly cohort retention — exact SQL
+# oracle held without a slot since round 8
+register("events_retention", events.events_retention, events.EVENTS_RETENTION_SQL)
 
 # --- dedup suite (documents table; training-pipeline extensions) ------------
 register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
@@ -85,6 +89,11 @@ register(
     text.text_html_extract,
     text.TEXT_HTML_EXTRACT_SQL,
 )
+# rotated in round 11 (slot freed by the csv_explicit_suite fold):
+# corpus-wide top-k n-grams — registered right after its round-11
+# totality fix (short/empty/NULL docs) so the driver value-checks the
+# repaired gram builder end-to-end
+register("text_top_ngrams", text.text_top_ngrams, text.TEXT_TOP_NGRAMS_SQL)
 
 # --- data selection (documents table; round-7 rotation fills the two
 # slots freed by the W3 interpolation fold) ----------------------------------
@@ -122,6 +131,10 @@ register(
     curation.corpus_snapshot_diff,
     curation.SNAPSHOT_DIFF_SQL,
 )
+# rotated in round 11 (slot freed by the ts_copy_move fold): the
+# per-language dataset-card profile — exact SQL oracle held without a
+# slot since round 7
+register("corpus_profile", curation.corpus_profile, curation.CORPUS_PROFILE_SQL)
 
 # --- similarity search (embeddings table) -----------------------------------
 register("ann_cosine_topk", similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL)
@@ -161,22 +174,19 @@ register(
 
 # --- CSV source layer (SURVEY.md §2.1 S3-S5, §1.4) --------------------------
 register(
-    "csv_pick_from_file",
-    csv_queries.csv_pick_from_file,
-    csv_queries.CSV_PICK_FROM_FILE_SQL,
-)
-register(
     "csv_skiprows_header_at_index",
     csv_queries.csv_skiprows_header_at_index,
     csv_queries.CSV_SKIPROWS_SQL,
 )
+# Round-11 registry fold (COVERAGE.md selection rule): the full and
+# subset explicit-schema scans — same typed.csv fixture, same spec
+# parser — fold into ONE variant-tagged union, freeing the slot that
+# registers text_top_ngrams above; unmerged callables stay public +
+# pytest-oracle-checked.
 register(
-    "csv_explicit_schema", csv_queries.csv_explicit_schema, csv_queries.CSV_EXPLICIT_SQL
-)
-register(
-    "csv_explicit_subset",
-    csv_queries.csv_explicit_subset,
-    csv_queries.CSV_EXPLICIT_SUBSET_SQL,
+    "csv_explicit_suite",
+    csv_queries.csv_explicit_suite,
+    csv_queries.CSV_EXPLICIT_SUITE_SQL,
 )
 register("csv_ragged_map", csv_queries.csv_ragged_map, csv_queries.CSV_RAGGED_SQL)
 # Round-6 registry rotation (COVERAGE.md records the selection rule):
@@ -184,7 +194,9 @@ register("csv_ragged_map", csv_queries.csv_ragged_map, csv_queries.CSV_RAGGED_SQ
 # surface over the same fixture family, so they fold into ONE entry —
 # every constituent scan stays distinguishable via the `src` tag, the
 # unmerged callables stay public and pytest-covered — freeing a slot
-# for the corpus-wide boilerplate scrub below.
+# for the corpus-wide boilerplate scrub below. Round 11 folds the
+# plain single-file scan (csv_pick_from_file) in as the `file` member,
+# freeing the slot that registers events_retention above.
 register(
     "csv_directory_codecs",
     csv_queries.csv_directory_codecs,
@@ -192,8 +204,17 @@ register(
 )
 
 # --- timestamp synthesis T1-T5 (SURVEY.md §2.4) -----------------------------
-register("ts_copy_csv_value", ts_queries.ts_copy_csv_value, ts_queries.TS_COPY_SQL)
-register("ts_move_csv_value", ts_queries.ts_move_csv_value, ts_queries.TS_MOVE_SQL)
+# Round-11 registry fold (COVERAGE.md selection rule): T3 copy and T4
+# move — same fixture, same strptime conversion, differing only in
+# whether the source column survives (NULL-tagged in the union) —
+# fold into ONE mode-tagged entry, freeing the slot that registers
+# corpus_profile above; unmerged callables stay public +
+# pytest-oracle-checked.
+register(
+    "ts_copy_move_csv_value",
+    ts_queries.ts_copy_move_csv_value,
+    ts_queries.TS_COPY_MOVE_SQL,
+)
 # Round-10 registry fold (COVERAGE.md selection rule): burst and
 # continuous stamping share the vibration fixture and output schema,
 # differing only in the within-chunk spread, so they fold into ONE

@@ -64,3 +64,22 @@ def test_ts_current_time_constituents_oracle_parity(spark):
     ):
         ok, msg = compare(fn(spark, TEST_SF_DIR), sql, TEST_SF_DIR)
         assert ok, f"{fn.__name__}: {msg}"
+
+
+def test_round11_fold_constituents_oracle_parity(spark):
+    """Round-11 folds (csv_explicit_suite, ts_copy_move_csv_value, and
+    csv_pick_from_file into csv_directory_codecs): the de-registration
+    convention keeps the driver's own value check on each unmerged
+    callable here."""
+    from fledge_south_csvplayback_spark.operators import csv_queries as C
+    from fledge_south_csvplayback_spark.operators import ts_queries as T
+
+    for fn, sql in (
+        (C.csv_pick_from_file, C.CSV_PICK_FROM_FILE_SQL),
+        (C.csv_explicit_schema, C.CSV_EXPLICIT_SQL),
+        (C.csv_explicit_subset, C.CSV_EXPLICIT_SUBSET_SQL),
+        (T.ts_copy_csv_value, T.TS_COPY_SQL),
+        (T.ts_move_csv_value, T.TS_MOVE_SQL),
+    ):
+        ok, msg = compare(fn(spark, TEST_SF_DIR), sql, TEST_SF_DIR)
+        assert ok, f"{fn.__name__}: {msg}"

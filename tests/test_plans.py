@@ -36,7 +36,12 @@ def test_q5_broadcasts_dimensions(spark):
 
 
 def test_envelope_projects_only_needed_columns(spark):
-    plan = _plan(spark, "csv_explicit_subset")
+    # de-registered in the round-11 csv_explicit_suite fold; the plan
+    # property pins the CONSTITUENT scan, so call it directly
+    from fledge_south_csvplayback_spark.operators import csv_queries as C
+
+    df = C.csv_explicit_subset(spark, TEST_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     # the dropped middle column must not survive past the scan projection
     assert "temperature" not in plan
 
