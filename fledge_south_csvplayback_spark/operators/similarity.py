@@ -1546,6 +1546,13 @@ def _pq_train(emb, cents0, m: int, k: int, iters: int, d_sub: int, transform=Non
     return cents, inertia
 
 
+# exact-rescore candidate budget for the 8-byte-code paths (PQ /
+# IVFADC). 40·k, not SQ8's 4·k: an 8-byte code ranks ~8× more coarsely
+# than 64 bytes of SQ8 codes, so the true top-k sits deeper in the ADC
+# ordering; the rescore is |Q|·C point lookups either way — trivial.
+PQ_RESCORE_C = 40 * TOP_K
+
+
 def build_pq_index(
     spark: SparkSession,
     sf_dir: str,
@@ -1599,7 +1606,10 @@ def build_pq_index(
 
 
 def ann_cosine_topk_pq_indexed(
-    spark: SparkSession, sf_dir: str, index_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    rescore_c: int | None = PQ_RESCORE_C,
 ) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over a
     ``build_pq_index``: queries stay full-precision, candidates are
@@ -1618,6 +1628,15 @@ def ann_cosine_topk_pq_indexed(
     recall vs the in-session brute ground truth (pytest floor at
     fixture scale, measured at 10M in BASELINE.md), not an equality
     oracle — the documented weaker gate, like k-means.
+
+    ``rescore_c`` (default ``PQ_RESCORE_C``) runs the SQ8-style exact
+    top-C re-rank (ADC+R, Jégou et al.) on the ADC candidates: the
+    clustered 10M probe measured pure ADC at recall@5 = 0.00 on dense
+    clusters (1e-4 cosine margins are below 8-byte code resolution),
+    and an exact re-rank of C point lookups is how PQ serves in
+    practice — C is larger than SQ8's because 8-byte codes rank far
+    more coarsely than 64. ``rescore_c=None`` keeps the raw-ADC path
+    — the numpy-replica gate and the A/B baseline.
     """
     import numpy as np
 
@@ -1637,14 +1656,17 @@ def ann_cosine_topk_pq_indexed(
     luts = np.einsum("qjd,jkd->qjk", qm, c)
     recon_sq = (c * c).sum(axis=2)  # (m, k)
 
-    # top_k rides in as a default arg bound from module TOP_K at
+    # the per-batch cutoff rides in as a default arg bound at
     # definition time — an int global pickles BY VALUE into the worker
     # closure (only module-level FUNCTIONS pickle by reference), and
-    # binding it keeps the per-batch truncation in lockstep with
-    # _rank_topk's global ranking (review finding: a hard-coded 5
+    # binding it keeps the per-batch truncation in lockstep with the
+    # downstream global ranking (review finding: a hard-coded 5
     # would silently break ranks 6..k if TOP_K ever changed)
+    cutoff = TOP_K if rescore_c is None else rescore_c
+    out_col = "cosine" if rescore_c is None else "approx"
+
     def _score(batches, luts=luts, recon_sq=recon_sq, qn=qn, qids=qids, m=m,
-               top_k=TOP_K):
+               top_k=cutoff, out_col=out_col):
         import numpy as np
         import pandas as pd
 
@@ -1661,20 +1683,22 @@ def ann_cosine_topk_pq_indexed(
             dots = luts[:, jj, codes].sum(axis=2).T
             xnorm = np.sqrt(recon_sq[jj, codes].sum(axis=1))
             sims = np.round(dots / (xnorm[:, None] * qn[None, :] + 1e-300), 6)
-            out = {"query_id": [], "vec_id": [], "cosine": []}
+            out = {"query_id": [], "vec_id": [], out_col: []}
             for qi, qid in enumerate(qids):
                 mask = ids != qid
                 cand_ids, cand_sims = ids[mask], sims[mask, qi]
                 order = np.lexsort((cand_ids, -cand_sims))[:top_k]
                 out["query_id"].extend([qid] * len(order))
                 out["vec_id"].extend(cand_ids[order])
-                out["cosine"].extend(cand_sims[order])
+                out[out_col].extend(cand_sims[order])
             yield pd.DataFrame(out)
 
     codes_df = spark.read.parquet(index_dir).select("vec_id", "codes")
     partial = codes_df.mapInPandas(
-        _score, "query_id long, vec_id long, cosine double"
+        _score, f"query_id long, vec_id long, {out_col} double"
     )
+    if rescore_c is not None:
+        return _exact_rescore(spark, sf_dir, partial, rescore_c)
     return _rank_topk(partial)
 
 
@@ -1801,6 +1825,7 @@ def ann_cosine_topk_ivfpq(
     sf_dir: str,
     index_dir: str,
     nprobe: int = IVF_NPROBE,
+    rescore_c: int | None = PQ_RESCORE_C,
 ) -> DataFrame:
     """Query the IVFADC index: probe ``nprobe`` cells by centroid
     cosine (partition pruning — only those cells' files open), then
@@ -1818,6 +1843,11 @@ def ann_cosine_topk_ivfpq(
     reads (vec_id, cell_id, codes) only. Same partial-top-k ranking
     contract as every entry; same exact-numpy-replica pytest gate as
     the flat PQ path.
+
+    ``rescore_c`` (default ``PQ_RESCORE_C``) = the ADC+R exact top-C
+    re-rank, same rationale and knob as ``ann_cosine_topk_pq_indexed``
+    (clustered-probe recall 0.00 without it); ``None`` keeps raw
+    IVFADC — the replica gate and A/B baseline.
     """
     import numpy as np
 
@@ -1856,6 +1886,8 @@ def ann_cosine_topk_ivfpq(
     probes_arr = [
         np.array(sorted(probe_cells[int(qid)]), dtype=np.int64) for qid in qids
     ]
+    cutoff = TOP_K if rescore_c is None else rescore_c
+    out_col = "cosine" if rescore_c is None else "approx"
 
     def _score(
         batches,
@@ -1869,7 +1901,8 @@ def ann_cosine_topk_ivfpq(
         m=m,
         cell_row=cell_row,
         probes_arr=probes_arr,
-        top_k=TOP_K,  # bound by value at definition (see PQ scorer note)
+        top_k=cutoff,  # bound by value at definition (see PQ scorer note)
+        out_col=out_col,
     ):
         import numpy as np
         import pandas as pd
@@ -1887,7 +1920,7 @@ def ann_cosine_topk_ivfpq(
             xnorm = np.sqrt(
                 np.maximum(c_sq[rows] + 2.0 * cross + r_sq[jj, codes].sum(axis=1), 0)
             )
-            out = {"query_id": [], "vec_id": [], "cosine": []}
+            out = {"query_id": [], "vec_id": [], out_col: []}
             for qi, qid in enumerate(qids):
                 sims = np.round(
                     (qdotc[qi, rows] + rdots[:, qi])
@@ -1901,7 +1934,7 @@ def ann_cosine_topk_ivfpq(
                 order = np.lexsort((cand_ids, -cand_sims))[:top_k]
                 out["query_id"].extend([qid] * len(order))
                 out["vec_id"].extend(cand_ids[order])
-                out["cosine"].extend(cand_sims[order])
+                out[out_col].extend(cand_sims[order])
             yield pd.DataFrame(out)
 
     needed = sorted({c for cs in probe_cells.values() for c in cs})
@@ -1911,8 +1944,10 @@ def ann_cosine_topk_ivfpq(
         .select("vec_id", "cell_id", "codes")
     )
     partial = idx.mapInPandas(
-        _score, "query_id long, vec_id long, cosine double"
+        _score, f"query_id long, vec_id long, {out_col} double"
     )
+    if rescore_c is not None:
+        return _exact_rescore(spark, sf_dir, partial, rescore_c)
     return _rank_topk(partial)
 
 
@@ -2175,8 +2210,6 @@ def _sq8_search(
     scales; recall is what the 10M probe measures."""
     import numpy as np
 
-    from pyspark.sql import Window as W
-
     embq = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
     qrows = embq.filter(F.col("vec_id") < N_QUERIES).collect()
     qm = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
@@ -2213,6 +2246,25 @@ def _sq8_search(
     partial = codes_df.mapInPandas(
         _score, "query_id long, vec_id long, approx double"
     )
+    return _exact_rescore(spark, sf_dir, partial, rescore_c)
+
+
+def _exact_rescore(
+    spark: SparkSession, sf_dir: str, partial: DataFrame, rescore_c: int
+) -> DataFrame:
+    """Stage 2 of every codes-scan ANN path (SQ8 since round 9; PQ and
+    IVFADC since round 11 — the ADC+R re-ranking of Jégou et al.,
+    added after the clustered-recall probe showed code-only ranking
+    cannot resolve within-cluster near-ties): keep the global top-C
+    approximate candidates per query, fetch their EXACT vectors
+    through a pushed-down ``isin`` point lookup (never a second full
+    scan), and re-rank on exact cosine computed declaratively.
+    ``partial`` is (query_id, vec_id, approx); everything here is
+    ≤ |Q|·C-sized — driver-bounded by design."""
+    from pyspark.sql import Window as W
+
+    embq = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    qrows = embq.filter(F.col("vec_id") < N_QUERIES).collect()
     cand = (
         partial.withColumn(
             "rk",

@@ -521,7 +521,11 @@ def test_pq_index_matches_numpy_adc_replica(spark, tmp_path):
 
     index_dir = str(tmp_path / "pq_index")
     S.build_pq_index(spark, TEST_SF_DIR, index_dir)
-    got = S.ann_cosine_topk_pq_indexed(spark, TEST_SF_DIR, index_dir)
+    # rescore_c=None = the raw-ADC path this replica mirrors; the
+    # default (rescored) path has its own replica test below
+    got = S.ann_cosine_topk_pq_indexed(
+        spark, TEST_SF_DIR, index_dir, rescore_c=None
+    )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema" in plan and "embedding" not in plan
     rows = {(r.query_id, r.rank, r.vec_id, r.cosine) for r in got.collect()}
@@ -558,7 +562,7 @@ def test_pq_index_matches_numpy_adc_replica(spark, tmp_path):
     rows2 = {
         (r.query_id, r.rank, r.vec_id, r.cosine)
         for r in S.ann_cosine_topk_pq_indexed(
-            spark, TEST_SF_DIR, index_dir2
+            spark, TEST_SF_DIR, index_dir2, rescore_c=None
         ).collect()
     }
     assert rows2 == rows
@@ -637,12 +641,17 @@ def test_ivfpq_matches_numpy_replica_and_prunes(spark, tmp_path):
     got = {
         (r.query_id, r.rank, r.vec_id, r.cosine)
         for r in S.ann_cosine_topk_ivfpq(
-            spark, TEST_SF_DIR, index_dir, nprobe=S.IVF_CELLS
+            spark, TEST_SF_DIR, index_dir, nprobe=S.IVF_CELLS, rescore_c=None
         ).collect()
     }
     assert got == want
 
-    pruned = S.ann_cosine_topk_ivfpq(spark, TEST_SF_DIR, index_dir, nprobe=1)
+    # plan-shape pin on the raw path: the default path's rescore stage
+    # collects its candidate list eagerly, so the returned frame is the
+    # tiny rescore join, not the pruned codes scan
+    pruned = S.ann_cosine_topk_ivfpq(
+        spark, TEST_SF_DIR, index_dir, nprobe=1, rescore_c=None
+    )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     pf = [
         ln
@@ -1076,3 +1085,98 @@ def test_ivf_index_apply_diff_empties_cell(spark, tmp_path):
     }
     assert got == want
     assert not any(v in {int(i) for i in ids} for v, _c in got)
+
+
+def test_pq_and_ivfpq_rescored_default_matches_two_stage_replica(
+    spark, tmp_path
+):
+    """The DEFAULT PQ/IVFADC paths are ADC+R since round 11 (the
+    clustered 10M probe measured raw ADC at recall@5 = 0.00 on dense
+    clusters): approximate top-C candidates from the codes scan, then
+    exact-cosine re-rank. Gate = exact agreement with a pure-numpy
+    two-stage replica built from the persisted artifacts — the same
+    strength as the raw-ADC replica tests, mirroring stage order,
+    the (approx DESC, vec_id) candidate cut, and the final
+    (round(cosine,6) DESC, vec_id) ranking."""
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(list(r["v"]))
+        for r in S._emb(spark, TEST_SF_DIR).collect()
+    }
+
+    def two_stage(ids, recon, c):
+        rnorm = np.linalg.norm(recon, axis=1)
+        want = set()
+        for qid in range(S.N_QUERIES):
+            q = emb[qid]
+            qn = np.linalg.norm(q)
+            sims = np.round(recon @ q / (rnorm * qn + 1e-300), 6)
+            mask = ids != qid
+            cand = np.lexsort((ids[mask], -sims[mask]))[:c]
+            cand_ids = ids[mask][cand]
+            exact = np.round(
+                np.array(
+                    [emb[i] @ q / (np.linalg.norm(emb[i]) * qn) for i in cand_ids]
+                ),
+                6,
+            )
+            order = np.lexsort((cand_ids, -exact))[: S.TOP_K]
+            for rank, oi in enumerate(order, 1):
+                want.add((qid, rank, int(cand_ids[oi]), float(exact[oi])))
+        return want
+
+    # flat PQ
+    pq_dir = str(tmp_path / "pq")
+    S.build_pq_index(spark, TEST_SF_DIR, pq_dir)
+    cb = spark.read.parquet(f"{pq_dir}/_codebooks").collect()
+    m = 1 + max(r["j"] for r in cb)
+    books = np.zeros((m, 1 + max(r["cid"] for r in cb), len(cb[0]["cv"])))
+    for r in cb:
+        books[r["j"], r["cid"]] = r["cv"]
+    code_rows = sorted(
+        (r["vec_id"], list(r["codes"]))
+        for r in spark.read.parquet(pq_dir).collect()
+    )
+    ids = np.array([i for i, _ in code_rows])
+    codes = np.array([cd for _, cd in code_rows])
+    recon = books[np.arange(m), codes].reshape(len(ids), -1)
+    got = {
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in S.ann_cosine_topk_pq_indexed(
+            spark, TEST_SF_DIR, pq_dir
+        ).collect()
+    }
+    assert got == two_stage(ids, recon, S.PQ_RESCORE_C)
+
+    # IVFADC (full probe so cell masking is not in play)
+    ivf_dir = str(tmp_path / "ivfpq")
+    S.build_ivfpq_index(spark, TEST_SF_DIR, ivf_dir, kmeans_iters=2, iters=2)
+    cb = spark.read.parquet(f"{ivf_dir}/_codebooks").collect()
+    m = 1 + max(r["j"] for r in cb)
+    books = np.zeros((m, 1 + max(r["cid"] for r in cb), len(cb[0]["cv"])))
+    for r in cb:
+        books[r["j"], r["cid"]] = r["cv"]
+    cmap = {
+        r["cell_id"]: np.array(list(r["cv"]))
+        for r in spark.read.parquet(f"{ivf_dir}/_centroids").collect()
+    }
+    code_rows = sorted(
+        (r["vec_id"], r["cell_id"], list(r["codes"]))
+        for r in spark.read.parquet(ivf_dir).collect()
+    )
+    ids = np.array([i for i, _, _ in code_rows])
+    codes = np.array([cd for _, _, cd in code_rows])
+    recon = np.stack(
+        [
+            cmap[c] + books[np.arange(m), codes[i]].reshape(-1)
+            for i, (_, c, _) in enumerate(code_rows)
+        ]
+    )
+    got = {
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in S.ann_cosine_topk_ivfpq(
+            spark, TEST_SF_DIR, ivf_dir, nprobe=S.IVF_CELLS
+        ).collect()
+    }
+    assert got == two_stage(ids, recon, S.PQ_RESCORE_C)
