@@ -52,11 +52,32 @@ LSH_BANDS = 8  # 2 bits per band: high candidate recall, still prunes ~3/4
 DIM = 64
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+def _emb(
+    spark: SparkSession, sf_dir: str, scorable: bool = False
+) -> DataFrame:
+    """The shared embeddings loader. NULL embeddings are dropped
+    unconditionally (a NULL is not a point — every consumer's
+    ``np.stack``/dot would otherwise crash; found by the round-11
+    hostile-embeddings sweep). ``scorable=True`` additionally drops
+    zero-norm vectors — cosine is undefined for them, so every cosine
+    SEARCH path (and its index builder, so index and query agree)
+    excludes them, mirrored by the ``n > 0`` predicate in the DuckDB
+    oracles; kmeans/PCA/quantizer-encode paths keep them (a zero
+    vector is a legitimate euclidean point), and semantic_dedup keeps
+    its own documented rule (zero-norm survives at cosine 0)."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
     )
+    if scorable:
+        emb = emb.filter(_norm(F.col("v")) > 0)
+    return emb
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -108,7 +129,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (which ranks on ROUND(cosine, 6)) so numpy-BLAS vs DuckDB
     float-summation order cannot reorder near-ties.
     """
-    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    emb = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     # probe set None = unmasked full scan; the scorer body is shared
     # with both IVF paths so the ranking contract cannot drift
     qmat = [
@@ -123,9 +144,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_COSINE_TOPK_SQL = f"""
 WITH e AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v,
-           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM embeddings
+    -- NULL embeddings are not points; zero-norm vectors have no
+    -- cosine — both excluded from search, mirroring _emb(scorable)
+    SELECT * FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings WHERE embedding IS NOT NULL
+    ) WHERE nrm > 0
 ),
 q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < {N_QUERIES}),
 p AS (
@@ -216,9 +241,13 @@ def _banded_sql() -> str:
     case_key = _case_key_sql()
     return f"""
 e AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v,
-           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM embeddings
+    -- NULL embeddings are not points; zero-norm vectors have no
+    -- cosine — both excluded from search, mirroring _emb(scorable)
+    SELECT * FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings WHERE embedding IS NOT NULL
+    ) WHERE nrm > 0
 ),
 k AS (SELECT vec_id, v, nrm, {", ".join(keys)} FROM e),
 banded AS (
@@ -239,7 +268,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see ``_banded_sql``), so DuckDB produces the identical candidate
     set and the identical surviving pairs.
     """
-    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    emb = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     banded = emb.withColumn("bk", F.explode(_lsh_bands(F.col("v")))).select(
         "vec_id", "v", "norm", "bk.band", "bk.key"
     )
@@ -533,7 +562,7 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking uses round(cosine, 6) in BOTH engines (like the LSH entry)
     so BLAS summation order cannot reorder near-ties.
     """
-    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    emb = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     # driver-resident index metadata: 16 centroids + 10 query vectors
     head = {
         r["vec_id"]: (list(r["v"]), r["norm"])
@@ -584,9 +613,13 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_COSINE_TOPK_IVF_SQL = f"""
 WITH e AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v,
-           sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
-    FROM embeddings
+    -- NULL embeddings are not points; zero-norm vectors have no
+    -- cosine — both excluded from search, mirroring _emb(scorable)
+    SELECT * FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        FROM embeddings WHERE embedding IS NOT NULL
+    ) WHERE nrm > 0
 ),
 c AS (
     SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
@@ -638,7 +671,7 @@ def _coarse_centroids(
     Lloyd centroids (cell ids 0..cells-1)."""
     import math as _math
 
-    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    emb = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     if centroids == "head":
         cent_rows = emb.filter(
             (F.col("vec_id") >= N_QUERIES)
@@ -735,7 +768,7 @@ def build_ivf_index(
     directories across the cluster store, and adding vectors is an
     append to their cell partitions.
     """
-    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    emb = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     cents = _coarse_centroids(spark, sf_dir, cells, centroids, kmeans_iters)
     assigned = _assign_cells(emb, cents)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(index_dir)
@@ -773,7 +806,7 @@ def ann_cosine_topk_ivf_indexed(
     fixture or probe corpus exhibits one; the agreement test would
     surface it.
     """
-    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    emb = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     queries = [
         (r["vec_id"], list(r["v"]), r["norm"])
         for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
@@ -1002,7 +1035,7 @@ def ann_cosine_topk_lsh(
     summation-order caveat, as the IVF index documents); pytest pins
     knob == default on the fixture corpora.
     """
-    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    emb = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     if reproducible:
         keyed = emb.withColumn(
             "keys", F.transform(_lsh_bands(F.col("v")), lambda bk: bk["key"])
@@ -1047,7 +1080,7 @@ def build_lsh_index(
     the hyperplane math runs at query time. Band keys come from the
     same Catalyst expression as the inline entry, so bucket membership
     is bit-identical across both paths and the oracle."""
-    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    emb = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     banded = emb.withColumn("bk", F.explode(_lsh_bands(F.col("v")))).select(
         "vec_id", "v", "norm", F.col("bk.band").alias("band"),
         F.col("bk.key").alias("key"),
@@ -1074,7 +1107,7 @@ def ann_cosine_topk_lsh_indexed(
     rounded cosines before the global rank. Not driver-registered
     (needs the side index); the pytest asserts exact agreement with
     the inline ``ann_cosine_topk_lsh``."""
-    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    emb = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     keyed = emb.withColumn(
         "keys", F.transform(_lsh_bands(F.col("v")), lambda bk: bk["key"])
     )
@@ -1279,7 +1312,10 @@ def _pca_sql(mean: list[float], comps: list[list[float]]) -> str:
             "ROUND(list_dot_product(list_transform(embedding, x -> "
             f"CAST(x AS DOUBLE)), {lit}) - ({md!r}), 6)"
         )
-    return f"SELECT vec_id, [{', '.join(cols)}] AS pc FROM embeddings"
+    return (
+        f"SELECT vec_id, [{', '.join(cols)}] AS pc FROM embeddings "
+        "WHERE embedding IS NOT NULL"
+    )
 
 
 # --- k-means over the embedding column ---------------------------------------
@@ -1430,7 +1466,13 @@ def embedding_kmeans(
 # fit in memory (Jégou, Douze & Schmid, "Product quantization for
 # nearest neighbor search", TPAMI 2011).
 PQ_M = 8
-PQ_K = 16
+# k=256 = 8 bits per subspace — the standard PQ geometry, and the SAME
+# 8-bytes/vector budget k=16 half-used (4 bits). The round-11 10M A/B
+# (BASELINE.md): at matched rescore, k=256 lifts recall@5 0.26→0.62
+# (pq iso), 0.28→0.72 (ivfpq iso), 0.00→0.36/0.28 (clustered, with
+# returned-cosine quality within 0.002 of optimal); the only cost is
+# one-time fit wall (~4× Lloyd GEMM) and a 256-row LUT per subspace.
+PQ_K = 256
 PQ_ITERS = 5
 
 
@@ -1595,7 +1637,7 @@ def build_pq_index(
                 {"vec_id": pdf["vec_id"], "codes": list(codes)}
             )
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, scorable=True)
     emb.mapInPandas(_encode, "vec_id long, codes array<int>").write.mode(
         "overwrite"
     ).parquet(index_dir)
@@ -1640,7 +1682,7 @@ def ann_cosine_topk_pq_indexed(
     """
     import numpy as np
 
-    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    emb = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
     cb = spark.read.parquet(f"{index_dir}/_codebooks").collect()
     m = 1 + max(r["j"] for r in cb)
@@ -1738,7 +1780,7 @@ def build_ivfpq_index(
     """
     import numpy as np
 
-    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    emb = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     cents_l = _coarse_centroids(spark, sf_dir, cells, centroids, kmeans_iters)
     cid_arr = np.array([c[0] for c in cents_l], dtype=np.int64)
     cm = np.array([c[1] for c in cents_l], dtype=np.float64)
@@ -1851,7 +1893,7 @@ def ann_cosine_topk_ivfpq(
     """
     import numpy as np
 
-    emb = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    emb = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     qrows = emb.filter(F.col("vec_id") < N_QUERIES).collect()
     cents = sorted(
         (r["cell_id"], list(r["cv"]), r["cn"])
@@ -2153,7 +2195,8 @@ def _sq8_code_hex_sql() -> str:
     los = ", ".join(f"min(v[{d + 1}])" for d in range(DIM))
     his = ", ".join(f"max(v[{d + 1}])" for d in range(DIM))
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE embedding IS NOT NULL),
 mm AS (SELECT [{los}] AS lo, [{his}] AS hi FROM e)
 SELECT vec_id,
        array_to_string(list_transform(range(0, {DIM}), d ->
@@ -2180,7 +2223,7 @@ def build_sq8_index(
     query time so index and query can never disagree). Encoding is the
     codegen'd expression — no Python anywhere in the build."""
     vmin, vmax = sq8_fit(spark, sf_dir)
-    _emb(spark, sf_dir).select(
+    _emb(spark, sf_dir, scorable=True).select(
         "vec_id", _sq8_code_expr(vmin, vmax).alias("codes")
     ).write.mode("overwrite").parquet(index_dir)
     spark.createDataFrame(
@@ -2210,7 +2253,7 @@ def _sq8_search(
     scales; recall is what the 10M probe measures."""
     import numpy as np
 
-    embq = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    embq = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     qrows = embq.filter(F.col("vec_id") < N_QUERIES).collect()
     qm = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
     qn = np.array([r["norm"] for r in qrows], dtype=np.float64)
@@ -2263,7 +2306,7 @@ def _exact_rescore(
     ≤ |Q|·C-sized — driver-bounded by design."""
     from pyspark.sql import Window as W
 
-    embq = _emb(spark, sf_dir).withColumn("norm", _norm(F.col("v")))
+    embq = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
     qrows = embq.filter(F.col("vec_id") < N_QUERIES).collect()
     cand = (
         partial.withColumn(
@@ -2313,7 +2356,7 @@ def ann_cosine_topk_sq8(
     search in one plan (the inline sibling of
     ``ann_cosine_topk_sq8_indexed``, like the inline IVF/LSH entries)."""
     vmin, vmax = sq8_fit(spark, sf_dir)
-    codes_df = _emb(spark, sf_dir).select(
+    codes_df = _emb(spark, sf_dir, scorable=True).select(
         "vec_id", _sq8_code_expr(vmin, vmax).alias("codes")
     )
     return _sq8_search(spark, sf_dir, codes_df, vmin, vmax, rescore_c)

@@ -108,6 +108,13 @@ def main() -> None:
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--dist", choices=["iso", "clustered"], default="iso")
+    ap.add_argument(
+        "--pq-k",
+        type=int,
+        default=None,
+        help="subquantizer codebook size for pq_indexed/ivfpq "
+        "(default: the module PQ_K)",
+    )
     args = ap.parse_args()
 
     spark = probe_session(f"probe_ann_{args.op}")
@@ -221,9 +228,10 @@ def main() -> None:
         # throughput/size numbers are the point.
         import os as _os
 
-        index_dir = f"{sf_dir}/pq_index"
+        pq_k = args.pq_k or similarity.PQ_K
+        index_dir = f"{sf_dir}/pq_index_{pq_k}"
         t0 = time.perf_counter()
-        similarity.build_pq_index(spark, sf_dir, index_dir)
+        similarity.build_pq_index(spark, sf_dir, index_dir, k=pq_k)
         build_sec = round(time.perf_counter() - t0, 1)
         idx_bytes = sum(
             _os.path.getsize(_os.path.join(r, f))
@@ -274,9 +282,10 @@ def main() -> None:
     elif args.op == "ivfpq":
         # the full IVFADC: kmeans cells (partition-pruned probes) +
         # residual-PQ codes (compressed in-cell ADC)
-        index_dir = f"{sf_dir}/ivfpq_index"
+        pq_k = args.pq_k or similarity.PQ_K
+        index_dir = f"{sf_dir}/ivfpq_index_{pq_k}"
         t0 = time.perf_counter()
-        similarity.build_ivfpq_index(spark, sf_dir, index_dir)
+        similarity.build_ivfpq_index(spark, sf_dir, index_dir, k=pq_k)
         build_sec = round(time.perf_counter() - t0, 1)
         builders["ivfpq"] = (
             lambda s, d: similarity.ann_cosine_topk_ivfpq(s, d, index_dir)

@@ -67,19 +67,34 @@ HOSTILE_DOCS = [
 @pytest.fixture(scope="session")
 def hostile_sf_dir(tmp_path_factory):
     """A scale-factor dir whose documents table is sf0.001 UNION the
-    planted ragged docs above; every other table symlinks sf0.001 so
-    any registered query can run against it."""
+    planted ragged docs above, and whose embeddings table plants a
+    zero-norm vector and a NULL embedding (the shapes a production
+    encoder emits for empty/failed inputs — the round-11 sweep found
+    every cosine op crashing on them); every other table symlinks
+    sf0.001 so any registered query can run against it."""
     import duckdb
 
     out = tmp_path_factory.mktemp("hostile_sf")
     src = TEST_SF_DIR
     for t in (
-        "region nation customer supplier part orders lineitem events "
-        "embeddings".split()
+        "region nation customer supplier part orders lineitem "
+        "events".split()
     ):
         p = os.path.join(src, f"{t}.parquet")
         if os.path.exists(p):
             os.symlink(p, out / f"{t}.parquet")
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/embeddings.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (8000000::BIGINT, list_transform(range(64), x -> 0.0::FLOAT), 0),
+            (8000001::BIGINT, NULL, 0)
+          ) t(vec_id, embedding, label)
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE planted (doc_id BIGINT, text VARCHAR, lang VARCHAR, "

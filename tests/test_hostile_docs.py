@@ -75,10 +75,10 @@ def _sweepable(fn) -> bool:
 
 def _collect() -> dict[str, tuple]:
     pairs: dict[str, tuple] = {}
-    # 1) registered entries whose oracle reads documents
+    # 1) registered entries whose oracle reads documents or embeddings
     queries = registry.all_queries()
     for name, sql in registry.all_oracle_sql().items():
-        if "documents" in sql:
+        if "documents" in sql or "embeddings" in sql:
             pairs[name] = (queries[name], sql)
     # 2) convention-named (fn, FN_SQL) pairs in the operator modules
     for m in _MODULES:
@@ -88,7 +88,7 @@ def _collect() -> dict[str, tuple]:
             sql = getattr(m, name.upper() + "_SQL", None)
             if (
                 isinstance(sql, str)
-                and "documents" in sql
+                and ("documents" in sql or "embeddings" in sql)
                 and name not in pairs
                 and _sweepable(fn)
             ):
@@ -118,7 +118,7 @@ def test_sweep_is_complete():
             sql = getattr(m, cname)
             if (
                 isinstance(sql, str)
-                and "documents" in sql
+                and ("documents" in sql or "embeddings" in sql)
                 and formatted.get(sql, sql) not in swept_sqls
             ):
                 missing.append(f"{m.__name__.split('.')[-1]}.{cname}")
@@ -130,3 +130,25 @@ def test_hostile_oracle_parity(spark, hostile_sf_dir, name):
     fn, sql = _PAIRS[name]
     ok, msg = compare(fn(spark, hostile_sf_dir), sql, hostile_sf_dir)
     assert ok, f"{name}: {msg}"
+
+
+def test_hostile_embeddings_indexed_variants(spark, hostile_sf_dir, tmp_path):
+    """The persisted-index ANN paths on the hostile embeddings table
+    (zero-norm + NULL vectors): builders exclude unsearchable rows
+    (scorable semantics), queries run clean, and no hostile vec_id can
+    appear in any result — a zero-norm vector has no cosine."""
+    from fledge_south_csvplayback_spark.operators import similarity as S
+
+    builders = [
+        (S.build_ivf_index, S.ann_cosine_topk_ivf_indexed),
+        (S.build_lsh_index, S.ann_cosine_topk_lsh_indexed),
+        (S.build_pq_index, S.ann_cosine_topk_pq_indexed),
+        (S.build_sq8_index, S.ann_cosine_topk_sq8_indexed),
+        (S.build_ivfpq_index, S.ann_cosine_topk_ivfpq),
+    ]
+    for i, (build, query) in enumerate(builders):
+        d = str(tmp_path / f"idx{i}")
+        build(spark, hostile_sf_dir, d)
+        rows = query(spark, hostile_sf_dir, d).collect()
+        assert rows, build.__name__
+        assert all(r.vec_id < 8000000 for r in rows), build.__name__
