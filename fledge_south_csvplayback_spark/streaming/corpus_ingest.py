@@ -77,6 +77,39 @@ def seed_text_neardup_index(
     ).parquet(f"{index_dir}/shingle_df/ingest_batch=-1")
 
 
+def compact_text_neardup_index(spark: SparkSession, index_dir: str) -> None:
+    """Maintenance: fold every accepted shingle-df partition into the
+    seed partition (``ingest_batch=-1``) so the per-batch probe's
+    df re-sum — the one corpus-proportional step in ``_neardup_gate``
+    — reads one pre-summed table instead of N partitions. Bands and
+    shingles keep their per-batch partitions (they carry doc-level
+    rows the probe prunes by key, and their lineage is what the
+    exclusion filter and diff maintenance target).
+
+    Run it BETWEEN batches and only for batch ids past the stream's
+    checkpoint horizon: a batch re-delivered AFTER its df rows folded
+    into the seed can no longer exclude its own df contribution, which
+    over-counts its shingles toward SHINGLE_DF_CAP — the documented
+    stricter-cap/near-cap-recall trade, never a correctness error on
+    pairs already written. The swap is write-staging-then-rename so a
+    crash leaves either the old partitions or the complete compacted
+    one, never a half state."""
+    import os
+    import shutil
+
+    df_dir = f"{index_dir}/shingle_df"
+    merged = (
+        spark.read.parquet(df_dir)
+        .groupBy("s")
+        .agg(F.sum("df").alias("df"))
+    )
+    tmp = f"{index_dir}/shingle_df_compacting"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(df_dir)
+    os.makedirs(df_dir)
+    os.rename(tmp, f"{df_dir}/ingest_batch=-1")
+
+
 def _neardup_gate(
     survivors: DataFrame, batch_id: int, index_dir: str, out_dir: str
 ) -> None:

@@ -237,3 +237,64 @@ def test_text_neardup_gate_replay_idempotent(spark, tmp_path):
         ).collect()
     )
     assert replayed == first
+
+
+def test_compact_text_neardup_index_preserves_next_batch_pairs(
+    spark, tmp_path
+):
+    """Compacting the shingle-df partitions between batches must not
+    change what the NEXT batch mines: run shard1 on two identical
+    index copies, compact one, accept shard2 on both — identical pair
+    rows; and the compacted df table is a single seed partition whose
+    per-shingle totals equal the uncompacted sum."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    corpus, shards, _ = _nd_fixture(spark)
+    idx_a = str(tmp_path / "idx_a")
+    idx_b = str(tmp_path / "idx_b")
+    out_a = str(tmp_path / "out_a")
+    out_b = str(tmp_path / "out_b")
+    CI.seed_text_neardup_index(spark, corpus, idx_a)
+    CI.accept_batch(shards[0], 0, out_a, index_dir=idx_a)
+    shutil.copytree(idx_a, idx_b)
+
+    CI.compact_text_neardup_index(spark, idx_b)
+    parts = {
+        d
+        for d in os.listdir(f"{idx_b}/shingle_df")
+        if d.startswith("ingest_batch=")
+    }
+    assert parts == {"ingest_batch=-1"}
+    tot_a = {
+        r.s: r.t
+        for r in spark.read.parquet(f"{idx_a}/shingle_df")
+        .groupBy("s")
+        .agg(F.sum("df").alias("t"))
+        .collect()
+    }
+    tot_b = {
+        r.s: r.t
+        for r in spark.read.parquet(f"{idx_b}/shingle_df").select(
+            "s", F.col("df").alias("t")
+        ).collect()
+    }
+    assert tot_a == tot_b
+
+    CI.accept_batch(shards[1], 1, out_a, index_dir=idx_a)
+    CI.accept_batch(shards[1], 1, out_b, index_dir=idx_b)
+    pairs_a = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            f"{out_a}/neardup_pairs/ingest_batch=1"
+        ).collect()
+    )
+    pairs_b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            f"{out_b}/neardup_pairs/ingest_batch=1"
+        ).collect()
+    )
+    assert pairs_a and pairs_a == pairs_b
