@@ -166,7 +166,11 @@ def sessionize(
 
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    # an event with no timestamp cannot be placed in a session — and
+    # an UNFILTERED NULL ts diverges silently: Spark windows order
+    # NULLs first, DuckDB last, so the same row splits a different
+    # session (hostile-events sweep). Explicit on both sides.
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     s = sessionize(ev, "user_id", "ts", SESSION_GAP_S)
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -184,6 +188,7 @@ WITH g AS (
                      > CAST({SESSION_GAP_S} AS BIGINT) * 1000000
                 THEN 1 ELSE 0 END AS is_new
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 s AS (
@@ -224,8 +229,12 @@ SELECT event_type,
        ROUND(AVG(k), 6) AS avg_k,
        CAST(COUNT(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_high
 FROM (
+    -- json_valid guard: DuckDB's json_extract ERRORS on malformed
+    -- props where Spark's from_json returns NULL (hostile sweep)
     SELECT event_type,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+           CASE WHEN json_valid(props)
+                THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS k
     FROM events
 )
 GROUP BY event_type
@@ -235,7 +244,9 @@ ORDER BY event_type
 
 # --- hourly tumbling-window rollup ------------------------------------------
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    # F.window() silently drops NULL-ts rows; filter explicitly so the
+    # semantics are stated and the oracle mirrors them
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(
             F.window("ts", "1 hour").start.alias("hour"), "event_type"
@@ -252,6 +263,7 @@ EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
@@ -521,9 +533,15 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ISO Monday, so cohort keys agree cross-engine.
 
     Output: (cohort_week, week_offset, n_users), offset 0 = the
-    cohort's own first week.
+    cohort's own first week. NULL-ts events have no week (and would
+    poison the running cohort min differently under the two engines'
+    NULL orderings) — excluded on both sides.
     """
-    ev = _events(spark, sf_dir).select("user_id", "ts")
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts")
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts")
@@ -550,6 +568,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_RETENTION_SQL = """
 WITH e AS (
     SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    WHERE ts IS NOT NULL
 ),
 c AS (
     SELECT user_id,

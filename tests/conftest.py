@@ -76,10 +76,7 @@ def hostile_sf_dir(tmp_path_factory):
 
     out = tmp_path_factory.mktemp("hostile_sf")
     src = TEST_SF_DIR
-    for t in (
-        "region nation customer supplier part orders lineitem "
-        "events".split()
-    ):
+    for t in "region nation customer supplier part orders lineitem".split():
         p = os.path.join(src, f"{t}.parquet")
         if os.path.exists(p):
             os.symlink(p, out / f"{t}.parquet")
@@ -93,6 +90,24 @@ def hostile_sf_dir(tmp_path_factory):
             (8000001::BIGINT, NULL, 0)
           ) t(vec_id, embedding, label)
         ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    # hostile events: anonymous (NULL user), NULL type/ts/value,
+    # malformed/NULL props, and an exact (user, ts) tie — the shapes a
+    # real clickstream delivers that the synthetic table never does
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/events.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (9000000::BIGINT, TIMESTAMP '2024-01-02 00:00:01', NULL, 'click', 1.0, '{{"k": 1}}'),
+            (9000001::BIGINT, NULL, 5::BIGINT, 'click', 1.0, '{{"k": 2}}'),
+            (9000002::BIGINT, TIMESTAMP '2024-01-02 00:00:02', 5::BIGINT, NULL, NULL, NULL),
+            (9000003::BIGINT, TIMESTAMP '2024-01-02 00:00:03', 5::BIGINT, 'purchase', 2.5, 'not json'),
+            (9000004::BIGINT, TIMESTAMP '2024-01-02 00:00:03', 5::BIGINT, 'click', 0.0, '{{}}')
+          ) t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{out}/events.parquet' (FORMAT PARQUET)
         """
     )
     con = duckdb.connect()

@@ -31,6 +31,7 @@ from fledge_south_csvplayback_spark import registry
 from fledge_south_csvplayback_spark.operators import (
     curation,
     dedup,
+    events,
     multimodal,
     selection,
     similarity,
@@ -38,7 +39,7 @@ from fledge_south_csvplayback_spark.operators import (
 )
 from tests.oracle_harness import compare
 
-_MODULES = [text, curation, dedup, selection, similarity, multimodal]
+_MODULES = [text, curation, dedup, selection, similarity, multimodal, events]
 
 # (name, fn, SQL) triples whose constant names do not line up
 # mechanically with the function name; dedup_simhash appears twice
@@ -62,6 +63,17 @@ _EXPLICIT = [
 ]
 
 
+def _hostile_table(sql: str) -> bool:
+    """True if the oracle reads a table the hostile fixture mutates."""
+    import re as _re
+
+    return (
+        "documents" in sql
+        or "embeddings" in sql
+        or _re.search(r"\bevents\b", sql) is not None
+    )
+
+
 def _sweepable(fn) -> bool:
     sig = inspect.signature(fn)
     ps = list(sig.parameters.values())
@@ -78,7 +90,7 @@ def _collect() -> dict[str, tuple]:
     # 1) registered entries whose oracle reads documents or embeddings
     queries = registry.all_queries()
     for name, sql in registry.all_oracle_sql().items():
-        if "documents" in sql or "embeddings" in sql:
+        if _hostile_table(sql):
             pairs[name] = (queries[name], sql)
     # 2) convention-named (fn, FN_SQL) pairs in the operator modules
     for m in _MODULES:
@@ -88,7 +100,7 @@ def _collect() -> dict[str, tuple]:
             sql = getattr(m, name.upper() + "_SQL", None)
             if (
                 isinstance(sql, str)
-                and ("documents" in sql or "embeddings" in sql)
+                and _hostile_table(sql)
                 and name not in pairs
                 and _sweepable(fn)
             ):
@@ -118,7 +130,7 @@ def test_sweep_is_complete():
             sql = getattr(m, cname)
             if (
                 isinstance(sql, str)
-                and ("documents" in sql or "embeddings" in sql)
+                and _hostile_table(sql)
                 and formatted.get(sql, sql) not in swept_sqls
             ):
                 missing.append(f"{m.__name__.split('.')[-1]}.{cname}")
