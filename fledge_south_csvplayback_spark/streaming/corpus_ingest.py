@@ -192,6 +192,7 @@ def accept_batch(
     passing = batch_df.filter(q["keep"]).withColumn(
         "fingerprint", F.md5(F.col("text"))
     )
+    n_quality = passing.count()  # pre-anti-join: the quality-gate count
     try:
         seen = (
             batch_df.sparkSession.read.parquet(fps_dir)
@@ -226,6 +227,28 @@ def accept_batch(
         )
         if index_dir is not None:
             _neardup_gate(survivors, batch_id, index_dir, out_dir)
+        # per-batch acceptance counters — the streaming counterpart of
+        # the playback engine's A4 throughput counters, written as a
+        # one-row lineage partition so the replay overwrite rule holds
+        # for metrics too; counts the pipeline already materialized
+        # (survivors is persisted, the batch scan is one extra pass)
+        spark = batch_df.sparkSession
+        n_input = batch_df.count()
+        n_accepted = survivors.count()
+        n_pairs = (
+            spark.read.parquet(
+                f"{out_dir}/neardup_pairs/ingest_batch={batch_id}"
+            ).count()
+            if index_dir is not None
+            else None
+        )
+        spark.createDataFrame(
+            [(n_input, n_quality, n_accepted, n_pairs)],
+            "n_input long, n_quality_pass long, n_accepted long, "
+            "n_neardup_pairs long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/metrics/ingest_batch={batch_id}"
+        )
     finally:
         survivors.unpersist()
 

@@ -298,3 +298,33 @@ def test_compact_text_neardup_index_preserves_next_batch_pairs(
         ).collect()
     )
     assert pairs_a and pairs_a == pairs_b
+
+
+def test_ingest_metrics_partitions(spark, tmp_path):
+    """Each accepted batch writes a one-row metrics partition whose
+    counters reconcile exactly with the batch's outputs, and replay
+    rewrites the same row (the overwrite rule applies to metrics too)."""
+    corpus, shards, _ = _nd_fixture(spark)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    CI.seed_text_neardup_index(spark, corpus, idx)
+    CI.accept_batch(shards[0], 0, out, index_dir=idx)
+    m = spark.read.parquet(f"{out}/metrics/ingest_batch=0").collect()
+    assert len(m) == 1
+    r = m[0]
+    assert r.n_input == shards[0].count()
+    assert r.n_accepted == spark.read.parquet(
+        f"{out}/corpus/ingest_batch=0"
+    ).count()
+    assert r.n_neardup_pairs == spark.read.parquet(
+        f"{out}/neardup_pairs/ingest_batch=0"
+    ).count()
+    assert r.n_input >= r.n_quality_pass >= r.n_accepted
+    CI.accept_batch(shards[0], 0, out, index_dir=idx)  # replay
+    m2 = spark.read.parquet(f"{out}/metrics/ingest_batch=0").collect()
+    assert len(m2) == 1 and tuple(m2[0]) == tuple(r)
+    # metrics also written on the exact-only path (no index_dir)
+    out2 = str(tmp_path / "out2")
+    CI.accept_batch(shards[1], 0, out2)
+    m3 = spark.read.parquet(f"{out2}/metrics/ingest_batch=0").collect()
+    assert len(m3) == 1 and m3[0].n_neardup_pairs is None
