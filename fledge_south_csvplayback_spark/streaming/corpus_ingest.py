@@ -147,9 +147,19 @@ def _neardup_gate(
         .agg(F.sum("df").alias("df"))
     )
     batch_docs = survivors.select("doc_id", "text")
-    _neardup_probe(batch_docs, idx_bands, idx_sh, idx_df).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/neardup_pairs/ingest_batch={batch_id}")
+    # the probe pins batch-sized frames in executor memory; a forever
+    # stream must release them per batch or they accumulate — the
+    # probe's `cached` contract
+    probe_caches: list = []
+    try:
+        _neardup_probe(
+            batch_docs, idx_bands, idx_sh, idx_df, cached=probe_caches
+        ).write.mode("overwrite").parquet(
+            f"{out_dir}/neardup_pairs/ingest_batch={batch_id}"
+        )
+    finally:
+        for frame in probe_caches:
+            frame.unpersist()
     # acceptance: the batch's rows become next batches' index state
     # (same-path overwrite keeps re-delivery idempotent)
     sh_dir = f"{index_dir}/shingles/ingest_batch={batch_id}"
