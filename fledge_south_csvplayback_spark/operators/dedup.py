@@ -1060,7 +1060,7 @@ def _neardup_probe(
     idx_bands: DataFrame,
     idx_shingles: DataFrame,
     idx_df: DataFrame,
-    cached: list | None = None,
+    cached: dict | None = None,
 ) -> DataFrame:
     """The probe core of ``neardup_ingest`` over explicit index frames
     — shared with the streaming text-ingest loop
@@ -1074,11 +1074,14 @@ def _neardup_probe(
     id-ordering promise the split-threshold wrapper could rely on.
 
     ``cached`` (optional) collects every frame this probe pins in
-    executor memory: the one-shot wrapper lets the session end reclaim
-    them (the dedup-module cache policy), but a forever-stream calling
-    this per batch MUST unpersist after writing the pairs or the
-    caches accumulate across batches — the streaming gate passes a
-    list and drains it."""
+    executor memory, keyed by name: the one-shot wrapper lets the
+    session end reclaim them (the dedup-module cache policy), but a
+    forever-stream calling this per batch MUST unpersist after writing
+    the pairs or the caches accumulate across batches — the streaming
+    gate passes a dict, REUSES ``batch_sh``/``batch_bands``/
+    ``batch_df`` to write its index partitions (the probe already
+    computed exactly those tables — re-deriving them would shingle
+    the batch twice), then drains it."""
 
     def bounded(t: DataFrame, n: int) -> DataFrame:
         # every broadcast here is GUARDED (the HOT_BROADCAST_MAX
@@ -1089,12 +1092,12 @@ def _neardup_probe(
 
     batch_sh = _shingled_docs(batch_docs).cache()
     if cached is not None:
-        cached.append(batch_sh)
+        cached["batch_sh"] = batch_sh
     batch_idx = batch_sh.select("doc_id", F.explode("sh").alias("s"))
     batch_bands = _lsh_band_table(minhash_signatures(batch_idx))
     batch_bands = batch_bands.cache()
     if cached is not None:
-        cached.append(batch_bands)
+        cached["batch_bands"] = batch_bands
     n_bands = batch_bands.count()  # materialize: probed twice
 
     # The caller must hand in index frames DISJOINT from the batch
@@ -1138,7 +1141,7 @@ def _neardup_probe(
     # batch doc; within pairs two batch docs; the id sets are disjoint)
     cands = cross.union(within).cache()
     if cached is not None:
-        cached.append(cands)
+        cached["cands"] = cands
     n_cands = cands.count()  # materialize: feeds the slice AND the final join
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
@@ -1153,7 +1156,7 @@ def _neardup_probe(
     batch_df = batch_idx.groupBy("s").agg(F.count(F.lit(1)).alias("bdf"))
     batch_df = batch_df.cache()
     if cached is not None:
-        cached.append(batch_df)
+        cached["batch_df"] = batch_df
     n_bdf = batch_df.count()  # materialize: hot's two branches race it
     hot = (
         idx_df.join(bounded(batch_df, n_bdf), "s", "left")

@@ -149,30 +149,32 @@ def _neardup_gate(
     batch_docs = survivors.select("doc_id", "text")
     # the probe pins batch-sized frames in executor memory; a forever
     # stream must release them per batch or they accumulate — the
-    # probe's `cached` contract
-    probe_caches: list = []
+    # probe's `cached` contract. The SAME frames are the index rows to
+    # append (shingles / band rows / per-shingle df), so acceptance
+    # reuses them instead of shingling the batch a second time;
+    # same-path overwrite keeps re-delivery idempotent (this is the
+    # streaming-safe form of media_index_append).
+    caches: dict = {}
     try:
         _neardup_probe(
-            batch_docs, idx_bands, idx_sh, idx_df, cached=probe_caches
+            batch_docs, idx_bands, idx_sh, idx_df, cached=caches
         ).write.mode("overwrite").parquet(
             f"{out_dir}/neardup_pairs/ingest_batch={batch_id}"
         )
+        caches["batch_sh"].write.mode("overwrite").parquet(
+            f"{index_dir}/shingles/ingest_batch={batch_id}"
+        )
+        caches["batch_bands"].write.mode("overwrite").parquet(
+            f"{index_dir}/bands/ingest_batch={batch_id}"
+        )
+        caches["batch_df"].select(
+            "s", F.col("bdf").alias("df")
+        ).write.mode("overwrite").parquet(
+            f"{index_dir}/shingle_df/ingest_batch={batch_id}"
+        )
     finally:
-        for frame in probe_caches:
+        for frame in caches.values():
             frame.unpersist()
-    # acceptance: the batch's rows become next batches' index state
-    # (same-path overwrite keeps re-delivery idempotent)
-    sh_dir = f"{index_dir}/shingles/ingest_batch={batch_id}"
-    _shingled_docs(batch_docs).write.mode("overwrite").parquet(sh_dir)
-    batch_idx = spark.read.parquet(sh_dir).select(
-        "doc_id", F.explode("sh").alias("s")
-    )
-    _lsh_band_table(minhash_signatures(batch_idx)).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/bands/ingest_batch={batch_id}")
-    batch_idx.groupBy("s").agg(F.count(F.lit(1)).alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/shingle_df/ingest_batch={batch_id}")
 
 
 def accept_batch(
