@@ -116,6 +116,21 @@ def media_accept_batch(
         batch_keys.write.mode("overwrite").parquet(
             f"{index_dir}/bands/ingest_batch={batch_id}"
         )
+        # per-batch counters under the same lineage/overwrite layout
+        # (the corpus_ingest metrics convention)
+        spark.createDataFrame(
+            [
+                (
+                    batch_df.count(),
+                    spark.read.parquet(
+                        f"{out_dir}/pairs/ingest_batch={batch_id}"
+                    ).count(),
+                )
+            ],
+            "n_input long, n_pairs long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/metrics/ingest_batch={batch_id}"
+        )
     finally:
         batch_keys.unpersist()
 

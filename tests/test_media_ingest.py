@@ -149,3 +149,23 @@ def test_media_accept_batch_per_doc_min(spark, tmp_path):
     got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
     assert got[(7, 100)] == 0          # min over the two frame matches
     assert len([k for k in got if k == (7, 100)]) == 1
+
+
+def test_media_ingest_metrics_partitions(spark, tmp_path):
+    """Each accepted batch writes a one-row metrics partition that
+    reconciles with its outputs and rewrites identically on replay."""
+    corpus, shards, _ = _fixture(spark)
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    MI.seed_media_index(spark, corpus, idx)
+    MI.media_accept_batch(shards[0], 0, idx, out)
+    m = spark.read.parquet(f"{out}/metrics/ingest_batch=0").collect()
+    assert len(m) == 1
+    r = m[0]
+    assert r.n_input == shards[0].count()
+    assert r.n_pairs == spark.read.parquet(
+        f"{out}/pairs/ingest_batch=0"
+    ).count()
+    MI.media_accept_batch(shards[0], 0, idx, out)  # replay
+    m2 = spark.read.parquet(f"{out}/metrics/ingest_batch=0").collect()
+    assert len(m2) == 1 and tuple(m2[0]) == tuple(r)
