@@ -2472,6 +2472,99 @@ def contamination_flags(
     )
 
 
+def contamination_attribution(
+    docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM
+) -> DataFrame:
+    """WHICH benchmark row leaked into which document — the audit the
+    boolean flags can't answer (a release gate wants "these 40 docs
+    leak MMLU item 1234", not just "contaminated"). Output:
+    (doc_id, bench_id, n_hits) for every contaminated pair, n_hits =
+    how many of the doc's distinct (window, gram) keys that benchmark
+    row contains; clean docs simply don't appear (inner semantics —
+    the flags entry is the EVERY-doc view).
+
+    Same work shape as ``contamination_flags``: per-row adaptive
+    windows (ne = least(n, len)), the benchmark gram set broadcast
+    (now keyed by bench_id — still eval-sized), corpus grams exploded
+    once per distinct ne, hit rows leak-sized before the (doc, bench)
+    aggregate."""
+    from fledge_south_csvplayback_spark.operators.dedup import shingles
+
+    ne_values = _bench_window_sizes(benchmark, n)
+    if not ne_values:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, bench_id long, n_hits long"
+        )
+    bench = benchmark.filter(F.trim(F.col("text")) != "")
+    sz_b = F.size(F.split(F.col("text"), " "))
+    bg_frames = [
+        bench.filter(sz_b >= n if ne == n else sz_b == ne).select(
+            "bench_id",
+            F.lit(ne).alias("ne"),
+            F.explode(shingles(F.col("text"), ne)).alias("g"),
+        )
+        for ne in ne_values
+    ]
+    bg = bg_frames[0]
+    for f in bg_frames[1:]:
+        bg = bg.unionByName(f)
+    bg = _guarded_broadcast(bg.distinct())
+    sz = F.size(F.split(F.col("text"), " "))
+    gram_frames = [
+        docs.filter(sz >= ne).select(
+            "doc_id",
+            F.lit(ne).alias("ne"),
+            F.explode(shingles(F.col("text"), ne)).alias("g"),
+        )
+        for ne in ne_values
+    ]
+    doc_grams = gram_frames[0]
+    for f in gram_frames[1:]:
+        doc_grams = doc_grams.unionByName(f)
+    return (
+        doc_grams.join(bg, ["ne", "g"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+
+
+def corpus_contamination_sources(
+    spark: SparkSession, sf_dir: str, n: int = DECON_NGRAM
+) -> DataFrame:
+    """Oracle entry: attribution against the stand-in benchmark."""
+    return contamination_attribution(
+        _docs(spark, sf_dir), _benchmark(spark, sf_dir), n
+    )
+
+
+def _contamination_sources_sql(n: int = DECON_NGRAM) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bw AS (
+    SELECT doc_id AS bench_id, t, LEAST({n}, len(t)) AS ne
+    FROM toks
+    WHERE doc_id % 97 = 0 AND trim(array_to_string(t, ' ')) != ''
+),
+bg AS (
+    SELECT DISTINCT bench_id, ne, array_to_string(t[i:i+ne-1], ' ') AS g
+    FROM bw, unnest(generate_series(1, len(t) - ne + 1)) r(i)
+),
+w AS (SELECT DISTINCT ne FROM bw),
+dg AS (
+    SELECT DISTINCT doc_id, w.ne,
+           array_to_string(t[i:i+w.ne-1], ' ') AS g
+    FROM toks, w, unnest(generate_series(1, len(t) - w.ne + 1)) r(i)
+    WHERE len(t) >= w.ne
+)
+SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM dg JOIN bg USING (ne, g)
+GROUP BY 1, 2
+"""
+
+
+CORPUS_CONTAMINATION_SOURCES_SQL = _contamination_sources_sql()
+
+
 def corpus_decontaminate(
     spark: SparkSession, sf_dir: str, n: int = DECON_NGRAM
 ) -> DataFrame:

@@ -182,15 +182,25 @@ def accept_batch(
     batch_id: int,
     out_dir: str,
     index_dir: str | None = None,
+    benchmark: DataFrame | None = None,
 ) -> None:
     """The per-batch acceptance body (module-level so re-delivery is
-    directly testable): quality gate → anti-join vs every OTHER
-    batch's accepted fingerprints → within-batch keep-first → write
-    both outputs under ``ingest_batch=<id>`` with overwrite. With
+    directly testable): quality gate → benchmark-decontamination gate
+    (when ``benchmark`` is given) → anti-join vs every OTHER batch's
+    accepted fingerprints → within-batch keep-first → write both
+    outputs under ``ingest_batch=<id>`` with overwrite. With
     ``index_dir`` set, the accepted docs additionally run the near-dup
     gate (``_neardup_gate``): band-index probe for the pairs this
     batch introduces + index growth — exact duplicates alone can't
     catch a re-crawl that changed one sentence.
+
+    The decontamination gate is ingest-time eval integrity: a doc
+    sharing an n-gram window with the held-out benchmark never ENTERS
+    the corpus (the batch-side ``corpus_decontaminate`` audits a
+    corpus that already leaked; the right place to stop the leak is
+    acceptance). The benchmark is eval-set-sized by contract, so the
+    gate is the same broadcast gram join as ``contamination_flags``
+    over one micro-batch — batch-sized work.
 
     The state read excludes THIS batch id: foreachBatch is
     at-least-once, and a re-delivery after the previous attempt
@@ -198,6 +208,10 @@ def accept_batch(
     batch) would otherwise anti-join the batch against its own
     fingerprints — emptying the replayed outputs instead of rewriting
     them. Pinned by the replay pytest."""
+    from fledge_south_csvplayback_spark.operators.curation import (
+        contamination_flags,
+    )
+
     corpus_dir = f"{out_dir}/corpus"
     fps_dir = f"{out_dir}/fingerprints"
     q = _quality_cols(F.col("text"))
@@ -205,6 +219,13 @@ def accept_batch(
         "fingerprint", F.md5(F.col("text"))
     )
     n_quality = passing.count()  # pre-anti-join: the quality-gate count
+    n_contaminated = None
+    if benchmark is not None:
+        clean = contamination_flags(passing, benchmark).filter(
+            ~F.col("contaminated")
+        )
+        passing = passing.join(clean.select("doc_id"), "doc_id")
+        n_contaminated = n_quality - passing.count()
     try:
         seen = (
             batch_df.sparkSession.read.parquet(fps_dir)
@@ -255,9 +276,9 @@ def accept_batch(
             else None
         )
         spark.createDataFrame(
-            [(n_input, n_quality, n_accepted, n_pairs)],
-            "n_input long, n_quality_pass long, n_accepted long, "
-            "n_neardup_pairs long",
+            [(n_input, n_quality, n_contaminated, n_accepted, n_pairs)],
+            "n_input long, n_quality_pass long, n_contaminated long, "
+            "n_accepted long, n_neardup_pairs long",
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{out_dir}/metrics/ingest_batch={batch_id}"
         )
@@ -273,6 +294,7 @@ def stream_curate_corpus(
     schema: str = DOCS_SCHEMA,
     max_files_per_trigger: int = 1,
     index_dir: str | None = None,
+    benchmark: DataFrame | None = None,
 ) -> StreamingQuery:
     """Start the ingest stream over a landing directory of parquet
     shards; returns the query (``availableNow`` trigger — drains what
@@ -290,7 +312,13 @@ def stream_curate_corpus(
       index as partition N.
     """
     def _accept(batch_df: DataFrame, batch_id: int) -> None:
-        accept_batch(batch_df, batch_id, out_dir, index_dir=index_dir)
+        accept_batch(
+            batch_df,
+            batch_id,
+            out_dir,
+            index_dir=index_dir,
+            benchmark=benchmark,
+        )
 
     stream = (
         spark.readStream.schema(schema)

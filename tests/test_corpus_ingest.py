@@ -328,3 +328,31 @@ def test_ingest_metrics_partitions(spark, tmp_path):
     CI.accept_batch(shards[1], 0, out2)
     m3 = spark.read.parquet(f"{out2}/metrics/ingest_batch=0").collect()
     assert len(m3) == 1 and m3[0].n_neardup_pairs is None
+
+
+def test_ingest_decontamination_gate(spark, tmp_path):
+    """With a benchmark frame, acceptance refuses any doc sharing an
+    n-gram window with it — including through the adaptive short
+    window — and the metrics row counts the refusals; without one the
+    column is NULL and everything else is unchanged."""
+    corpus, shards, texts = _nd_fixture(spark)
+    # benchmark: a short eval item whose text doc 61 embeds verbatim
+    leak_span = " ".join(texts[61].split()[5:10])
+    bench = spark.createDataFrame(
+        [(1, leak_span)], "bench_id long, text string"
+    )
+    out = str(tmp_path / "out")
+    CI.accept_batch(shards[0], 0, out, benchmark=bench)
+    accepted = {
+        r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()
+    }
+    assert 61 not in accepted  # the leaking doc was refused
+    assert 62 in accepted  # a clean doc from the same shard landed
+    m = spark.read.parquet(f"{out}/metrics/ingest_batch=0").collect()[0]
+    assert m.n_contaminated == 1
+    assert m.n_accepted == len(accepted)
+    # replay idempotent with the gate on
+    CI.accept_batch(shards[0], 0, out, benchmark=bench)
+    assert {
+        r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()
+    } == accepted

@@ -1896,3 +1896,26 @@ def test_contamination_short_benchmark_rows_adaptive_window(spark):
     }
     assert spans[1] == ("intro words trailing tail", 8)
     assert spans[2][1] == 0 and spans[3][1] == 0
+
+
+def test_contamination_attribution_planted(spark, hostile_sf_dir):
+    """The attribution audit names the leaked benchmark row: the
+    hostile fixture's 5-token benchmark doc (9000048) is attributed to
+    the doc that embeds it verbatim (9000049) through the adaptive
+    short window, benchmark rows attribute to themselves, and every
+    attributed doc is also flagged by the boolean entry."""
+    from fledge_south_csvplayback_spark.operators import curation
+
+    rows = curation.corpus_contamination_sources(
+        spark, hostile_sf_dir
+    ).collect()
+    pairs = {(r.doc_id, r.bench_id): r.n_hits for r in rows}
+    assert pairs[(9000049, 9000048)] == 1  # the planted leak, ne=5
+    assert pairs[(9000048, 9000048)] == 1  # the bench row itself
+    flagged = {
+        r.doc_id
+        for r in curation.corpus_decontaminate(spark, hostile_sf_dir)
+        .filter("contaminated")
+        .collect()
+    }
+    assert {d for d, _ in pairs} == flagged
