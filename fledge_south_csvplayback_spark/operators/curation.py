@@ -2358,17 +2358,24 @@ def _benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _guarded_broadcast(t: DataFrame) -> DataFrame:
+def _guarded_broadcast(
+    t: DataFrame, cached: list | None = None
+) -> DataFrame:
     """The module's ONE broadcast policy (review finding: three
     hand-copied closures had started to drift): cache, then count —
     which MATERIALIZES the cache, so the frame's lineage runs once
     across the guard and every later consumer — then broadcast under
-    ``HOT_BROADCAST_MAX``, else leave it to shuffle."""
+    ``HOT_BROADCAST_MAX``, else leave it to shuffle. One-shot batch
+    callers rely on session-end / LRU reclamation; per-micro-batch
+    callers (the streaming gates) MUST pass ``cached`` and unpersist
+    after their writes, or the caches accumulate across batches."""
     from fledge_south_csvplayback_spark.operators.dedup import (
         HOT_BROADCAST_MAX,
     )
 
     t = t.cache()
+    if cached is not None:
+        cached.append(t)
     return F.broadcast(t) if t.count() <= HOT_BROADCAST_MAX else t
 
 
@@ -2395,22 +2402,31 @@ def _bench_window_sizes(benchmark: DataFrame, n: int) -> list[int]:
 
 
 def _bench_grams(
-    benchmark: DataFrame, n: int, ne_values: list[int]
+    benchmark: DataFrame,
+    n: int,
+    ne_values: list[int],
+    with_ids: bool = False,
 ) -> DataFrame:
     """Distinct (ne, g) benchmark gram keys: window size n for rows
     with >= n words, the row's own length for shorter rows. Blank
     rows are dropped here too (not just in ``_bench_window_sizes``):
     a whitespace-only row whose token count happens to equal another
-    short row's class would otherwise contribute empty-token grams."""
+    short row's class would otherwise contribute empty-token grams.
+    ``with_ids=True`` keeps ``bench_id`` on every key (distinct per
+    (bench_id, ne, g)) — the attribution consumer; one builder so the
+    adaptive-window filter rule cannot drift between flags and
+    attribution (the review-finding class)."""
     from fledge_south_csvplayback_spark.operators.dedup import shingles
 
     benchmark = benchmark.filter(F.trim(F.col("text")) != "")
     sz = F.size(F.split(F.col("text"), " "))
+    key_cols = (["bench_id"] if with_ids else []) + ["ne"]
     frames = []
     for ne in ne_values:
         rows = benchmark.filter(sz >= n if ne == n else sz == ne)
         frames.append(
             rows.select(
+                *key_cols[:-1],
                 F.lit(ne).alias("ne"),
                 F.explode(shingles(F.col("text"), ne)).alias("g"),
             )
@@ -2422,7 +2438,10 @@ def _bench_grams(
 
 
 def contamination_flags(
-    docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECON_NGRAM,
+    cached: list | None = None,
 ) -> DataFrame:
     """(doc_id, n_hits, contaminated) for EVERY doc: n_hits = how many
     distinct (window-size, gram) benchmark keys the doc's word n-grams
@@ -2447,7 +2466,7 @@ def contamination_flags(
             F.lit(0).cast("bigint").alias("n_hits"),
             F.lit(False).alias("contaminated"),
         )
-    bg = _guarded_broadcast(_bench_grams(benchmark, n, ne_values))
+    bg = _guarded_broadcast(_bench_grams(benchmark, n, ne_values), cached)
     sz = F.size(F.split(F.col("text"), " "))
     gram_frames = [
         docs.filter(sz >= ne).select(
@@ -2463,7 +2482,8 @@ def contamination_flags(
     hits = _guarded_broadcast(
         doc_grams.join(bg, ["ne", "g"])
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.count(F.lit(1)).alias("n_hits")),
+        cached,
     )
     return docs.select("doc_id").join(hits, "doc_id", "left").select(
         "doc_id",
@@ -2495,20 +2515,7 @@ def contamination_attribution(
         return docs.sparkSession.createDataFrame(
             [], "doc_id long, bench_id long, n_hits long"
         )
-    bench = benchmark.filter(F.trim(F.col("text")) != "")
-    sz_b = F.size(F.split(F.col("text"), " "))
-    bg_frames = [
-        bench.filter(sz_b >= n if ne == n else sz_b == ne).select(
-            "bench_id",
-            F.lit(ne).alias("ne"),
-            F.explode(shingles(F.col("text"), ne)).alias("g"),
-        )
-        for ne in ne_values
-    ]
-    bg = bg_frames[0]
-    for f in bg_frames[1:]:
-        bg = bg.unionByName(f)
-    bg = _guarded_broadcast(bg.distinct())
+    bg = _guarded_broadcast(_bench_grams(benchmark, n, ne_values, with_ids=True))
     sz = F.size(F.split(F.col("text"), " "))
     gram_frames = [
         docs.filter(sz >= ne).select(

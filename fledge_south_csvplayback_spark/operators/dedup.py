@@ -315,7 +315,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_counts(sh: DataFrame, hot: DataFrame | None = None) -> DataFrame:
+def _pair_counts(
+    sh: DataFrame,
+    hot: DataFrame | None = None,
+    cached: list | None = None,
+) -> DataFrame:
     """Shared-shingle pair counts (doc_a, na, doc_b, nb, c) from a
     shingled frame — the posting-list core of both the exact-Jaccard
     operator and the MinHash-LSH verifier. Shingles whose FULL-CORPUS
@@ -343,12 +347,16 @@ def _pair_counts(sh: DataFrame, hot: DataFrame | None = None) -> DataFrame:
         # broadcast under HOT_BROADCAST_MAX keys, shuffled anti-join
         # above it. Slice lists are <= CAP by construction afterwards,
         # so the local size filter below is redundant and skipped.
-        # The cache is deliberately not unpersist()ed: the returned
-        # DataFrame is lazy, so the safe release point is unknowable
-        # here, and the table is at most |postings|/CAP 8-byte keys —
-        # Spark's LRU storage eviction reclaims it under pressure.
-        # (Same policy as the cands cache in dedup_minhash_lsh.)
+        # The cache is not unpersist()ed HERE: the returned DataFrame
+        # is lazy, so the safe release point is unknowable, and the
+        # table is at most |postings|/CAP 8-byte keys — Spark's LRU
+        # storage eviction reclaims it under pressure for one-shot
+        # callers. Per-micro-batch callers (the streaming gate via
+        # _neardup_probe) pass ``cached`` and unpersist after their
+        # writes, or this leaks one cached frame per batch.
         hot = hot.cache()
+        if cached is not None:
+            cached.append(hot)
         if hot.count() <= HOT_BROADCAST_MAX:
             idx = idx.join(F.broadcast(hot), "s", "anti")
         else:
@@ -1170,9 +1178,16 @@ def _neardup_probe(
         )
         .distinct()
     )
-    pairs = _pair_counts(slice_sh, hot=hot).join(
+    # the verifier caches the hot set internally (eagerly, at call
+    # time); register it so the streaming gate's per-batch unpersist
+    # reaches it too
+    hot_caches: list = []
+    pairs = _pair_counts(slice_sh, hot=hot, cached=hot_caches).join(
         bounded(cands, n_cands), ["doc_a", "doc_b"]
     )
+    if cached is not None:
+        for i, fr in enumerate(hot_caches):
+            cached[f"pair_hot_{i}"] = fr
     j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return pairs.filter(j >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(j, 6).alias("jaccard")

@@ -632,7 +632,11 @@ def _wav_preparse(media: DataFrame) -> DataFrame:
     a requirement.
 
     Output: (doc_id, wav_rate int, wav_channels int, wav_data binary,
-    wav_raw binary) — exactly one of wav_data / wav_raw is non-NULL.
+    wav_raw binary) — exactly one of wav_data / wav_raw is non-NULL
+    for any non-NULL payload; a NULL payload yields both NULL (the
+    header predicate is NULL, neither branch fires) and the batch
+    decoder raises a descriptive per-doc error rather than a
+    bytes(None) TypeError.
     All expressions are total: the hex-field decodes run on whatever
     bytes exist (short payloads yield NULL fields via conv('') and
     fail the predicate), and the only ANSI-sensitive cast (dsize to
@@ -721,7 +725,17 @@ def _make_batch_wav_decode():
                 chans[i] = ch_col[i]
                 raws[i] = bytes(d)
             else:
-                r, c, d2 = decode(bytes(raw_col[i]))
+                raw = raw_col[i]
+                if raw is None:
+                    # a NULL payload fails BOTH preparse branches (the
+                    # header predicate is NULL, not false) — fail with
+                    # the doc, not a bytes(None) TypeError
+                    raise ValueError(
+                        "NULL WAV payload for doc_id="
+                        f"{pdf['doc_id'].iat[i]}; audio decode "
+                        "requires bytes — filter or repair upstream"
+                    )
+                r, c, d2 = decode(bytes(raw))
                 rates[i], chans[i], raws[i] = r, c, d2
         return rates, chans, raws
 

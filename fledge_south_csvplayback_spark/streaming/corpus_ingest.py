@@ -91,13 +91,30 @@ def compact_text_neardup_index(spark: SparkSession, index_dir: str) -> None:
     into the seed can no longer exclude its own df contribution, which
     over-counts its shingles toward SHINGLE_DF_CAP — the documented
     stricter-cap/near-cap-recall trade, never a correctness error on
-    pairs already written. The swap is write-staging-then-rename so a
-    crash leaves either the old partitions or the complete compacted
-    one, never a half state."""
+    pairs already written.
+
+    Crash behavior (retire-then-promote): the new table is fully
+    staged before the old tree moves aside, so at every point a
+    COMPLETE df table exists on disk — under ``shingle_df``, under
+    ``shingle_df_retired``, or both. The one window where ``shingle_df``
+    itself is absent (between the retire rename and the promote
+    rename) is self-healing: the next call to this op restores the
+    retired tree before compacting, and a concurrent batch failing on
+    the missing path is the reason the contract says BETWEEN batches."""
     import os
     import shutil
 
     df_dir = f"{index_dir}/shingle_df"
+    retired = f"{index_dir}/shingle_df_retired"
+    # recover a crashed prior swap: no df table (or only the empty
+    # shell the crashed makedirs left) while the retired tree exists
+    has_parts = os.path.isdir(df_dir) and any(
+        x.startswith("ingest_batch=") for x in os.listdir(df_dir)
+    )
+    if not has_parts and os.path.exists(retired):
+        if os.path.isdir(df_dir):
+            os.rmdir(df_dir)
+        os.rename(retired, df_dir)
     merged = (
         spark.read.parquet(df_dir)
         .groupBy("s")
@@ -105,9 +122,12 @@ def compact_text_neardup_index(spark: SparkSession, index_dir: str) -> None:
     )
     tmp = f"{index_dir}/shingle_df_compacting"
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(df_dir)
+    if os.path.exists(retired):  # leftover from an interrupted cleanup
+        shutil.rmtree(retired)
+    os.rename(df_dir, retired)
     os.makedirs(df_dir)
     os.rename(tmp, f"{df_dir}/ingest_batch=-1")
+    shutil.rmtree(retired)
 
 
 def _neardup_gate(
@@ -220,10 +240,14 @@ def accept_batch(
     )
     n_quality = passing.count()  # pre-anti-join: the quality-gate count
     n_contaminated = None
+    # flags caches (benchmark grams + hit table) are per-batch state in
+    # a stream: collect and release them with the survivors cache, or
+    # they accumulate one pair of cached frames per micro-batch
+    gate_caches: list = []
     if benchmark is not None:
-        clean = contamination_flags(passing, benchmark).filter(
-            ~F.col("contaminated")
-        )
+        clean = contamination_flags(
+            passing, benchmark, cached=gate_caches
+        ).filter(~F.col("contaminated"))
         passing = passing.join(clean.select("doc_id"), "doc_id")
         n_contaminated = n_quality - passing.count()
     try:
@@ -284,6 +308,8 @@ def accept_batch(
         )
     finally:
         survivors.unpersist()
+        for frame in gate_caches:
+            frame.unpersist()
 
 
 def stream_curate_corpus(

@@ -356,3 +356,44 @@ def test_ingest_decontamination_gate(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(f"{out}/corpus").collect()
     } == accepted
+
+
+def test_compact_recovers_crashed_swap(spark, tmp_path):
+    """The retire-then-promote swap's two crash windows (df table moved
+    aside; empty shell left by makedirs) are self-healing: the next
+    compaction restores the retired tree and completes, totals intact."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    corpus, shards, _ = _nd_fixture(spark)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    CI.seed_text_neardup_index(spark, corpus, idx)
+    CI.accept_batch(shards[0], 0, out, index_dir=idx)
+    want = {
+        r.s: r.t
+        for r in spark.read.parquet(f"{idx}/shingle_df")
+        .groupBy("s")
+        .agg(F.sum("df").alias("t"))
+        .collect()
+    }
+    # window 1: crashed after the retire rename
+    os.rename(f"{idx}/shingle_df", f"{idx}/shingle_df_retired")
+    CI.compact_text_neardup_index(spark, idx)
+    got = {
+        r.s: r.df
+        for r in spark.read.parquet(f"{idx}/shingle_df").collect()
+    }
+    assert got == want
+    assert not os.path.exists(f"{idx}/shingle_df_retired")
+    # window 2: crashed between makedirs and the promote rename
+    os.rename(f"{idx}/shingle_df", f"{idx}/shingle_df_retired")
+    os.makedirs(f"{idx}/shingle_df")
+    CI.compact_text_neardup_index(spark, idx)
+    got = {
+        r.s: r.df
+        for r in spark.read.parquet(f"{idx}/shingle_df").collect()
+    }
+    assert got == want

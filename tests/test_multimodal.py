@@ -1074,3 +1074,15 @@ def test_audio_downmix_hand_computed_and_validates(spark):
     )
     with pytest.raises(Exception, match="cannot downmix"):
         M.audio_downmix(bad).collect()
+
+
+def test_audio_stats_null_payload_descriptive_error(spark):
+    """A NULL payload fails both preparse branches; the decoder must
+    name the doc rather than die on bytes(None)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, None)], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="NULL WAV payload for doc_id=1"):
+        M.audio_stats(df).collect()
