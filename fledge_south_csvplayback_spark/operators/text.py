@@ -348,7 +348,17 @@ def text_top_ngrams(
     one count aggregate (map-side partials absorb the hot grams — the
     aggregate IS the skew handling), then a global ``TakeOrdered(k)``
     — no full sort, each partition ships only its own top k.
-    Deterministic tie order: count DESC, gram ASC, in both engines."""
+    Deterministic tie order: count DESC, gram ASC, in both engines.
+
+    A ``hashed`` knob (xxhash64 keys through the count exchange +
+    threshold string recovery, the boilerplate-scrub pattern) was
+    built and REVERTED on measurement (round 11, BASELINE.md): on the
+    near-unique 10M probe vocabulary the honest interleaved A/B read
+    54.9 s / 2.73 GB vs the string path's 30.5 s / 3.77 GB — random
+    64-bit keys compress WORSE through the lz4 exchange than
+    prefix-sharing gram strings, and the recovery pass pays a second
+    gram build; on Zipfian real corpora map-side combine shrinks the
+    string exchange anyway. The string path IS the production plan."""
     toks = F.split(F.col("text"), " ")
 
     def build(t: Column) -> Column:

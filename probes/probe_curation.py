@@ -151,6 +151,8 @@ def main() -> None:
             "diff",
             "normalize",
             "materialize",
+            "profile",
+            "top_ngrams",
         ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
@@ -377,6 +379,48 @@ def main() -> None:
                     "sec": wall,
                     "shuffle_bytes": shuf,
                     "out_rows": out_rows,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "profile":
+        # the per-language dataset card: one grouped aggregate whose
+        # exact percentiles BUFFER each group's doc lengths — the
+        # registered entry's honest cost at scale (corpus_profile_sketch
+        # is the bounded-state variant); this row quantifies the trade
+        wall, shuf = timed(spark, curation.corpus_profile(spark, sf_dir))
+        print(
+            json.dumps(
+                {
+                    "op": "profile",
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": shuf,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "top_ngrams":
+        from fledge_south_csvplayback_spark.operators import text as text_ops
+
+        # NOTE: a hashed-key variant (xxhash64 through the count
+        # exchange + threshold string recovery) was A/B'd here and
+        # REVERTED: 54.9 s / 2.73 GB vs the string path's 30.5 s /
+        # 3.77 GB on this near-unique vocabulary — random longs
+        # compress worse through the lz4 exchange than prefix-sharing
+        # gram strings, and the recovery pass pays a second gram build.
+        wall, shuf = timed(spark, text_ops.text_top_ngrams(spark, sf_dir))
+        print(
+            json.dumps(
+                {
+                    "op": "top_ngrams",
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": shuf,
                 }
             )
         )
