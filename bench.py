@@ -40,6 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fledge_south_csvplayback_spark import registry
 from fledge_south_csvplayback_spark.operators import (
+    clean_queries,
     csv_queries,
     curation,
     events,
@@ -108,12 +109,13 @@ EXTRA_QUERIES = {
     "corpus_token_budget": curation.corpus_token_budget,
     "corpus_dedup_apply": curation.corpus_dedup_apply,
     "text_unigram_logprob": text.text_unigram_logprob,
-    "events_purchase_window": events.events_purchase_window,
+    # events_purchase_window and text_bm25_topk moved INTO the registry
+    # in the round-12 rotation (slots freed by the clean_fill_suite
+    # fold); their bench rows keep the same names via the registry dict
     "events_multi_rollup": events.events_multi_rollup,
     "text_repetition": text.text_repetition,
     "corpus_chunk_documents": curation.corpus_chunk_documents,
     "events_funnel": events.events_funnel,
-    "text_bm25_topk": text.text_bm25_topk,
     "text_repeated_span_scrub": text.text_repeated_span_scrub,
     "text_normalize": text.text_normalize,
     "multimodal_image_resize": multimodal.multimodal_image_resize_stats,
@@ -124,6 +126,8 @@ EXTRA_QUERIES = {
     # de-registered in the round-11 csv_directory_codecs fold; stays in
     # the bench so the per-round series keeps its name-stable row
     "csv_pick_from_file": csv_queries.csv_pick_from_file,
+    # de-registered in the round-12 clean_fill_suite fold; same rule
+    "clean_interpolate": clean_queries.clean_interpolate,
 }
 
 

@@ -338,3 +338,37 @@ CLEAN_ROLLING_SQL = "\nUNION ALL\n".join(
         ("median", CLEAN_ROLLING_MEDIAN_SQL),
     )
 )
+
+
+# --- W1-W3 + E2 folded driver entry (round-12 registry rotation) --------------
+def clean_fill_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 registry fold (COVERAGE.md rule): the three fill
+    entries — rolling (W1/W2), interpolation (W3), and the E2 repair
+    composition — all emit ``(ts, a, b)`` over the SAME dirty.csv
+    fixture, so they fold into ONE method-tagged union. Every
+    constituent stays hash-distinguishable via the ``method`` tag
+    (``repair`` differs from ``linear`` by the A2 all-null column drop
+    it also exercises), and the unmerged callables stay public +
+    pytest-oracle-checked. The two freed slots register
+    ``events_purchase_window`` and ``text_bm25_topk``."""
+    repair = clean_repair_nans(spark, sf_dir).select(
+        F.lit("repair").alias("method"),
+        "ts",
+        F.round("a", 6).alias("a"),
+        F.round("b", 6).alias("b"),
+    )
+    return (
+        clean_rolling_fill(spark, sf_dir)
+        .unionAll(clean_interpolate(spark, sf_dir))
+        .unionAll(repair)
+    )
+
+
+CLEAN_FILL_SUITE_SQL = (
+    CLEAN_ROLLING_SQL
+    + "\nUNION ALL\n"
+    + CLEAN_INTERP_SQL
+    + "\nUNION ALL\n"
+    + "SELECT 'repair' AS method, ts, ROUND(a, 6) AS a, ROUND(b, 6) AS b\n"
+    + f"FROM ({CLEAN_REPAIR_SQL})"
+)

@@ -248,37 +248,37 @@ register(
     clean_queries.clean_null_report,
     clean_queries.CLEAN_NULL_REPORT_SQL,
 )
-# Round-9 registry rotation (COVERAGE.md selection rule): W1/W2 are
-# sibling rolling fills over the same fixture and window shape, so
-# they fold into ONE method-tagged union entry (the clean_interpolate
-# precedent) — freeing the slot that registers corpus_snapshot_diff
-# below; the unmerged callables stay public and pytest-covered.
+# Round-12 registry fold (COVERAGE.md selection rule; extends the
+# round-7 W3 and round-9 W1/W2 folds): the rolling-fill, interpolation,
+# and E2-repair entries all emit (ts, a, b) over the SAME dirty.csv
+# fixture, so they fold into ONE method-tagged union — six methods
+# (mean/median/linear/nearest/cubic/repair), every constituent
+# hash-distinguishable, unmerged callables public + pytest-oracle-
+# checked (test_clean + test_oracle_parity). The two freed slots
+# register events_purchase_window and text_bm25_topk below.
 register(
-    "clean_rolling_fill",
-    clean_queries.clean_rolling_fill,
-    clean_queries.CLEAN_ROLLING_SQL,
-)
-# Round-7 registry rotation (COVERAGE.md selection rule): the three
-# interpolation variants all verify the SAME §2 row (W3) over the same
-# fixture, so they fold into ONE method-tagged union entry — each
-# variant stays hash-distinguishable via the `method` column and the
-# unmerged callables stay public and pytest-covered — freeing two
-# slots for the round-7 selection operators below.
-register(
-    "clean_interpolate",
-    clean_queries.clean_interpolate,
-    clean_queries.CLEAN_INTERP_SQL,
+    "clean_fill_suite",
+    clean_queries.clean_fill_suite,
+    clean_queries.CLEAN_FILL_SUITE_SQL,
 )
 register(
     "clean_flatten_fledge_dump",
     clean_queries.clean_flatten_fledge_dump,
     clean_queries.CLEAN_FLATTEN_SQL,
 )
+# rotated in round 12 (first slot freed by the clean_fill_suite fold):
+# the binned range join + per-anchor aggregate — the second-most
+# expensive benched plan (plan-audited every round since 9), now
+# driver value-checked end-to-end
 register(
-    "clean_repair_nans",
-    clean_queries.clean_repair_nans,
-    clean_queries.CLEAN_REPAIR_SQL,
+    "events_purchase_window",
+    events.events_purchase_window,
+    events.EVENTS_PURCHASE_WINDOW_SQL,
 )
+# rotated in round 12 (second slot freed by the same fold): BM25 top-k
+# — the one text-retrieval scoring surface that held an exact oracle
+# without a slot since round 8
+register("text_bm25_topk", text.text_bm25_topk, text.TEXT_BM25_SQL)
 # csv_metadata_datapoint is deliberately NOT registered: its S5 surface
 # (metadata-header capture + merge) is already hash-verified end-to-end
 # by reading_envelope_metadata, and the driver caps at 50 entries.

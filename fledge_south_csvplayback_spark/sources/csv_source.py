@@ -33,7 +33,7 @@ from __future__ import annotations
 import csv
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -81,8 +81,13 @@ def head_lines(spark: SparkSession, path: str, n: int) -> list[str]:
 
 
 def _split_header(line: str) -> list[str]:
-    """Parse one header line with the csv module (quote-aware)."""
-    return next(csv.reader([line]))
+    """Parse one header line with the csv module (quote-aware).
+
+    Empty header cells (e.g. a trailing comma on the header line) get
+    pandas' ``Unnamed: <i>`` names, so both the native-with-inference
+    and line-oriented paths agree with the reference's read."""
+    names = next(csv.reader([line]))
+    return [n if n != "" else f"Unnamed: {i}" for i, n in enumerate(names)]
 
 
 _INFER_ORDER: tuple[tuple[str, type], ...] = (("bigint", int), ("double", float))
@@ -183,21 +188,34 @@ def read_pick_from_file(
             return reader.schema(schema).csv(path)
         if not infer_schema:
             return reader.csv(path)
-        head = head_lines(spark, path, 1 + INFER_SAMPLE_LINES)
+        head = [l for l in head_lines(spark, path, 1 + INFER_SAMPLE_LINES) if l]
         names = _split_header(head[0])
         sample = list(csv.reader(head[1:]))
         return reader.schema(_infer_ddl(names, sample)).csv(path)
 
+    # pandas semantics (which the reference inherits, csvplayback.py:
+    # 651-659): skiprows counts PHYSICAL lines, but blank lines are then
+    # invisible — header=H indexes the H-th NON-BLANK remaining line,
+    # and blank data lines are no rows at all.
     n_sample = INFER_SAMPLE_LINES if (schema is None and infer_schema) else 1
-    head = head_lines(spark, path, skip_rows + header_row + 1 + n_sample)
-    names = _split_header(head[skip_rows + header_row])
+    slack = 64  # blank/oversized-head allowance in the driver-side read
+    head = head_lines(spark, path, skip_rows + header_row + 1 + n_sample + slack)
+    nonblank = [(j, ln) for j, ln in enumerate(head[skip_rows:]) if ln != ""]
+    if len(nonblank) <= header_row:
+        raise ValueError(
+            f"no header at row {header_row} after skipping {skip_rows} "
+            f"lines of {path}"
+        )
+    h_off, header_line = nonblank[header_row]
+    names = _split_header(header_line)
     if schema is not None:
         ddl = _schema_ddl(schema, names)
     else:
-        sample = list(csv.reader(head[skip_rows + header_row + 1 :]))
+        sample_lines = [ln for _, ln in nonblank[header_row + 1 :]][:n_sample]
+        sample = list(csv.reader(sample_lines))
         ddl = _infer_ddl(names, sample if infer_schema else [])
-    data = lineio.skip_lines(
-        lineio.read_lines(spark, path), skip_rows + header_row + 1
+    data = lineio.drop_blank_lines(
+        lineio.skip_lines(lineio.read_lines(spark, path), skip_rows + h_off + 1)
     )
     return lineio.parse_csv_lines(data, ddl)
 
@@ -212,12 +230,34 @@ def read_explicit(
     path: str,
     use_columns: str | list[ColumnSpec],
     skip_rows: int = 0,
+    strict: bool = False,
 ) -> DataFrame:
+    """Rename+select+cast per the useColumns spec (csvplayback.py:601-649).
+
+    Cast-failure semantics (round-11 verdict item 3): the reference's
+    pandas ``dtype=`` read RAISES on a value that won't cast
+    (csvplayback.py:641,648 — pandas ValueError, plugin shuts down).
+    The default here is permissive — a bad value nulls out, and the A1
+    null-report (operators/clean.py) surfaces it — because silently
+    losing one sensor glitch beats killing a 100 TB job. ``strict=True``
+    restores the reference's behavior: any PRESENT, non-empty value
+    that fails its cast raises at action time (wrapped
+    ``raise_error``), naming the column and offending value. Empty
+    cells stay NULL under both modes (pandas' float64 read agrees;
+    its int64 read also raises on empties — that last divergence is
+    deliberate and documented here).
+    """
     check_not_empty(path)
     specs = (
         parse_use_columns(use_columns) if isinstance(use_columns, str) else use_columns
     )
-    header_line = head_lines(spark, path, skip_rows + 1)[-1]
+    # the discarded header is the first NON-BLANK line after the
+    # physical skip (pandas header=0 semantics; blank lines invisible)
+    head = head_lines(spark, path, skip_rows + 1 + 64)
+    nonblank = [(j, ln) for j, ln in enumerate(head[skip_rows:]) if ln != ""]
+    if not nonblank:
+        raise ValueError(f"no header line after skipping {skip_rows} lines of {path}")
+    h_off, header_line = nonblank[0]
     n_cols = len(_split_header(header_line))
     if len(specs) != n_cols:
         raise ValueError(
@@ -225,7 +265,7 @@ def read_explicit(
         )
     raw_ddl = ", ".join(f"`_c{i}` string" for i in range(n_cols))
 
-    if skip_rows == 0:
+    if skip_rows == 0 and h_off == 0:
         # native fast path: header=True discards line 0, pinned all-string
         # schema applies positionally — one pass, no inference
         df = (
@@ -235,16 +275,35 @@ def read_explicit(
             .csv(path)
         )
     else:
-        data = lineio.skip_lines(lineio.read_lines(spark, path), skip_rows + 1)
+        data = lineio.drop_blank_lines(
+            lineio.skip_lines(lineio.read_lines(spark, path), skip_rows + h_off + 1)
+        )
         df = lineio.parse_csv_lines(data, raw_ddl)
 
     cols = []
     for i, spec in enumerate(specs):
         if spec.name == "":
             continue  # positional drop (usecols semantics)
-        c = F.col(f"_c{i}")
+        raw = F.col(f"_c{i}")
+        c = raw
         if spec.dtype is not None:
-            c = c.cast(spec.dtype)
+            # try_cast pins the semantics regardless of the session's
+            # spark.sql.ansi.enabled (ANSI is Spark 4's default, under
+            # which a bare cast would raise with a generic error)
+            c = raw.try_cast(spec.dtype)
+            if strict:
+                msg = F.concat(
+                    F.lit(
+                        f"strict cast failed: column '{spec.name}' "
+                        f"({spec.dtype.simpleString()}) bad value '"
+                    ),
+                    raw,
+                    F.lit("'"),
+                )
+                c = F.when(
+                    raw.isNotNull() & (raw != "") & c.isNull(),
+                    F.raise_error(msg).cast(spec.dtype),
+                ).otherwise(c)
         cols.append(c.alias(spec.name))
     return df.select(*cols)
 
@@ -254,6 +313,26 @@ def read_explicit(
 # docs/index.rst:52-67) — every row may have a different field count;
 # non-empty position i becomes map key "<prefix>_<i+1>".
 # ---------------------------------------------------------------------------
+
+# Split only on commas followed by an EVEN number of quote chars up to
+# end-of-line — i.e. commas outside quoted fields (RFC4180 lines keep
+# quote parity balanced after every field boundary). Pure Java regex,
+# so the split stays inside whole-stage codegen.
+_UNQUOTED_COMMA = ',(?=(?:[^"]*"[^"]*")*[^"]*$)'
+
+
+def _unquote_field(v: Column) -> Column:
+    """RFC4180 unquote of one already-split field: a field wrapped in
+    quotes loses them and collapses doubled quotes (``"q""q"`` → ``q"q``);
+    a bare quote mid-field stays literal. These are ``csv.reader``
+    semantics — the parser the reference's pandas ``engine='python'``
+    read (csvplayback.py:587-597) is built on."""
+    inner = F.regexp_replace(v.substr(F.lit(2), F.length(v) - 2), '""', '"')
+    return F.when(
+        v.startswith('"') & v.endswith('"') & (F.length(v) >= 2), inner
+    ).otherwise(v)
+
+
 def read_ragged(
     spark: SparkSession,
     path: str,
@@ -266,18 +345,35 @@ def read_ragged(
     object dtypes for ragged input; a string map is the honest Spark
     shape). row_id preserves file order for downstream timestamping;
     it comes from the distributed partition-offset numbering in lineio
-    (no global sort, no Python round-trip).
+    (no global sort, no Python round-trip). Blank physical lines are
+    dropped BEFORE numbering (pandas skip_blank_lines semantics, which
+    the reference inherits).
+
+    Quote semantics match the reference's quote-aware pandas
+    python-engine read (csvplayback.py:587-597): ``x,"b,c",d`` is three
+    fields with ``b,c`` intact, doubled quotes inside a quoted field
+    unescape to one. Lines with no quote char at all take a plain
+    (cheaper) split — the lookahead regex runs only on lines that
+    contain a quote. Known divergence (documented, shared with the
+    module-level embedded-newline caveat): an UNTERMINATED quote
+    (``a,"b`` at end of line) splits as if unquoted here, where
+    csv.reader would swallow to EOL — malformed input outside RFC4180.
     """
     check_not_empty(path)
     lines = lineio.with_line_numbers(
-        lineio.skip_lines(lineio.read_lines(spark, path), skip_rows)
+        lineio.drop_blank_lines(
+            lineio.skip_lines(lineio.read_lines(spark, path), skip_rows)
+        )
     )
-    fields = F.split(F.col("value"), ",")
+    fields = F.when(
+        F.col("value").contains('"'),
+        F.split(F.col("value"), _UNQUOTED_COMMA),
+    ).otherwise(F.split(F.col("value"), ","))
     entry = F.transform(
         fields,
         lambda v, i: F.struct(
             F.concat(F.lit(prefix + "_"), (i + 1).cast("string")).alias("key"),
-            v.alias("value"),
+            _unquote_field(v).alias("value"),
         ),
     )
     kept = F.filter(entry, lambda s: s["value"].isNotNull() & (s["value"] != ""))

@@ -40,12 +40,40 @@ ORDER_COLS = ("_blk", "_mid")
 
 
 def read_lines(spark: SparkSession, path: str) -> DataFrame:
-    """Text read with deterministic file-order columns (_blk, _mid, value)."""
-    return spark.read.text(path).select(
+    """Text read with deterministic file-order columns (_blk, _mid, value).
+
+    A UTF-8 BOM on the file's FIRST physical line is stripped — pandas
+    and Spark's native CSV reader both do, so the line-oriented paths
+    must too (round-12 hostile-CSV sweep). ``_blk == 0 & _mid == 0``
+    identifies that line: the split at byte offset 0 is scheduled as
+    partition 0, whose ids start at 0. (For a multi-file directory read
+    only the first file's BOM is stripped; the skip/ragged paths read
+    one file, like the reference's playback.)
+    """
+    df = spark.read.text(path).select(
         F.col("_metadata.file_block_start").alias("_blk"),
         F.monotonically_increasing_id().alias("_mid"),
         "value",
     )
+    first = (F.col("_blk") == 0) & (F.col("_mid") == 0)
+    return df.withColumn(
+        "value",
+        F.when(first, F.regexp_replace("value", "^\\uFEFF", "")).otherwise(
+            F.col("value")
+        ),
+    )
+
+
+def drop_blank_lines(lines: DataFrame) -> DataFrame:
+    """Blank physical lines are no rows at all.
+
+    pandas' default ``skip_blank_lines=True`` (which the reference
+    inherits for every read) makes blank lines invisible to ``header=``
+    indexing and to the data itself, while ``skiprows`` still counts
+    them physically — so callers apply this AFTER ``skip_lines``.
+    Whitespace-only lines are kept (pandas parses those as data).
+    """
+    return lines.filter(F.col("value") != "")
 
 
 def head_lines(spark: SparkSession, path: str, n: int) -> list[str]:

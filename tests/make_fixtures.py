@@ -35,7 +35,18 @@ def f2_typed(n=50):
 
 
 def f3_ragged():
-    return "a,b,c\n2,3,,23\n4\n"
+    # rows 0-2: the reference docs' worked example (docs/index.rst:52-67);
+    # rows 3-5: quoted fields — comma inside quotes, doubled-quote escape,
+    # quoted empty — per the reference's quote-aware pandas python-engine
+    # read (csvplayback.py:587-597; built on csv.reader)
+    return (
+        "a,b,c\n"
+        "2,3,,23\n"
+        "4\n"
+        'x,"b,c",d\n'
+        '"he said ""hi""",z\n'
+        '"q""q",,"last,one"\n'
+    )
 
 
 def f4_metadata(n=100):

@@ -110,6 +110,35 @@ def test_explicit_rename_subset_cast(spark, fixture_dir):
     assert dict(df3.dtypes)["temperature"] == "bigint"
 
 
+def test_explicit_strict_cast(spark, tmp_path):
+    """Cast-failure semantics (round-11 verdict item 3): permissive
+    default NULLs a bad value; strict=True raises like the reference's
+    pandas dtype= read (csvplayback.py:641,648). Empty cells stay NULL
+    under both modes."""
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("id,value,status\n1,2.5,OK\n2,abc,WARN\n3,,OK\n")
+    df = cs.read_explicit(spark, p, "id:int,value:float,status:str")
+    assert [r.value for r in df.orderBy("id").collect()] == [2.5, None, None]
+
+    strict = cs.read_explicit(
+        spark, p, "id:int,value:float,status:str", strict=True
+    )
+    with pytest.raises(Exception, match="strict cast failed.*value.*abc"):
+        strict.collect()
+
+    # empties don't trip strict mode — only present bad values do
+    ok = cs.read_explicit(
+        spark, p, "id:int,,status:str", strict=True
+    )
+    assert ok.count() == 3
+    p2 = str(tmp_path / "good.csv")
+    with open(p2, "w") as f:
+        f.write("id,value,status\n1,2.5,OK\n2,,WARN\n")
+    df2 = cs.read_explicit(spark, p2, "id:int,value:float,status:str", strict=True)
+    assert [r.value for r in df2.orderBy("id").collect()] == [2.5, None]
+
+
 def test_explicit_width_mismatch(spark, fixture_dir):
     with pytest.raises(ValueError):
         cs.read_explicit(spark, fx(fixture_dir, "typed.csv"), "id:int,value:float")
@@ -123,6 +152,49 @@ def test_ragged_docs_example(spark, fixture_dir):
     assert rows[0] == {"column_1": "a", "column_2": "b", "column_3": "c"}
     assert rows[1] == {"column_1": "2", "column_2": "3", "column_4": "23"}
     assert rows[2] == {"column_1": "4"}
+
+
+def test_ragged_quoted_fields(spark, fixture_dir):
+    """Quote semantics vs the reference's pandas python-engine read
+    (csvplayback.py:587-597): quoted commas don't split, doubled quotes
+    unescape, quoted-empty drops like bare-empty (round-11 verdict's
+    quote-blindness finding)."""
+    df = cs.read_ragged(spark, fx(fixture_dir, "ragged.csv"))
+    rows = {r.row_id: r.readings for r in df.collect()}
+    assert rows[3] == {"column_1": "x", "column_2": "b,c", "column_3": "d"}
+    assert rows[4] == {"column_1": 'he said "hi"', "column_2": "z"}
+    assert rows[5] == {"column_1": 'q"q', "column_3": "last,one"}
+
+
+def test_ragged_matches_csv_reader(spark, tmp_path):
+    """Property-style cross-check: for RFC4180 single-line rows the
+    ragged split must agree field-for-field with csv.reader — the
+    parser the reference's pandas engine='python' is built on."""
+    import csv as _csv
+
+    lines = [
+        "plain,row,here",
+        '"only",one',
+        'trail,"mid,dle",',
+        '",",","',
+        '"""",x',          # quoted lone quote, then bare x
+        'a,"b""c""d",e',
+        '" spaced ",y',
+        "no_quotes_at_all",
+        'empty,"",tail',
+    ]
+    p = str(tmp_path / "quoted.csv")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    df = cs.read_ragged(spark, p)
+    got = {r.row_id: r.readings for r in df.collect()}
+    for i, line in enumerate(lines):
+        expected = {
+            f"column_{j + 1}": v
+            for j, v in enumerate(next(_csv.reader([line])))
+            if v != ""
+        }
+        assert got.get(i, {}) == expected, f"line {i}: {line!r}"
 
 
 # --- metadata capture (S5) --------------------------------------------------
