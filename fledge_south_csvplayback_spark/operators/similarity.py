@@ -1472,6 +1472,16 @@ PQ_M = 8
 # (pq iso), 0.28→0.72 (ivfpq iso), 0.00→0.36/0.28 (clustered, with
 # returned-cosine quality within 0.002 of optimal); the only cost is
 # one-time fit wall (~4× Lloyd GEMM) and a 256-row LUT per subspace.
+#
+# m=8/k=256 is the END of the geometry ladder, not a tunable: the
+# round-12 10M clustered A/B (BASELINE.md) shows m=16/k=16 (same 8-byte
+# budget, bits moved to subspace count) collapses recall 0.36→0.02,
+# and m=16/k=256 (DOUBLE budget) buys only 0.36→0.40 while halving
+# compression. PQ/IVFADC here are blocking/shortlist-grade on
+# near-tie corpora — returned neighbors within ~0.001 cosine of
+# optimal — never exact-k retrievers (1e-4 top-k margins are below
+# any practical code resolution); exact-k users take SQ8 (recall 1.00
+# at 4× the bytes) or the IVF family.
 PQ_K = 256
 PQ_ITERS = 5
 

@@ -356,8 +356,10 @@ def read_ragged(
     (cheaper) split — the lookahead regex runs only on lines that
     contain a quote. Known divergence (documented, shared with the
     module-level embedded-newline caveat): an UNTERMINATED quote
-    (``a,"b`` at end of line) splits as if unquoted here, where
-    csv.reader would swallow to EOL — malformed input outside RFC4180.
+    (``a,"b`` at end of line — malformed input outside RFC4180) keeps
+    the dangling quote as literal text here (``a,"b`` stays one field
+    through the last even-parity comma), where csv.reader treats it as
+    an opened field swallowed to EOL (``['a', 'b']``).
     """
     check_not_empty(path)
     lines = lineio.with_line_numbers(

@@ -77,6 +77,28 @@ def seed_text_neardup_index(
     ).parquet(f"{index_dir}/shingle_df/ingest_batch=-1")
 
 
+_DF_MANIFEST = "shingle_df_MANIFEST"
+
+
+def df_table_dir(index_dir: str) -> str:
+    """Resolve the CURRENT shingle-df table directory.
+
+    The manifest file (one line: the live versioned dir's name) is the
+    single source of truth once a compaction has run; absent, the
+    seeded literal ``shingle_df`` path applies. This is the lakehouse
+    metadata-pointer pattern (Iceberg/Delta): readers never depend on
+    a directory rename being atomic — only on replacing one small file,
+    which is atomic on POSIX (rename) and per-object on object stores.
+    """
+    import os
+
+    m = os.path.join(index_dir, _DF_MANIFEST)
+    if os.path.exists(m):
+        with open(m) as f:
+            return os.path.join(index_dir, f.read().strip())
+    return f"{index_dir}/shingle_df"
+
+
 def compact_text_neardup_index(spark: SparkSession, index_dir: str) -> None:
     """Maintenance: fold every accepted shingle-df partition into the
     seed partition (``ingest_batch=-1``) so the per-batch probe's
@@ -86,48 +108,71 @@ def compact_text_neardup_index(spark: SparkSession, index_dir: str) -> None:
     rows the probe prunes by key, and their lineage is what the
     exclusion filter and diff maintenance target).
 
-    Run it BETWEEN batches and only for batch ids past the stream's
-    checkpoint horizon: a batch re-delivered AFTER its df rows folded
-    into the seed can no longer exclude its own df contribution, which
-    over-counts its shingles toward SHINGLE_DF_CAP — the documented
-    stricter-cap/near-cap-recall trade, never a correctness error on
-    pairs already written.
+    Run it only for batch ids past the stream's checkpoint horizon: a
+    batch re-delivered AFTER its df rows folded into the seed can no
+    longer exclude its own df contribution, which over-counts its
+    shingles toward SHINGLE_DF_CAP — the documented stricter-cap/
+    near-cap-recall trade, never a correctness error on pairs already
+    written.
 
-    Crash behavior (retire-then-promote): the new table is fully
-    staged before the old tree moves aside, so at every point a
-    COMPLETE df table exists on disk — under ``shingle_df``, under
-    ``shingle_df_retired``, or both. The one window where ``shingle_df``
-    itself is absent (between the retire rename and the promote
-    rename) is self-healing: the next call to this op restores the
-    retired tree before compacting, and a concurrent batch failing on
-    the missing path is the reason the contract says BETWEEN batches."""
+    Crash behavior (versioned dir + manifest promote, round-12 rework
+    of the retire-then-promote swap whose between-renames window left
+    ``shingle_df`` briefly absent): the new table is fully staged under
+    ``shingle_df.v<N+1>`` while the manifest still names the old dir,
+    then ONE atomic file rename moves the pointer. A crash at ANY
+    instruction leaves a manifest that names a complete table — there
+    is no window. The superseded dir is deleted on the NEXT compaction
+    (deferred cleanup), never by the swap itself, so even a batch
+    running CONCURRENTLY with the swap keeps the directory it already
+    resolved; concurrent-with-compaction batches merely probe the
+    pre-compaction df counts (same trade as above)."""
     import os
     import shutil
 
-    df_dir = f"{index_dir}/shingle_df"
+    cur = df_table_dir(index_dir)
+    cur_name = os.path.basename(cur)
+    # pre-manifest crashed-swap recovery (pre-round-12 layout): the df
+    # table was renamed aside and never promoted back
     retired = f"{index_dir}/shingle_df_retired"
-    # recover a crashed prior swap: no df table (or only the empty
-    # shell the crashed makedirs left) while the retired tree exists
-    has_parts = os.path.isdir(df_dir) and any(
-        x.startswith("ingest_batch=") for x in os.listdir(df_dir)
-    )
-    if not has_parts and os.path.exists(retired):
-        if os.path.isdir(df_dir):
-            os.rmdir(df_dir)
-        os.rename(retired, df_dir)
+    if cur_name == "shingle_df" and os.path.exists(retired):
+        has_parts = os.path.isdir(cur) and any(
+            x.startswith("ingest_batch=") for x in os.listdir(cur)
+        )
+        if not has_parts:
+            if os.path.isdir(cur):
+                os.rmdir(cur)
+            os.rename(retired, cur)
+        else:
+            shutil.rmtree(retired)
+    # deferred cleanup: every non-current version is garbage — a
+    # crashed staging attempt, or the dir the PREVIOUS swap superseded
+    for name in os.listdir(index_dir):
+        if name == cur_name:
+            continue
+        if name.startswith("shingle_df.v") or (
+            name == "shingle_df" and cur_name != "shingle_df"
+        ):
+            shutil.rmtree(os.path.join(index_dir, name))
+
+    if cur_name == "shingle_df":
+        nxt = "shingle_df.v1"
+    else:
+        nxt = f"shingle_df.v{int(cur_name.rsplit('.v', 1)[1]) + 1}"
     merged = (
-        spark.read.parquet(df_dir)
+        spark.read.parquet(cur)
         .groupBy("s")
         .agg(F.sum("df").alias("df"))
     )
-    tmp = f"{index_dir}/shingle_df_compacting"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(retired):  # leftover from an interrupted cleanup
-        shutil.rmtree(retired)
-    os.rename(df_dir, retired)
-    os.makedirs(df_dir)
-    os.rename(tmp, f"{df_dir}/ingest_batch=-1")
-    shutil.rmtree(retired)
+    merged.write.mode("overwrite").parquet(
+        f"{index_dir}/{nxt}/ingest_batch=-1"
+    )
+    # the one cutover: replace the manifest via atomic file rename
+    tmp = os.path.join(index_dir, _DF_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(nxt)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(index_dir, _DF_MANIFEST))
 
 
 def _neardup_gate(
@@ -160,8 +205,11 @@ def _neardup_gate(
         .filter(not_self)
         .drop("ingest_batch")
     )
+    # resolve the live df table ONCE per batch (manifest pointer): the
+    # read and the partition append below must target the same version
+    df_dir = df_table_dir(index_dir)
     idx_df = (
-        spark.read.parquet(f"{index_dir}/shingle_df")
+        spark.read.parquet(df_dir)
         .filter(not_self)
         .groupBy("s")
         .agg(F.sum("df").alias("df"))
@@ -190,7 +238,7 @@ def _neardup_gate(
         caches["batch_df"].select(
             "s", F.col("bdf").alias("df")
         ).write.mode("overwrite").parquet(
-            f"{index_dir}/shingle_df/ingest_batch={batch_id}"
+            f"{df_dir}/ingest_batch={batch_id}"
         )
     finally:
         for frame in caches.values():

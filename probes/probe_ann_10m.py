@@ -115,6 +115,14 @@ def main() -> None:
         help="subquantizer codebook size for pq_indexed/ivfpq "
         "(default: the module PQ_K)",
     )
+    ap.add_argument(
+        "--pq-m",
+        type=int,
+        default=None,
+        help="subspace count for pq_indexed/ivfpq (default: the module "
+        "PQ_M). m=16,k=16 matches the default 8-byte/vector budget "
+        "with twice the subspaces; m=16,k=256 doubles the budget.",
+    )
     args = ap.parse_args()
 
     spark = probe_session(f"probe_ann_{args.op}")
@@ -229,9 +237,12 @@ def main() -> None:
         import os as _os
 
         pq_k = args.pq_k or similarity.PQ_K
-        index_dir = f"{sf_dir}/pq_index_{pq_k}"
+        pq_m = args.pq_m or similarity.PQ_M
+        index_dir = f"{sf_dir}/pq_index_{pq_k}" + (
+            "" if pq_m == similarity.PQ_M else f"_m{pq_m}"
+        )
         t0 = time.perf_counter()
-        similarity.build_pq_index(spark, sf_dir, index_dir, k=pq_k)
+        similarity.build_pq_index(spark, sf_dir, index_dir, m=pq_m, k=pq_k)
         build_sec = round(time.perf_counter() - t0, 1)
         idx_bytes = sum(
             _os.path.getsize(_os.path.join(r, f))
@@ -283,9 +294,12 @@ def main() -> None:
         # the full IVFADC: kmeans cells (partition-pruned probes) +
         # residual-PQ codes (compressed in-cell ADC)
         pq_k = args.pq_k or similarity.PQ_K
-        index_dir = f"{sf_dir}/ivfpq_index_{pq_k}"
+        pq_m = args.pq_m or similarity.PQ_M
+        index_dir = f"{sf_dir}/ivfpq_index_{pq_k}" + (
+            "" if pq_m == similarity.PQ_M else f"_m{pq_m}"
+        )
         t0 = time.perf_counter()
-        similarity.build_ivfpq_index(spark, sf_dir, index_dir, k=pq_k)
+        similarity.build_ivfpq_index(spark, sf_dir, index_dir, m=pq_m, k=pq_k)
         build_sec = round(time.perf_counter() - t0, 1)
         builders["ivfpq"] = (
             lambda s, d: similarity.ann_cosine_topk_ivfpq(s, d, index_dir)
@@ -316,6 +330,9 @@ def main() -> None:
     }
     if build_sec is not None:
         result["index_build_sec"] = build_sec
+    if args.op in ("pq_indexed", "ivfpq"):
+        result["pq_m"] = args.pq_m or similarity.PQ_M
+        result["pq_k"] = args.pq_k or similarity.PQ_K
     if args.op in (
         "ivf", "ivf_indexed", "ivf_kmeans_indexed", "lsh", "lsh_prod",
         "lsh_indexed", "pq_indexed", "sq8_indexed", "ivfpq",

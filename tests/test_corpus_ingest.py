@@ -262,10 +262,9 @@ def test_compact_text_neardup_index_preserves_next_batch_pairs(
     shutil.copytree(idx_a, idx_b)
 
     CI.compact_text_neardup_index(spark, idx_b)
+    df_b = CI.df_table_dir(idx_b)
     parts = {
-        d
-        for d in os.listdir(f"{idx_b}/shingle_df")
-        if d.startswith("ingest_batch=")
+        d for d in os.listdir(df_b) if d.startswith("ingest_batch=")
     }
     assert parts == {"ingest_batch=-1"}
     tot_a = {
@@ -277,7 +276,7 @@ def test_compact_text_neardup_index_preserves_next_batch_pairs(
     }
     tot_b = {
         r.s: r.t
-        for r in spark.read.parquet(f"{idx_b}/shingle_df").select(
+        for r in spark.read.parquet(df_b).select(
             "s", F.col("df").alias("t")
         ).collect()
     }
@@ -358,12 +357,67 @@ def test_ingest_decontamination_gate(spark, tmp_path):
     } == accepted
 
 
-def test_compact_recovers_crashed_swap(spark, tmp_path):
-    """The retire-then-promote swap's two crash windows (df table moved
-    aside; empty shell left by makedirs) are self-healing: the next
-    compaction restores the retired tree and completes, totals intact."""
+def test_compact_swap_has_no_absent_window(spark, tmp_path):
+    """Round-12 rework (round-11 verdict item 6): the versioned-dir +
+    manifest promote means a COMPLETE df table is resolvable at every
+    instruction of the swap — there is no between-renames window.
+    Pin each crash point: staged-but-unpromoted v-dir, tmp manifest
+    written but never renamed, and the deferred-cleanup state after a
+    successful promote."""
     import os
     import shutil
+
+    from pyspark.sql import functions as F
+
+    corpus, shards, _ = _nd_fixture(spark)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    CI.seed_text_neardup_index(spark, corpus, idx)
+    CI.accept_batch(shards[0], 0, out, index_dir=idx)
+
+    def totals():
+        return {
+            r.s: r.t
+            for r in spark.read.parquet(CI.df_table_dir(idx))
+            .groupBy("s")
+            .agg(F.sum("df").alias("t"))
+            .collect()
+        }
+
+    want = totals()
+
+    # crash point 1: staged a new version, died before the manifest
+    # rename — the garbage v-dir is invisible to the resolver
+    shutil.copytree(CI.df_table_dir(idx), f"{idx}/shingle_df.v9")
+    assert os.path.basename(CI.df_table_dir(idx)) == "shingle_df"
+    assert totals() == want
+    # crash point 2: wrote the tmp manifest, died before renaming it —
+    # still invisible (only the rename itself moves the pointer)
+    with open(f"{idx}/{CI._DF_MANIFEST}.tmp", "w") as f:
+        f.write("shingle_df.v9")
+    assert os.path.basename(CI.df_table_dir(idx)) == "shingle_df"
+    assert totals() == want
+
+    # the next compaction sweeps both crash leftovers and promotes
+    CI.compact_text_neardup_index(spark, idx)
+    assert not os.path.exists(f"{idx}/shingle_df.v9")
+    assert os.path.basename(CI.df_table_dir(idx)) == "shingle_df.v1"
+    assert totals() == want
+    # deferred cleanup: the superseded dir survives the swap (so a
+    # batch concurrent with it keeps the directory it resolved) and
+    # falls to the NEXT compaction
+    assert os.path.isdir(f"{idx}/shingle_df")
+    CI.compact_text_neardup_index(spark, idx)
+    assert not os.path.exists(f"{idx}/shingle_df")
+    assert os.path.basename(CI.df_table_dir(idx)) == "shingle_df.v2"
+    assert totals() == want
+
+
+def test_compact_recovers_pre_manifest_crashed_swap(spark, tmp_path):
+    """A crash under the pre-round-12 retire-then-promote layout (df
+    table renamed aside, never promoted back) still recovers: the
+    compaction restores the retired tree before compacting."""
+    import os
 
     from pyspark.sql import functions as F
 
@@ -379,21 +433,11 @@ def test_compact_recovers_crashed_swap(spark, tmp_path):
         .agg(F.sum("df").alias("t"))
         .collect()
     }
-    # window 1: crashed after the retire rename
     os.rename(f"{idx}/shingle_df", f"{idx}/shingle_df_retired")
     CI.compact_text_neardup_index(spark, idx)
     got = {
         r.s: r.df
-        for r in spark.read.parquet(f"{idx}/shingle_df").collect()
+        for r in spark.read.parquet(CI.df_table_dir(idx)).collect()
     }
     assert got == want
     assert not os.path.exists(f"{idx}/shingle_df_retired")
-    # window 2: crashed between makedirs and the promote rename
-    os.rename(f"{idx}/shingle_df", f"{idx}/shingle_df_retired")
-    os.makedirs(f"{idx}/shingle_df")
-    CI.compact_text_neardup_index(spark, idx)
-    got = {
-        r.s: r.df
-        for r in spark.read.parquet(f"{idx}/shingle_df").collect()
-    }
-    assert got == want

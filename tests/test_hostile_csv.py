@@ -133,6 +133,29 @@ def test_explicit_vs_pandas(spark, tmp_path, case):
     assert df.columns == names
 
 
+# --- variant 3b: explicit + skip-rows (the lineio parse path) ----------------
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_explicit_skiprows_vs_pandas(spark, tmp_path, case):
+    text, width = CASES[case]
+    if case == "bom":
+        text = "﻿" + SKIP_META + text.lstrip("﻿")
+    else:
+        text = SKIP_META + text
+    p = _write(tmp_path, f"skip_{case}", text)
+    names = [f"n{i}" for i in range(width)]
+    df = cs.read_explicit(
+        spark, p, ",".join(f"{n}:str" for n in names), skip_rows=2
+    )
+    if case in PANDAS_INDEX_QUIRK:
+        assert _norm_spark(df) == sorted(
+            [("1", "2", "3"), ("5", "6", "7")], key=repr
+        )
+        return
+    exp = pd.read_csv(p, skiprows=2, header=0, names=names, dtype=str)
+    assert _norm_spark(df) == _norm_pd(exp), case
+    assert df.columns == names
+
+
 # --- variant 4: ragged (ground truth: csv.reader, the parser the
 # reference's pandas engine='python' read is built on — modern pandas
 # refuses wider-than-first ragged rows outright, see read_ragged doc) --------
