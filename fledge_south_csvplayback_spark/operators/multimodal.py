@@ -296,7 +296,20 @@ def _make_ppm_decoder():
 _decode_ppm = _make_ppm_decoder()
 
 
-def image_stats(media: DataFrame) -> DataFrame:
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(
+            f"on_error must be 'raise' or 'quarantine', got {on_error!r}"
+        )
+
+
+def _err_text(payload, ex: Exception) -> str:
+    if payload is None:
+        return "NULL payload"
+    return str(ex) or type(ex).__name__
+
+
+def image_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Decode every PPM payload and emit per-channel pixel sums plus
     the 64-bit dHash: gray[r][c] = (R+G+B)//3, bit (r, c) set when
     gray[r][c] < gray[r][c+1] — each row's 8 comparisons pack into one
@@ -314,9 +327,23 @@ def image_stats(media: DataFrame) -> DataFrame:
     gradient comparisons, and ``packbits`` all run vectorized (the
     pure-Python pixel loops were the measured bottleneck: ~34 µs/doc
     at the 200k probe); other geometries take the scalar fallback.
-    Python-side byte equality of both paths is pinned in tests."""
+    Python-side byte equality of both paths is pinned in tests.
+
+    ``on_error`` (round-12): ``"raise"`` — the default and every
+    oracle-checked entry's semantics — fails the job loudly on the
+    first malformed payload; ``"quarantine"`` is the CSV/JSONL
+    corrupt-record pattern extended to binary payloads: a payload that
+    fails to decode yields ONE row with NULL stats and the error text
+    in ``decode_error`` (NULL on clean rows), so one corrupt blob in a
+    100 TB scan costs one quarantined row, not the job.
+    ``multimodal_decode_report`` is the health check built on top."""
+    _check_on_error(on_error)
     decode = _decode_ppm  # closure capture -> pickled by value
     group_runs = _make_group_runs()
+    err_text = _err_text
+    schema = IMAGE_STATS_SCHEMA + (
+        ", decode_error string" if on_error == "quarantine" else ""
+    )
 
     def scalar_row(w, h, buf):
         gray = [
@@ -351,14 +378,26 @@ def image_stats(media: DataFrame) -> DataFrame:
             sums = np.empty((n, 3), dtype=np.int64)
             dhashes: list[str | None] = [None] * n
             bufs: list[bytes] = [b""] * n
+            errors: list[str | None] = [None] * n
             for i, payload in enumerate(pdf["payload"]):
-                w, h, maxval, buf = decode(payload)
+                try:
+                    w, h, maxval, buf = decode(payload)
+                except (ValueError, TypeError) as ex:
+                    if on_error == "raise":
+                        raise
+                    errors[i] = err_text(payload, ex)
+                    widths[i] = heights[i] = maxvals[i] = 0
+                    continue
                 widths[i], heights[i], maxvals[i] = w, h, maxval
                 bufs[i] = buf
+            ok = np.array([e is None for e in errors])
             # vectorized fast path per (w, h) group with w == 9 (one
             # dHash byte per row); scalar fallback otherwise
             keys = np.stack([widths, heights], axis=1).astype(np.int64)
             for (w, h), idx in group_runs(keys):
+                idx = idx[ok[idx]]
+                if not idx.size:
+                    continue
                 if w != 9:
                     for i in idx:
                         sr, sg, sb, dh = scalar_row(w, h, bufs[i])
@@ -378,20 +417,27 @@ def image_stats(media: DataFrame) -> DataFrame:
                 packed = packed.reshape(len(idx), h)
                 for j, i in enumerate(idx):
                     dhashes[i] = packed[j].tobytes().hex()
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids,
-                    "width": widths,
-                    "height": heights,
-                    "maxval": maxvals,
-                    "sum_r": sums[:, 0],
-                    "sum_g": sums[:, 1],
-                    "sum_b": sums[:, 2],
-                    "dhash": dhashes,
-                }
-            )
+            cols = {
+                "doc_id": doc_ids,
+                "width": widths,
+                "height": heights,
+                "maxval": maxvals,
+                "sum_r": sums[:, 0],
+                "sum_g": sums[:, 1],
+                "sum_b": sums[:, 2],
+                "dhash": dhashes,
+            }
+            if on_error == "quarantine":
+                if not ok.all():  # null out the quarantined rows' stats
+                    for c in ("width", "height", "maxval", "sum_r", "sum_g", "sum_b"):
+                        cols[c] = [
+                            None if errors[i] is not None else int(cols[c][i])
+                            for i in range(n)
+                        ]
+                cols["decode_error"] = errors
+            yield pd.DataFrame(cols)
 
-    return media.mapInPandas(batches, IMAGE_STATS_SCHEMA)
+    return media.mapInPandas(batches, schema)
 
 
 # --- registered queries ------------------------------------------------------
@@ -693,11 +739,15 @@ def _wav_preparse(media: DataFrame) -> DataFrame:
     )
 
 
-def _make_batch_wav_decode():
+def _make_batch_wav_decode(on_error: str = "raise"):
     """Factory (cloudpickle by-value) for the Python half of the WAV
     fast path: given a ``_wav_preparse`` batch, return (rates,
-    channels, raws) numpy/list triples — JVM-sliced columns where the
-    header was canonical, the generic RIFF walk per row otherwise."""
+    channels, raws, errors) — JVM-sliced columns where the header was
+    canonical, the generic RIFF walk per row otherwise. ``errors`` is
+    all-None under ``on_error="raise"`` (a bad payload raises, the
+    historical semantics); under ``"quarantine"`` a failed row carries
+    its error text there with zeroed rate/channels and an empty
+    buffer, for the caller to NULL out at emit."""
     decode = _decode_wav
 
     def batch_decode(pdf):
@@ -711,10 +761,12 @@ def _make_batch_wav_decode():
                 pdf["wav_rate"].to_numpy().astype(np.int64),
                 pdf["wav_channels"].to_numpy().astype(np.int64),
                 [bytes(d) for d in data_col],
+                [None] * n,
             )
         rates = np.empty(n, dtype=np.int64)
         chans = np.empty(n, dtype=np.int64)
         raws: list[bytes] = [b""] * n
+        errors: list[str | None] = [None] * n
         rate_col = pdf["wav_rate"].to_numpy()
         ch_col = pdf["wav_channels"].to_numpy()
         raw_col = pdf["wav_raw"].to_numpy()
@@ -724,8 +776,9 @@ def _make_batch_wav_decode():
                 rates[i] = rate_col[i]
                 chans[i] = ch_col[i]
                 raws[i] = bytes(d)
-            else:
-                raw = raw_col[i]
+                continue
+            raw = raw_col[i]
+            try:
                 if raw is None:
                     # a NULL payload fails BOTH preparse branches (the
                     # header predicate is NULL, not false) — fail with
@@ -736,13 +789,19 @@ def _make_batch_wav_decode():
                         "requires bytes — filter or repair upstream"
                     )
                 r, c, d2 = decode(bytes(raw))
-                rates[i], chans[i], raws[i] = r, c, d2
-        return rates, chans, raws
+            except ValueError as ex:
+                if on_error == "raise":
+                    raise
+                errors[i] = str(ex) or type(ex).__name__
+                rates[i], chans[i], raws[i] = 0, 1, b""
+                continue
+            rates[i], chans[i], raws[i] = r, c, d2
+        return rates, chans, raws, errors
 
     return batch_decode
 
 
-def audio_stats(media: DataFrame) -> DataFrame:
+def audio_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Decode every WAV payload and emit exact integer signal stats:
     peak = max |s|, sum_abs, sum_sq (energy), and the zero-crossing
     count (sign(s[i-1]) != sign(s[i]) with sign := s < 0) — the
@@ -755,9 +814,18 @@ def audio_stats(media: DataFrame) -> DataFrame:
     loops were the measured bottleneck — 35.2 s vs 22.5 s for the
     image path doing MORE work at 10M). The RIFF parse itself runs
     JVM-side via ``_wav_preparse`` for canonical fixed-layout
-    payloads; Python only walks non-canonical ones."""
-    batch_decode = _make_batch_wav_decode()
+    payloads; Python only walks non-canonical ones.
+
+    ``on_error``: see ``image_stats`` — ``"quarantine"`` adds a
+    ``decode_error`` column and turns malformed payloads (and the
+    mono-only violation, which is data-shaped too) into NULL-stats
+    rows instead of a job failure."""
+    _check_on_error(on_error)
+    batch_decode = _make_batch_wav_decode(on_error)
     group_runs = _make_group_runs()
+    schema = AUDIO_STATS_SCHEMA + (
+        ", decode_error string" if on_error == "quarantine" else ""
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -766,8 +834,16 @@ def audio_stats(media: DataFrame) -> DataFrame:
             n = len(pdf)
             if not n:
                 continue
-            rates, chans, raws = batch_decode(pdf)
-            if (chans != 1).any():
+            rates, chans, raws, errors = batch_decode(pdf)
+            if on_error == "quarantine":
+                for i in range(n):
+                    if errors[i] is None and chans[i] != 1:
+                        errors[i] = (
+                            f"audio_stats is mono-only, got {int(chans[i])} "
+                            "channels — use audio_stats_per_channel"
+                        )
+                        raws[i] = b""
+            elif (chans != 1).any():
                 # the stream is channel-INTERLEAVED: flat stats over
                 # it would mix channels (zero-crossings especially);
                 # fail loudly rather than report wrong numbers.
@@ -798,20 +874,30 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 sum_sq[idx] = (s * s).sum(axis=1)
                 neg = s < 0
                 zc[idx] = (neg[:, :-1] != neg[:, 1:]).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "sample_rate": rates,
-                    "channels": np.ones(n, dtype=np.int64),
-                    "n_samples": counts,
-                    "peak": peak,
-                    "sum_abs": sum_abs,
-                    "sum_sq": sum_sq,
-                    "zero_crossings": zc,
-                }
-            )
+            cols = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "sample_rate": rates,
+                "channels": np.ones(n, dtype=np.int64),
+                "n_samples": counts,
+                "peak": peak,
+                "sum_abs": sum_abs,
+                "sum_sq": sum_sq,
+                "zero_crossings": zc,
+            }
+            if on_error == "quarantine":
+                if any(e is not None for e in errors):
+                    for c in (
+                        "sample_rate", "channels", "n_samples",
+                        "peak", "sum_abs", "sum_sq", "zero_crossings",
+                    ):
+                        cols[c] = [
+                            None if errors[i] is not None else int(cols[c][i])
+                            for i in range(n)
+                        ]
+                cols["decode_error"] = errors
+            yield pd.DataFrame(cols)
 
-    return _wav_preparse(media).mapInPandas(batches, AUDIO_STATS_SCHEMA)
+    return _wav_preparse(media).mapInPandas(batches, schema)
 
 
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,7 +964,7 @@ def audio_stats_per_channel(media: DataFrame) -> DataFrame:
             if not n:
                 continue
             doc_ids = pdf["doc_id"].to_numpy()
-            rates, chans, raws = batch_decode(pdf)
+            rates, chans, raws, _ = batch_decode(pdf)
             n16s = np.fromiter(
                 (len(r) for r in raws), dtype=np.int64, count=n
             ) // 2
@@ -968,7 +1054,7 @@ def audio_downmix(media: DataFrame) -> DataFrame:
             n = len(pdf)
             if not n:
                 continue
-            rates, chans, raws = batch_decode(pdf)
+            rates, chans, raws, _ = batch_decode(pdf)
             n16s = np.fromiter(
                 (len(r) for r in raws), dtype=np.int64, count=n
             ) // 2
@@ -1360,7 +1446,7 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
             if not n:
                 continue
             doc_ids = pdf["doc_id"].to_numpy()
-            _, chans, raws = batch_decode(pdf)
+            _, chans, raws, _ = batch_decode(pdf)
             if (chans != 1).any():
                 # interleaved windows would mix channels into each
                 # energy — wrong fingerprint, not a degraded one
@@ -1680,7 +1766,7 @@ def _make_avi_decoder():
 _decode_avi = _make_avi_decoder()
 
 
-def video_stats(media: DataFrame) -> DataFrame:
+def video_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Decode every AVI payload and emit one row PER FRAME: exact
     per-channel pixel sums plus the frame's 64-bit dHash (the image
     convention — bit (r, c) set when gray[r][c] < gray[r][c+1], one
@@ -1693,9 +1779,18 @@ def video_stats(media: DataFrame) -> DataFrame:
     all frames of a (w, h, bottom_up) group stack into ONE numpy
     array per batch; un-padding, the bottom-up flip, the BGR->RGB
     swap, channel sums, and the gradient packbits all run vectorized
-    (the image-stats fast-path precedent)."""
+    (the image-stats fast-path precedent).
+
+    ``on_error``: see ``image_stats`` — under ``"quarantine"`` a
+    payload that fails the chunk walk yields ONE all-NULL row (no
+    frames) carrying the error in ``decode_error``."""
+    _check_on_error(on_error)
     decode = _decode_avi  # closure capture -> pickled by value
     group_runs = _make_group_runs()
+    err_text = _err_text
+    schema = VIDEO_STATS_SCHEMA + (
+        ", decode_error string" if on_error == "quarantine" else ""
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1705,13 +1800,35 @@ def video_stats(media: DataFrame) -> DataFrame:
                 continue
             metas = []  # (doc_id, frame_idx, w, h, n_frames, bottom_up)
             raws: list[bytes] = []
+            quarantined: list[tuple] = []  # (doc_id, error)
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, bottom_up, stride, frames = decode(payload)
+                try:
+                    w, h, bottom_up, stride, frames = decode(payload)
+                except (ValueError, TypeError) as ex:
+                    if on_error == "raise":
+                        raise
+                    quarantined.append((doc_id, err_text(payload, ex)))
+                    continue
                 for fi, fr in enumerate(frames):
                     metas.append(
                         (doc_id, fi, w, h, len(frames), bottom_up, stride)
                     )
                     raws.append(fr)
+            if quarantined and not raws:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [d for d, _ in quarantined],
+                        **{
+                            c: [None] * len(quarantined)
+                            for c in (
+                                "frame_idx", "width", "height", "n_frames",
+                                "sum_r", "sum_g", "sum_b", "dhash",
+                            )
+                        },
+                        "decode_error": [e for _, e in quarantined],
+                    }
+                )
+                continue
             if not raws:
                 # a batch of only zero-frame AVIs (valid: avih declares
                 # 0 frames, movi empty) yields zero rows; without this
@@ -1758,25 +1875,63 @@ def video_stats(media: DataFrame) -> DataFrame:
                                     byte |= 1 << (w - 2 - c)
                             rows_hex.append(f"{byte:0{nhex}x}")
                         dhashes[i] = "".join(rows_hex)
-            yield pd.DataFrame(
-                {
-                    "doc_id": [m[0] for m in metas],
-                    "frame_idx": [m[1] for m in metas],
-                    "width": [m[2] for m in metas],
-                    "height": [m[3] for m in metas],
-                    "n_frames": [m[4] for m in metas],
-                    "sum_r": sums[:, 0],
-                    "sum_g": sums[:, 1],
-                    "sum_b": sums[:, 2],
-                    "dhash": dhashes,
-                }
-            )
+            cols = {
+                "doc_id": [m[0] for m in metas],
+                "frame_idx": [m[1] for m in metas],
+                "width": [m[2] for m in metas],
+                "height": [m[3] for m in metas],
+                "n_frames": [m[4] for m in metas],
+                "sum_r": sums[:, 0],
+                "sum_g": sums[:, 1],
+                "sum_b": sums[:, 2],
+                "dhash": dhashes,
+            }
+            if on_error == "quarantine":
+                if quarantined:  # lists can grow; numpy slices can't
+                    for c in ("sum_r", "sum_g", "sum_b"):
+                        cols[c] = list(cols[c])
+                cols["decode_error"] = [None] * len(metas)
+                for doc_id, err in quarantined:
+                    cols["doc_id"].append(doc_id)
+                    for c in (
+                        "frame_idx", "width", "height", "n_frames",
+                        "sum_r", "sum_g", "sum_b", "dhash",
+                    ):
+                        cols[c].append(None)
+                    cols["decode_error"].append(err)
+            yield pd.DataFrame(cols)
 
-    return media.mapInPandas(batches, VIDEO_STATS_SCHEMA)
+    return media.mapInPandas(batches, schema)
 
 
 def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_stats(video_table(spark, sf_dir))
+
+
+def multimodal_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest health check across the three binary modalities — the
+    ``jsonl_corrupt_report`` of the media layer (round 12): each stats
+    op runs in quarantine mode and reduces to one row per modality
+    ``(modality, n_payloads, n_errors, sample_error)``. Each modality
+    is one scan + a global aggregate (map-side partials, a few bytes
+    per task — no wide shuffle); corrupt payloads are counted and
+    sampled, never fatal. Note the video row counts payloads that
+    yielded at least one frame OR an error — a VALID zero-frame AVI
+    contributes no row to ``video_stats`` and so none here."""
+    parts = []
+    for modality, df in (
+        ("image", image_stats(image_table(spark, sf_dir), on_error="quarantine")),
+        ("audio", audio_stats(audio_table(spark, sf_dir), on_error="quarantine")),
+        ("video", video_stats(video_table(spark, sf_dir), on_error="quarantine")),
+    ):
+        parts.append(
+            df.agg(
+                F.countDistinct("doc_id").alias("n_payloads"),
+                F.count("decode_error").alias("n_errors"),
+                F.min("decode_error").alias("sample_error"),
+            ).select(F.lit(modality).alias("modality"), "*")
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 
 # closed-form oracle over the LOGICAL pixel formula — the Spark side

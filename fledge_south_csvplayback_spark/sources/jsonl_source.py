@@ -53,6 +53,21 @@ def read_jsonl_documents(
     ``keep_corrupt=False`` the corrupt column is dropped and
     malformed lines surface as all-NULL rows under PERMISSIVE or an
     error under FAILFAST.
+
+    Hostile-input semantics (pinned by ``tests/test_hostile_jsonl.py``,
+    the round-12 sweep of this source's fixture envelope):
+
+    - unparseable JSON / non-object lines: every data column NULL,
+      raw line in the corrupt column;
+    - a TYPE-MISMATCHED field (string where long is declared, float
+      for long, integer overflow): that field NULL, the other fields
+      KEPT, and the corrupt column still carries the raw line — a
+      partial row plus the audit trail;
+    - a JSON object/array where a string column is declared is
+      STRINGIFIED (not corrupt) — Jackson's lenient string coercion;
+    - duplicate keys: last occurrence wins (not corrupt);
+    - missing fields / extra keys: NULL / ignored (not corrupt);
+    - blank lines are no rows at all; a UTF-8 BOM is tolerated.
     """
     full = f"{schema}, {_CORRUPT} string"
     reader = (
@@ -81,9 +96,16 @@ def jsonl_corrupt_report(
         f"{schema}, {_CORRUPT} string",
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
     )
-    return spark.read.text(path).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count(parsed[_CORRUPT]).alias("n_corrupt"),
+    # blank lines are NO rows to the reader (the JSON source skips
+    # them), so they must not inflate this health check's denominator
+    # either — round-12 hostile-JSONL sweep
+    return (
+        spark.read.text(path)
+        .filter(F.col("value") != "")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(parsed[_CORRUPT]).alias("n_corrupt"),
+        )
     )
 
 
