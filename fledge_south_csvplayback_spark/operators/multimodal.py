@@ -22,6 +22,18 @@ pipeline is oracle-checked end-to-end against DuckDB.
 Scale shape: mapInPandas streams Arrow batches per partition — no
 driver collect, no per-row Python calls; partitioning of the input
 carries through.
+
+Corrupt-payload policy (round 12): the three stats ENTRY POINTS
+(``image_stats`` / ``audio_stats`` / ``video_stats``) accept
+``on_error="quarantine"`` — the CSV/JSONL corrupt-record pattern for
+binary: a bad payload costs one NULL-stats row with a ``decode_error``
+audit column, never the job; ``multimodal_decode_report`` is the
+health check built on them. The composed/index-feeding ops (near-dup
+pairs, fingerprints, downmix, resize) DELIBERATELY stay raise-only:
+they write blocking tables and derived payloads where a silently
+nulled row corrupts downstream joins — the supported pipeline shape is
+quarantine-stats (or the report) first, filter the flagged doc_ids,
+then index the clean corpus.
 """
 
 from __future__ import annotations

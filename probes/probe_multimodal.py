@@ -43,7 +43,9 @@ from probes._common import (
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("op", choices=["stats", "video", "neardup", "ingest"])
+    ap.add_argument(
+        "op", choices=["stats", "video", "neardup", "ingest", "quarantine"]
+    )
     ap.add_argument("--batch", type=int, default=100_000)
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--m", type=int, default=3)
@@ -53,6 +55,28 @@ def main() -> None:
     d = f"{PROBE_ROOT}/curation_{args.rows}_25"
     if not os.path.exists(f"{d}/documents.parquet"):
         raise SystemExit(f"run probe_curation.py gen --rows {args.rows} first")
+
+    if args.op == "quarantine":
+        # raise-vs-quarantine overhead on CLEAN data (the only regime
+        # that matters for the default pipeline: errors are rare, the
+        # question is what the try/except + nullable-emit branches cost
+        # when nothing fails). Interleaved reps per the noise protocol.
+        media = multimodal.image_table(spark, d)
+        out = {"op": "quarantine_ab", "rows": args.rows}
+        samples: dict[str, list[float]] = {"raise": [], "quarantine": []}
+        for _ in range(2):
+            for mode in ("raise", "quarantine"):
+                t0 = time.perf_counter()
+                multimodal.image_stats(media, on_error=mode).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                samples[mode].append(round(time.perf_counter() - t0, 1))
+        out.update(samples)
+        out["overhead_ratio"] = round(
+            min(samples["quarantine"]) / min(samples["raise"]), 3
+        )
+        print(json.dumps(out))
+        return
 
     if args.op in ("stats", "video"):
         out = {"op": args.op, "rows": args.rows}
