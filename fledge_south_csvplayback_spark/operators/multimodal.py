@@ -1721,8 +1721,15 @@ def _make_avi_decoder():
         frames: list[bytes] = []
         bmi = avih = None
 
-        def walk(pos: int, end: int) -> None:
+        def walk(pos: int, end: int, depth: int = 0) -> None:
             nonlocal bmi, avih
+            # depth cap (round-12 review): a hostile payload of ~1100
+            # nested LISTs would otherwise blow Python's recursion
+            # limit — and RecursionError is not a ValueError, so it
+            # would ESCAPE the quarantine catch and kill the job. Real
+            # AVIs nest hdrl/strl/movi ~3 deep.
+            if depth > 32:
+                raise ValueError("LIST chunks nested deeper than 32")
             while pos + 8 <= end:
                 cid = payload[pos : pos + 4]
                 (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -1730,7 +1737,7 @@ def _make_avi_decoder():
                 if body + size > end:
                     raise ValueError(f"truncated {cid!r} chunk")
                 if cid == b"LIST":
-                    walk(body + 4, body + size)
+                    walk(body + 4, body + size, depth + 1)
                 elif cid == b"avih":
                     if size < 56:
                         raise ValueError(

@@ -33,7 +33,7 @@ from __future__ import annotations
 import csv
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -97,6 +97,29 @@ _INFER_ORDER: tuple[tuple[str, type], ...] = (("bigint", int), ("double", float)
 # window of the original 16 — the sample-based contract below is
 # unchanged, just harder to fall afoul of.
 INFER_SAMPLE_LINES = 128
+
+# driver-side head reads over-fetch by this much to ride out blank
+# lines in the header region; the fetch widens geometrically (×8) when
+# a pathological blank preamble eats the whole window, so a valid
+# header is always found no matter how deep it sits (round-12 review:
+# a fixed window failed spuriously past 64 blanks)
+HEAD_BLANK_SLACK = 64
+
+
+def _head_with_blanks(
+    spark: SparkSession, path: str, want: int, need_nonblank: int
+) -> list[str]:
+    """First ``want + slack`` physical lines, widening until at least
+    ``need_nonblank`` non-blank lines are in hand or the file is
+    exhausted. Returns the PHYSICAL lines (callers that need offsets
+    index them themselves)."""
+    slack = HEAD_BLANK_SLACK
+    while True:
+        head = lineio.head_lines(spark, path, want + slack)
+        nonblank = sum(1 for l in head if l != "")
+        if nonblank >= need_nonblank or len(head) < want + slack:
+            return head
+        slack *= 8
 
 
 def _infer_ddl(names: list[str], sample_rows: list[list[str]]) -> str:
@@ -188,7 +211,15 @@ def read_pick_from_file(
             return reader.schema(schema).csv(path)
         if not infer_schema:
             return reader.csv(path)
-        head = [l for l in head_lines(spark, path, 1 + INFER_SAMPLE_LINES) if l]
+        head = [
+            l
+            for l in _head_with_blanks(
+                spark, path, 1 + INFER_SAMPLE_LINES, 1 + INFER_SAMPLE_LINES
+            )
+            if l
+        ]
+        if not head:
+            raise ValueError(f"no non-blank lines in {path}")
         names = _split_header(head[0])
         sample = list(csv.reader(head[1:]))
         return reader.schema(_infer_ddl(names, sample)).csv(path)
@@ -198,8 +229,12 @@ def read_pick_from_file(
     # invisible — header=H indexes the H-th NON-BLANK remaining line,
     # and blank data lines are no rows at all.
     n_sample = INFER_SAMPLE_LINES if (schema is None and infer_schema) else 1
-    slack = 64  # blank/oversized-head allowance in the driver-side read
-    head = head_lines(spark, path, skip_rows + header_row + 1 + n_sample + slack)
+    head = _head_with_blanks(
+        spark,
+        path,
+        skip_rows + header_row + 1 + n_sample,
+        skip_rows + header_row + 1 + n_sample,
+    )
     nonblank = [(j, ln) for j, ln in enumerate(head[skip_rows:]) if ln != ""]
     if len(nonblank) <= header_row:
         raise ValueError(
@@ -253,7 +288,7 @@ def read_explicit(
     )
     # the discarded header is the first NON-BLANK line after the
     # physical skip (pandas header=0 semantics; blank lines invisible)
-    head = head_lines(spark, path, skip_rows + 1 + 64)
+    head = _head_with_blanks(spark, path, skip_rows + 1, skip_rows + 1)
     nonblank = [(j, ln) for j, ln in enumerate(head[skip_rows:]) if ln != ""]
     if not nonblank:
         raise ValueError(f"no header line after skipping {skip_rows} lines of {path}")
@@ -314,25 +349,6 @@ def read_explicit(
 # non-empty position i becomes map key "<prefix>_<i+1>".
 # ---------------------------------------------------------------------------
 
-# Split only on commas followed by an EVEN number of quote chars up to
-# end-of-line — i.e. commas outside quoted fields (RFC4180 lines keep
-# quote parity balanced after every field boundary). Pure Java regex,
-# so the split stays inside whole-stage codegen.
-_UNQUOTED_COMMA = ',(?=(?:[^"]*"[^"]*")*[^"]*$)'
-
-
-def _unquote_field(v: Column) -> Column:
-    """RFC4180 unquote of one already-split field: a field wrapped in
-    quotes loses them and collapses doubled quotes (``"q""q"`` → ``q"q``);
-    a bare quote mid-field stays literal. These are ``csv.reader``
-    semantics — the parser the reference's pandas ``engine='python'``
-    read (csvplayback.py:587-597) is built on."""
-    inner = F.regexp_replace(v.substr(F.lit(2), F.length(v) - 2), '""', '"')
-    return F.when(
-        v.startswith('"') & v.endswith('"') & (F.length(v) >= 2), inner
-    ).otherwise(v)
-
-
 def read_ragged(
     spark: SparkSession,
     path: str,
@@ -349,17 +365,27 @@ def read_ragged(
     dropped BEFORE numbering (pandas skip_blank_lines semantics, which
     the reference inherits).
 
-    Quote semantics match the reference's quote-aware pandas
-    python-engine read (csvplayback.py:587-597): ``x,"b,c",d`` is three
-    fields with ``b,c`` intact, doubled quotes inside a quoted field
-    unescape to one. Lines with no quote char at all take a plain
-    (cheaper) split — the lookahead regex runs only on lines that
-    contain a quote. Known divergence (documented, shared with the
-    module-level embedded-newline caveat): an UNTERMINATED quote
-    (``a,"b`` at end of line — malformed input outside RFC4180) keeps
-    the dangling quote as literal text here (``a,"b`` stays one field
-    through the last even-parity comma), where csv.reader treats it as
-    an opened field swallowed to EOL (``['a', 'b']``).
+    Quote semantics are EXACT ``csv.reader`` semantics — the parser
+    the reference's pandas ``engine='python'`` read
+    (csvplayback.py:587-597) is built on: each line parses through
+    ``from_csv`` (the same JVM uniVocity parser the native reader
+    uses, RFC4180 doubled-quote escaping), verified field-for-field
+    against csv.reader in tests including the hard cases a split
+    regex gets wrong — a bare mid-field quote (``6,5",7`` →
+    ``['6', '5"', '7']``), an unterminated quote (``a,"b`` →
+    ``['a', 'b']``), quoted commas, doubled quotes. The round-12
+    lookahead-parity split was replaced after review found the
+    mid-field-quote divergence.
+
+    Cost note: ``from_csv`` needs a fixed-width schema, so the width
+    bound — max comma-split size, an upper bound on the true field
+    count since quoted commas only over-count — comes from ONE extra
+    narrow pass over the file (text scan + codegen'd ``size(split)``
+    + 1-row max aggregate, no shuffle). The reference plays one file
+    at a time, so this is a per-file header-scale cost, not a
+    corpus-scale one. Empty and absent trailing fields both surface
+    as NULL from the parser and are equally dropped from the map
+    (the reference drops NaN cells the same way).
     """
     check_not_empty(path)
     lines = lineio.with_line_numbers(
@@ -367,19 +393,25 @@ def read_ragged(
             lineio.skip_lines(lineio.read_lines(spark, path), skip_rows)
         )
     )
-    fields = F.when(
-        F.col("value").contains('"'),
-        F.split(F.col("value"), _UNQUOTED_COMMA),
-    ).otherwise(F.split(F.col("value"), ","))
+    width_row = lines.select(
+        F.max(F.size(F.split(F.col("value"), ",", -1))).alias("k")
+    ).collect()[0]
+    n_fields = max(1, width_row.k or 1)
+    ddl = ", ".join(f"`c{i}` string" for i in range(n_fields))
+    parsed = lines.select(
+        "row_id",
+        F.from_csv(F.col("value"), ddl, {"escape": '"'}).alias("_p"),
+    )
+    fields = F.array(*[F.col("_p")[f"c{i}"] for i in range(n_fields)])
     entry = F.transform(
         fields,
         lambda v, i: F.struct(
             F.concat(F.lit(prefix + "_"), (i + 1).cast("string")).alias("key"),
-            _unquote_field(v).alias("value"),
+            v.alias("value"),
         ),
     )
     kept = F.filter(entry, lambda s: s["value"].isNotNull() & (s["value"] != ""))
-    return lines.select("row_id", F.map_from_entries(kept).alias("readings"))
+    return parsed.select("row_id", F.map_from_entries(kept).alias("readings"))
 
 
 # ---------------------------------------------------------------------------

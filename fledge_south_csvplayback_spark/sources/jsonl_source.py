@@ -96,12 +96,15 @@ def jsonl_corrupt_report(
         f"{schema}, {_CORRUPT} string",
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
     )
-    # blank lines are NO rows to the reader (the JSON source skips
-    # them), so they must not inflate this health check's denominator
-    # either — round-12 hostile-JSONL sweep
+    # blank AND whitespace-only lines are NO rows to the reader (the
+    # JSON source needs a token to emit anything), so neither may
+    # inflate this health check's denominator — round-12 hostile-JSONL
+    # sweep + its review pass
+    # (regexp, not trim: Spark's trim strips only ASCII spaces, and a
+    # tab-only line is just as row-less to the JSON reader)
     return (
         spark.read.text(path)
-        .filter(F.col("value") != "")
+        .filter(F.regexp_extract(F.col("value"), r"\S", 0) != "")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count(parsed[_CORRUPT]).alias("n_corrupt"),

@@ -78,6 +78,32 @@ def seed_text_neardup_index(
 
 
 _DF_MANIFEST = "shingle_df_MANIFEST"
+_FOLDED = "_FOLDED"  # per-version sidecar: which batch partitions the
+# version's seed already folded in (underscore name: invisible to the
+# parquet scan, like _SUCCESS)
+
+
+def _batch_parts(d: str) -> set[str]:
+    import os
+
+    if not os.path.isdir(d):
+        return set()
+    return {x for x in os.listdir(d) if x.startswith("ingest_batch=")}
+
+
+def _read_folded(d: str) -> set[str] | None:
+    """The version dir's fold ledger, or None when absent (a dir made
+    by code predating the ledger — rescue is then skipped, because
+    moving a partition that might already be folded would double-count
+    its df rows, which is worse than the old losing-the-append
+    behavior)."""
+    import os
+
+    p = os.path.join(d, _FOLDED)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return {ln.strip() for ln in f if ln.strip()}
 
 
 def df_table_dir(index_dir: str) -> str:
@@ -122,10 +148,23 @@ def compact_text_neardup_index(spark: SparkSession, index_dir: str) -> None:
     then ONE atomic file rename moves the pointer. A crash at ANY
     instruction leaves a manifest that names a complete table — there
     is no window. The superseded dir is deleted on the NEXT compaction
-    (deferred cleanup), never by the swap itself, so even a batch
-    running CONCURRENTLY with the swap keeps the directory it already
-    resolved; concurrent-with-compaction batches merely probe the
-    pre-compaction df counts (same trade as above)."""
+    (deferred cleanup), never by the swap itself, so a batch running
+    concurrently with the swap keeps the directory it already resolved
+    for READING.
+
+    Concurrent-batch WRITES (review finding, round 12): a batch that
+    resolved the old dir may append its ``ingest_batch=N`` partition
+    there after the merge read its file list — folding would miss it,
+    and blind deferred deletion would lose it. Every staged version
+    therefore records WHICH partitions its seed folded (the
+    ``_FOLDED`` sidecar); the swap re-lists the old dir just before
+    the pointer flip and moves any partition that landed mid-merge
+    into the new version, and the next compaction's cleanup rescues
+    (moves, not deletes) any partition in a superseded dir that is
+    absent from the current ledger. Completed concurrent appends are
+    therefore never lost; a batch MID-write at the moment of a rescue
+    move is the one remaining race, which is why the contract still
+    says run compaction between batches."""
     import os
     import shutil
 
@@ -144,28 +183,56 @@ def compact_text_neardup_index(spark: SparkSession, index_dir: str) -> None:
             os.rename(retired, cur)
         else:
             shutil.rmtree(retired)
-    # deferred cleanup: every non-current version is garbage — a
+    # deferred cleanup: every non-current version dir is garbage — a
     # crashed staging attempt, or the dir the PREVIOUS swap superseded
-    for name in os.listdir(index_dir):
+    # — EXCEPT batch partitions the current ledger never folded
+    # (completed concurrent appends): those move into the live dir
+    # before their old home is removed.
+    folded = _read_folded(cur)
+    for name in sorted(os.listdir(index_dir)):
         if name == cur_name:
+            continue
+        full = os.path.join(index_dir, name)
+        if name == "shingle_df_compacting":
+            # pre-round-12 staging leftover (the old code overwrote it
+            # on the next run; the new layout never writes it)
+            shutil.rmtree(full)
             continue
         if name.startswith("shingle_df.v") or (
             name == "shingle_df" and cur_name != "shingle_df"
         ):
-            shutil.rmtree(os.path.join(index_dir, name))
+            if folded is not None:
+                for part in sorted(_batch_parts(full)):
+                    if part == "ingest_batch=-1" or part in folded:
+                        continue
+                    dst = os.path.join(cur, part)
+                    if not os.path.exists(dst):
+                        os.rename(os.path.join(full, part), dst)
+            shutil.rmtree(full)
 
     if cur_name == "shingle_df":
         nxt = "shingle_df.v1"
     else:
         nxt = f"shingle_df.v{int(cur_name.rsplit('.v', 1)[1]) + 1}"
+    staged = os.path.join(index_dir, nxt)
+    # pin the merge's input to the partitions present NOW — the fold
+    # ledger must describe exactly what the seed absorbed
+    parts = sorted(_batch_parts(cur))
     merged = (
-        spark.read.parquet(cur)
+        spark.read.option("basePath", cur)
+        .parquet(*[os.path.join(cur, p) for p in parts])
         .groupBy("s")
         .agg(F.sum("df").alias("df"))
     )
-    merged.write.mode("overwrite").parquet(
-        f"{index_dir}/{nxt}/ingest_batch=-1"
-    )
+    merged.write.mode("overwrite").parquet(f"{staged}/ingest_batch=-1")
+    with open(os.path.join(staged, _FOLDED), "w") as f:
+        f.write("\n".join(parts) + "\n")
+    # partitions that landed during the merge belong to the new
+    # version (they're not in its seed): move them before the flip
+    for part in sorted(_batch_parts(cur) - set(parts)):
+        dst = os.path.join(staged, part)
+        if not os.path.exists(dst):
+            os.rename(os.path.join(cur, part), dst)
     # the one cutover: replace the manifest via atomic file rename
     tmp = os.path.join(index_dir, _DF_MANIFEST + ".tmp")
     with open(tmp, "w") as f:

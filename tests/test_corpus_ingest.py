@@ -413,6 +413,67 @@ def test_compact_swap_has_no_absent_window(spark, tmp_path):
     assert totals() == want
 
 
+def test_compact_rescues_concurrent_append(spark, tmp_path):
+    """The round-12 review race: a batch that resolved the OLD version
+    dir commits its ingest_batch=N partition there after the pointer
+    flipped. Deferred cleanup must MOVE that partition into the live
+    version (it is absent from the current fold ledger), not delete
+    it — its df rows survive into all future totals exactly once,
+    while already-folded partitions are not re-added."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    corpus, shards, _ = _nd_fixture(spark)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    CI.seed_text_neardup_index(spark, corpus, idx)
+    CI.accept_batch(shards[0], 0, out, index_dir=idx)
+
+    def totals():
+        return {
+            r.s: r.t
+            for r in spark.read.parquet(CI.df_table_dir(idx))
+            .groupBy("s")
+            .agg(F.sum("df").alias("t"))
+            .collect()
+        }
+
+    CI.compact_text_neardup_index(spark, idx)  # -> v1; legacy superseded
+    base = totals()
+    # the late append: lands in the superseded legacy dir post-flip
+    spark.createDataFrame(
+        [(-424242, 3)], "s long, df long"
+    ).write.parquet(f"{idx}/shingle_df/ingest_batch=77")
+
+    CI.compact_text_neardup_index(spark, idx)  # -> v2, rescuing 77
+    assert not os.path.exists(f"{idx}/shingle_df")
+    got = totals()
+    assert got.pop(-424242) == 3  # rescued, counted once
+    assert got == base  # folded partitions were NOT double-counted
+    # and the new ledger owns the rescued partition
+    assert "ingest_batch=77" in CI._read_folded(CI.df_table_dir(idx))
+
+
+def test_compact_sweeps_pre_round12_staging_leftover(spark, tmp_path):
+    """A shingle_df_compacting tree left by a pre-round-12 crash (the
+    old code overwrote it; the new layout never writes it) is removed
+    by the next compaction instead of leaking forever."""
+    import os
+
+    corpus, shards, _ = _nd_fixture(spark)
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    CI.seed_text_neardup_index(spark, corpus, idx)
+    CI.accept_batch(shards[0], 0, out, index_dir=idx)
+    leftover = f"{idx}/shingle_df_compacting"
+    os.makedirs(leftover)
+    with open(f"{leftover}/junk.parquet", "w") as f:
+        f.write("x")
+    CI.compact_text_neardup_index(spark, idx)
+    assert not os.path.exists(leftover)
+
+
 def test_compact_recovers_pre_manifest_crashed_swap(spark, tmp_path):
     """A crash under the pre-round-12 retire-then-promote layout (df
     table renamed aside, never promoted back) still recovers: the

@@ -182,6 +182,10 @@ def test_ragged_matches_csv_reader(spark, tmp_path):
         '" spaced ",y',
         "no_quotes_at_all",
         'empty,"",tail',
+        '6,5",7',          # bare mid-field quote (round-12 review find:
+                           # a parity-regex split merges fields here)
+        'x,y"z,w',         # quote glued mid-token
+        'a,"b',            # unterminated quote: csv.reader swallows to EOL
     ]
     p = str(tmp_path / "quoted.csv")
     with open(p, "w") as f:
@@ -195,6 +199,33 @@ def test_ragged_matches_csv_reader(spark, tmp_path):
             if v != ""
         }
         assert got.get(i, {}) == expected, f"line {i}: {line!r}"
+
+
+def test_header_found_past_deep_blank_preamble(spark, tmp_path):
+    """The head fetch widens geometrically when blank lines eat the
+    window (round-12 review: a fixed 64-line allowance failed
+    spuriously on a 100-blank preamble that pandas reads fine)."""
+    p = str(tmp_path / "deep.csv")
+    with open(p, "w") as f:
+        f.write("\n" * 100)
+        f.write("a,b\n1,2\n3,4\n")
+    for kw in ({}, {"skip_rows": 1}):  # fast (native) and lineio paths
+        df = cs.read_pick_from_file(spark, p, **kw)
+        assert df.columns == ["a", "b"], kw
+        assert df.count() == 2, kw
+    df3 = cs.read_explicit(spark, p, "x:int,y:int", skip_rows=1)
+    assert df3.columns == ["x", "y"]
+    assert df3.count() == 2
+
+
+def test_all_blank_file_fails_loudly(spark, tmp_path):
+    p = str(tmp_path / "blanks.csv")
+    with open(p, "w") as f:
+        f.write("\n" * 30)
+    with pytest.raises(ValueError, match="no non-blank|no header"):
+        cs.read_pick_from_file(spark, p)
+    with pytest.raises(ValueError, match="no header"):
+        cs.read_pick_from_file(spark, p, skip_rows=2)
 
 
 # --- metadata capture (S5) --------------------------------------------------

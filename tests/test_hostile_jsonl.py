@@ -52,6 +52,7 @@ CASES = [
         {"doc_id": 8, "text": None, "corrupt": False},
     ),
     ("blank_line", "", None),
+    ("whitespace_only_line", " \t ", None),
     (
         "long_overflow",
         '{"doc_id": 1000000000000000000000000, "text": "big", "lang": "en", "source": "s", "n_chars": 3}',

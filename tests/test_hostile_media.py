@@ -111,6 +111,27 @@ def test_decode_report_counts(spark):
     assert rep["video"].n_errors == 0
 
 
+def test_avi_list_nesting_bomb_is_quarantinable(spark):
+    """~2000 nested LIST chunks would blow Python's recursion limit —
+    and RecursionError is not a ValueError, so it would ESCAPE the
+    quarantine catch and kill the job (round-12 review). The decoder
+    caps LIST depth with a ValueError instead."""
+    import struct
+
+    core = b""
+    for _ in range(2000):
+        core = b"LIST" + struct.pack("<I", len(core) + 4) + b"xxxx" + core
+    bomb = b"RIFF" + struct.pack("<I", len(core) + 4) + b"AVI " + core
+
+    with pytest.raises(Exception, match="nested deeper"):
+        M._decode_avi(bomb)
+    out = M.video_stats(
+        _media_df(spark, [bomb]), on_error="quarantine"
+    ).collect()
+    assert len(out) == 1
+    assert "nested deeper" in out[0].decode_error
+
+
 def test_quarantine_schema_is_opt_in(spark):
     media = M.image_table(spark, TEST_SF_DIR).limit(1)
     assert "decode_error" not in M.image_stats(media).columns
