@@ -211,11 +211,14 @@ def read_pick_from_file(
             return reader.schema(schema).csv(path)
         if not infer_schema:
             return reader.csv(path)
+        # only the HEADER position demands a non-blank guarantee; the
+        # inference sample is best-effort (its size is already a
+        # documented sample-based contract) — demanding the full
+        # sample non-blank would walk a blank-padded file to its end
+        # through the driver (round-12 review)
         head = [
             l
-            for l in _head_with_blanks(
-                spark, path, 1 + INFER_SAMPLE_LINES, 1 + INFER_SAMPLE_LINES
-            )
+            for l in _head_with_blanks(spark, path, 1 + INFER_SAMPLE_LINES, 1)
             if l
         ]
         if not head:
@@ -229,11 +232,13 @@ def read_pick_from_file(
     # invisible — header=H indexes the H-th NON-BLANK remaining line,
     # and blank data lines are no rows at all.
     n_sample = INFER_SAMPLE_LINES if (schema is None and infer_schema) else 1
+    # non-blank guarantee covers the header position only; the sample
+    # stays best-effort (see the fast path's note)
     head = _head_with_blanks(
         spark,
         path,
         skip_rows + header_row + 1 + n_sample,
-        skip_rows + header_row + 1 + n_sample,
+        skip_rows + header_row + 1,
     )
     nonblank = [(j, ln) for j, ln in enumerate(head[skip_rows:]) if ln != ""]
     if len(nonblank) <= header_row:
@@ -349,11 +354,20 @@ def read_explicit(
 # non-empty position i becomes map key "<prefix>_<i+1>".
 # ---------------------------------------------------------------------------
 
+# The from_csv schema, the map-entry array, and the driver-side plan
+# all scale with the WIDEST line, so an unbounded width is a DoS
+# vector (a hostile million-comma line → a million-column plan, found
+# by the round-12 review). 4096 is far past any sensor row; raise the
+# knob deliberately if a legitimate feed is wider.
+RAGGED_MAX_FIELDS = 4096
+
+
 def read_ragged(
     spark: SparkSession,
     path: str,
     prefix: str = "column",
     skip_rows: int = 0,
+    max_fields: int = RAGGED_MAX_FIELDS,
 ) -> DataFrame:
     """Returns (row_id long, readings map<string,string>).
 
@@ -365,17 +379,20 @@ def read_ragged(
     dropped BEFORE numbering (pandas skip_blank_lines semantics, which
     the reference inherits).
 
-    Quote semantics are EXACT ``csv.reader`` semantics — the parser
-    the reference's pandas ``engine='python'`` read
-    (csvplayback.py:587-597) is built on: each line parses through
-    ``from_csv`` (the same JVM uniVocity parser the native reader
-    uses, RFC4180 doubled-quote escaping), verified field-for-field
-    against csv.reader in tests including the hard cases a split
-    regex gets wrong — a bare mid-field quote (``6,5",7`` →
-    ``['6', '5"', '7']``), an unterminated quote (``a,"b`` →
-    ``['a', 'b']``), quoted commas, doubled quotes. The round-12
-    lookahead-parity split was replaced after review found the
-    mid-field-quote divergence.
+    Quote semantics follow ``csv.reader`` — the parser the reference's
+    pandas ``engine='python'`` read (csvplayback.py:587-597) is built
+    on: each line parses through ``from_csv`` (the same JVM uniVocity
+    parser the native reader uses, RFC4180 doubled-quote escaping),
+    verified field-for-field against csv.reader in tests on quoted
+    commas, doubled quotes, bare MID-field quotes (``6,5",7`` →
+    ``['6', '5"', '7']``), and unterminated quotes (``a,"b`` →
+    ``['a', 'b']``) — the classes the round-12 review showed a split
+    regex gets wrong. Documented divergence (with the module's
+    embedded-newline caveat): TEXT AFTER A CLOSING QUOTE — malformed
+    outside RFC4180 — stays literal here (``"a"x,y`` → ``'"a"x'``)
+    where csv.reader splices (``'ax'``); none of uniVocity's
+    unescapedQuoteHandling modes reproduces the splice (all three
+    verified), and the divergence is pinned in tests.
 
     Cost note: ``from_csv`` needs a fixed-width schema, so the width
     bound — max comma-split size, an upper bound on the true field
@@ -397,12 +414,15 @@ def read_ragged(
         F.max(F.size(F.split(F.col("value"), ",", -1))).alias("k")
     ).collect()[0]
     n_fields = max(1, width_row.k or 1)
+    if n_fields > max_fields:
+        raise ValueError(
+            f"ragged line with {n_fields} comma-separated fields exceeds "
+            f"max_fields={max_fields} — the parse plan scales with the "
+            "widest line; raise max_fields only for a trusted wide feed"
+        )
     ddl = ", ".join(f"`c{i}` string" for i in range(n_fields))
-    parsed = lines.select(
-        "row_id",
-        F.from_csv(F.col("value"), ddl, {"escape": '"'}).alias("_p"),
-    )
-    fields = F.array(*[F.col("_p")[f"c{i}"] for i in range(n_fields)])
+    parsed = lineio.parse_csv_lines(lines, ddl, keep=["row_id"])
+    fields = F.array(*[F.col(f"c{i}") for i in range(n_fields)])
     entry = F.transform(
         fields,
         lambda v, i: F.struct(

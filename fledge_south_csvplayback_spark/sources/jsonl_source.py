@@ -100,11 +100,14 @@ def jsonl_corrupt_report(
     # JSON source needs a token to emit anything), so neither may
     # inflate this health check's denominator — round-12 hostile-JSONL
     # sweep + its review pass
-    # (regexp, not trim: Spark's trim strips only ASCII spaces, and a
-    # tab-only line is just as row-less to the JSON reader)
+    # JSON whitespace is exactly {space, tab, CR} within a line (\n is
+    # the line break) — NOT Java's \s: a vertical-tab- or form-feed-
+    # only line IS a (corrupt) row to Jackson, so it must stay in both
+    # counts (round-12 review; \S here silently dropped real corrupt
+    # records from the health check)
     return (
         spark.read.text(path)
-        .filter(F.regexp_extract(F.col("value"), r"\S", 0) != "")
+        .filter(F.regexp_extract(F.col("value"), "[^ \t\r]", 0) != "")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count(parsed[_CORRUPT]).alias("n_corrupt"),

@@ -157,12 +157,14 @@ def compact_text_neardup_index(spark: SparkSession, index_dir: str) -> None:
     there after the merge read its file list — folding would miss it,
     and blind deferred deletion would lose it. Every staged version
     therefore records WHICH partitions its seed folded (the
-    ``_FOLDED`` sidecar); the swap re-lists the old dir just before
-    the pointer flip and moves any partition that landed mid-merge
-    into the new version, and the next compaction's cleanup rescues
-    (moves, not deletes) any partition in a superseded dir that is
-    absent from the current ledger. Completed concurrent appends are
-    therefore never lost; a batch MID-write at the moment of a rescue
+    ``_FOLDED`` sidecar), and the next compaction's cleanup rescues
+    (moves, not deletes) any superseded-dir partition absent from the
+    current ledger. The swap itself never touches the old dir — not
+    even to move late appends (its own review follow-up: a mid-swap
+    move would break the read-stability guarantee above and leave a
+    crash window where moved partitions sat in an unpromoted dir), so
+    completed concurrent appends simply wait one compaction cycle in
+    the superseded dir. A batch MID-write at the moment of a rescue
     move is the one remaining race, which is why the contract still
     says run compaction between batches."""
     import os
@@ -227,12 +229,9 @@ def compact_text_neardup_index(spark: SparkSession, index_dir: str) -> None:
     merged.write.mode("overwrite").parquet(f"{staged}/ingest_batch=-1")
     with open(os.path.join(staged, _FOLDED), "w") as f:
         f.write("\n".join(parts) + "\n")
-    # partitions that landed during the merge belong to the new
-    # version (they're not in its seed): move them before the flip
-    for part in sorted(_batch_parts(cur) - set(parts)):
-        dst = os.path.join(staged, part)
-        if not os.path.exists(dst):
-            os.rename(os.path.join(cur, part), dst)
+    # partitions that land during/after the merge stay in the old dir
+    # untouched (read stability) — the ledger above is what lets the
+    # NEXT compaction's cleanup rescue them instead of deleting them
     # the one cutover: replace the manifest via atomic file rename
     tmp = os.path.join(index_dir, _DF_MANIFEST + ".tmp")
     with open(tmp, "w") as f:

@@ -201,6 +201,34 @@ def test_ragged_matches_csv_reader(spark, tmp_path):
         assert got.get(i, {}) == expected, f"line {i}: {line!r}"
 
 
+def test_ragged_quote_then_text_divergence_pinned(spark, tmp_path):
+    """The ONE documented csv.reader divergence: text after a closing
+    quote (malformed outside RFC4180) stays literal — uniVocity has no
+    mode reproducing csv.reader's splice (read_ragged docstring)."""
+    p = str(tmp_path / "qjunk.csv")
+    with open(p, "w") as f:
+        f.write('"a"x,y\n"a,b"c,d\n')
+    rows = {r.row_id: r.readings for r in cs.read_ragged(spark, p).collect()}
+    assert rows[0] == {"column_1": '"a"x', "column_2": "y"}
+    assert rows[1] == {"column_1": '"a,b"c', "column_2": "d"}
+
+
+def test_ragged_width_cap_fails_loudly(spark, tmp_path):
+    """A hostile ultra-wide line must not become an ultra-wide PLAN
+    (round-12 review: 20k commas cost 65 s of driver analysis; a
+    million would hang it). Past max_fields the read raises with the
+    knob named; a trusted wide feed can raise it."""
+    p = str(tmp_path / "wide.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n" + "," * 60 + "\n")
+    # (cap lowered here so the test doesn't have to build a huge plan
+    # to prove the guard; the default is RAGGED_MAX_FIELDS=4096)
+    with pytest.raises(ValueError, match="max_fields"):
+        cs.read_ragged(spark, p, max_fields=50)
+    rows = cs.read_ragged(spark, p, max_fields=100)
+    assert rows.count() == 2  # opt-in still works
+
+
 def test_header_found_past_deep_blank_preamble(spark, tmp_path):
     """The head fetch widens geometrically when blank lines eat the
     window (round-12 review: a fixed 64-line allowance failed

@@ -53,6 +53,10 @@ CASES = [
     ),
     ("blank_line", "", None),
     ("whitespace_only_line", " \t ", None),
+    # vertical tab is NOT JSON whitespace: a VT-only line is a corrupt
+    # ROW to Jackson (round-12 review: a \S-based report filter
+    # silently dropped it from the health check)
+    ("vertical_tab_only_line", "\x0b", "corrupt"),
     (
         "long_overflow",
         '{"doc_id": 1000000000000000000000000, "text": "big", "lang": "en", "source": "s", "n_chars": 3}',
