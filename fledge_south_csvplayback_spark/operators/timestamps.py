@@ -50,7 +50,12 @@ _STRPTIME_TO_JDK = {
     "%M": "mm",
     "%S": "ss",
     "%f": "SSSSSS",
-    "%z": "Z",
+    # python %z accepts +HHMM, +HH:MM, and a bare Z (py3.7+); JDK 'Z'
+    # takes only +HHMM, so colon offsets raised where pandas parsed
+    # (round-12 sweep). The optional-section pair tries the colon form
+    # (XXX) then the basic form (XX); both accept 'Z'. Parse-only —
+    # this translator never feeds date_format.
+    "%z": "[XXX][XX]",
     "%j": "DDD",
     "%a": "EEE",
     "%A": "EEEE",

@@ -23,7 +23,7 @@ from fledge_south_csvplayback_spark.operators.ts_queries import (
 @pytest.mark.parametrize(
     "fmt,expected",
     [
-        ("%Y-%m-%d %H:%M:%S.%f%z", "yyyy-MM-dd HH:mm:ss.SSSSSSZ"),
+        ("%Y-%m-%d %H:%M:%S.%f%z", "yyyy-MM-dd HH:mm:ss.SSSSSS[XXX][XX]"),
         ("%Y-%m-%dT%H:%M:%S", "yyyy-MM-dd'T'HH:mm:ss"),
         ("%d/%m/%y %I:%M %p", "dd/MM/yy hh:mm a"),
         ("%Y%m%d", "yyyyMMdd"),
@@ -36,6 +36,38 @@ def test_strptime_to_jdk(fmt, expected):
 def test_strptime_to_jdk_rejects_unknown():
     with pytest.raises(ValueError):
         ts.strptime_to_jdk("%Q")
+
+
+def test_offset_forms_match_python_strptime(spark):
+    """python %z accepts +HHMM, +HH:MM, and Z; the JDK translation
+    must parse all three to the same instant (round-12 sweep: the
+    plain 'Z' pattern raised on colon offsets that pandas and the
+    reference's default format accept), and short %f fractions parse
+    leniently like python's."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    fmt = "%Y-%m-%d %H:%M:%S.%f%z"
+    jdk = ts.strptime_to_jdk(fmt)
+    cases = [
+        "2020-01-01 00:00:00.500000+0000",
+        "2020-01-01 00:00:00.500000+00:00",
+        "2020-01-01 00:00:00.5+0000",
+        "2020-01-01 00:00:00.123456+0530",
+        "2020-01-01 00:00:00.123456+05:30",
+    ]
+    got = [
+        r[0]
+        for r in spark.createDataFrame([(c,) for c in cases], "s string")
+        .select(F.to_timestamp("s", jdk))
+        .collect()
+    ]
+    want = [
+        datetime.strptime(c, fmt).astimezone(timezone.utc).replace(tzinfo=None)
+        for c in cases
+    ]
+    assert got == want
 
 
 @pytest.mark.parametrize(
