@@ -136,7 +136,9 @@ def csv_ragged_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Expected literal derived from csv.reader over the fixture lines (the
 # parser the reference's pandas engine='python' read is built on) —
 # quoted commas stay one field, doubled quotes unescape, quoted-empty
-# and bare-empty cells are both dropped from the map.
+# and bare-empty cells are both dropped from the map, and so are
+# pandas' NA sentinels (NA/null/NaN → NaN on the reference's read,
+# then dropped by its pd.isnull cell filter, csvplayback.py:703-711).
 CSV_RAGGED_SQL = """
 SELECT * FROM (VALUES
     (0, 'column_1', 'a'), (0, 'column_2', 'b'), (0, 'column_3', 'c'),
@@ -144,7 +146,8 @@ SELECT * FROM (VALUES
     (2, 'column_1', '4'),
     (3, 'column_1', 'x'), (3, 'column_2', 'b,c'), (3, 'column_3', 'd'),
     (4, 'column_1', 'he said "hi"'), (4, 'column_2', 'z'),
-    (5, 'column_1', 'q"q'), (5, 'column_3', 'last,one')
+    (5, 'column_1', 'q"q'), (5, 'column_3', 'last,one'),
+    (6, 'column_2', '7')
 ) AS t(row_id, datapoint, value)
 """
 

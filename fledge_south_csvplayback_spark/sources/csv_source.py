@@ -84,10 +84,71 @@ def _split_header(line: str) -> list[str]:
     """Parse one header line with the csv module (quote-aware).
 
     Empty header cells (e.g. a trailing comma on the header line) get
-    pandas' ``Unnamed: <i>`` names, so both the native-with-inference
-    and line-oriented paths agree with the reference's read."""
+    pandas' ``Unnamed: <i>`` names, and duplicate names get pandas'
+    ``.k`` mangling (``_mangle_dupes``), so every path that derives
+    names from the header line agrees with the reference's read.
+    Without the mangle a duplicated header name was a crash class: the
+    derived DDL raised COLUMN_ALREADY_EXISTS where pandas reads the
+    file fine."""
     names = next(csv.reader([line]))
-    return [n if n != "" else f"Unnamed: {i}" for i, n in enumerate(names)]
+    return _mangle_dupes(
+        [n if n != "" else f"Unnamed: {i}" for i, n in enumerate(names)]
+    )
+
+
+def _mangle_dupes(names: list[str]) -> list[str]:
+    """pandas' duplicate-header mangling (io.common dedup_names, which
+    every reference read inherits): the k-th repeat of ``name`` becomes
+    ``name.k``, skipping over any name already present ANYWHERE in the
+    header or generated earlier — pinned empirically against pandas
+    2.2 in tests (``a,a,a.1`` → ``a, a.2, a.1``; ``a,a.1,a.1,a`` →
+    ``a, a.1, a.1.1, a.2``)."""
+    taken = set(names)
+    counts: dict[str, int] = {}
+    out: list[str] = []
+    for n in names:
+        k = counts.get(n, 0)
+        if k == 0:
+            out.append(n)
+            counts[n] = 1
+            continue
+        cand = f"{n}.{k}"
+        while cand in taken:
+            k += 1
+            cand = f"{n}.{k}"
+        out.append(cand)
+        taken.add(cand)
+        counts[n] = k + 1
+    return out
+
+
+# pandas' default NA sentinels (read_csv keep_default_na, the pandas
+# 2.2 STR_NA_VALUES set) — the reference inherits these on EVERY read,
+# including dtype=str columns, where they still become NaN. The empty
+# string is also in pandas' set but is omitted here because the CSV
+# parsers (native reader and from_csv alike) already yield NULL for an
+# empty unquoted field; only the non-empty sentinels need a rewrite.
+PANDAS_NA_SENTINELS = (
+    "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+    "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+    "n/a", "nan", "null",
+)
+_MISSING_CELLS = frozenset(PANDAS_NA_SENTINELS) | {""}
+
+
+def _null_na_sentinels(df: DataFrame) -> DataFrame:
+    """NaN-ify pandas' NA sentinels in string columns (numeric columns
+    already NULL them: an unparseable cell is NULL under PERMISSIVE
+    parsing). One codegen'd select, no shuffle, no Python."""
+    out = []
+    for f in df.schema.fields:
+        # backtick-quote: mangled names like a.1 must not be parsed as
+        # struct-field paths (plain F.col("a.1") would be)
+        c = F.col("`" + f.name.replace("`", "``") + "`")
+        if isinstance(f.dataType, T.StringType):
+            c = F.when(c.isin(*PANDAS_NA_SENTINELS), F.lit(None)).otherwise(c)
+        out.append(c.alias(f.name))
+    return df.select(*out)
 
 
 _INFER_ORDER: tuple[tuple[str, type], ...] = (("bigint", int), ("double", float))
@@ -136,33 +197,71 @@ def _infer_ddl(names: list[str], sample_rows: list[list[str]]) -> str:
     all-string). The reference has the same wobble per 4000-row chunk
     (csvplayback.py:679-691: dtype flips between chunks).
 
-    Empty cells are NO EVIDENCE, not string evidence (Spark's own
-    inference and pandas treat them as missing): a sparse sensor gap
-    in the sample must not flip a numeric column to all-string. A
-    column with no non-empty sample cell stays string.
+    Missing cells — empty strings and pandas' NA sentinels alike — are
+    MISSING evidence, exactly as pandas treats them: they never flip a
+    numeric column to string, but they DO widen an integer column to
+    double (pandas has no NaN-capable int64, so any missing cell makes
+    the column float64), and a column that is all-missing in the
+    sample is double (pandas' all-NaN columns are float64).
     """
+    if not sample_rows:
+        # no data rows to infer from: all-string (pandas' empty frame
+        # is all-object too) — this is also the infer_schema=False
+        # caller's raw-mode contract
+        return ", ".join(f"`{n}` string" for n in names)
     ranks = {"bigint": 0, "double": 1, "string": 2}
 
     def cell_type(v: str) -> str:
+        # Python's int()/float() are LAXER than the JVM parse the data
+        # pass runs: underscore literals (1_0) and non-'Infinity'
+        # infinity spellings (inf) would infer numeric here and then
+        # parse to NULL distributed-side — silent data loss. pandas
+        # calls 1_0 a string too; inf stays string so the VALUE
+        # survives (pinned divergence: pandas reads inf as float64,
+        # and ints past int64 as uint64/object where this engine keeps
+        # the string).
+        s = v.strip()
+        if s != v:
+            # whitespace-padded cell: the JVM parse keeps the padding
+            # (ignoreLeading/TrailingWhiteSpace default false) and a
+            # padded numeric parses to NULL — string keeps the value
+            # (pandas trims to a number; pinned divergence)
+            return "string"
+        if "_" in s:
+            return "string"
+        core = s.lstrip("+-")
+        if core.lower() in ("inf", "infinity") and core != "Infinity":
+            return "string"
         for ddl, py in _INFER_ORDER:
             try:
-                py(v)
-                return ddl
+                n = py(s)
             except (TypeError, ValueError):
                 continue
+            if ddl == "bigint" and not -(2**63) <= n < 2**63:
+                return "string"  # JVM bigint overflow → NULL otherwise
+            return ddl
         return "string"
 
     types = ["bigint"] * len(names)
     seen = [False] * len(names)
+    missing = [False] * len(names)
     for row in sample_rows:
+        for i in range(len(row), len(names)):
+            missing[i] = True  # short row: pandas pads with NaN
         for i, v in enumerate(row[: len(names)]):
-            if v == "":
+            if v in _MISSING_CELLS:
+                missing[i] = True
                 continue
             seen[i] = True
             t = cell_type(v)
             if ranks[t] > ranks[types[i]]:
                 types[i] = t
-    types = [t if s else "string" for t, s in zip(types, seen)]
+    types = [
+        ("double" if t == "bigint" and m else t)
+        if s
+        else ("double" if m else "string")
+        for t, s, m in zip(types, seen, missing)
+    ]
     return ", ".join(f"`{n}` {t}" for n, t in zip(names, types))
 
 
@@ -208,9 +307,12 @@ def read_pick_from_file(
         # distributed pass over the data.
         reader = spark.read.option("header", True).option("escape", '"')
         if schema is not None:
-            return reader.schema(schema).csv(path)
+            return _null_na_sentinels(reader.schema(schema).csv(path))
         if not infer_schema:
-            return reader.csv(path)
+            # column NAMES keep Spark's native dedup (`a0`,`a1`) here —
+            # the documented no-extra-job pin, like `_c<i>` for empty
+            # header cells — but VALUES follow pandas: sentinels → NULL
+            return _null_na_sentinels(reader.csv(path))
         # only the HEADER position demands a non-blank guarantee; the
         # inference sample is best-effort (its size is already a
         # documented sample-based contract) — demanding the full
@@ -225,7 +327,7 @@ def read_pick_from_file(
             raise ValueError(f"no non-blank lines in {path}")
         names = _split_header(head[0])
         sample = list(csv.reader(head[1:]))
-        return reader.schema(_infer_ddl(names, sample)).csv(path)
+        return _null_na_sentinels(reader.schema(_infer_ddl(names, sample)).csv(path))
 
     # pandas semantics (which the reference inherits, csvplayback.py:
     # 651-659): skiprows counts PHYSICAL lines, but blank lines are then
@@ -257,7 +359,7 @@ def read_pick_from_file(
     data = lineio.drop_blank_lines(
         lineio.skip_lines(lineio.read_lines(spark, path), skip_rows + h_off + 1)
     )
-    return lineio.parse_csv_lines(data, ddl)
+    return _null_na_sentinels(lineio.parse_csv_lines(data, ddl))
 
 
 # ---------------------------------------------------------------------------
@@ -285,7 +387,11 @@ def read_explicit(
     ``raise_error``), naming the column and offending value. Empty
     cells stay NULL under both modes (pandas' float64 read agrees;
     its int64 read also raises on empties — that last divergence is
-    deliberate and documented here).
+    deliberate and documented here). pandas' NA sentinels
+    (``PANDAS_NA_SENTINELS``) become NULL before the cast in both
+    modes — matching the reference's read for float, string and
+    no-dtype columns — except strict + integer/bool, where the raise
+    is pandas-faithful ("Integer/Bool column has NA values").
     """
     check_not_empty(path)
     specs = (
@@ -320,28 +426,45 @@ def read_explicit(
         )
         df = lineio.parse_csv_lines(data, raw_ddl)
 
+    # types whose pandas dtype= read RAISES on an NA sentinel (no
+    # NaN-capable representation): ints ("Integer column has NA
+    # values") and bool ("Bool column has NA values")
+    na_raising = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
     cols = []
     for i, spec in enumerate(specs):
         if spec.name == "":
             continue  # positional drop (usecols semantics)
         raw = F.col(f"_c{i}")
-        c = raw
+        # pandas applies its NA-sentinel list BEFORE the dtype= cast on
+        # every read (even dtype=str columns get NaN), so sentinels are
+        # NULL here under both modes — with ONE pandas-faithful
+        # exception: strict + integer/bool dtypes raise, because those
+        # pandas dtypes have no NaN ("Integer/Bool column has NA
+        # values"). The
+        # sentinel never casts, so the generic strict guard covers it.
+        sentinel_raises = strict and isinstance(spec.dtype, na_raising)
+        base = (
+            raw
+            if sentinel_raises
+            else F.when(raw.isin(*PANDAS_NA_SENTINELS), F.lit(None)).otherwise(raw)
+        )
+        c = base
         if spec.dtype is not None:
             # try_cast pins the semantics regardless of the session's
             # spark.sql.ansi.enabled (ANSI is Spark 4's default, under
             # which a bare cast would raise with a generic error)
-            c = raw.try_cast(spec.dtype)
+            c = base.try_cast(spec.dtype)
             if strict:
                 msg = F.concat(
                     F.lit(
                         f"strict cast failed: column '{spec.name}' "
                         f"({spec.dtype.simpleString()}) bad value '"
                     ),
-                    raw,
+                    base,
                     F.lit("'"),
                 )
                 c = F.when(
-                    raw.isNotNull() & (raw != "") & c.isNull(),
+                    base.isNotNull() & (base != "") & c.isNull(),
                     F.raise_error(msg).cast(spec.dtype),
                 ).otherwise(c)
         cols.append(c.alias(spec.name))
@@ -401,8 +524,10 @@ def read_ragged(
     + 1-row max aggregate, no shuffle). The reference plays one file
     at a time, so this is a per-file header-scale cost, not a
     corpus-scale one. Empty and absent trailing fields both surface
-    as NULL from the parser and are equally dropped from the map
-    (the reference drops NaN cells the same way).
+    as NULL from the parser and are equally dropped from the map —
+    and so are pandas' NA sentinels (``NA``/``null``/``NaN``/...):
+    the reference's read turns those into NaN, and its row→dict
+    conversion drops every ``pd.isnull`` cell (csvplayback.py:703-711).
     """
     check_not_empty(path)
     lines = lineio.with_line_numbers(
@@ -430,7 +555,12 @@ def read_ragged(
             v.alias("value"),
         ),
     )
-    kept = F.filter(entry, lambda s: s["value"].isNotNull() & (s["value"] != ""))
+    kept = F.filter(
+        entry,
+        lambda s: s["value"].isNotNull()
+        & (s["value"] != "")
+        & ~s["value"].isin(*PANDAS_NA_SENTINELS),
+    )
     return parsed.select("row_id", F.map_from_entries(kept).alias("readings"))
 
 

@@ -345,16 +345,21 @@ def test_head_lines_multi_split_first_lines_in_order(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
 
-def test_inference_skips_empty_cells(spark, tmp_path):
-    """Empty cells in the sample are missing data, not string evidence:
-    a numeric column with a sparse gap stays numeric (with NULLs), and
-    an all-empty column falls back to string."""
+def test_inference_missing_cells_widen_like_pandas(spark, tmp_path):
+    """Missing cells in the sample are missing data, not string
+    evidence — and they widen exactly as pandas does (the reference's
+    engine): an int column with a gap is float64 → double, an
+    all-missing column is float64 → double. (Round 12 replaced the
+    earlier bigint/string contract with the pandas-exact one.)"""
     p = str(tmp_path / "gaps.csv")
     with open(p, "w") as f:
         f.write("a,b\n1,\n,\n4,\n")
+    import pandas as pd
+
+    assert [str(t) for t in pd.read_csv(p).dtypes] == ["float64", "float64"]
     df = cs.read_pick_from_file(spark, p)
     assert [f.dataType.simpleString() for f in df.schema.fields] == [
-        "bigint",
-        "string",
+        "double",
+        "double",
     ]
-    assert {r.a for r in df.collect()} == {1, None, 4}
+    assert {r.a for r in df.collect()} == {1.0, None, 4.0}

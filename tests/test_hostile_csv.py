@@ -18,6 +18,14 @@ with the documented rationale:
   ``_c<i>`` naming; every path that derives names from the header line
   (inference, skip-rows, explicit) uses pandas' ``Unnamed: <i>``.
   Values agree everywhere; only the no-inference fallback name differs.
+- duplicate header names: same shape — name-deriving paths reproduce
+  pandas' ``a, a.1, ...`` mangling (previously a CRASH:
+  COLUMN_ALREADY_EXISTS); the no-inference native path keeps Spark's
+  ``a0, a1`` dedup. Values agree everywhere.
+- pandas NA sentinels (``NA``/``null``/``NaN``/...): NULL in every
+  column on every path, dropped from ragged maps (the reference's
+  pd.isnull cell filter), and widening inference like pandas' NaN
+  (int + missing → double; all-missing → double).
 """
 
 from __future__ import annotations
@@ -42,6 +50,10 @@ CASES = {
     "short_rows": ("a,b,c\n1,2\n3\n4,5,6\n", 3),
     "long_rows": ("a,b,c\n1,2,3,4\n5,6,7\n", 3),
     "whitespace_cells": ("a,b\n ,2\n3, \n", 2),
+    # pandas' NA sentinels NaN-ify in EVERY column, dtype=str included
+    "na_sentinels": ("a,b,c\n1,NA,x\n2,3.5,null\nNaN,None,<NA>\n", 3),
+    # pandas mangles duplicate header names to a, a.1, ...
+    "dup_headers": ("a,a,b\n1,2,3\n4,5,6\n", 3),
 }
 # pandas reinterprets wider-than-header rows via index promotion; the
 # Spark engines keep the declared columns and drop the extras.
@@ -87,7 +99,9 @@ def test_pick_plain_vs_pandas(spark, tmp_path, case):
 
 
 # --- variant 1b: inference path derives pandas-consistent names --------------
-@pytest.mark.parametrize("case", ["trailing_comma", "bom", "bad_numeric"])
+@pytest.mark.parametrize(
+    "case", ["trailing_comma", "bom", "bad_numeric", "na_sentinels", "dup_headers"]
+)
 def test_pick_inferred_names_match_pandas(spark, tmp_path, case):
     text, _ = CASES[case]
     p = _write(tmp_path, case, text)
@@ -168,11 +182,15 @@ def test_ragged_vs_csv_reader(spark, tmp_path, case):
 
     raw_lines = text.lstrip("﻿").replace("\r\n", "\n").rstrip("\n").split("\n")
     nonblank = [l for l in raw_lines if l != ""]
+    # the reference drops every pd.isnull cell from the readings dict
+    # (csvplayback.py:703-711), and pandas NaN-ifies its NA sentinels
+    # on the way in — so empty AND sentinel cells are both absent
+    dropped = set(cs.PANDAS_NA_SENTINELS) | {""}
     expected = {}
     for i, line in enumerate(nonblank):
         fields = next(csv.reader([line]))
         expected[i] = {
-            f"column_{j + 1}": v for j, v in enumerate(fields) if v != ""
+            f"column_{j + 1}": v for j, v in enumerate(fields) if v not in dropped
         }
     # rows whose every field is empty parse to an empty map on both sides
     assert got == expected, case
@@ -190,3 +208,117 @@ def test_ragged_skiprows_counts_physical_lines(spark, tmp_path):
         0: {"column_1": "x", "column_2": "y"},
         1: {"column_1": "1", "column_2": "2"},
     }
+
+
+# --- duplicate-header mangling (pandas io.common dedup semantics) ------------
+@pytest.mark.parametrize(
+    "hdr",
+    [
+        "a,a,b",
+        "a,a,a",
+        "a,a,a.1",
+        "a.1,a,a",
+        "a,a.1,a",
+        "a,a,a,a.2",
+        "a,,a,",
+        "a,a.1,a.1,a",
+    ],
+)
+def test_header_mangle_matches_pandas(tmp_path, hdr):
+    """_split_header reproduces pandas' duplicate-name mangling exactly,
+    including the occupied-name skips ('a,a,a.1' -> 'a, a.2, a.1')."""
+    n = len(hdr.split(","))
+    body = ",".join(str(i) for i in range(n))
+    p = _write(tmp_path, "mangle", hdr + "\n" + body + "\n")
+    exp = list(pd.read_csv(p).columns)
+    assert cs._split_header(hdr) == exp, hdr
+
+
+def test_dup_headers_no_longer_crash_inference(spark, tmp_path):
+    """Before round 12's mangle fix the inference path raised
+    COLUMN_ALREADY_EXISTS on a duplicated header name; pandas reads the
+    same file fine — reproduced live as this round's escape hunt."""
+    p = _write(tmp_path, "dup", "a,a,b\n1,2,3\n")
+    df = cs.read_pick_from_file(spark, p)
+    assert df.columns == ["a", "a.1", "b"]
+    assert [tuple(r) for r in df.collect()] == [(1, 2, 3)]
+
+
+# --- NA sentinels drive pandas' dtype widening --------------------------------
+def test_infer_dtypes_widen_like_pandas(spark, tmp_path):
+    """Missing cells (empty or sentinel) widen int columns to double and
+    make all-missing columns double — pandas' float64-for-NaN rule,
+    which the reference inherits on every read."""
+    text = "a,b,c,d,e\n1,NA,x,2.5,NA\n2,3,NA,,null\n"
+    p = _write(tmp_path, "widen", text)
+    df = cs.read_pick_from_file(spark, p)
+    exp = pd.read_csv(p)
+    # pandas: a int64, b float64 (int+NA), c object, d float64, e float64
+    kind = {"int64": "bigint", "float64": "double", "object": "string"}
+    assert dict(df.dtypes) == {
+        col: kind[str(dt)] for col, dt in exp.dtypes.items()
+    }
+    # and the sentinel VALUES are NULL, not literal strings
+    row = df.orderBy("a").collect()[0]
+    assert row.b is None and row.e is None
+
+
+def test_explicit_strict_sentinels(spark, tmp_path):
+    """strict + int raises on an NA sentinel (pandas: 'Integer column
+    has NA values'); strict + float and strict + str treat sentinels as
+    NULL without raising (pandas agrees — dtype=float64/str reads
+    NaN-ify sentinels and succeed)."""
+    p = _write(tmp_path, "sent", "h1,h2,h3\n1,2.5,x\n2,NA,NA\nNA,3.5,y\n")
+    # float + str columns: sentinels are NULL, no raise
+    df = cs.read_explicit(spark, p, "i:int,f:float,s:str", strict=True)
+    with pytest.raises(Exception, match="strict cast failed: column 'i'"):
+        df.collect()
+    df = cs.read_explicit(spark, p, ",f:float,s:str", strict=True)
+    rows = sorted([tuple(r) for r in df.collect()], key=repr)
+    assert rows == sorted([(2.5, "x"), (None, None), (3.5, "y")], key=repr)
+    # permissive int: sentinel nulls out silently
+    df = cs.read_explicit(spark, p, "i:int,f:float,s:str")
+    assert sorted(r.i for r in df.collect() if r.i is not None) == [1, 2]
+
+
+def test_explicit_strict_bool_sentinel_raises(spark, tmp_path):
+    """pandas dtype=bool also raises on NA ('Bool column has NA
+    values'); strict mode mirrors it."""
+    p = _write(tmp_path, "boolna", "h1,h2\nTrue,1\nNA,2\n")
+    df = cs.read_explicit(spark, p, "b:bool,i:int", strict=True)
+    with pytest.raises(Exception, match="strict cast failed: column 'b'"):
+        df.collect()
+    # permissive: NULL, and real booleans parse
+    df = cs.read_explicit(spark, p, "b:bool,i:int")
+    assert sorted(
+        [(r.b, r.i) for r in df.collect()], key=repr
+    ) == sorted([(True, 1), (None, 2)], key=repr)
+
+
+def test_inference_never_nulls_parseable_values(spark, tmp_path):
+    """Values Python's int()/float() accept but the JVM parse rejects
+    (underscore literals, lowercase inf, ints past int64,
+    whitespace-padded numerics — the JVM parse doesn't trim) must infer
+    STRING so the value survives — numeric inference there would NULL
+    them distributed-side, silent data loss. Values both sides accept
+    ('+1', '1.', '1e5') stay numeric."""
+    text = (
+        "u,i,big,sp,pl,dot,exp\n"
+        "1_0,inf,9223372036854775808, 1,+1,1.,1e5\n"
+        "2_0,-inf,99999999999999999999, 2,+2,2.,2e5\n"
+    )
+    p = _write(tmp_path, "laxnum", text)
+    df = cs.read_pick_from_file(spark, p)
+    got = dict(df.dtypes)
+    assert got["u"] == "string" and got["i"] == "string" and got["big"] == "string"
+    assert got["sp"] == "string"  # padded numeric: value survives as-is
+    assert got["pl"] == "bigint"
+    assert got["dot"] == "double" and got["exp"] == "double"
+    rows = sorted([tuple(r) for r in df.collect()], key=repr)
+    assert rows == sorted(
+        [
+            ("1_0", "inf", "9223372036854775808", " 1", 1, 1.0, 100000.0),
+            ("2_0", "-inf", "99999999999999999999", " 2", 2, 2.0, 200000.0),
+        ],
+        key=repr,
+    )
