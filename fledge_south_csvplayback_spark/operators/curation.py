@@ -673,6 +673,82 @@ WHERE l.doc_id IS NULL
 CORPUS_NEARDUP_APPLY_SQL = _corpus_neardup_apply_sql()
 
 
+# --- quality-aware near-dup representative election ---------------------------
+def corpus_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection — the FineWeb / Dolma
+    "keep the best copy" rule: where ``corpus_neardup_apply`` keeps
+    each cluster's min-doc_id member, this elects the member with the
+    HIGHEST model-based quality score (``quality_model_score``'s
+    classifier, the stage those pipelines run the election on), ties
+    broken by min doc_id so the election is total and deterministic
+    (scores are round(x, 6), so exact copies tie and fall to the id
+    rule). Docs in no cluster survive unconditionally. Returns the
+    surviving corpus as (doc_id, lang, source, score).
+
+    Scale shape (mirrors ``corpus_neardup_apply``): the score is a
+    codegen'd expression (no UDF, no shuffle — see
+    ``quality_model_score``) and the hashed classifier's per-token
+    md5s are the dominant per-row cost, so it is evaluated frugally:
+    the ELECTION scores only cluster members — the member table
+    (|members| ≪ |corpus|) broadcasts into the docs scan and the
+    inner join filters rows BEFORE the score projection — and the
+    election window shuffles those member rows only, on cluster_id.
+    Survivors pay one corpus-wide scoring pass, for the output
+    ``score`` column itself (probe-measured against the min-id
+    baseline in BASELINE.md; the loser anti-join broadcasts). The
+    documents table never crosses an exchange; the real cost stays
+    the upstream pair mining, measured at 10M in BASELINE.md.
+    """
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    weights, bias = _qmodel_weights()
+    _, score = _qmodel_score_cols(F.col("text"), weights, bias)
+    docs = _docs(spark, sf_dir)
+    members = dedup.dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    ranked = (
+        docs.select("doc_id", "text")
+        .join(F.broadcast(members), "doc_id")
+        .select("doc_id", "cluster_id", score.alias("score"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    losers = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    return docs.select(
+        "doc_id", "lang", "source", score.alias("score")
+    ).join(losers, "doc_id", "left_anti")
+
+
+def _corpus_neardup_keep_best_sql() -> str:
+    from fledge_south_csvplayback_spark.operators import dedup
+
+    return f"""
+WITH RECURSIVE {dedup.CLUSTERS_CLOSURE_CTES},
+q AS ({QUALITY_MODEL_SQL}),
+members AS (SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s),
+ranked AS (
+    SELECT m.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                              ORDER BY q.score DESC, m.doc_id ASC) AS rn
+    FROM members m JOIN q ON q.doc_id = m.doc_id
+),
+losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+SELECT d.doc_id, d.lang, d.source, q.score
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+"""
+
+
+# CORPUS_NEARDUP_KEEP_BEST_SQL is defined after QUALITY_MODEL_SQL below
+# (the oracle embeds it).
+
+
 # --- group (cluster) sampling by source --------------------------------------
 def corpus_sample_by_source(
     spark: SparkSession, sf_dir: str, rate: float = SAMPLE_RATE
@@ -1496,6 +1572,7 @@ def write_training_corpus(
     chunk_tokens: int = CHUNK_TOKENS,
     stride: int = CHUNK_STRIDE,
     benchmark: DataFrame | None = None,
+    election: str = "min_id",
 ) -> None:
     """The whole curation pipeline as one materializer: full Gopher
     filter (stats + repetition) → benchmark decontamination (when a
@@ -1518,11 +1595,14 @@ def write_training_corpus(
     shuffled anti-join is the correct fallback there. Unlike
     ``corpus_neardup_apply``'s min-of-cluster rule, the cluster
     representative here is RE-ELECTED among Gopher-passing members
-    (min doc_id of those): with the global min-doc member possibly
-    quality-filtered away, keeping its ``keep`` bit would drop every
-    surviving member and silently erase the cluster's content from the
-    training corpus — a cluster now vanishes only when ALL its members
-    fail quality, which is quality's verdict, not dedup's. Chunking is
+    (min doc_id of those by default; ``election="best_score"`` elects
+    the highest classifier score instead — ``corpus_neardup_keep_best``'s
+    FineWeb-style rule, scored frugally on member rows only): with the
+    global min-doc member possibly quality-filtered away, keeping its
+    ``keep`` bit would drop every surviving member and silently erase
+    the cluster's content from the training corpus — a cluster now
+    vanishes only when ALL its members fail quality, which is
+    quality's verdict, not dedup's. Chunking is
     narrow, so the write's widest dependencies remain the fingerprint
     exchange and the pair miner (the election adds one aggregation
     over the tiny cluster-member table). Split labels come from the
@@ -1553,9 +1633,33 @@ def write_training_corpus(
         .select("doc_id", "cluster_id")
         .join(keep, "doc_id")
     )
-    elected = qualified.groupBy("cluster_id").agg(
-        F.min("doc_id").alias("rep_id")
-    )
+    if election == "best_score":
+        # quality-score election among the quality-passing members
+        # (``corpus_neardup_keep_best``'s rule applied post-gate): the
+        # member table broadcasts into the docs scan so the classifier
+        # scores member rows only; max_by on (score, -doc_id) keeps
+        # the tie-break deterministic (min doc_id on equal scores)
+        weights, bias = _qmodel_weights()
+        _, score = _qmodel_score_cols(F.col("text"), weights, bias)
+        scored = (
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .join(F.broadcast(qualified), "doc_id")
+            .select("doc_id", "cluster_id", score.alias("score"))
+        )
+        elected = scored.groupBy("cluster_id").agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("score"), -F.col("doc_id"))
+            ).alias("rep_id")
+        )
+    elif election == "min_id":
+        elected = qualified.groupBy("cluster_id").agg(
+            F.min("doc_id").alias("rep_id")
+        )
+    else:
+        raise ValueError(
+            f"election must be 'min_id' or 'best_score', got {election!r}"
+        )
     losers = (
         qualified.join(elected, "cluster_id")
         .filter(F.col("doc_id") != F.col("rep_id"))
@@ -1628,8 +1732,23 @@ def quality_model_score(
         bias = 0.0
     if len(weights) != dim:
         raise ValueError(f"need exactly {dim} weights, got {len(weights)}")
+    n, score = _qmodel_score_cols(F.col("text"), weights, float(bias), dim)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        score.alias("score"),
+        (score >= QMODEL_KEEP_THRESHOLD).alias("keep"),
+    )
+
+
+def _qmodel_score_cols(
+    text: Column, weights: list[float], bias: float, dim: int = QMODEL_DIM
+) -> tuple[Column, Column]:
+    """(n_tokens, score) expressions of the hashed-linear classifier —
+    shared by ``quality_model_score`` and the keep-best election so
+    the score a cluster is judged by is literally the registered one."""
     w_lit = F.lit([float(x) for x in weights])
-    toks = F.split(F.col("text"), " ")
+    toks = F.split(text, " ")
 
     def bucket(t: Column) -> Column:
         return (
@@ -1645,12 +1764,7 @@ def quality_model_score(
     score = F.round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + tok_sum / n))), 6
     )
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        n.alias("n_tokens"),
-        score.alias("score"),
-        (score >= QMODEL_KEEP_THRESHOLD).alias("keep"),
-    )
+    return n, score
 
 
 def _quality_model_sql(
@@ -1679,6 +1793,8 @@ FROM m
 
 
 QUALITY_MODEL_SQL = _quality_model_sql()
+
+CORPUS_NEARDUP_KEEP_BEST_SQL = _corpus_neardup_keep_best_sql()
 
 
 QMODEL_FIT_ITERS = 30

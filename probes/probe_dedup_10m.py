@@ -117,6 +117,7 @@ def main() -> None:
             "clusters",
             "neardup_ingest",
             "span_scrub",
+            "keep_best_ab",
         ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
@@ -226,6 +227,62 @@ def main() -> None:
                     "planted": k,
                     "recall": round(n_hit / k, 4) if k else None,
                     "false_pos": n_out - n_hit,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "keep_best_ab":
+        # A/B: min-id survivor selection (corpus_neardup_apply) vs the
+        # quality-score election (corpus_neardup_keep_best), same
+        # session, same corpus. Both arms pay the identical pair-mining
+        # + connected-components cost; the delta is the election — one
+        # codegen'd score scan, a member-sized window, and a second
+        # member↔score broadcast join. The corpus gains lang/source
+        # columns (the operators' output schema needs them).
+        from fledge_south_csvplayback_spark.operators import curation
+
+        aug = f"{corpus_dir(args.rows, args.words)}_ls"
+        aug_path = f"{aug}/documents.parquet"
+        if not os.path.exists(f"{aug_path}/_SUCCESS"):
+            base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            base.select(
+                "doc_id",
+                "text",
+                F.concat(
+                    F.lit("l"), F.pmod(F.xxhash64("doc_id", F.lit("L")), F.lit(5))
+                ).alias("lang"),
+                F.concat(
+                    F.lit("src"), F.pmod(F.xxhash64("doc_id", F.lit("S")), F.lit(3))
+                ).alias("source"),
+            ).write.mode("overwrite").parquet(aug_path)
+
+        arms = {}
+        for name, fn in (
+            ("apply_min_id", curation.corpus_neardup_apply),
+            ("keep_best", curation.corpus_neardup_keep_best),
+        ):
+            sb = shuffle_write_bytes(spark)
+            t0 = time.perf_counter()
+            n_surv = fn(spark, aug).count()
+            arms[name] = {
+                "wall_sec": round(time.perf_counter() - t0, 1),
+                "shuffle_bytes": shuffle_delta(sb, shuffle_write_bytes(spark)),
+                "survivors": n_surv,
+            }
+        k = args.rows // 1000
+        print(
+            json.dumps(
+                {
+                    "op": "keep_best_ab",
+                    "rows": args.rows,
+                    "gen_sec": gen_sec,
+                    **{f"{n}_{k2}": v for n, d in arms.items() for k2, v in d.items()},
+                    "expected_survivors": args.rows - k,
+                    "survivors_equal": arms["apply_min_id"]["survivors"]
+                    == arms["keep_best"]["survivors"]
+                    == args.rows - k,
                 }
             )
         )

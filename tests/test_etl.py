@@ -56,3 +56,61 @@ def test_etl_cubic_fill(spark, tmp_path):
     # spline fills interior holes; edge gaps clamp to the nearest knot
     assert back.count() > 0
     assert back.filter("a IS NULL OR b IS NULL").count() == 0
+
+
+def _write_dump(tmp_path, rows):
+    """Write a Fledge-dump CSV (reading is RFC4180-quoted JSON)."""
+    p = str(tmp_path / "dump.csv")
+    with open(p, "w") as f:
+        f.write("reading,user_ts\n")
+        for reading, ts in rows:
+            if reading is None:
+                f.write(f",{ts}\n")
+            else:
+                f.write('"' + reading.replace('"', '""') + f'",{ts}\n')
+    return p
+
+
+def test_etl_hostile_dump_pins(spark, tmp_path):
+    """Hostile-dump semantics, pinned as DOCUMENTED DIVERGENCES from
+    the reference tool, which is vibration-dump-specific and CRASHES on
+    each of these (process_csv_data.py:76-78 — naive string splits
+    assume exactly two datapoints): a single-datapoint reading raises
+    IndexError there, a NULL reading raises AttributeError (float NaN
+    has no .split), malformed JSON yields garbage columns. Here the
+    datapoint keys come from the first NON-NULL reading and every
+    non-conforming reading degrades to NULL cells (from_json), never a
+    crash — engine-grade behavior for a 100 TB dump with a few bad rows.
+    """
+    rows = [
+        (None, "2020-01-01 00:00:00"),  # NULL reading: ref AttributeError
+        ('{"channel1":1.5,"channel2":2.5}', "2020-01-01 00:00:01"),
+        ('{"channel1":3.5}', "2020-01-01 00:00:02"),  # ref IndexError
+        ("{oops", "2020-01-01 00:00:03"),  # malformed: NULL row here
+        # extra keys beyond the sampled schema are ignored (documented
+        # schema decision in flatten_if_dump)
+        ('{"channel1":4.5,"channel2":5.5,"extra":9.9}', "2020-01-01 00:00:04"),
+    ]
+    p = _write_dump(tmp_path, rows)
+    res = etl.run_etl(spark, p, str(tmp_path / "out"), choice="ignore")
+    assert set(res.columns) == {"channel1", "channel2", "user_ts"}
+    got = {r.user_ts: (r.channel1, r.channel2) for r in res.collect()}
+    assert got == {
+        "2020-01-01 00:00:00": (None, None),
+        "2020-01-01 00:00:01": (1.5, 2.5),
+        "2020-01-01 00:00:02": (3.5, None),
+        "2020-01-01 00:00:03": (None, None),
+        "2020-01-01 00:00:04": (4.5, 5.5),
+    }
+
+
+def test_etl_all_null_readings(spark, tmp_path):
+    """A dump whose every reading is NULL has no sampled keys: the
+    flatten degrades to (user_ts) alone rather than crashing (the
+    reference dies on its first .split)."""
+    p = _write_dump(
+        tmp_path, [(None, "2020-01-01 00:00:00"), (None, "2020-01-01 00:00:01")]
+    )
+    res = etl.run_etl(spark, p, str(tmp_path / "out2"), choice="ignore")
+    assert res.columns == ["user_ts"]
+    assert res.count() == 2
