@@ -70,7 +70,13 @@ def run_etl(
         .csv(input_path)
     )
     out = repair(flatten_if_dump(df, ts_col), choice, method, ts_col)
-    out.write.mode("overwrite").option("header", True).csv(output_path)
+    # escape='"' = RFC4180 doubled-quote output (pandas to_csv style,
+    # what every reader in this package and the reference expect);
+    # Spark's default backslash escaping does NOT round-trip through
+    # them (round-12 find: values containing quotes came back corrupted)
+    out.write.mode("overwrite").option("header", True).option(
+        "escape", '"'
+    ).csv(output_path)
     return out
 
 

@@ -258,6 +258,9 @@ def write_csv_append(df: DataFrame, path: str, header: bool = True) -> None:
 
     Spark writes one header per output file; jobs append whole
     directories instead of re-opening a single file — same contract at
-    the dataset level.
+    the dataset level. escape='"' pins RFC4180 doubled-quote output
+    (pandas to_csv style) so written files round-trip through this
+    package's readers — Spark's default backslash escaping does not
+    (round-12 find: a value containing a quote came back corrupted).
     """
-    df.write.mode("append").option("header", header).csv(path)
+    df.write.mode("append").option("header", header).option("escape", '"').csv(path)

@@ -123,6 +123,11 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=10_000_000)
     ap.add_argument("--words", type=int, default=25)
     ap.add_argument(
+        "--flip",
+        action="store_true",
+        help="keep_best_ab: reverse arm order (ordering-artifact check)",
+    )
+    ap.add_argument(
         "--reproducible",
         action="store_true",
         help="simhash: use the md5-string oracle path instead of production",
@@ -258,11 +263,18 @@ def main() -> None:
                 ).alias("source"),
             ).write.mode("overwrite").parquet(aug_path)
 
-        arms = {}
-        for name, fn in (
+        arm_list = [
             ("apply_min_id", curation.corpus_neardup_apply),
             ("keep_best", curation.corpus_neardup_keep_best),
-        ):
+        ]
+        if args.flip:
+            arm_list.reverse()
+        arms = {}
+        for name, fn in arm_list:
+            # the pair miner caches its candidate frames internally —
+            # without this, arm 2 rides arm 1's cache and the A/B lies
+            # (first observed as keep_best "4.8x faster")
+            spark.catalog.clearCache()
             sb = shuffle_write_bytes(spark)
             t0 = time.perf_counter()
             n_surv = fn(spark, aug).count()

@@ -363,3 +363,30 @@ def test_inference_missing_cells_widen_like_pandas(spark, tmp_path):
         "double",
     ]
     assert {r.a for r in df.collect()} == {1.0, None, 4.0}
+
+
+def test_csv_write_round_trips_quoted_values(spark, tmp_path):
+    """Files this engine WRITES must parse back through its own readers
+    (and pandas, the reference's engine): the writers pin RFC4180
+    doubled-quote escaping — Spark's default backslash escaping came
+    back corrupted ('he said \\"hi\\"') through every escape='\"'
+    reader (round-12 find)."""
+    import glob
+
+    import pandas as pd
+
+    from fledge_south_csvplayback_spark.streaming import playback
+
+    rows = [('he said "hi"', "x,y"), ("plain", "z")]
+    df = spark.createDataFrame(rows, "a string, b string").coalesce(1)
+    out = str(tmp_path / "w")
+    playback.write_csv_append(df, out)
+    f = sorted(glob.glob(f"{out}/part-*.csv"))[0]
+    back = cs.read_pick_from_file(spark, f)
+    assert sorted([tuple(r) for r in back.collect()], key=repr) == sorted(
+        rows, key=repr
+    )
+    pdf = pd.read_csv(f)
+    assert sorted(map(tuple, pdf.values.tolist()), key=repr) == sorted(
+        rows, key=repr
+    )

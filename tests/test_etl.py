@@ -114,3 +114,20 @@ def test_etl_all_null_readings(spark, tmp_path):
     res = etl.run_etl(spark, p, str(tmp_path / "out2"), choice="ignore")
     assert res.columns == ["user_ts"]
     assert res.count() == 2
+
+
+def test_etl_output_round_trips_quoted_values(spark, tmp_path):
+    """The ETL writer's output parses back identically through the
+    package reader AND pandas (RFC4180 doubled quotes; round-12 find —
+    Spark's default backslash escaping corrupted quoted values)."""
+    import glob
+
+    import pandas as pd
+
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write('note,user_ts\n"he said ""hi"", twice",2020-01-01\n')
+    res = etl.run_etl(spark, p, str(tmp_path / "out"), choice="ignore")
+    assert res.collect()[0].note == 'he said "hi", twice'
+    f = sorted(glob.glob(str(tmp_path / "out" / "part-*.csv")))[0]
+    assert pd.read_csv(f)["note"].tolist() == ['he said "hi", twice']
