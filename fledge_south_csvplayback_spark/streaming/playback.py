@@ -45,6 +45,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from fledge_south_csvplayback_spark.config import IngestMode, PlaybackConfig
 from fledge_south_csvplayback_spark.operators import readings as env
+from fledge_south_csvplayback_spark.sources import csv_source
 
 MAX_QUEUE_CHUNK_CAPACITY = 3  # reference bounded buffer, csvplayback.py:787
 
@@ -74,7 +75,12 @@ def stream_source(
         reader = reader.option("cleanSource", clean_source)
         if clean_source == "archive":
             reader = reader.option("sourceArchiveDir", archive_dir)
-    return reader.csv(f"{cfg.resolve_csv_dir()}/{pattern}")
+    # same pandas NA-sentinel semantics as the batch readers (round 12):
+    # without this a streamed file diverged from its batch read on
+    # string columns ('NA' stayed literal)
+    return csv_source._null_na_sentinels(
+        reader.csv(f"{cfg.resolve_csv_dir()}/{pattern}")
+    )
 
 
 def stamp_batch(df: DataFrame, cfg: PlaybackConfig, anchor: str | None = None) -> DataFrame:

@@ -166,3 +166,44 @@ def test_csv_append_writer(spark, tmp_path):
     pb.write_csv_append(df, out)
     back = spark.read.option("header", True).csv(out)
     assert back.count() == 10
+
+
+def test_stream_applies_na_sentinels_like_batch(spark, tmp_path):
+    """A streamed file must parse identically to its batch read under
+    the round-12 pandas NA-sentinel semantics: without the shared
+    sentinel rewrite in stream_source, 'NA' stayed literal in streamed
+    string columns while the batch readers NULL it."""
+    d = str(tmp_path / "land")
+    os.makedirs(d)
+    with open(os.path.join(d, "vib_na.csv"), "w") as f:
+        f.write(
+            "channel1,channel2,user_ts\n"
+            "1.5,NA,2020-01-01\n"
+            "NA,x,null\n"
+        )
+    collected = []
+    session = pb.PlaybackSession(
+        spark, PlaybackConfig(csv_dir_name=d, csv_file_name="vib_na"), SCHEMA
+    )
+    q = session.start_async(
+        lambda rows, bid: collected.extend(rows), available_now=True
+    )
+    q.awaitTermination()
+    got = sorted(
+        [tuple(r.readings.get(c) for c in ("channel1", "channel2", "user_ts"))
+         for r in collected],
+        key=repr,
+    )
+    # map drops NULL values? the envelope keeps keys present in the row;
+    # sentinel cells must surface as missing/None, matching the batch
+    # reader (read_pick_from_file) on the same file
+    from fledge_south_csvplayback_spark.sources import csv_source as cs
+
+    batch = cs.read_pick_from_file(
+        spark, os.path.join(d, "vib_na.csv"), schema=SCHEMA
+    )
+    want = sorted(
+        [(r.channel1, r.channel2, r.user_ts) for r in batch.collect()],
+        key=repr,
+    )
+    assert got == want
