@@ -2386,3 +2386,153 @@ def ann_cosine_topk_sq8_indexed(
     return _sq8_search(
         spark, sf_dir, codes_df, list(q["lo"]), list(q["hi"]), rescore_c
     )
+
+
+# --- hybrid sparse+dense retrieval (reciprocal-rank fusion) -------------------
+# RRF constant from Cormack/Clarke/Buettcher SIGIR'09 ("Reciprocal rank
+# fusion outperforms Condorcet and individual rank learning methods");
+# k=60 is the paper's setting and the de-facto default everywhere.
+RRF_C = 60
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, distinct non-empty whitespace tokens). NULL-text docs
+    are not retrievable and not queries (the documents-side twin of
+    ``_emb(scorable=True)``'s NULL/zero-norm exclusions)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.array_remove(F.array_distinct(F.split(F.col("text"), " ")), "")
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", toks.alias("toks")
+    )
+
+
+def lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse (lexical) top-k per query document: distinct-token
+    Jaccard of each corpus doc against each of the |Q| query docs
+    (doc_id < N_QUERIES — the retrieval entries' shared query
+    convention), ranked on (round(jaccard, 6) DESC, doc_id ASC) so the
+    order is total and engine-independent; the query doc itself is
+    excluded. An all-empty token union scores 0, never NULL (hostile
+    fixture: blank/whitespace documents).
+
+    Scale shape: the |Q|-row query-token frame broadcasts
+    (BroadcastNestedLoopJoin) into ONE corpus scan — corpus·|Q|
+    scored rows never materialize: ranking is the same partial
+    Sort + WindowGroupLimit shape as ``ann_cosine_topk``, so the
+    query_id exchange carries ≤ tasks·|Q|·k survivor rows.
+    """
+    from pyspark.sql import Window as W
+
+    d = _doc_tokens(spark, sf_dir)
+    q = d.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("toks").alias("q_toks")
+    )
+    scored = d.crossJoin(F.broadcast(q)).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    inter = F.size(F.array_intersect("toks", "q_toks"))
+    uni = F.size(F.array_union("toks", "q_toks"))
+    jac = (
+        F.when(uni > 0, F.round(inter.cast("double") / uni, 6))
+        .otherwise(F.lit(0.0))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("jaccard").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select("query_id", "doc_id", jac.alias("jaccard"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "jaccard")
+    )
+
+
+LEXICAL_TOPK_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(list_distinct(string_split(text, ' ')), t -> t != '')
+               AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+q AS (SELECT doc_id AS query_id, toks AS q_toks FROM d
+      WHERE doc_id < {N_QUERIES}),
+s AS (
+    SELECT q.query_id, d.doc_id,
+           CASE WHEN len(list_distinct(list_concat(d.toks, q.q_toks))) > 0
+                THEN ROUND(len(list_intersect(d.toks, q.q_toks))::DOUBLE
+                     / len(list_distinct(list_concat(d.toks, q.q_toks))), 6)
+                ELSE 0.0 END AS jaccard
+    FROM d, q WHERE d.doc_id != q.query_id
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY jaccard DESC, doc_id) AS rank
+    FROM s
+)
+SELECT query_id, rank, doc_id, jaccard FROM r WHERE rank <= {TOP_K}
+"""
+
+
+def hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval via reciprocal-rank fusion — the
+    candidate-generation staple (dense recall + lexical precision):
+    fuse ``ann_cosine_topk``'s embedding ranking with
+    ``lexical_topk``'s token-Jaccard ranking per query,
+    ``rrf = Σ_arms 1 / (RRF_C + rank)`` (absent arm contributes 0),
+    re-ranked on (round(rrf, 9) DESC, doc_id ASC), top ``TOP_K``.
+    vec_id and doc_id are the aligned parallel-table ids of the
+    testdata convention (both 0..N-1); a query missing from one arm
+    (e.g. its embedding is NULL on the hostile fixture) is fused from
+    the other arm alone — the full-outer join does the right thing.
+
+    Scale shape: each arm's output is ≤ |Q|·k rows by construction
+    (their own partial-top-k plans do the heavy lifting), so the
+    fusion itself is a tiny full-outer join + window — nothing
+    corpus-sized crosses an exchange here.
+    """
+    from pyspark.sql import Window as W
+
+    dense = ann_cosine_topk(spark, sf_dir).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("rank_d"),
+    )
+    sparse = lexical_topk(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_s")
+    )
+    fused = dense.join(sparse, ["query_id", "doc_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("rank_d")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("rank_s")), F.lit(0.0)),
+        9,
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.select("query_id", "doc_id", rrf.alias("rrf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "rrf")
+    )
+
+
+HYBRID_TOPK_RRF_SQL = f"""
+WITH dense AS ({ANN_COSINE_TOPK_SQL}),
+sparse AS ({LEXICAL_TOPK_SQL}),
+f AS (
+    SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+           COALESCE(d.vec_id, s.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({RRF_C} + d.rank), 0)
+                 + COALESCE(1.0 / ({RRF_C} + s.rank), 0), 9) AS rrf
+    FROM dense d
+    FULL OUTER JOIN sparse s
+      ON d.query_id = s.query_id AND d.vec_id = s.doc_id
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+    FROM f
+)
+SELECT query_id, rank, doc_id, rrf FROM r WHERE rank <= {TOP_K}
+"""

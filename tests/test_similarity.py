@@ -1180,3 +1180,78 @@ def test_pq_and_ivfpq_rescored_default_matches_two_stage_replica(
         ).collect()
     }
     assert got == two_stage(ids, recon, S.PQ_RESCORE_C)
+
+
+# --- hybrid sparse+dense RRF fusion (round 12) --------------------------------
+def test_lexical_topk_oracle_parity(spark):
+    ok, msg = compare(
+        S.lexical_topk(spark, TEST_SF_DIR), S.LEXICAL_TOPK_SQL, TEST_SF_DIR
+    )
+    assert ok, msg
+
+
+def test_hybrid_rrf_oracle_parity(spark):
+    ok, msg = compare(
+        S.hybrid_topk_rrf(spark, TEST_SF_DIR),
+        S.HYBRID_TOPK_RRF_SQL,
+        TEST_SF_DIR,
+    )
+    assert ok, msg
+
+
+def test_hybrid_rrf_oracle_parity_sf001(spark):
+    from tests.conftest import ORACLE_SF_DIR
+
+    ok, msg = compare(
+        S.hybrid_topk_rrf(spark, ORACLE_SF_DIR),
+        S.HYBRID_TOPK_RRF_SQL,
+        ORACLE_SF_DIR,
+    )
+    assert ok, msg
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """Every fused candidate comes from at least one arm; rrf equals
+    the hand-computed sum of 1/(C+rank) over the arms the candidate
+    appears in; a candidate present in BOTH arms at ranks (i, j)
+    outscores one present in a single arm at min(i, j)."""
+    dense = {
+        (r.query_id, r.vec_id): r.rank
+        for r in S.ann_cosine_topk(spark, TEST_SF_DIR).collect()
+    }
+    sparse = {
+        (r.query_id, r.doc_id): r.rank
+        for r in S.lexical_topk(spark, TEST_SF_DIR).collect()
+    }
+    fused = S.hybrid_topk_rrf(spark, TEST_SF_DIR).collect()
+    assert fused
+    pool = set(dense) | set(sparse)
+    both = {k for k in dense if k in sparse}
+    for r in fused:
+        key = (r.query_id, r.doc_id)
+        assert key in pool
+        want = round(
+            (1.0 / (S.RRF_C + dense[key]) if key in dense else 0.0)
+            + (1.0 / (S.RRF_C + sparse[key]) if key in sparse else 0.0),
+            9,
+        )
+        assert abs(r.rrf - want) < 1e-12, (key, r.rrf, want)
+    # self-exclusion: a query never retrieves itself
+    assert all(r.query_id != r.doc_id for r in fused)
+    # two-arm dominance over a single arm at the same best rank
+    if both:
+        k = next(iter(both))
+        i, j = dense[k], sparse[k]
+        two = 1.0 / (S.RRF_C + i) + 1.0 / (S.RRF_C + j)
+        assert two > 1.0 / (S.RRF_C + min(i, j))
+
+
+def test_lexical_topk_plan_shape(spark):
+    """The query frame broadcasts into one corpus scan and ranking is
+    the partial WindowGroupLimit shape — corpus·|Q| scored rows never
+    cross the exchange unpruned."""
+    plan = S.lexical_topk(spark, TEST_SF_DIR)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
