@@ -118,6 +118,7 @@ def main() -> None:
             "neardup_ingest",
             "span_scrub",
             "keep_best_ab",
+            "lexical_topk",
         ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
@@ -232,6 +233,37 @@ def main() -> None:
                     "planted": k,
                     "recall": round(n_hit / k, 4) if k else None,
                     "false_pos": n_out - n_hit,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "lexical_topk":
+        # sparse retrieval arm at 10M: |Q| query-token arrays broadcast
+        # into one corpus scan, partial WindowGroupLimit ranking — the
+        # claim under test is the SHUFFLE column (≤ tasks·|Q|·k survivor
+        # rows, KBs, never corpus·|Q| scored rows)
+        from fledge_south_csvplayback_spark.operators import similarity as sim
+
+        shuffle_before = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        rows = sim.lexical_topk(spark, sf_dir).collect()
+        wall = round(time.perf_counter() - t0, 1)
+        shuffle = shuffle_delta(shuffle_before, shuffle_write_bytes(spark))
+        n_q = len({r.query_id for r in rows})
+        print(
+            json.dumps(
+                {
+                    "op": "lexical_topk",
+                    "rows": args.rows,
+                    "gen_sec": gen_sec,
+                    "wall_sec": wall,
+                    "docs_per_sec": round(args.rows / wall, 1) if wall else None,
+                    "shuffle_bytes": shuffle,
+                    "out_rows": len(rows),
+                    "queries": n_q,
+                    "complete": len(rows) == n_q * sim.TOP_K,
                 }
             )
         )
