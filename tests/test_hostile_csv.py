@@ -26,6 +26,12 @@ with the documented rationale:
   column on every path, dropped from ragged maps (the reference's
   pd.isnull cell filter), and widening inference like pandas' NaN
   (int + missing → double; all-missing → double).
+- CR-only line endings (classic Mac): both engines split on lone \r —
+  matched, pinned via the ``cr_only`` case.
+- invalid UTF-8 bytes: pandas (and so the reference) raises
+  UnicodeDecodeError; this engine yields the row with U+FFFD
+  replacement characters — pinned divergence (one bad byte in a
+  100 TB scan is one mangled cell, not a dead job).
 """
 
 from __future__ import annotations
@@ -54,6 +60,8 @@ CASES = {
     "na_sentinels": ("a,b,c\n1,NA,x\n2,3.5,null\nNaN,None,<NA>\n", 3),
     # pandas mangles duplicate header names to a, a.1, ...
     "dup_headers": ("a,a,b\n1,2,3\n4,5,6\n", 3),
+    # classic-Mac CR-only line endings: both engines split on lone \r
+    "cr_only": ("a,b\r1,2\r3,4\r", 2),
 }
 # pandas reinterprets wider-than-header rows via index promotion; the
 # Spark engines keep the declared columns and drop the extras.
@@ -180,7 +188,13 @@ def test_ragged_vs_csv_reader(spark, tmp_path, case):
     df = cs.read_ragged(spark, p)
     got = {r.row_id: r.readings for r in df.collect()}
 
-    raw_lines = text.lstrip("﻿").replace("\r\n", "\n").rstrip("\n").split("\n")
+    raw_lines = (
+        text.lstrip("﻿")
+        .replace("\r\n", "\n")
+        .replace("\r", "\n")  # CR-only endings split like both engines
+        .rstrip("\n")
+        .split("\n")
+    )
     nonblank = [l for l in raw_lines if l != ""]
     # the reference drops every pd.isnull cell from the readings dict
     # (csvplayback.py:703-711), and pandas NaN-ifies its NA sentinels
@@ -322,3 +336,20 @@ def test_inference_never_nulls_parseable_values(spark, tmp_path):
         ],
         key=repr,
     )
+
+
+def test_invalid_utf8_is_replaced_not_fatal(spark, tmp_path):
+    """PINNED DIVERGENCE: an invalid UTF-8 byte makes pandas (and so
+    the reference) raise UnicodeDecodeError and die; this engine's
+    readers yield the row with U+FFFD replacement characters — one bad
+    byte in a 100 TB scan is one mangled cell, not a dead job (the
+    same permissive-vs-strict philosophy as the cast knob, and the A1
+    null/blank report remains the audit surface)."""
+    p = str(tmp_path / "bad8.csv")
+    with open(p, "wb") as f:
+        f.write(b"a,b\n1,caf\xe9\n2,ok\n")
+    with pytest.raises(UnicodeDecodeError):
+        pd.read_csv(p)
+    df = cs.read_pick_from_file(spark, p, infer_schema=False)
+    rows = sorted([tuple(r) for r in df.collect()], key=repr)
+    assert rows == sorted([("1", "caf�"), ("2", "ok")], key=repr)
