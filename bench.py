@@ -101,6 +101,8 @@ HEADLINE = [
     "text_top_ngrams",  # corpus-wide heavy hitters, TakeOrdered (round 11)
     "events_retention",  # weekly cohort retention windows (round 11)
     "corpus_profile",  # per-language dataset-card aggregate (round 11)
+    "hybrid_topk_rrf",  # sparse+dense RRF retrieval fusion (round 12)
+    "corpus_neardup_keep_best",  # quality-score cluster election (round 12)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -123,6 +125,9 @@ EXTRA_QUERIES = {
     "multimodal_video_stats": multimodal.multimodal_video_stats,
     "ann_cosine_topk_sq8": similarity.ann_cosine_topk_sq8,
     "corpus_decontaminate": curation.corpus_decontaminate,
+    # round-12 additions (pytest-oracle-checked, outside the registry)
+    "hybrid_topk_rrf": similarity.hybrid_topk_rrf,
+    "corpus_neardup_keep_best": curation.corpus_neardup_keep_best,
     # de-registered in the round-11 csv_directory_codecs fold; stays in
     # the bench so the per-round series keeps its name-stable row
     "csv_pick_from_file": csv_queries.csv_pick_from_file,
