@@ -31,12 +31,19 @@ def readings_map(
     value_cols: list[str] | None = None,
     exclude: tuple[str, ...] = ("timestamp",),
 ) -> Column:
-    """Map of datapoint name -> value (stringified) for the given columns."""
+    """Map of datapoint name -> value (stringified) for the given columns.
+
+    Column references are backtick-quoted: datapoint names come from
+    CSV headers, and a dotted name (e.g. the ``a.1`` pandas
+    duplicate-header mangle, round 12) must not parse as a struct-field
+    path — unquoted, it raised INVALID_EXTRACT_BASE_FIELD_TYPE."""
     cols = value_cols or [c for c in df.columns if c not in exclude]
+
+    def ref(c: str) -> Column:
+        return F.col("`" + c.replace("`", "``") + "`")
+
     pairs = list(
-        chain.from_iterable(
-            (F.lit(c), F.col(c).cast("string")) for c in cols
-        )
+        chain.from_iterable((F.lit(c), ref(c).cast("string")) for c in cols)
     )
     return F.map_from_arrays(
         F.array(*pairs[0::2]), F.array(*pairs[1::2])
@@ -70,7 +77,9 @@ def build_envelope(
         )
     return df.select(
         F.lit(asset).alias("asset"),
-        F.col(ts_col).cast("string").alias("timestamp"),
+        F.col("`" + ts_col.replace("`", "``") + "`")
+        .cast("string")
+        .alias("timestamp"),
         m.alias("readings"),
     )
 

@@ -390,3 +390,21 @@ def test_csv_write_round_trips_quoted_values(spark, tmp_path):
     assert sorted(map(tuple, pdf.values.tolist()), key=repr) == sorted(
         rows, key=repr
     )
+
+
+def test_envelope_handles_mangled_dotted_names(spark, tmp_path):
+    """A duplicated CSV header mangles to a dotted name (a.1); the
+    envelope builder must treat it as a datapoint NAME, not a
+    struct-field path (unquoted it raised
+    INVALID_EXTRACT_BASE_FIELD_TYPE — round-12 find, same class as the
+    sentinel select's quoting)."""
+    from fledge_south_csvplayback_spark.operators import readings as env
+
+    p = str(tmp_path / "dup2.csv")
+    with open(p, "w") as f:
+        f.write("a,a,user_ts\n1,2,2020-01-01\n")
+    df = cs.read_pick_from_file(spark, p)
+    assert df.columns == ["a", "a.1", "user_ts"]
+    out = env.build_envelope(df, "vib", ts_col="user_ts").collect()
+    assert out[0].readings == {"a": "1", "a.1": "2"}
+    assert out[0].timestamp == "2020-01-01"
