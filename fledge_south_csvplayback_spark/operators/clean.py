@@ -29,17 +29,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.window import WindowSpec
 
+from fledge_south_csvplayback_spark.schema import qcol, qname
+
 
 def _is_blank(c: str) -> Column:
     """Whitespace-only cell (reference str.isspace(), csvplayback.py:685)."""
-    return F.col(c).isNotNull() & (F.trim(F.col(c)) == "")
+    return qcol(c).isNotNull() & (F.trim(qcol(c)) == "")
 
 
 def whitespace_to_null(df: DataFrame, cols: list[str]) -> DataFrame:
     """F4: whitespace-only strings -> null (process_csv_data.py:119)."""
     out = df
     for c in cols:
-        out = out.withColumn(c, F.when(_is_blank(c), None).otherwise(F.col(c)))
+        out = out.withColumn(c, F.when(_is_blank(c), None).otherwise(qcol(c)))
     return out
 
 
@@ -52,15 +54,15 @@ def null_report(df: DataFrame, cols: list[str]) -> DataFrame:
     """
     aggs = []
     for c in cols:
-        aggs.append(F.max(F.col(c).isNull()).alias(f"_n_{c}"))
+        aggs.append(F.max(qcol(c).isNull()).alias(f"_n_{c}"))
         aggs.append(F.max(_is_blank(c)).alias(f"_b_{c}"))
     one = df.agg(*aggs)
     per_col = F.array(
         *[
             F.struct(
                 F.lit(c).alias("column"),
-                F.col(f"_n_{c}").alias("any_null"),
-                F.col(f"_b_{c}").alias("any_blank"),
+                qcol(f"_n_{c}").alias("any_null"),
+                qcol(f"_b_{c}").alias("any_blank"),
             )
             for c in cols
         ]
@@ -74,7 +76,7 @@ def all_null_columns(df: DataFrame, cols: list[str]) -> list[str]:
     One aggregate row collected to the driver — a schema decision, not a
     data-path collect.
     """
-    row = df.agg(*[F.count(F.col(c)).alias(c) for c in cols]).collect()[0]
+    row = df.agg(*[F.count(qcol(c)).alias(c) for c in cols]).collect()[0]
     return [c for c in cols if row[c] == 0]
 
 
@@ -87,11 +89,11 @@ def all_null_columns(df: DataFrame, cols: list[str]) -> list[str]:
 # ---------------------------------------------------------------------------
 def _w(order_cols: list[str], partition_cols: list[str] | None) -> WindowSpec:
     w = (
-        Window.partitionBy(*partition_cols)
+        Window.partitionBy(*[qcol(c) for c in partition_cols])
         if partition_cols
         else Window.partitionBy()
     )
-    return w.orderBy(*order_cols)
+    return w.orderBy(*[qcol(c) for c in order_cols])
 
 
 def rolling_mean_fill(
@@ -103,7 +105,7 @@ def rolling_mean_fill(
     w = _w(order_cols, partition_cols).rowsBetween(-1, 0)
     out = df
     for c in cols:
-        out = out.withColumn(c, F.coalesce(F.col(c), F.avg(c).over(w)))
+        out = out.withColumn(c, F.coalesce(qcol(c), F.avg(qcol(c)).over(w)))
     return out
 
 
@@ -117,7 +119,7 @@ def rolling_median_fill(
     out = df
     for c in cols:
         out = out.withColumn(
-            c, F.coalesce(F.col(c), F.expr(f"percentile({c}, 0.5)").over(w))
+            c, F.coalesce(qcol(c), F.expr(f"percentile({qname(c)}, 0.5)").over(w))
         )
     return out
 
@@ -144,9 +146,9 @@ def interpolate_fill(
     w_rn = base
     out = df.withColumn("_rn", F.row_number().over(w_rn))
     for c in cols:
-        rn_if = F.when(F.col(c).isNotNull(), F.col("_rn"))
-        prev_v = F.last(c, ignorenulls=True).over(w_prev)
-        next_v = F.first(c, ignorenulls=True).over(w_next)
+        rn_if = F.when(qcol(c).isNotNull(), F.col("_rn"))
+        prev_v = F.last(qcol(c), ignorenulls=True).over(w_prev)
+        next_v = F.first(qcol(c), ignorenulls=True).over(w_next)
         prev_rn = F.last(rn_if, ignorenulls=True).over(w_prev)
         next_rn = F.first(rn_if, ignorenulls=True).over(w_next)
         if method == "linear":
@@ -159,7 +161,7 @@ def interpolate_fill(
             ).otherwise(next_v)
         out = out.withColumn(
             c,
-            F.when(F.col(c).isNotNull(), F.col(c))
+            F.when(qcol(c).isNotNull(), qcol(c))
             .when(prev_v.isNull(), next_v)
             .when(next_v.isNull(), prev_v)
             .otherwise(interp),
@@ -271,9 +273,9 @@ def flatten_fledge_dump(
     reading_col: str = "reading",
     ts_col: str = "user_ts",
 ) -> DataFrame:
-    m = F.from_json(F.col(reading_col), "map<string,double>")
+    m = F.from_json(qcol(reading_col), "map<string,double>")
     return df.select(
-        *[m[k].alias(k) for k in keys], F.col(ts_col)
+        *[m[k].alias(k) for k in keys], qcol(ts_col)
     )
 
 
@@ -290,13 +292,13 @@ def repair_nans(
 ) -> DataFrame:
     df = whitespace_to_null(df, cols)
     for c in cols:
-        df = df.withColumn(c, F.col(c).cast("double"))
+        df = df.withColumn(c, qcol(c).cast("double"))
     # ONE aggregate pass decides both policies: count(c)==0 -> dead
     # (all-null, always dropped), count(c)<count(*) -> holed (dropped
     # under method='drop'). Positional access so a data column named
     # like the total alias can't collide.
     counts = df.agg(
-        F.count(F.lit(1)), *[F.count(F.col(c)) for c in cols]
+        F.count(F.lit(1)), *[F.count(qcol(c)) for c in cols]
     ).collect()[0]
     total, per_col = counts[0], dict(zip(cols, counts[1:]))
     dead = [c for c in cols if per_col[c] == 0]

@@ -25,6 +25,8 @@ from itertools import chain
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fledge_south_csvplayback_spark.schema import qcol
+
 
 def readings_map(
     df: DataFrame,
@@ -38,12 +40,8 @@ def readings_map(
     duplicate-header mangle, round 12) must not parse as a struct-field
     path — unquoted, it raised INVALID_EXTRACT_BASE_FIELD_TYPE."""
     cols = value_cols or [c for c in df.columns if c not in exclude]
-
-    def ref(c: str) -> Column:
-        return F.col("`" + c.replace("`", "``") + "`")
-
     pairs = list(
-        chain.from_iterable((F.lit(c), ref(c).cast("string")) for c in cols)
+        chain.from_iterable((F.lit(c), qcol(c).cast("string")) for c in cols)
     )
     return F.map_from_arrays(
         F.array(*pairs[0::2]), F.array(*pairs[1::2])
@@ -77,9 +75,7 @@ def build_envelope(
         )
     return df.select(
         F.lit(asset).alias("asset"),
-        F.col("`" + ts_col.replace("`", "``") + "`")
-        .cast("string")
-        .alias("timestamp"),
+        qcol(ts_col).cast("string").alias("timestamp"),
         m.alias("readings"),
     )
 

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fledge_south_csvplayback_spark.schema import qcol
+
 from fledge_south_csvplayback_spark.operators.rowid import with_global_row_number
 
 # ---------------------------------------------------------------------------
@@ -106,7 +108,7 @@ def strptime_to_jdk(fmt: str) -> str:
 def copy_csv_value(df: DataFrame, ts_col: str, fmt: str) -> DataFrame:
     """T3: parse ts_col as the reading timestamp; source column kept."""
     return df.withColumn(
-        "timestamp", F.to_timestamp(F.col(ts_col), strptime_to_jdk(fmt))
+        "timestamp", F.to_timestamp(qcol(ts_col), strptime_to_jdk(fmt))
     )
 
 
@@ -186,7 +188,7 @@ def sample_delta(
     first_two = (
         numbered.orderBy("_k")
         .limit(2)
-        .select(F.unix_micros(F.to_timestamp(F.col(ts_col), jdk)).alias("_us"), "_k")
+        .select(F.unix_micros(F.to_timestamp(qcol(ts_col), jdk)).alias("_us"), "_k")
     )
     delta = first_two.agg(
         (F.max_by("_us", "_k") - F.min_by("_us", "_k")).alias("_delta_us")

@@ -15,7 +15,26 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark.sql import Column
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def qcol(name: str) -> Column:
+    """Column reference by EXACT name, backtick-quoted.
+
+    Names derived from CSV headers can contain dots — reachable since
+    the pandas duplicate-header mangle (``a.1``, round 12) — and a
+    plain ``F.col("a.1")`` parses the dot as a struct-field path
+    (INVALID_EXTRACT_BASE_FIELD_TYPE on a flat column). Every operator
+    that references user/header-derived names goes through this."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def qname(name: str) -> str:
+    """The backtick-quoted form of ``name`` for SQL-string fragments
+    (e.g. ``F.expr(f"percentile({qname(c)}, 0.5)")``)."""
+    return "`" + name.replace("`", "``") + "`"
 
 # reference type map csvplayback.py:607-613, re-targeted at Spark types
 TYPE_MAP: dict[str, T.DataType] = {

@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fledge_south_csvplayback_spark.schema import ColumnSpec, parse_use_columns
+from fledge_south_csvplayback_spark.schema import (
+    ColumnSpec,
+    parse_use_columns,
+    qcol,
+)
 from fledge_south_csvplayback_spark.sources import lineio
 
 # reference csvplayback.py:510 matches '.csv'-rooted suffixes only
@@ -142,9 +146,9 @@ def _null_na_sentinels(df: DataFrame) -> DataFrame:
     parsing). One codegen'd select, no shuffle, no Python."""
     out = []
     for f in df.schema.fields:
-        # backtick-quote: mangled names like a.1 must not be parsed as
+        # qcol: mangled names like a.1 must not be parsed as
         # struct-field paths (plain F.col("a.1") would be)
-        c = F.col("`" + f.name.replace("`", "``") + "`")
+        c = qcol(f.name)
         if isinstance(f.dataType, T.StringType):
             c = F.when(c.isin(*PANDAS_NA_SENTINELS), F.lit(None)).otherwise(c)
         out.append(c.alias(f.name))

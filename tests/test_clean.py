@@ -271,3 +271,38 @@ def test_partitioned_fill_plan_shards_by_key(spark, build):
     assert "hashpartitioning(device" in plan, plan
     # the global-window funnel (every row through ONE task) must be gone
     assert "SinglePartition" not in plan, plan
+
+
+def test_fills_handle_dotted_column_names(spark):
+    """Cleaning operators take column names straight from CSV headers,
+    which can be dotted since the pandas duplicate-header mangle
+    (round 12): every fill path must reference them as exact names,
+    not struct paths."""
+    from fledge_south_csvplayback_spark.operators import clean as C
+    from fledge_south_csvplayback_spark.operators import timestamps as TS
+
+    df = spark.createDataFrame(
+        [("2020-01-01 00:00:00", 1.0), ("2020-01-01 00:00:01", None),
+         ("2020-01-01 00:00:02", 3.0)],
+        ["t.s", "a.1"],
+    )
+    got = C.interpolate_fill(df, ["a.1"], ["t.s"]).orderBy("`t.s`").collect()
+    assert [r["a.1"] for r in got] == [1.0, 2.0, 3.0]
+    got = C.rolling_mean_fill(df, ["a.1"], ["t.s"]).orderBy("`t.s`").collect()
+    assert [r["a.1"] for r in got] == [1.0, 1.0, 3.0]
+    got = C.rolling_median_fill(df, ["a.1"], ["t.s"]).orderBy("`t.s`").collect()
+    assert [r["a.1"] for r in got] == [1.0, 1.0, 3.0]
+    rep = {r.column: (r.any_null, r.any_blank) for r in C.null_report(df, ["a.1"]).collect()}
+    assert rep == {"a.1": (True, False)}
+    assert C.all_null_columns(df, ["a.1"]) == []
+    df2 = C.whitespace_to_null(
+        spark.createDataFrame([(" ",), ("x",)], ["b.2"]), ["b.2"]
+    )
+    assert sorted([r["b.2"] for r in df2.collect()], key=repr) == sorted(
+        [None, "x"], key=repr
+    )
+    ts = TS.copy_csv_value(
+        df.withColumnRenamed("t.s", "u.ts"), "u.ts", "%Y-%m-%d %H:%M:%S"
+    )
+    assert ts.filter("timestamp IS NULL").count() == 0
+    assert C.repair_nans(df, ["a.1"], ["t.s"], method="linear").count() == 3
