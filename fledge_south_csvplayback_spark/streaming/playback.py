@@ -78,7 +78,7 @@ def stream_source(
     # same pandas NA-sentinel semantics as the batch readers (round 12):
     # without this a streamed file diverged from its batch read on
     # string columns ('NA' stayed literal)
-    return csv_source._null_na_sentinels(
+    return csv_source.null_na_sentinels(
         reader.csv(f"{cfg.resolve_csv_dir()}/{pattern}")
     )
 

@@ -347,10 +347,11 @@ def test_head_lines_multi_split_first_lines_in_order(spark, tmp_path):
 
 def test_inference_missing_cells_widen_like_pandas(spark, tmp_path):
     """Missing cells in the sample are missing data, not string
-    evidence — and they widen exactly as pandas does (the reference's
-    engine): an int column with a gap is float64 → double, an
-    all-missing column is float64 → double. (Round 12 replaced the
-    earlier bigint/string contract with the pandas-exact one.)"""
+    evidence — and a column with numeric evidence plus a gap widens
+    exactly as pandas does (float64 → double). An ALL-missing column
+    stays string where pandas says float64: the round-13 pinned
+    dtype-only divergence (zero type evidence — string never loses a
+    later value; see test_hostile_csv's docstring)."""
     p = str(tmp_path / "gaps.csv")
     with open(p, "w") as f:
         f.write("a,b\n1,\n,\n4,\n")
@@ -360,7 +361,7 @@ def test_inference_missing_cells_widen_like_pandas(spark, tmp_path):
     df = cs.read_pick_from_file(spark, p)
     assert [f.dataType.simpleString() for f in df.schema.fields] == [
         "double",
-        "double",
+        "string",
     ]
     assert {r.a for r in df.collect()} == {1.0, None, 4.0}
 

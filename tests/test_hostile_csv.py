@@ -25,7 +25,11 @@ with the documented rationale:
 - pandas NA sentinels (``NA``/``null``/``NaN``/...): NULL in every
   column on every path, dropped from ragged maps (the reference's
   pd.isnull cell filter), and widening inference like pandas' NaN
-  (int + missing → double; all-missing → double).
+  (int + missing → double). A column ALL-missing in the inference
+  sample stays string (pandas: float64) — pinned dtype-only
+  divergence: with zero type evidence, string is the only type under
+  which values past the sample always survive, and the two engines
+  differ only on a truly all-NaN column where both hold only NULLs.
 - CR-only line endings (classic Mac): both engines split on lone \r —
   matched, pinned via the ``cr_only`` case.
 - invalid UTF-8 bytes: pandas (and so the reference) raises
@@ -236,11 +240,27 @@ def test_ragged_skiprows_counts_physical_lines(spark, tmp_path):
         "a,a,a,a.2",
         "a,,a,",
         "a,a.1,a.1,a",
+        # generated-vs-literal 'Unnamed' collisions (round-12 verdict
+        # finding): pandas mangles literal dupes FIRST, then fills each
+        # empty cell with 'Unnamed: <i>' bumped '.k' against the final
+        # set — so the generated name loses every collision
+        ",Unnamed: 0",
+        "Unnamed: 0,",
+        ",Unnamed: 0,Unnamed: 0",
+        "Unnamed: 1,",
+        ",Unnamed: 0.1,Unnamed: 0",
+        "Unnamed: 2,,",
+        ",,Unnamed: 0,Unnamed: 2",
+        "Unnamed: 0,Unnamed: 0,",
+        ",Unnamed: 0,,Unnamed: 0",
+        ",a,a",
     ],
 )
 def test_header_mangle_matches_pandas(tmp_path, hdr):
     """_split_header reproduces pandas' duplicate-name mangling exactly,
-    including the occupied-name skips ('a,a,a.1' -> 'a, a.2, a.1')."""
+    including the occupied-name skips ('a,a,a.1' -> 'a, a.2, a.1') and
+    the literal-wins 'Unnamed' collision order (',Unnamed: 0' ->
+    'Unnamed: 0.1, Unnamed: 0')."""
     n = len(hdr.split(","))
     body = ",".join(str(i) for i in range(n))
     p = _write(tmp_path, "mangle", hdr + "\n" + body + "\n")
@@ -260,21 +280,56 @@ def test_dup_headers_no_longer_crash_inference(spark, tmp_path):
 
 # --- NA sentinels drive pandas' dtype widening --------------------------------
 def test_infer_dtypes_widen_like_pandas(spark, tmp_path):
-    """Missing cells (empty or sentinel) widen int columns to double and
-    make all-missing columns double — pandas' float64-for-NaN rule,
-    which the reference inherits on every read."""
+    """Missing cells (empty or sentinel) widen int columns to double —
+    pandas' float64-for-NaN rule, which the reference inherits on every
+    read. An ALL-missing column stays string where pandas says float64:
+    the pinned dtype-only divergence (module docstring) — with zero
+    type evidence in the sample, string never loses a later value."""
     text = "a,b,c,d,e\n1,NA,x,2.5,NA\n2,3,NA,,null\n"
     p = _write(tmp_path, "widen", text)
     df = cs.read_pick_from_file(spark, p)
     exp = pd.read_csv(p)
     # pandas: a int64, b float64 (int+NA), c object, d float64, e float64
     kind = {"int64": "bigint", "float64": "double", "object": "string"}
-    assert dict(df.dtypes) == {
-        col: kind[str(dt)] for col, dt in exp.dtypes.items()
-    }
+    want = {col: kind[str(dt)] for col, dt in exp.dtypes.items()}
+    assert want["e"] == "double"  # pandas' all-NaN rule...
+    want["e"] = "string"  # ...vs the pinned zero-evidence divergence
+    assert dict(df.dtypes) == want
     # and the sentinel VALUES are NULL, not literal strings
     row = df.orderBy("a").collect()[0]
     assert row.b is None and row.e is None
+
+
+def test_infer_all_missing_sample_keeps_late_strings(spark, tmp_path):
+    """The reason for the all-missing=string pin: a column whose sample
+    is all-NA but whose later rows hold non-numeric strings keeps those
+    VALUES (typed double they would silently parse to NULL — data loss
+    inside the documented sample envelope)."""
+    lines = ["a,b"] + [f"{i},NA" for i in range(cs.INFER_SAMPLE_LINES)]
+    lines += [f"{cs.INFER_SAMPLE_LINES},hello"]
+    p = _write(tmp_path, "latestr", "\n".join(lines) + "\n")
+    df = cs.read_pick_from_file(spark, p)
+    assert dict(df.dtypes) == {"a": "bigint", "b": "string"}
+    got = {r.a: r.b for r in df.collect()}
+    assert got[cs.INFER_SAMPLE_LINES] == "hello"
+    assert got[0] is None
+
+
+def test_backtick_header_names(spark, tmp_path):
+    """A header name containing a backtick must survive the derived-DDL
+    builders (round-13 advice item: unescaped backticks made malformed
+    DDL — PARSE_SYNTAX_ERROR — where pandas reads the file fine), on
+    both the inference and the skip-rows paths."""
+    text = "a`b,c``d,e\n1,2,x\n3,4,y\n"
+    exp = pd.read_csv(_write(tmp_path, "tick_pd", text))
+    for skip in (0, 2):
+        p = _write(tmp_path, f"tick{skip}", ("m,m,m\nm,m,m\n" if skip else "") + text)
+        df = cs.read_pick_from_file(spark, p, skip_rows=skip)
+        assert df.columns == list(exp.columns) == ["a`b", "c``d", "e"]
+        assert sorted((r["a`b"], r["c``d"], r["e"]) for r in df.collect()) == [
+            (1, 2, "x"),
+            (3, 4, "y"),
+        ]
 
 
 def test_explicit_strict_sentinels(spark, tmp_path):
