@@ -399,6 +399,82 @@ def read_pick_from_file(
     return null_na_sentinels(lineio.parse_csv_lines(data, ddl))
 
 
+# integral Spark types whose pandas counterpart raises on NA sentinels
+# ("Integer/Bool column has NA values") — shared by the strict guard
+# and the accept-set router
+_NA_RAISING_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.BooleanType,
+)
+_INTEGRAL_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOATING_TYPES = (T.FloatType, T.DoubleType)
+_INF_SPELLINGS = r"^[+-]?(inf|infinity)$"  # applied to lower(); NOT trimmed
+_INT64_MIN_D = float(-(2**63))  # exactly representable as double
+_INT64_MAX_D = float(2**63)  # 2^63 itself is OUT of range
+
+
+def _pandas_accept_cast(base, dtype: T.DataType):
+    """``base`` (string) cast to ``dtype`` under pandas' per-dtype
+    accept-set (read_explicit docstring): outside the set the result
+    is NULL, which the caller's strict guard turns into a raise.
+    Everything is codegen'd when/try_cast — no UDF, no shuffle."""
+    low = F.lower(base)
+    if isinstance(dtype, T.BooleanType):
+        d = base.try_cast(T.DoubleType())
+        # NULL d falls through every == branch to the trailing NULL;
+        # so do NaN (sentinels never reach here) and 2.0/-1.0
+        return (
+            F.when(low == "true", F.lit(True))
+            .when(low == "false", F.lit(False))
+            .when(d == 1.0, F.lit(True))
+            .when(d == 0.0, F.lit(False))
+        )
+    if isinstance(dtype, _INTEGRAL_TYPES):
+        b = base.try_cast(T.LongType())
+        d = base.try_cast(T.DoubleType())
+        # integral double, in int64 range: pandas routes float-shaped
+        # spellings through float64 then safe-casts, so the SAME double
+        # roundtrip is exact parity (1.0000000000000001e18 -> 1e18 both
+        # sides). % stays double: no overflow, NaN/Inf %1 = NaN != 0.
+        intish = (
+            (d % F.lit(1.0) == 0.0)
+            & (d >= F.lit(_INT64_MIN_D))
+            & (d < F.lit(_INT64_MAX_D))
+        )
+        iv = (
+            F.when(b.isNotNull(), b)
+            .when(intish, d.try_cast(T.LongType()))
+            .when(low == "true", F.lit(1).cast(T.LongType()))
+            .when(low == "false", F.lit(0).cast(T.LongType()))
+        )
+        return iv if isinstance(dtype, T.LongType) else iv.try_cast(dtype)
+    if isinstance(dtype, _FLOATING_TYPES):
+        d = base.try_cast(T.DoubleType())
+        is_inf_spelled = low.rlike(_INF_SPELLINGS)
+        dv = (
+            F.when(
+                is_inf_spelled,
+                F.when(
+                    base.startswith("-"), F.lit(float("-inf"))
+                ).otherwise(F.lit(float("inf"))),
+            )
+            .when(low == "true", F.lit(1.0))
+            .when(low == "false", F.lit(0.0))
+            # a NaN here is a NON-sentinel spelling ('+NaN', Java
+            # accepts) and an Inf here is an overflow ('1e999') — both
+            # raise in pandas, both BAD here
+            .when(F.isnan(d) | (F.abs(d) == F.lit(float("inf"))), F.lit(None))
+            .otherwise(d)
+        )
+        return dv if isinstance(dtype, T.DoubleType) else dv.try_cast(dtype)
+    # timestamp (reference's pandas path raises on every input — no
+    # contract to match; engine-defined JDK parse) and any other type
+    return base.try_cast(dtype)
+
+
 # ---------------------------------------------------------------------------
 # S3 variant 2: explicit — useColumns does rename+select+cast at once
 # (csvplayback.py:601-649; pandas header=0 + names=: the first data line
@@ -429,6 +505,45 @@ def read_explicit(
     modes — matching the reference's read for float, string and
     no-dtype columns — except strict + integer/bool, where the raise
     is pandas-faithful ("Integer/Bool column has NA values").
+
+    WHAT COUNTS AS A BAD VALUE is pandas' per-dtype accept-set, not
+    Spark's (round-12 verdict finding: Spark's boolean cast accepts
+    ``yes``/``no``/``t``/``on`` where pandas' dtype=bool read raises,
+    so the strict guard never fired and permissive reads invented
+    booleans the reference would have died on). The accept-sets below
+    are pinned empirically against pandas 2.2 (tests/test_hostile_csv
+    runs both engines per spelling) and apply to BOTH modes — outside
+    the set a value nulls (permissive) or raises (strict):
+
+    - bool: case-insensitive ``true``/``false`` (untrimmed — pandas'
+      object path), plus any numeric spelling whose value is exactly
+      0 or 1 (``1``, ``0.0``, ``+1``, `` 1`` — pandas' int64/float64
+      column astype path, which trims). ``yes``/``t``/``on`` are BAD.
+    - int: exact integer literals (``007``, ``+5``, padded), plus any
+      float-shaped spelling whose float64 value is integral and in
+      int64 range (``1.0``, ``2.5e1``, ``1e3`` — pandas routes these
+      through float64, so the same double roundtrip here is exact
+      parity), plus bool spellings (``True`` → 1). ``1.5``/``1_0``/
+      ``0x1F``/``9.3e18`` are BAD.
+    - float: everything Java's parse accepts except non-spelled
+      infinities/NaNs, plus case-insensitive ``inf``/``infinity``
+      spellings (pandas accepts, Java does not), plus bool spellings
+      (``True`` → 1.0). An OVERFLOW spelling (``1e999``) and any
+      non-sentinel NaN spelling (``NAN``, ``+NaN``) are BAD — pandas
+      raises on both where Java happily yields ±Infinity/NaN.
+    - timestamp: engine-defined try_cast (JDK format) in both modes —
+      the reference's own timestamp useColumns type maps to pandas
+      ``dtype='datetime64'``, which raises TypeError for EVERY input
+      in pandas 2.x (verified live): there is no working reference
+      behavior to match, so the knob keeps this engine's semantics.
+
+    Pinned divergences from pandas (documented, tested): pandas
+    adjudicates at COLUMN granularity — a column mixing ``True`` and
+    ``1`` is object dtype and raises even though each value alone is
+    fine; this engine accepts per value (a 100 TB scan should not die
+    because two fine spellings met in one column). pandas reads
+    ``9223372036854775808`` as uint64 rather than raising; here it is
+    out of int64 range and BAD.
     """
     check_not_empty(path)
     specs = (
@@ -463,10 +578,6 @@ def read_explicit(
         )
         df = lineio.parse_csv_lines(data, raw_ddl)
 
-    # types whose pandas dtype= read RAISES on an NA sentinel (no
-    # NaN-capable representation): ints ("Integer column has NA
-    # values") and bool ("Bool column has NA values")
-    na_raising = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.BooleanType)
     cols = []
     for i, spec in enumerate(specs):
         if spec.name == "":
@@ -479,7 +590,7 @@ def read_explicit(
         # pandas dtypes have no NaN ("Integer/Bool column has NA
         # values"). The
         # sentinel never casts, so the generic strict guard covers it.
-        sentinel_raises = strict and isinstance(spec.dtype, na_raising)
+        sentinel_raises = strict and isinstance(spec.dtype, _NA_RAISING_TYPES)
         base = (
             raw
             if sentinel_raises
@@ -487,10 +598,11 @@ def read_explicit(
         )
         c = base
         if spec.dtype is not None:
-            # try_cast pins the semantics regardless of the session's
+            # pandas' accept-set per dtype (docstring), via try_cast so
+            # the semantics hold regardless of the session's
             # spark.sql.ansi.enabled (ANSI is Spark 4's default, under
             # which a bare cast would raise with a generic error)
-            c = base.try_cast(spec.dtype)
+            c = _pandas_accept_cast(base, spec.dtype)
             if strict:
                 msg = F.concat(
                     F.lit(

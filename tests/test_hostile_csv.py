@@ -364,6 +364,100 @@ def test_explicit_strict_bool_sentinel_raises(spark, tmp_path):
     ) == sorted([(True, 1), (None, 2)], key=repr)
 
 
+# --- pandas per-dtype accept-sets (round-13 verdict item 1) ------------------
+# One spelling per file, BOTH engines, BOTH modes: if pandas' dtype=
+# read raises, strict must raise and permissive must NULL; if pandas
+# accepts, both modes must yield pandas' value. The per-value pins that
+# deliberately diverge from pandas' column-level adjudication are in
+# SPELLING_PINS with the rationale.
+SPELLINGS = {
+    "bool": [
+        "True", "False", "TRUE", "FALSE", "true", "false", "tRue",
+        "1", "0", "01", "+1", "-0", "1.0", "0.00", " 1", "1 ",
+        "yes", "no", "y", "n", "t", "f", "on", "off", "T", "F",
+        "2", "2.0", "-1", " True", "True ",
+    ],
+    "int": [
+        "1", "007", "+5", "-0", " 42", "42 ", "1.0", "1.", "2.5e1",
+        "1e3", "-0.0", "1.0000000000000001e18", "9223372036854775807",
+        "True", "false", "tRue",
+        "1.5", "1e-3", "1_0", "0x1F", "inf", "1e19", "9.3e18",
+        "-9.3e18", "9223372036854775807.0",
+    ],
+    "float": [
+        "1.5", ".5", "5.", "1e3", " 2.5", "2.5 ", "-0.0", "1e-999",
+        "inf", "Infinity", "INF", "-inf", "+inf", "infinity", "-Infinity",
+        "True", "false",
+        "1_0", "0x1F", "1d3", "1e999", "-1e999", "1E999", "NAN", "+nan",
+        "Nan", "nan 2",
+    ],
+}
+# pandas reads int64 overflow as uint64 instead of raising; no uint64
+# exists in Spark — pinned BAD (permissive NULL / strict raise)
+SPELLING_PINS = {("int", "9223372036854775808")}
+_PD_DTYPE = {"bool": bool, "int": "int64", "float": "float64"}
+
+
+@pytest.mark.parametrize("dtype", sorted(SPELLINGS))
+def test_explicit_accept_sets_match_pandas(spark, tmp_path, dtype):
+    """Per-spelling empirical parity with pandas' dtype= read: strict
+    raises exactly where pandas raises (modulo SPELLING_PINS);
+    permissive NULLs those same values instead; accepted values match
+    pandas' — including the spellings Spark's native cast disagrees
+    on (bool 'yes' accepted by Spark/rejected by pandas; int '1.0'
+    rejected by Spark's bigint cast/accepted by pandas via float64)."""
+    for v in SPELLINGS[dtype] + [s for d, s in sorted(SPELLING_PINS) if d == dtype]:
+        pname = f"pd_{abs(hash((dtype, v)))}.csv"
+        pdf_path = _write(tmp_path, pname, f"x\n{v}\n")
+        try:
+            exp = pd.read_csv(pdf_path, dtype={"x": _PD_DTYPE[dtype]})["x"].iloc[0]
+            pandas_raises = False
+        except Exception:
+            pandas_raises = True
+        if (dtype, v) in SPELLING_PINS:
+            pandas_raises = True  # pinned divergence: treat as BAD
+        sname = f"sp_{abs(hash((dtype, v)))}.csv"
+        sp_path = _write(tmp_path, sname, f"h\n{v}\n")
+        strict_df = cs.read_explicit(spark, sp_path, f"x:{dtype}", strict=True)
+        perm_df = cs.read_explicit(spark, sp_path, f"x:{dtype}")
+        if pandas_raises:
+            with pytest.raises(Exception, match="strict cast failed"):
+                strict_df.collect()
+            assert perm_df.collect()[0].x is None, (dtype, v)
+        else:
+            got_s = strict_df.collect()[0].x
+            got_p = perm_df.collect()[0].x
+            if dtype == "float":
+                assert got_s == pytest.approx(float(exp)), (dtype, v)
+            elif dtype == "int":
+                # pandas' default xstrtod float parse is NOT correctly
+                # rounded (its own float_precision knob exists for
+                # this); Java's is — accept either image of the
+                # spelling ('1.0000000000000001e18' differs in the
+                # last ulp between the two parsers)
+                try:
+                    rt = int(float(v))
+                except ValueError:
+                    rt = int(exp)
+                assert got_s in (int(exp), rt), (dtype, v)
+            else:
+                assert got_s == bool(exp), (dtype, v)
+            assert got_p == got_s, (dtype, v)
+
+
+def test_explicit_accept_sets_column_level_pin(spark, tmp_path):
+    """The ONE structural divergence from pandas' accept semantics:
+    pandas adjudicates per COLUMN (a column mixing 'True' and '1' is
+    object dtype and raises for dtype=bool even though each value alone
+    converts); this engine accepts per VALUE — two fine spellings
+    meeting in one column must not kill a 100 TB scan."""
+    p = _write(tmp_path, "mixed", "h\nTrue\n1\n")
+    with pytest.raises(Exception):
+        pd.read_csv(p, dtype={"h": bool})
+    df = cs.read_explicit(spark, p, "x:bool", strict=True)
+    assert [r.x for r in df.orderBy("x").collect()] == [True, True]
+
+
 def test_inference_never_nulls_parseable_values(spark, tmp_path):
     """Values Python's int()/float() accept but the JVM parse rejects
     (underscore literals, lowercase inf, ints past int64,
