@@ -43,6 +43,7 @@ from fledge_south_csvplayback_spark.operators import (
     clean_queries,
     csv_queries,
     curation,
+    dedup,
     events,
     multimodal,
     similarity,
@@ -125,14 +126,18 @@ EXTRA_QUERIES = {
     "multimodal_video_stats": multimodal.multimodal_video_stats,
     "ann_cosine_topk_sq8": similarity.ann_cosine_topk_sq8,
     "corpus_decontaminate": curation.corpus_decontaminate,
-    # round-12 additions (pytest-oracle-checked, outside the registry)
-    "hybrid_topk_rrf": similarity.hybrid_topk_rrf,
-    "corpus_neardup_keep_best": curation.corpus_neardup_keep_best,
+    # hybrid_topk_rrf and corpus_neardup_keep_best moved INTO the
+    # registry in the round-13 rotation (slots freed by the
+    # dedup_neardup_pairs and csv_explicit_suite skiprows folds);
+    # their bench rows keep the same names via the registry dict
     # de-registered in the round-11 csv_directory_codecs fold; stays in
     # the bench so the per-round series keeps its name-stable row
     "csv_pick_from_file": csv_queries.csv_pick_from_file,
     # de-registered in the round-12 clean_fill_suite fold; same rule
     "clean_interpolate": clean_queries.clean_interpolate,
+    # de-registered in the round-13 folds; same name-stable rule
+    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
 }
 
 

@@ -100,7 +100,16 @@ def csv_explicit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry a NULL temperature, keeping every constituent row
     hash-distinguishable; the unmerged callables stay public +
     pytest-oracle-checked. The freed slot registers
-    ``text_top_ngrams``."""
+    ``text_top_ngrams``.
+
+    Round 13 folds in the S4 skip-rows/header-at-index scan (the
+    adjacent §2.1 surface, the same NULL-padded-union shape as the
+    round-11 ts_copy_move fold): its rows ride the same union behind a
+    ``variant_skiprows`` tag with the explicit-suite columns NULL and
+    vice versa — every constituent row stays hash-distinguishable —
+    freeing the slot that registers ``corpus_neardup_keep_best``. The
+    unmerged ``csv_skiprows_header_at_index`` stays public, bench-row
+    name-stable, + pytest-oracle-checked (test_oracle_parity)."""
     full = csv_explicit_schema(spark, sf_dir).select(
         F.lit("variant_full").alias("variant"),
         "id",
@@ -113,15 +122,36 @@ def csv_explicit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("temperature"),
         "status",
     )
-    return full.unionByName(sub)
+    pad = [
+        F.lit(None).cast("string").alias("ts"),
+        F.lit(None).cast("double").alias("temp"),
+        F.lit(None).cast("double").alias("pressure"),
+    ]
+    skip = csv_skiprows_header_at_index(spark, sf_dir).select(
+        F.lit("variant_skiprows").alias("variant"),
+        F.lit(None).cast("bigint").alias("id"),
+        F.lit(None).cast("double").alias("temperature"),
+        F.lit(None).cast("string").alias("status"),
+        "ts",
+        "temp",
+        "pressure",
+    )
+    return full.select("*", *pad).unionByName(sub.select("*", *pad)).unionByName(skip)
 
 
 CSV_EXPLICIT_SUITE_SQL = f"""
-SELECT 'variant_full' AS variant, id, temperature, status
+SELECT 'variant_full' AS variant, id, temperature, status,
+       NULL::VARCHAR AS ts, NULL::DOUBLE AS temp, NULL::DOUBLE AS pressure
 FROM ({CSV_EXPLICIT_SQL})
 UNION ALL
-SELECT 'variant_subset' AS variant, id, NULL::DOUBLE AS temperature, status
+SELECT 'variant_subset' AS variant, id, NULL::DOUBLE AS temperature, status,
+       NULL::VARCHAR AS ts, NULL::DOUBLE AS temp, NULL::DOUBLE AS pressure
 FROM ({CSV_EXPLICIT_SUBSET_SQL})
+UNION ALL
+SELECT 'variant_skiprows' AS variant, NULL::BIGINT AS id,
+       NULL::DOUBLE AS temperature, NULL::VARCHAR AS status,
+       ts, temp, pressure
+FROM ({CSV_SKIPROWS_SQL})
 """
 
 

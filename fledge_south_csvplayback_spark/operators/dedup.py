@@ -497,6 +497,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 registry fold (COVERAGE.md selection rule): the exact
+    n-gram Jaccard miner and the MinHash-LSH banded miner already
+    shared ONE oracle (both registered against NGRAM_JACCARD_SQL —
+    the LSH fixture-margin test pins that they agree on the fixture
+    corpora), so they fold into one method-tagged union: both
+    execution paths stay driver-value-checked per row while freeing a
+    registry slot (rotating in ``hybrid_topk_rrf``). The unmerged
+    callables stay public + pytest-checked (test_dedup)."""
+    ex = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("method"), "doc_a", "doc_b", "jaccard"
+    )
+    mh = dedup_minhash_lsh(spark, sf_dir).select(
+        F.lit("minhash").alias("method"), "doc_a", "doc_b", "jaccard"
+    )
+    return ex.unionByName(mh)
+
+
+DEDUP_NEARDUP_PAIRS_SQL = f"""
+SELECT 'ngram' AS method, * FROM ({NGRAM_JACCARD_SQL})
+UNION ALL
+SELECT 'minhash' AS method, * FROM ({NGRAM_JACCARD_SQL})
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 def _simhash_fp(
     spark: SparkSession, sf_dir: str, reproducible: bool

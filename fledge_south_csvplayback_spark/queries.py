@@ -57,8 +57,15 @@ register("events_retention", events.events_retention, events.EVENTS_RETENTION_SQ
 
 # --- dedup suite (documents table; training-pipeline extensions) ------------
 register("dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL)
-register("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.NGRAM_JACCARD_SQL)
-register("dedup_minhash_lsh", dedup.dedup_minhash_lsh, dedup.NGRAM_JACCARD_SQL)
+# Round-13 registry fold (COVERAGE.md selection rule): the exact
+# Jaccard and MinHash-LSH miners were two slots sharing ONE oracle SQL
+# (they agree on the fixture by the pinned LSH margin property), so
+# they ride one method-tagged union — both paths still value-checked
+# per row; unmerged callables public + pytest-checked. The freed slot
+# registers hybrid_topk_rrf below.
+register(
+    "dedup_neardup_pairs", dedup.dedup_neardup_pairs, dedup.DEDUP_NEARDUP_PAIRS_SQL
+)
 # The registered SimHash entry is the BLOCKED (Manku WWW'07) candidate
 # scheme: the classic 8-band join's 256-value keyspace makes candidates
 # ~N²/64 on uniform fingerprints (measured quadratic in BASELINE.md),
@@ -173,16 +180,13 @@ register(
 )
 
 # --- CSV source layer (SURVEY.md §2.1 S3-S5, §1.4) --------------------------
-register(
-    "csv_skiprows_header_at_index",
-    csv_queries.csv_skiprows_header_at_index,
-    csv_queries.CSV_SKIPROWS_SQL,
-)
 # Round-11 registry fold (COVERAGE.md selection rule): the full and
 # subset explicit-schema scans — same typed.csv fixture, same spec
 # parser — fold into ONE variant-tagged union, freeing the slot that
 # registers text_top_ngrams above; unmerged callables stay public +
-# pytest-oracle-checked.
+# pytest-oracle-checked. Round 13 folds the S4 skip-rows/header-at-
+# index scan in as the NULL-padded `variant_skiprows` member (freeing
+# the slot that registers corpus_neardup_keep_best below).
 register(
     "csv_explicit_suite",
     csv_queries.csv_explicit_suite,
@@ -279,6 +283,20 @@ register(
 # — the one text-retrieval scoring surface that held an exact oracle
 # without a slot since round 8
 register("text_bm25_topk", text.text_bm25_topk, text.TEXT_BM25_SQL)
+# rotated in round 13 (slot freed by the dedup_neardup_pairs fold):
+# hybrid sparse+dense retrieval with reciprocal-rank fusion — exact
+# DuckDB oracle + bench row held since round 12
+register(
+    "hybrid_topk_rrf", similarity.hybrid_topk_rrf, similarity.HYBRID_TOPK_RRF_SQL
+)
+# rotated in round 13 (slot freed by the csv_explicit_suite skiprows
+# fold): the quality-score near-dup representative election — exact
+# DuckDB oracle + bench row held since round 12
+register(
+    "corpus_neardup_keep_best",
+    curation.corpus_neardup_keep_best,
+    curation.CORPUS_NEARDUP_KEEP_BEST_SQL,
+)
 # csv_metadata_datapoint is deliberately NOT registered: its S5 surface
 # (metadata-header capture + merge) is already hash-verified end-to-end
 # by reading_envelope_metadata, and the driver caps at 50 entries.

@@ -11,6 +11,14 @@ from tests.conftest import TEST_SF_DIR
 
 _QUERIES = registry.all_queries()
 _PLAN_EXEMPT = {"playback_stream_smoke"}  # runs a stream, not a single plan
+# Entries built on the iterative connected-components labeler: its
+# per-iteration eager localCheckpoint re-enters the plan as a JVM-side
+# `Scan ExistingRDD` (block-manager-cached label rows — NOT a Python
+# round-trip; the lineage cut is the documented iterative-algorithm
+# pattern). The exemption is narrow: PythonRDD/cartesian stay banned,
+# and the checkpointed scan must carry only fixed-width id/label longs,
+# never a document payload.
+_CHECKPOINT_EXEMPT = {"corpus_neardup_keep_best"}
 
 
 def _plan(spark, name: str) -> str:
@@ -21,8 +29,14 @@ def _plan(spark, name: str) -> str:
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - _PLAN_EXEMPT))
 def test_no_python_rdd_or_cartesian(spark, name):
     plan = _plan(spark, name)
-    assert "ExistingRDD" not in plan and "PythonRDD" not in plan, name
+    assert "PythonRDD" not in plan, name
     assert "CartesianProduct" not in plan, name
+    if name in _CHECKPOINT_EXEMPT:
+        for line in plan.splitlines():
+            if "ExistingRDD" in line:
+                assert "text#" not in line and "sh#" not in line, line
+    else:
+        assert "ExistingRDD" not in plan, name
 
 
 def test_q1_filter_pushed_to_parquet(spark):
@@ -86,8 +100,13 @@ def test_cosine_pairs_scores_in_arrow_gemm(spark):
 
 def test_minhash_verify_ships_no_shingle_arrays(spark):
     """The LSH verification joins are narrow: candidate doc ids are
-    broadcast, and no shuffle payload carries the shingle arrays."""
-    plan = _plan(spark, "dedup_minhash_lsh")
+    broadcast, and no shuffle payload carries the shingle arrays.
+    (De-registered in the round-13 dedup_neardup_pairs fold; the plan
+    property pins the CONSTITUENT, so call it directly.)"""
+    from fledge_south_csvplayback_spark.operators import dedup as D
+
+    df = D.dedup_minhash_lsh(spark, TEST_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     # the array<string> shingle column may appear in scans/projections
     # but must not cross an exchange: every Exchange row lists its
