@@ -2406,21 +2406,19 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse (lexical) top-k per query document: distinct-token
-    Jaccard of each corpus doc against each of the |Q| query docs
-    (doc_id < N_QUERIES — the retrieval entries' shared query
-    convention), ranked on (round(jaccard, 6) DESC, doc_id ASC) so the
-    order is total and engine-independent; the query doc itself is
-    excluded. An all-empty token union scores 0, never NULL (hostile
-    fixture: blank/whitespace documents).
-
-    Scale shape: the |Q|-row query-token frame broadcasts
-    (BroadcastNestedLoopJoin) into ONE corpus scan — corpus·|Q|
-    scored rows never materialize: ranking is the same partial
-    Sort + WindowGroupLimit shape as ``ann_cosine_topk``, so the
-    query_id exchange carries ≤ tasks·|Q|·k survivor rows.
-    """
+def lexical_topk_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-variant sparse top-k (the round-12 original): the
+    |Q|-row query-token frame broadcasts (BroadcastNestedLoopJoin)
+    into ONE corpus scan, Jaccard via ``array_intersect`` /
+    ``array_union``, partial Sort + WindowGroupLimit ranking. The
+    plan SHAPE is right (~30 KB shuffle at 10M, probed) but the
+    per-row array expressions evaluate INTERPRETED — measured
+    40.3k docs/s at 10M (BASELINE.md round 12) — which is why
+    ``lexical_topk`` below routes scoring through the dense arm's
+    mapInPandas machinery instead (round-13 verdict item 5). Kept
+    public as the A/B baseline and the declarative reference
+    semantics; exact agreement with the scorer variant is pinned in
+    tests/test_similarity.py."""
     from pyspark.sql import Window as W
 
     d = _doc_tokens(spark, sf_dir)
@@ -2442,6 +2440,123 @@ def lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.select("query_id", "doc_id", jac.alias("jaccard"))
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "jaccard")
+    )
+
+
+def _lexical_partial_topk(qtoks: list[tuple[int, list[str]]]):
+    """mapInPandas scorer for the lexical arm — the dense arm's
+    ``_masked_partial_topk`` contract (score rounded BEFORE ranking,
+    doc_id tiebreak, self-exclusion, per-batch top-k) applied to
+    token-set Jaccard. EXACT, not approximate: the vocabulary is the
+    union of the |Q| query token sets verbatim (no hashing, so no
+    collisions), intersection counts are integers — per batch, one
+    C-level string-hash gather (``pd.Index.get_indexer`` over the
+    batch's flattened tokens) and one scatter-add of query-indicator
+    rows (``np.add.at``) replace corpus·|Q| interpreted
+    ``array_intersect`` evaluations. Tokens outside the query
+    vocabulary cannot contribute to any intersection, so ignoring
+    them is lossless; ``na`` (each doc's distinct-token count) rides
+    in from the JVM projection so the union size is
+    ``na + nq - c`` without materializing unions.
+
+    Rounding matches the expression variant's ``F.round`` (HALF_UP):
+    ``floor(j·1e6 + 0.5)/1e6`` — identical on every exactly-
+    representable ratio (the dyadic 1/128-style values where
+    numpy's half-even ``np.round`` would diverge).
+
+    Every batch doc is scored — zero-intersection docs participate
+    with jaccard 0.0 — so per-batch top-k plus the shared global
+    total order is exactly the full ranking, fillers included.
+    """
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        vidx = pd.Index(
+            list(dict.fromkeys(t for _, ts in qtoks for t in ts)), dtype=object
+        )
+        n_v, n_q = len(vidx), len(qtoks)
+        qm = np.zeros((max(n_v, 1), n_q), dtype=np.float64)
+        for j, (_, ts) in enumerate(qtoks):
+            if ts:
+                qm[vidx.get_indexer(np.asarray(ts, dtype=object)), j] = 1.0
+        nq = np.array([len(ts) for _, ts in qtoks], dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            na = pdf["na"].to_numpy().astype(np.float64)
+            toks = pdf["toks"].to_numpy()
+            n_b = len(ids)
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n_b)
+            c = np.zeros((n_b, n_q), dtype=np.float64)
+            if lens.sum():
+                flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+                hit = vidx.get_indexer(flat)  # -1 = not a query token
+                rows = np.repeat(np.arange(n_b), lens)
+                ok = hit >= 0
+                if ok.any():
+                    np.add.at(c, rows[ok], qm[hit[ok]])
+            denom = na[:, None] + nq[None, :] - c
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = np.where(
+                    denom > 0, np.floor(c / denom * 1e6 + 0.5) / 1e6, 0.0
+                )
+            out = {"query_id": [], "doc_id": [], "jaccard": []}
+            for j, (qid, _) in enumerate(qtoks):
+                mask = ids != qid
+                cand_ids, cand_j = ids[mask], jac[mask, j]
+                order = np.lexsort((cand_ids, -cand_j))[:TOP_K]
+                out["query_id"].extend([qid] * len(order))
+                out["doc_id"].extend(cand_ids[order])
+                out["jaccard"].extend(cand_j[order])
+            yield pd.DataFrame(out)
+
+    return _score
+
+
+def lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse (lexical) top-k per query document: distinct-token
+    Jaccard of each corpus doc against each of the |Q| query docs
+    (doc_id < N_QUERIES — the retrieval entries' shared query
+    convention), ranked on (round(jaccard, 6) DESC, doc_id ASC) so the
+    order is total and engine-independent; the query doc itself is
+    excluded. An all-empty token union scores 0, never NULL (hostile
+    fixture: blank/whitespace documents).
+
+    Scale shape (round 13 — verdict item 5): the |Q| query token sets
+    are driver-collected (a |Q|-row scan, the dense arm's query
+    pattern) and shipped in the scorer closure; each Arrow batch
+    scores against the query vocabulary with vectorized hash lookups
+    + a scatter-add (``_lexical_partial_topk``) and emits only its
+    per-batch top-k, so the query_id exchange carries
+    ≤ tasks·|Q|·k survivor rows — the exact plan shape of
+    ``ann_cosine_topk`` (Scan → Project → MapInPandas → Sort +
+    WindowGroupLimit partial → tiny Exchange → final window). The
+    interpreted-expression variant this replaces
+    (``lexical_topk_expr``, 40.3k docs/s at 10M) stays public as the
+    declarative reference; exact agreement is pinned in tests and the
+    10M A/B row lives in BASELINE.md.
+    """
+    from pyspark.sql import Window as W
+
+    d = _doc_tokens(spark, sf_dir).withColumn("na", F.size("toks"))
+    qtoks = [
+        (r["doc_id"], list(r["toks"]))
+        for r in d.filter(F.col("doc_id") < N_QUERIES).collect()
+    ]
+    partial = d.mapInPandas(
+        _lexical_partial_topk(qtoks),
+        "query_id long, doc_id long, jaccard double",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("jaccard").desc(), F.col("doc_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "doc_id", "jaccard")
     )

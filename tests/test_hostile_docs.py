@@ -54,6 +54,10 @@ _EXPLICIT = [
     # formatted oracle the op's own pytest uses
     ("corpus_perplexity_buckets", curation.corpus_perplexity_buckets, curation._ppl_buckets_sql()),
     ("dedup_simhash_classic_oracle", dedup.dedup_simhash, dedup.SIMHASH_SQL),
+    # de-registered in the round-13 dedup_neardup_pairs fold (the
+    # union entry sweeps via registration); the constituent miner
+    # keeps its own hostile sweep here
+    ("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard, dedup.NGRAM_JACCARD_SQL),
     ("multimodal_frame_sample", multimodal.multimodal_frame_sample, multimodal.MULTIMODAL_FRAMES_SQL),
     ("image_neardup_pairs", multimodal.image_neardup_pairs, multimodal.IMAGE_NEARDUP_SQL),
     ("audio_neardup_pairs", multimodal.audio_neardup_pairs, multimodal.AUDIO_NEARDUP_SQL),

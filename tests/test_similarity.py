@@ -1247,11 +1247,36 @@ def test_hybrid_rrf_fusion_semantics(spark):
 
 
 def test_lexical_topk_plan_shape(spark):
-    """The query frame broadcasts into one corpus scan and ranking is
-    the partial WindowGroupLimit shape — corpus·|Q| scored rows never
-    cross the exchange unpruned."""
+    """The scorer variant is the dense arm's plan shape: one corpus
+    scan into MapInPandas, partial WindowGroupLimit ranking — no join
+    operator at all, and corpus·|Q| scored rows never cross the
+    exchange unpruned."""
     plan = S.lexical_topk(spark, TEST_SF_DIR)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+
+
+def test_lexical_topk_expr_plan_shape(spark):
+    """The declarative baseline keeps its round-12 pins: query frame
+    broadcasts into one corpus scan, partial WindowGroupLimit."""
+    plan = S.lexical_topk_expr(spark, TEST_SF_DIR)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_lexical_topk_scorer_agrees_with_expr(spark):
+    """Exact agreement (every column, rounded jaccard included)
+    between the mapInPandas scorer and the interpreted expression
+    variant it replaced — the round-13 GEMM-lever contract."""
+    got = sorted(
+        tuple(r) for r in S.lexical_topk(spark, TEST_SF_DIR).collect()
+    )
+    want = sorted(
+        tuple(r) for r in S.lexical_topk_expr(spark, TEST_SF_DIR).collect()
+    )
+    assert got == want
