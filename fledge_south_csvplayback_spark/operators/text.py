@@ -769,6 +769,147 @@ LIMIT {k}
 
 TEXT_BM25_SQL = _bm25_sql()
 
+# term-hash partition count for the persisted inverted index: small
+# enough that a handful of buckets still make real parquet files at
+# fixture scale, large enough that a |Q|-term query prunes ~15/16 of a
+# big index's files (64 directories of a 100 TB index ≈ 1.6 TB read
+# for a 1-term query instead of 100 TB)
+BM25_INDEX_BUCKETS = 64
+
+
+def build_bm25_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_buckets: int = BM25_INDEX_BUCKETS,
+) -> None:
+    """Ingest-time inverted index for BM25 — the sparse-arm analogue
+    of ``similarity.build_ivf_index`` (round-13 verdict item 6): one
+    tokenize+explode pass persists per-term posting rows
+    ``(doc_id, dl, term, tf)`` as parquet partitioned by
+    ``bucket = pmod(xxhash64(term), n_buckets)``, so a query's term
+    set becomes PARTITION PRUNING — the reader opens only the
+    buckets its terms hash to, never the rest of the index. ``dl``
+    (whitespace token count, the inline operator's ``size(split())``)
+    rides denormalized in every posting row so scoring needs no join
+    back to a lengths table. Corpus stats (N, avgdl) go to a one-row
+    ``_stats`` sidecar (underscore-prefixed: invisible to plain reads
+    of the data directory, the ``_centroids``/``_quantizer``
+    convention): dl values are integers, so their double sum — and
+    hence avgdl — is EXACT regardless of partition order, which is
+    what makes the indexed scorer bit-identical to the inline
+    two-scan operator (pinned in tests/test_text_scoring.py).
+
+    At 100 TB the layout holds: buckets are directories across the
+    cluster store, new documents append posting rows to their terms'
+    buckets, and ``_stats`` is re-aggregated (or incrementally
+    maintained — counts and exact integer sums compose) on ingest.
+    """
+    toks = F.split(F.col("text"), " ")
+    base = _docs(spark, sf_dir).select(
+        "doc_id", toks.alias("t"), F.size(toks).cast("double").alias("dl")
+    )
+    postings = (
+        base.select("doc_id", "dl", F.explode("t").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(index_dir)
+    # AFTER the data write: overwriting index_dir would wipe the sidecar
+    base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_stats")
+
+
+def text_bm25_topk_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    query: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    n_buckets: int = BM25_INDEX_BUCKETS,
+) -> DataFrame:
+    """BM25 top-k over a ``build_bm25_index`` — amortized deployment:
+    where the inline operator pays two full corpus scans per query,
+    this reads ONLY the ≤|Q| term-hash buckets of the index (partition
+    pruning: the scan's PartitionFilters carry ``bucket IN (...)``,
+    pinned in tests) plus the one-row ``_stats`` sidecar. Not
+    registered with the driver (needs a side index and the 50-entry
+    cap is full); pytest asserts EXACT agreement with
+    ``text_bm25_topk`` — achievable because every ingredient is
+    bit-reproducible: tf/df/N are integers, avgdl is an exact
+    integer-sum average (builder docstring), the per-term df literals
+    collect exactly, and the score re-assembles per-term tf COLUMNS
+    (max-pivot over the ≤|Q| posting rows per doc) so the floating
+    additions run in the inline operator's exact order — a SUM over
+    posting rows would add in partition order and drift last-ulp.
+
+    Scale: a query touches |Q| buckets — posting rows for its terms
+    only (df ≪ N rows each), one narrow groupBy on doc_id, and a
+    TakeOrdered k. Nothing else of the index is read.
+    """
+    if not query:
+        raise ValueError("text_bm25_topk_indexed: need at least one query term")
+    stats = spark.read.parquet(f"{index_dir}/_stats").collect()[0]
+    n, avgdl = stats["n"], stats["avgdl"]
+    # term -> bucket via the same JVM xxhash64 the builder used (no
+    # driver-side reimplementation to drift); one 1-row job
+    bucket_row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"b{j}")
+                for j in range(len(query))
+                for t in [query[j]]
+            ]
+        )
+        .collect()[0]
+    )
+    buckets = sorted({bucket_row[f"b{j}"] for j in range(len(query))})
+    p = spark.read.parquet(index_dir).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(*query)
+    )
+    # per-term document frequencies: ≤|Q| rows, exact integer counts
+    dfs = {
+        r["term"]: r["df"]
+        for r in p.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .collect()
+    }
+    # pivot the ≤|Q| posting rows per doc back into tf_j columns so the
+    # score expression is the INLINE operator's, additions in the same
+    # order over the same doubles
+    tf_aggs = [
+        F.max(
+            F.when(F.col("term") == F.lit(term), F.col("tf")).otherwise(F.lit(0.0))
+        ).alias(f"tf_{j}")
+        for j, term in enumerate(query)
+    ]
+    per_doc = p.groupBy("doc_id").agg(F.first("dl").alias("dl"), *tf_aggs)
+    contribs = []
+    for j, term in enumerate(query):
+        tf = F.col(f"tf_{j}")
+        df = float(dfs.get(term, 0.0))
+        idf = F.log(F.lit(1.0) + (F.lit(n) - F.lit(df) + 0.5) / (F.lit(df) + 0.5))
+        contribs.append(
+            F.when(
+                tf > 0,
+                idf
+                * tf
+                * (k1 + 1)
+                / (tf + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+            ).otherwise(F.lit(0.0))
+        )
+    score = F.round(sum(contribs[1:], contribs[0]), 6)
+    return (
+        per_doc.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
 # --- corpus-wide repeated-line removal (boilerplate scrub) -------------------
 # A line repeated across this many DISTINCT documents is boilerplate.
 # 2 is the CCNet/"deduplicate paragraphs" setting (drop anything shared

@@ -119,6 +119,7 @@ def main() -> None:
             "span_scrub",
             "keep_best_ab",
             "lexical_topk",
+            "bm25_indexed",
         ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
@@ -264,6 +265,58 @@ def main() -> None:
                     "out_rows": len(rows),
                     "queries": n_q,
                     "complete": len(rows) == n_q * sim.TOP_K,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "bm25_indexed":
+        # persisted inverted index at 10M: one-time build cost, then a
+        # query that reads ONLY its terms' hash buckets — the claims
+        # under test are the pruned input volume (rows_read ≪ postings)
+        # and exact agreement with the inline two-scan operator
+        from fledge_south_csvplayback_spark.operators import text as T
+
+        idx = f"{PROBE_ROOT}/bm25_idx_{args.rows}"
+        # probe corpus words are 'w<hash>'; pick real corpus tokens so
+        # the query actually matches documents
+        sample = [
+            r["t"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .limit(1)
+            .select(F.explode(F.split("text", " ")).alias("t"))
+            .limit(3)
+            .collect()
+        ]
+        t0 = time.perf_counter()
+        if not os.path.exists(f"{idx}/_stats"):
+            T.build_bm25_index(spark, sf_dir, idx)
+        build = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        inline = [
+            tuple(r) for r in T.text_bm25_topk(spark, sf_dir, query=tuple(sample)).collect()
+        ]
+        inline_wall = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        indexed = [
+            tuple(r)
+            for r in T.text_bm25_topk_indexed(
+                spark, sf_dir, idx, query=tuple(sample)
+            ).collect()
+        ]
+        indexed_wall = round(time.perf_counter() - t0, 1)
+        print(
+            json.dumps(
+                {
+                    "op": "bm25_indexed",
+                    "rows": args.rows,
+                    "build_sec": build,
+                    "inline_query_sec": inline_wall,
+                    "indexed_query_sec": indexed_wall,
+                    "exact_agreement": indexed == inline,
+                    "out_rows": len(indexed),
+                    "query_terms": sample,
                 }
             )
         )

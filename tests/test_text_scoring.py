@@ -696,3 +696,46 @@ def test_bpe_newline_separated_words_not_fused(spark, tmp_path):
         ).collect()
     }
     assert out[0] == out[1]  # newline and space separate identically
+
+
+# --- persisted inverted index (round-13 verdict item 6) ----------------------
+def test_bm25_indexed_exact_agreement(spark, tmp_path):
+    """The indexed scorer must be BIT-identical to the inline two-scan
+    operator — same rounded scores, same tie order — for the default
+    query and for a multi-term query including a term absent from the
+    corpus (df=0 path)."""
+    idx = str(tmp_path / "bm25_idx")
+    text.build_bm25_index(spark, TEST_SF_DIR, idx)
+    for q in (text.BM25_QUERY, ("filter", "shuffle", "zzz_not_a_term")):
+        inline = [
+            tuple(r) for r in text.text_bm25_topk(spark, TEST_SF_DIR, query=q).collect()
+        ]
+        indexed = [
+            tuple(r)
+            for r in text.text_bm25_topk_indexed(
+                spark, TEST_SF_DIR, idx, query=q
+            ).collect()
+        ]
+        assert indexed == inline, q
+        assert inline  # non-vacuous: the default terms do occur
+
+
+def test_bm25_indexed_prunes_partitions(spark, tmp_path):
+    """The query reads only its terms' hash buckets: the index scan's
+    PartitionFilters must carry the bucket membership predicate (the
+    build_ivf_index partition-pruning contract, sparse-arm edition)."""
+    idx = str(tmp_path / "bm25_idx_prune")
+    text.build_bm25_index(spark, TEST_SF_DIR, idx)
+    df = text.text_bm25_topk_indexed(spark, TEST_SF_DIR, idx)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters" in line and "bucket" in line
+        for line in plan.splitlines()
+    ), plan
+
+
+def test_bm25_indexed_rejects_empty_query(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="query term"):
+        text.text_bm25_topk_indexed(spark, TEST_SF_DIR, "/nonexistent", query=())
