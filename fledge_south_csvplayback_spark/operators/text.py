@@ -782,6 +782,7 @@ def build_bm25_index(
     sf_dir: str,
     index_dir: str,
     n_buckets: int = BM25_INDEX_BUCKETS,
+    docs: DataFrame | None = None,
 ) -> None:
     """Ingest-time inverted index for BM25 — the sparse-arm analogue
     of ``similarity.build_ivf_index`` (round-13 verdict item 6): one
@@ -802,23 +803,88 @@ def build_bm25_index(
 
     At 100 TB the layout holds: buckets are directories across the
     cluster store, new documents append posting rows to their terms'
-    buckets, and ``_stats`` is re-aggregated (or incrementally
-    maintained — counts and exact integer sums compose) on ingest.
+    buckets (``append_bm25_index`` — bit-identical to a rebuild
+    because counts and exact integer sums compose), and ``docs=``
+    overrides the corpus frame for seed/batch builds.
     """
+    base = _bm25_base(docs if docs is not None else _docs(spark, sf_dir))
+    _bm25_postings(base, n_buckets).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(index_dir)
+    # AFTER the data write: overwriting index_dir would wipe the sidecar
+    _bm25_stats(base).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/_stats"
+    )
+
+
+def _bm25_base(docs: DataFrame) -> DataFrame:
     toks = F.split(F.col("text"), " ")
-    base = _docs(spark, sf_dir).select(
+    return docs.select(
         "doc_id", toks.alias("t"), F.size(toks).cast("double").alias("dl")
     )
-    postings = (
+
+
+def _bm25_postings(base: DataFrame, n_buckets: int) -> DataFrame:
+    return (
         base.select("doc_id", "dl", F.explode("t").alias("term"))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(index_dir)
-    # AFTER the data write: overwriting index_dir would wipe the sidecar
-    base.agg(
-        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+
+
+def _bm25_stats(base: DataFrame) -> DataFrame:
+    """One-row corpus stats. ``n_dl``/``sum_dl`` are carried alongside
+    ``avgdl`` so stats COMPOSE exactly under append ingest: dl values
+    are integers, so sums are exact doubles and
+    ``(sum_a + sum_b) / (n_a + n_b)`` is bit-identical to a full
+    rebuild's average (a stored avgdl alone cannot be unaveraged
+    exactly). ``n`` counts every doc (NULL-text rows included — the
+    inline operator's corpus count); ``n_dl``/``sum_dl`` cover the
+    docs with a token list, mirroring ``F.avg``'s NULL skipping."""
+    return base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count("dl").cast("double").alias("n_dl"),
+        F.sum("dl").alias("sum_dl"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+
+def append_bm25_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    n_buckets: int = BM25_INDEX_BUCKETS,
+) -> None:
+    """Incremental ingest for a ``build_bm25_index`` — the sparse-arm
+    analogue of ``dedup.neardup_ingest``'s persisted-index batch path:
+    the batch's posting rows APPEND to their term-hash bucket
+    partitions (batch-sized work — nothing existing is rewritten) and
+    the one-row ``_stats`` sidecar is recomposed from exact integer
+    sums (``_bm25_stats``), so a query over the appended index is
+    BIT-identical to one over a full rebuild of seed+batch (pinned in
+    tests/test_text_scoring.py). ``docs`` must carry (doc_id, text)
+    with doc_ids disjoint from the seed corpus — the same caller
+    contract as the near-dup ingest.
+
+    Run-between-batches contract (the compaction module's rule): the
+    ``_stats`` overwrite is the one non-append write, so appends are
+    serialized with queries by the caller; a reader racing the swap
+    sees either the old or the new one-row parquet, never a torn mix.
+    """
+    base = _bm25_base(docs)
+    _bm25_postings(base, n_buckets).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(index_dir)
+    old = spark.read.parquet(f"{index_dir}/_stats").collect()[0]
+    new = _bm25_stats(base).collect()[0]
+    n = old["n"] + new["n"]
+    n_dl = old["n_dl"] + new["n_dl"]
+    sum_dl = (old["sum_dl"] or 0.0) + (new["sum_dl"] or 0.0)
+    avgdl = (sum_dl / n_dl) if n_dl else None
+    spark.createDataFrame(
+        [(n, n_dl, sum_dl if n_dl else None, avgdl)],
+        "n double, n_dl double, sum_dl double, avgdl double",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_stats")
 
 

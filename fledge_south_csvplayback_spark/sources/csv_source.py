@@ -266,6 +266,13 @@ def _infer_ddl(names: list[str], sample_rows: list[list[str]]) -> str:
             # padded numeric parses to NULL — string keeps the value
             # (pandas trims to a number; pinned divergence)
             return "string"
+        if not s.isascii():
+            # Python's int()/float() accept UNICODE digits ('١٢٣',
+            # '１２３') and exotic spaces that the JVM's ASCII-byte
+            # parsers reject — numeric inference would NULL the values
+            # distributed-side (round-13 escape hunt; pandas keeps
+            # them object/string too)
+            return "string"
         if "_" in s:
             return "string"
         core = s.lstrip("+-")

@@ -431,6 +431,9 @@ SPELLINGS = {
         "True", "false", "tRue",
         "1.5", "1e-3", "1_0", "0x1F", "inf", "1e19", "9.3e18",
         "-9.3e18", "9223372036854775807.0",
+        # round-13 escape hunt: unicode digits (Python int() accepts,
+        # pandas' parser and the JVM both reject) and malformed signs
+        "١٢٣", "１２３", "--5", "+-5", "e5", "1e", ".", "+", "-",
     ],
     "float": [
         "1.5", ".5", "5.", "1e3", " 2.5", "2.5 ", "-0.0", "1e-999",
@@ -438,6 +441,7 @@ SPELLINGS = {
         "True", "false",
         "1_0", "0x1F", "1d3", "1e999", "-1e999", "1E999", "NAN", "+nan",
         "Nan", "nan 2",
+        "٣.٥", "１２３", "\xa05", "5\xa0", ".", "+", "1e",
     ],
 }
 # pandas reads int64 overflow as uint64 instead of raising; no uint64
@@ -504,6 +508,19 @@ def test_explicit_accept_sets_column_level_pin(spark, tmp_path):
         pd.read_csv(p, dtype={"h": bool})
     df = cs.read_explicit(spark, p, "x:bool", strict=True)
     assert [r.x for r in df.orderBy("x").collect()] == [True, True]
+
+
+def test_inference_unicode_digits_stay_string(spark, tmp_path):
+    """Unicode digits ('١٢٣') satisfy Python's int()/float() but not
+    the JVM's ASCII parsers — numeric inference would NULL every value
+    distributed-side (round-13 escape hunt). pandas keeps such columns
+    object; inference must type them string so the values survive."""
+    p = _write(tmp_path, "unicode_digits", "u,f\n١٢٣,٣.٥\n٤,٥\n")
+    exp = pd.read_csv(p)
+    assert [str(t) for t in exp.dtypes] == ["object", "object"]
+    df = cs.read_pick_from_file(spark, p)
+    assert dict(df.dtypes) == {"u": "string", "f": "string"}
+    assert {r.u for r in df.collect()} == {"١٢٣", "٤"}
 
 
 def test_inference_never_nulls_parseable_values(spark, tmp_path):

@@ -739,3 +739,40 @@ def test_bm25_indexed_rejects_empty_query(spark, tmp_path):
 
     with pytest.raises(ValueError, match="query term"):
         text.text_bm25_topk_indexed(spark, TEST_SF_DIR, "/nonexistent", query=())
+
+
+def test_bm25_append_matches_rebuild(spark, tmp_path):
+    """Incremental ingest contract: query results over a seed index
+    plus an appended batch are BIT-identical to a full rebuild of
+    seed+batch — posting rows append to their buckets, and the _stats
+    sidecar recomposes from exact integer sums (n/n_dl/sum_dl), so
+    avgdl cannot drift a ulp from the rebuild's F.avg."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    seed = docs.filter(F.col("doc_id") < 300)
+    batch = docs.filter(F.col("doc_id") >= 300)
+    idx_app = str(tmp_path / "bm25_app")
+    idx_full = str(tmp_path / "bm25_full")
+    text.build_bm25_index(spark, TEST_SF_DIR, idx_app, docs=seed)
+    text.append_bm25_index(spark, batch, idx_app)
+    text.build_bm25_index(spark, TEST_SF_DIR, idx_full)
+    s_app = spark.read.parquet(f"{idx_app}/_stats").collect()[0]
+    s_full = spark.read.parquet(f"{idx_full}/_stats").collect()[0]
+    assert (s_app["n"], s_app["n_dl"], s_app["sum_dl"], s_app["avgdl"]) == (
+        s_full["n"], s_full["n_dl"], s_full["sum_dl"], s_full["avgdl"]
+    )
+    for q in (text.BM25_QUERY, ("filter", "shuffle")):
+        got = [
+            tuple(r)
+            for r in text.text_bm25_topk_indexed(
+                spark, TEST_SF_DIR, idx_app, query=q
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in text.text_bm25_topk_indexed(
+                spark, TEST_SF_DIR, idx_full, query=q
+            ).collect()
+        ]
+        assert got == want and got, q
