@@ -519,6 +519,7 @@ def read_explicit(
     use_columns: str | list[ColumnSpec],
     skip_rows: int = 0,
     strict: bool = False,
+    multi_line: bool = False,
 ) -> DataFrame:
     """Rename+select+cast per the useColumns spec (csvplayback.py:601-649).
 
@@ -596,15 +597,21 @@ def read_explicit(
         )
     raw_ddl = ", ".join(f"`_c{i}` string" for i in range(n_cols))
 
+    if multi_line and not (skip_rows == 0 and h_off == 0):
+        raise ValueError(
+            "multi_line is only supported on the native path "
+            "(skip_rows=0): the skip-rows path is line-oriented and "
+            "would split quoted fields"
+        )
     if skip_rows == 0 and h_off == 0:
         # native fast path: header=True discards line 0, pinned all-string
-        # schema applies positionally — one pass, no inference
-        df = (
-            spark.read.option("header", True)
-            .option("escape", '"')
-            .schema(raw_ddl)
-            .csv(path)
-        )
+        # schema applies positionally — one pass, no inference.
+        # multi_line: the embedded-newline escape hatch, same contract
+        # as read_pick_from_file's (pandas-parity, non-splittable)
+        reader = spark.read.option("header", True).option("escape", '"')
+        if multi_line:
+            reader = reader.option("multiLine", True)
+        df = reader.schema(raw_ddl).csv(path)
     else:
         data = lineio.drop_blank_lines(
             lineio.skip_lines(lineio.read_lines(spark, path), skip_rows + h_off + 1)

@@ -412,6 +412,48 @@ def test_multiline_default_split_behavior_pinned(spark, tmp_path):
     )
 
 
+def test_multiline_explicit_matches_pandas(spark, tmp_path):
+    """read_explicit's native path takes the same escape hatch: quoted
+    newlines parse across lines like pandas' names= read; the
+    skip-rows path raises."""
+    p = _write(tmp_path, "mlex", QUOTED_NL)
+    exp = pd.read_csv(p, header=0, names=["n0", "n1"], dtype=str)
+    df = cs.read_explicit(spark, p, "n0:str,n1:str", multi_line=True)
+    assert _norm_spark(df) == _norm_pd(exp)
+    p2 = _write(tmp_path, "mlex2", SKIP_META + QUOTED_NL)
+    with pytest.raises(ValueError, match="line-oriented"):
+        cs.read_explicit(spark, p2, "n0:str,n1:str", skip_rows=2, multi_line=True)
+
+
+def test_multiline_ragged_split_pinned(spark, tmp_path):
+    """read_ragged is line-oriented BY CONSTRUCTION (per-line field
+    maps keyed on position): a quoted newline splits into two map rows
+    — pinned as the documented contract, matching what csv.reader
+    sees line-by-line (the unterminated-quote rule: 'a,"x' parses to
+    ['a', 'x'])."""
+    p = _write(tmp_path, "mlrag", QUOTED_NL)
+    got = {r.row_id: r.readings for r in cs.read_ragged(spark, p).collect()}
+    assert got == {
+        0: {"column_1": "a", "column_2": "b"},
+        1: {"column_1": "1", "column_2": "x"},  # unterminated quote
+        2: {"column_1": 'y"'},  # the split-off second physical line
+        3: {"column_1": "2", "column_2": "z"},
+    }
+
+
+def test_reference_timestamp_dtype_is_broken_upstream():
+    """The docstring claim behind the engine-defined timestamp cast:
+    the reference maps useColumns 'timestamp' to pandas
+    dtype='datetime64' (csvplayback.py:612), which raises TypeError
+    for EVERY input in pandas 2.x — there is no working reference
+    behavior for strict mode to match. Pinned so the claim is tested,
+    not asserted."""
+    import io
+
+    with pytest.raises(TypeError, match="datetime64"):
+        pd.read_csv(io.StringIO("x\n2020-01-01\n"), dtype={"x": "datetime64"})
+
+
 # --- pandas per-dtype accept-sets (round-13 verdict item 1) ------------------
 # One spelling per file, BOTH engines, BOTH modes: if pandas' dtype=
 # read raises, strict must raise and permissive must NULL; if pandas
@@ -434,6 +476,7 @@ SPELLINGS = {
         # round-13 escape hunt: unicode digits (Python int() accepts,
         # pandas' parser and the JVM both reject) and malformed signs
         "١٢٣", "１２３", "--5", "+-5", "e5", "1e", ".", "+", "-",
+        "\t7", "7\t",
     ],
     "float": [
         "1.5", ".5", "5.", "1e3", " 2.5", "2.5 ", "-0.0", "1e-999",
@@ -441,7 +484,7 @@ SPELLINGS = {
         "True", "false",
         "1_0", "0x1F", "1d3", "1e999", "-1e999", "1E999", "NAN", "+nan",
         "Nan", "nan 2",
-        "٣.٥", "１２３", "\xa05", "5\xa0", ".", "+", "1e",
+        "٣.٥", "１２３", "\xa05", "5\xa0", ".", "+", "1e", "\ttrue",
     ],
 }
 # pandas reads int64 overflow as uint64 instead of raising; no uint64
