@@ -699,12 +699,23 @@ def read_ragged(
     commas, doubled quotes, bare MID-field quotes (``6,5",7`` →
     ``['6', '5"', '7']``), and unterminated quotes (``a,"b`` →
     ``['a', 'b']``) — the classes the round-12 review showed a split
-    regex gets wrong. Documented divergence (with the module's
-    embedded-newline caveat): TEXT AFTER A CLOSING QUOTE — malformed
-    outside RFC4180 — stays literal here (``"a"x,y`` → ``'"a"x'``)
-    where csv.reader splices (``'ax'``); none of uniVocity's
-    unescapedQuoteHandling modes reproduces the splice (all three
-    verified), and the divergence is pinned in tests.
+    regex gets wrong. Documented divergences (with the module's
+    embedded-newline caveat), both malformed outside RFC4180, both
+    pinned in tests:
+
+    - TEXT AFTER A CLOSING QUOTE stays literal here (``"a"x,y`` →
+      ``'"a"x'``) where csv.reader splices (``'ax'``); none of
+      uniVocity's unescapedQuoteHandling modes reproduces the splice
+      (all three verified).
+    - A field that is a LONE UNTERMINATED QUOTE (``a,"`` — nothing
+      after the opening quote) stays the literal ``'"'`` here where
+      csv.reader yields the empty field (dropped from the map). Found
+      by the round-13 400-line fuzz vs csv.reader; unfixable without
+      corrupting the legitimate four-doubled-quotes field (which
+      parses to the same ``'"'`` value from well-formed text). Every
+      OTHER unterminated-quote shape (``a,"b``, ``",a``, ``a,"b,c`` —
+      the open quote consuming commas to end of line) matches
+      csv.reader exactly (verified).
 
     Cost note: ``from_csv`` needs a fixed-width schema, so the width
     bound — max comma-split size, an upper bound on the true field

@@ -412,6 +412,128 @@ def test_multiline_default_split_behavior_pinned(spark, tmp_path):
     )
 
 
+# --- ragged fuzz vs csv.reader (round-13 escape hunt) ------------------------
+def _raw_fields(ln: str) -> list[str]:
+    """Split ``ln`` into raw (unparsed) field texts with csv.reader's
+    quote awareness: a field-leading quote opens quoted mode (commas
+    become content; an unterminated quote consumes the rest of the
+    line), doubled quotes stay inside, a quote after in-field text is
+    literal."""
+    fields, cur, in_q, at_start = [], "", False, True
+    i, n = 0, len(ln)
+    while i < n:
+        c = ln[i]
+        if in_q:
+            cur += c
+            if c == '"':
+                if i + 1 < n and ln[i + 1] == '"':
+                    cur += ln[i + 1]
+                    i += 2
+                    continue
+                in_q = False
+            i += 1
+            continue
+        if c == '"' and at_start:
+            in_q = True
+            cur += c
+            at_start = False
+            i += 1
+            continue
+        if c == ",":
+            fields.append(cur)
+            cur = ""
+            at_start = True
+        else:
+            cur += c
+            at_start = False
+        i += 1
+    fields.append(cur)
+    return fields
+
+
+def _lone_quote_field(ln: str) -> bool:
+    """True if any field's RAW text is exactly '\"' — the pinned
+    lone-unterminated-quote divergence (read_ragged docstring)."""
+    return any(f == '"' for f in _raw_fields(ln))
+
+
+def _close_quote_then_text(ln: str) -> bool:
+    """True if a closing quote is followed by literal text — the other
+    pinned divergence class."""
+    i, n = 0, len(ln)
+    at_start = True
+    in_q = False
+    while i < n:
+        c = ln[i]
+        if in_q:
+            if c == '"':
+                if i + 1 < n and ln[i + 1] == '"':
+                    i += 2
+                    continue
+                in_q = False
+                if i + 1 < n and ln[i + 1] != ",":
+                    return True
+            i += 1
+            continue
+        if c == '"' and at_start:
+            in_q = True
+            at_start = False
+        elif c == ",":
+            at_start = True
+        else:
+            at_start = False
+        i += 1
+    return False
+
+
+def test_ragged_fuzz_vs_csv_reader(spark, tmp_path):
+    """Seeded 400-line fuzz over quote/comma/space soup: outside the
+    two pinned divergence classes (text-after-closing-quote and the
+    lone unterminated quote), read_ragged must agree with csv.reader
+    — the parser the reference's engine='python' read is built on —
+    field for field. This is the net that caught the lone-quote
+    corner in round 13."""
+    import random
+
+    random.seed(42)
+    chars = ["a", "b", ",", '"', '"', "x", " "]
+    lines = [
+        "".join(random.choice(chars) for _ in range(random.randint(1, 14)))
+        for _ in range(400)
+    ]
+    kept = [
+        ln
+        for ln in lines
+        if ln != "" and not _close_quote_then_text(ln) and not _lone_quote_field(ln)
+    ]
+    assert len(kept) > 250  # the filters must not eat the corpus
+    p = _write(tmp_path, "fuzz_ragged", "\n".join(kept) + "\n")
+    got = {r.row_id: r.readings for r in cs.read_ragged(spark, p).collect()}
+    dropped = set(cs.PANDAS_NA_SENTINELS) | {""}
+    for i, line in enumerate(kept):
+        fields = next(csv.reader([line]))
+        exp = {
+            f"column_{j + 1}": v for j, v in enumerate(fields) if v not in dropped
+        }
+        assert got.get(i, {}) == exp, (i, line)
+
+
+def test_ragged_lone_quote_divergence_pinned(spark, tmp_path):
+    """The round-13 pin itself: a lone unterminated quote stays the
+    literal '\"' where csv.reader yields an empty (dropped) field;
+    the legitimate RFC4180 '\"\"\"\"' field produces the same '\"'
+    value from well-formed text — which is why no post-filter can fix
+    the corner without corrupting real data."""
+    p = _write(tmp_path, "loneq", 'a,"\n"""",b\n')
+    got = {r.row_id: r.readings for r in cs.read_ragged(spark, p).collect()}
+    assert got == {
+        0: {"column_1": "a", "column_2": '"'},  # divergence: csv.reader drops
+        1: {"column_1": '"', "column_2": "b"},  # RFC4180: both engines agree
+    }
+    assert next(csv.reader(['a,"'])) == ["a", ""]
+    assert next(csv.reader(['"""",b'])) == ['"', "b"]
+
+
 def test_multiline_explicit_matches_pandas(spark, tmp_path):
     """read_explicit's native path takes the same escape hatch: quoted
     newlines parse across lines like pandas' names= read; the
