@@ -534,6 +534,49 @@ def test_ragged_lone_quote_divergence_pinned(spark, tmp_path):
     assert next(csv.reader(['"""",b'])) == ['"', "b"]
 
 
+def test_skiprows_header_fuzz_vs_pandas(spark, tmp_path):
+    """Seeded fuzz of the skip-rows/header-at-index envelope vs pandas:
+    random blank-line/NA/numeric soup × random (skip_rows, header_row).
+    The round-13 hunt ran 180 such cases clean; this keeps a 40-case
+    slice as the regression net. On the native no-inference path only
+    the VALUES are compared (the `_c<i>`/`a0a1` naming pin); every
+    name-deriving path must match pandas' columns exactly."""
+    import random
+
+    random.seed(99)
+    cells = ["1", "2.5", "x", "", "NA", "null", " 3", "07", "1e2", "yy"]
+    tried = 0
+    for trial in range(60):
+        n_cols = random.randint(1, 4)
+        n_lines = random.randint(3, 10)
+        lines = []
+        for _ in range(n_lines):
+            if random.random() < 0.25:
+                lines.append("")
+            else:
+                lines.append(",".join(random.choice(cells) for _ in range(n_cols)))
+        hpos = random.randint(0, n_lines - 1)
+        lines[hpos] = ",".join(f"c{i}" for i in range(n_cols))
+        textdata = "\n".join(lines) + "\n"
+        skip = random.randint(0, 3)
+        header = random.randint(0, 2)
+        if tried >= 40:
+            break
+        p = _write(tmp_path, f"fz{trial}", textdata)
+        try:
+            exp = pd.read_csv(p, skiprows=skip, header=header, dtype=str)
+        except Exception:
+            continue  # pandas rejects: our behavior is unpinned here
+        tried += 1
+        df = cs.read_pick_from_file(
+            spark, p, header_row=header, skip_rows=skip, infer_schema=False
+        )
+        assert _norm_spark(df) == _norm_pd(exp), (trial, skip, header, textdata)
+        if not (skip == 0 and header == 0):
+            assert df.columns == list(exp.columns), (trial, skip, header, textdata)
+    assert tried >= 30  # the generator must keep producing valid cases
+
+
 def test_multiline_explicit_matches_pandas(spark, tmp_path):
     """read_explicit's native path takes the same escape hatch: quoted
     newlines parse across lines like pandas' names= read; the
