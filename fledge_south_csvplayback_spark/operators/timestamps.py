@@ -102,14 +102,50 @@ def strptime_to_jdk(fmt: str) -> str:
     return "".join(out)
 
 
+def _fmt_directives(fmt: str) -> set[str]:
+    """The %-directives present in ``fmt`` (%% is a literal, not a
+    directive) — the same scan strptime_to_jdk runs."""
+    out: set[str] = set()
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            out.add(fmt[i : i + 2])
+            i += 2
+        else:
+            i += 1
+    out.discard("%%")
+    return out
+
+
+def parse_strptime(col, fmt: str):
+    """``to_timestamp`` under the strptime dialect, with Python's %y
+    CENTURY PIVOT: strptime (and so pandas, the reference's engine)
+    reads two-digit years 69–99 as 19xx and 00–68 as 20xx (the POSIX
+    rule), while the JDK ``yy`` field reads all hundred into
+    2000–2099 — so ``'78-01-07'`` parsed a century late (round-13
+    fuzz find, value-level divergence). When the format uses %y (and
+    no %Y), parsed years 2069–2099 shift back 100 years; the shifted
+    range 1969–1999 crosses no century leap-rule boundary, so the
+    interval arithmetic is exact for every calendar date including
+    Feb 29. Documented corner: with a %z offset, the shift keys on
+    the UTC-normalized year, so a string within |offset| of the
+    2068→2069 New Year instant can pivot differently than strptime's
+    local-digits rule — hours out of a 100-year window."""
+    ts = F.to_timestamp(col, strptime_to_jdk(fmt))
+    d = _fmt_directives(fmt)
+    if "%y" in d and "%Y" not in d:
+        ts = F.when(
+            F.year(ts) >= 2069, ts - F.expr("INTERVAL 100 YEARS")
+        ).otherwise(ts)
+    return ts
+
+
 # ---------------------------------------------------------------------------
 # transforms — each takes a frame and returns it with a `timestamp` column
 # ---------------------------------------------------------------------------
 def copy_csv_value(df: DataFrame, ts_col: str, fmt: str) -> DataFrame:
     """T3: parse ts_col as the reading timestamp; source column kept."""
-    return df.withColumn(
-        "timestamp", F.to_timestamp(qcol(ts_col), strptime_to_jdk(fmt))
-    )
+    return df.withColumn("timestamp", parse_strptime(qcol(ts_col), fmt))
 
 
 def move_csv_value(df: DataFrame, ts_col: str, fmt: str) -> DataFrame:
@@ -183,12 +219,11 @@ def sample_delta(
     back onto the frame — no driver collect in the data path, no
     single-partition window.
     """
-    jdk = strptime_to_jdk(fmt)
     numbered = _chunked(df, order_cols)
     first_two = (
         numbered.orderBy("_k")
         .limit(2)
-        .select(F.unix_micros(F.to_timestamp(qcol(ts_col), jdk)).alias("_us"), "_k")
+        .select(F.unix_micros(parse_strptime(qcol(ts_col), fmt)).alias("_us"), "_k")
     )
     delta = first_two.agg(
         (F.max_by("_us", "_k") - F.min_by("_us", "_k")).alias("_delta_us")

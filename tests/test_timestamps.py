@@ -128,3 +128,83 @@ def test_sample_delta_is_first_two_rows_spacing(spark):
     assert rows[0].timestamp == anchor
     assert rows[1].timestamp - rows[0].timestamp == timedelta(microseconds=125)
     assert rows[400].timestamp == anchor + timedelta(microseconds=400 * 125)
+
+
+def test_strptime_two_digit_year_pivot(spark):
+    """Python's strptime (and pandas, the reference's engine) pivots
+    two-digit years at 69: 69-99 are 19xx, 00-68 are 20xx. The JDK
+    'yy' field reads all hundred into 2000-2099 — '78-01-07' parsed a
+    century late before the round-13 fix. parse_strptime applies the
+    POSIX pivot; %Y formats are untouched."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from fledge_south_csvplayback_spark.operators import timestamps as T
+
+    rows = [("78-01-07 07:38:01",), ("68-12-31 23:59:59",), ("99-06-15 00:00:00",),
+            ("00-01-01 00:00:00",), ("69-01-01 00:00:00",)]
+    df = spark.createDataFrame(rows, "s string")
+    got = {
+        r.s: r.ts
+        for r in df.select(
+            "s", T.parse_strptime(F.col("s"), "%y-%m-%d %H:%M:%S").alias("ts")
+        ).collect()
+    }
+    for (s,) in rows:
+        exp = datetime.datetime.strptime(s, "%y-%m-%d %H:%M:%S")
+        assert got[s] == exp, (s, got[s], exp)
+    # four-digit years keep their century
+    df4 = spark.createDataFrame([("2078-01-07 07:38:01",)], "s string")
+    r = df4.select(T.parse_strptime(F.col("s"), "%Y-%m-%d %H:%M:%S").alias("ts")).collect()[0]
+    assert r.ts.year == 2078
+
+
+def test_strptime_translation_fuzz(spark):
+    """Seeded fuzz: random supported-directive format assemblies over
+    random datetimes, strftime'd by Python and parsed back by BOTH
+    engines — the net that caught the %y century pivot in round 13.
+    Formats mixing date/time/%z/AM-PM/fractions all round-trip to
+    Python's strptime value (tz-aware values compared as UTC)."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fledge_south_csvplayback_spark.operators import timestamps as T
+
+    random.seed(11)
+    date_parts = ["%Y-%m-%d", "%d/%m/%Y", "%Y/%m/%d", "%d %b %Y",
+                  "%d %B %Y", "%y-%m-%d", "%Y-%j"]
+    time_parts = ["%H:%M:%S", "%H:%M:%S.%f", "%I:%M:%S %p", "%H:%M"]
+    cases = []
+    for _ in range(60):
+        fmt = random.choice(date_parts) + random.choice([" ", "T"]) + random.choice(time_parts)
+        if random.random() < 0.4:
+            fmt += random.choice([" ", ""]) + "%z"
+        dt = datetime.datetime(
+            random.randint(1971, 2038), random.randint(1, 12), random.randint(1, 28),
+            random.randint(0, 23), random.randint(0, 59), random.randint(0, 59),
+            random.choice([0, 125000, 999999]),
+        )
+        if "%z" in fmt:
+            off = random.choice([0, 330, -480, 60])
+            dt = dt.replace(tzinfo=datetime.timezone(datetime.timedelta(minutes=off)))
+        s = dt.strftime(fmt)
+        try:
+            back = datetime.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+        if back.tzinfo is not None:
+            back = back.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        cases.append((s, fmt, back))
+    assert len(cases) >= 40
+    df = spark.createDataFrame([(s, fmt) for s, fmt, _ in cases], "s string, fmt string")
+    # one parse expression per distinct format, applied to its rows
+    for fmt in sorted({f for _, f, _ in cases}):
+        sub = [c for c in cases if c[1] == fmt]
+        sdf = spark.createDataFrame([(s,) for s, _, _ in sub], "s string")
+        got = sdf.select("s", T.parse_strptime(F.col("s"), fmt).alias("ts")).collect()
+        by_s = {r.s: r.ts for r in got}
+        for s, _, back in sub:
+            assert by_s[s] == back, (fmt, s, by_s[s], back)
