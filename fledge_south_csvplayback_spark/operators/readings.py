@@ -24,6 +24,7 @@ from itertools import chain
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from fledge_south_csvplayback_spark.schema import qcol
 
@@ -48,6 +49,26 @@ def readings_map(
     )
 
 
+def pandas_ts_string(ts: Column, tz_aware: bool = False) -> Column:
+    """``str(pandas.Timestamp)`` formatting — the reference's payload
+    timestamp format (csvplayback.py:749-755 wraps every emitted
+    timestamp in ``str(...)``): SIX fractional digits when the
+    fraction is nonzero, none when zero, and for tz-aware values (a
+    ``%z`` parse in the reference) a ``+HH:MM`` suffix. Spark's
+    string cast instead prints MINIMAL fractional digits
+    (``.000250`` → ``'.00025'``) and never a suffix — a downstream
+    consumer strptime-ing the reference's output with ``%f%z`` would
+    reject the engine convention. Pinned against live
+    ``str(pd.Timestamp)`` in tests/test_csv_source.py."""
+    base = F.when(
+        F.unix_micros(ts) % 1_000_000 == 0,
+        F.date_format(ts, "yyyy-MM-dd HH:mm:ss"),
+    ).otherwise(F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    if tz_aware:
+        base = F.concat(base, F.date_format(ts, "xxx"))
+    return base
+
+
 def build_envelope(
     df: DataFrame,
     asset: str,
@@ -56,6 +77,8 @@ def build_envelope(
     metadata: str | None = None,
     metadata_key: str = "metadata",
     readings_col: Column | None = None,
+    ts_format: str = "engine",
+    ts_tz_aware: bool = False,
 ) -> DataFrame:
     """(asset string, timestamp string, readings map<string,string>).
 
@@ -63,7 +86,21 @@ def build_envelope(
     the reader already produced a readings map (csv_source.read_ragged).
     ``metadata`` merges the pass_in_datapoint header capture into every
     reading under ``metadata_key`` (csvplayback.py:758-759).
+
+    ``ts_format`` picks the string form of a TYPED timestamp column
+    (string columns pass through either way): ``"engine"`` (default,
+    the oracle-checked Spark/DuckDB minimal-digits cast) or
+    ``"pandas"`` — ``str(pandas.Timestamp)`` via
+    :func:`pandas_ts_string`, the reference's exact payload format;
+    ``ts_tz_aware`` adds its ``+HH:MM`` suffix for feeds the
+    reference parses with ``%z``. The default stays ``"engine"`` as a
+    documented divergence: both conventions round-trip through this
+    engine's own readers, and the registered oracles pin the engine
+    form — the knob exists for byte-level consumers of the
+    reference's emitted strings.
     """
+    if ts_format not in ("engine", "pandas"):
+        raise ValueError(f"unknown ts_format: {ts_format!r}")
     m = (
         readings_col
         if readings_col is not None
@@ -73,9 +110,16 @@ def build_envelope(
         m = F.map_concat(
             m, F.create_map(F.lit(metadata_key), F.lit(metadata))
         )
+    ts = qcol(ts_col)
+    if ts_format == "pandas" and isinstance(
+        df.schema[ts_col].dataType, T.TimestampType
+    ):
+        ts = pandas_ts_string(ts, tz_aware=ts_tz_aware)
+    else:
+        ts = ts.cast("string")
     return df.select(
         F.lit(asset).alias("asset"),
-        qcol(ts_col).cast("string").alias("timestamp"),
+        ts.alias("timestamp"),
         m.alias("readings"),
     )
 

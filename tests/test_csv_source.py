@@ -409,3 +409,45 @@ def test_envelope_handles_mangled_dotted_names(spark, tmp_path):
     out = env.build_envelope(df, "vib", ts_col="user_ts").collect()
     assert out[0].readings == {"a": "1", "a.1": "2"}
     assert out[0].timestamp == "2020-01-01"
+
+
+def test_envelope_pandas_ts_format_matches_reference(spark):
+    """ts_format="pandas" reproduces str(pandas.Timestamp) — the
+    reference's payload timestamp format (csvplayback.py:749-755) —
+    byte for byte: 6 fractional digits when nonzero ('.000250', where
+    the engine cast trims to '.00025'), none when zero, and the
+    +HH:MM suffix for tz-aware (%z-parsed) feeds. The engine default
+    stays the oracle-checked minimal-digits cast — a documented
+    divergence, with this knob as the byte-level escape hatch."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fledge_south_csvplayback_spark.operators import readings
+
+    vals = [
+        datetime.datetime(2019, 12, 12, 13, 14, 15, 250),
+        datetime.datetime(2019, 12, 12, 13, 14, 15, 0),
+        datetime.datetime(2019, 12, 12, 13, 14, 15, 125000),
+        datetime.datetime(2019, 12, 12, 13, 14, 15, 123456),
+    ]
+    df = spark.createDataFrame([(v, 1.5) for v in vals], "timestamp timestamp, x double")
+    # naive (no %z) form
+    env = readings.build_envelope(df, asset="a", ts_format="pandas")
+    got = sorted(r.timestamp for r in env.collect())
+    want = sorted(str(pd.Timestamp(v)) for v in vals)
+    assert got == want
+    # tz-aware (%z-parsed) form: reference values are UTC-aware
+    env_tz = readings.build_envelope(
+        df, asset="a", ts_format="pandas", ts_tz_aware=True
+    )
+    got_tz = sorted(r.timestamp for r in env_tz.collect())
+    want_tz = sorted(
+        str(pd.Timestamp(v).tz_localize("UTC")) for v in vals
+    )
+    assert got_tz == want_tz
+    # engine default: unchanged, minimal-digit cast
+    env_e = readings.build_envelope(df, asset="a")
+    eng = {r.timestamp for r in env_e.collect()}
+    assert "2019-12-12 13:14:15.00025" in eng  # trimmed engine form
