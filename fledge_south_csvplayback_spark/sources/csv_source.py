@@ -209,7 +209,7 @@ def _head_with_blanks(
     slack = HEAD_BLANK_SLACK
     while True:
         head = lineio.head_lines(spark, path, want + slack)
-        nonblank = sum(1 for l in head if l != "")
+        nonblank = sum(1 for l in head if l.strip() != "")
         if nonblank >= need_nonblank or len(head) < want + slack:
             return head
         slack *= 8
@@ -412,7 +412,11 @@ def read_pick_from_file(
         skip_rows + header_row + 1 + n_sample,
         skip_rows + header_row + 1,
     )
-    nonblank = [(j, ln) for j, ln in enumerate(head[skip_rows:]) if ln != ""]
+    # strip: whitespace-only lines are blank to pandas (lineio
+    # drop_blank_lines docstring, round-13 probe)
+    nonblank = [
+        (j, ln) for j, ln in enumerate(head[skip_rows:]) if ln.strip() != ""
+    ]
     if len(nonblank) <= header_row:
         raise ValueError(
             f"no header at row {header_row} after skipping {skip_rows} "
@@ -586,7 +590,11 @@ def read_explicit(
     # the discarded header is the first NON-BLANK line after the
     # physical skip (pandas header=0 semantics; blank lines invisible)
     head = _head_with_blanks(spark, path, skip_rows + 1, skip_rows + 1)
-    nonblank = [(j, ln) for j, ln in enumerate(head[skip_rows:]) if ln != ""]
+    # strip: whitespace-only lines are blank to pandas (lineio
+    # drop_blank_lines docstring, round-13 probe)
+    nonblank = [
+        (j, ln) for j, ln in enumerate(head[skip_rows:]) if ln.strip() != ""
+    ]
     if not nonblank:
         raise ValueError(f"no header line after skipping {skip_rows} lines of {path}")
     h_off, header_line = nonblank[0]

@@ -71,9 +71,15 @@ def drop_blank_lines(lines: DataFrame) -> DataFrame:
     inherits for every read) makes blank lines invisible to ``header=``
     indexing and to the data itself, while ``skiprows`` still counts
     them physically — so callers apply this AFTER ``skip_lines``.
-    Whitespace-only lines are kept (pandas parses those as data).
+
+    "Blank" includes WHITESPACE-ONLY lines: pandas' parser skips a
+    raw line of spaces/tabs exactly like an empty one (verified live
+    on pandas 2.2 in single- and multi-column files, for data rows
+    and for ``header=`` indexing — round-13 probe; this docstring
+    previously claimed the opposite without one). The test is on the
+    RAW line, so a QUOTED whitespace field (``"  "``) is data, kept.
     """
-    return lines.filter(F.col("value") != "")
+    return lines.filter(~F.col("value").rlike(r"^\s*$"))
 
 
 def head_lines(spark: SparkSession, path: str, n: int) -> list[str]:

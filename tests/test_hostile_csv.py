@@ -66,10 +66,17 @@ CASES = {
     "dup_headers": ("a,a,b\n1,2,3\n4,5,6\n", 3),
     # classic-Mac CR-only line endings: both engines split on lone \r
     "cr_only": ("a,b\r1,2\r3,4\r", 2),
+    # pandas treats a WHITESPACE-ONLY raw line as blank (skipped like
+    # an empty line, invisible to header indexing — round-13 probe);
+    # the line-oriented paths drop it via drop_blank_lines, and
+    # Spark's native reader skips it too — all four variants match
+    "ws_only_line": ("a,b\n1,2\n  \n3,4\n", 2),
 }
 # pandas reinterprets wider-than-header rows via index promotion; the
 # Spark engines keep the declared columns and drop the extras.
 PANDAS_INDEX_QUIRK = {"long_rows"}
+# (the native reader needs no pin here: Spark's CSV source skips
+# whitespace-only lines exactly like pandas — verified by the sweep)
 
 SKIP_META = "meta0,m\nmeta1\n"  # 2 physical lines ahead of the body
 
@@ -199,7 +206,10 @@ def test_ragged_vs_csv_reader(spark, tmp_path, case):
         .rstrip("\n")
         .split("\n")
     )
-    nonblank = [l for l in raw_lines if l != ""]
+    # strip: whitespace-only raw lines are blank to both engines (the
+    # reference's python-engine _remove_empty_lines strips single-field
+    # whitespace lines too)
+    nonblank = [l for l in raw_lines if l.strip() != ""]
     # the reference drops every pd.isnull cell from the readings dict
     # (csvplayback.py:703-711), and pandas NaN-ifies its NA sentinels
     # on the way in — so empty AND sentinel cells are both absent
@@ -504,7 +514,9 @@ def test_ragged_fuzz_vs_csv_reader(spark, tmp_path):
     kept = [
         ln
         for ln in lines
-        if ln != "" and not _close_quote_then_text(ln) and not _lone_quote_field(ln)
+        if ln.strip() != ""  # whitespace-only lines are blank (round 13)
+        and not _close_quote_then_text(ln)
+        and not _lone_quote_field(ln)
     ]
     assert len(kept) > 250  # the filters must not eat the corpus
     p = _write(tmp_path, "fuzz_ragged", "\n".join(kept) + "\n")
