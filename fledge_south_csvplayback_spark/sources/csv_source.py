@@ -166,8 +166,16 @@ _MISSING_CELLS = frozenset(PANDAS_NA_SENTINELS) | {""}
 
 def null_na_sentinels(df: DataFrame) -> DataFrame:
     """NaN-ify pandas' NA sentinels in string columns (numeric columns
-    already NULL them: an unparseable cell is NULL under PERMISSIVE
-    parsing). One codegen'd select, no shuffle, no Python.
+    mostly NULL them already: an unparseable cell is NULL under
+    PERMISSIVE parsing), and NULL NaN VALUES in float/double columns —
+    the JVM parses the sentinel spellings ``NaN``/``-NaN`` to a real
+    NaN where every other sentinel (``NA``, ``nan``, ``null``...)
+    fails the parse to NULL, so without the rewrite one spelling of
+    missingness was a value and the rest were NULLs (round-14 dtype
+    net). pandas cannot produce a non-missing NaN from read_csv at
+    all, and ``read_explicit``'s float accept-set already NULLs NaN
+    spellings — this makes every pandas-faithful read agree. One
+    codegen'd select, no shuffle, no Python.
 
     Public on purpose: this is the cross-module semantic contract the
     streaming playback reader (streaming/playback.py) shares with the
@@ -179,6 +187,8 @@ def null_na_sentinels(df: DataFrame) -> DataFrame:
         c = qcol(f.name)
         if isinstance(f.dataType, T.StringType):
             c = F.when(c.isin(*PANDAS_NA_SENTINELS), F.lit(None)).otherwise(c)
+        elif isinstance(f.dataType, _FLOATING_TYPES):
+            c = F.when(F.isnan(c), F.lit(None)).otherwise(c)
         out.append(c.alias(f.name))
     return df.select(*out)
 
@@ -369,35 +379,66 @@ def read_pick_from_file(
         # fast path: fully native reader, splittable, pushdown-friendly;
         # RFC4180 doubled-quote escaping (pandas-written CSVs). The
         # schema is pinned: caller-supplied, inferred once driver-side
-        # from a first-split head sample, or (infer_schema=False) left
-        # to the native reader's all-string default with NO extra job —
-        # never inferSchema=True, whose inference is a full second
-        # distributed pass over the data.
+        # from a first-split head sample, or (infer_schema=False) the
+        # native reader's all-string default — never inferSchema=True,
+        # whose inference is a full second distributed pass.
         reader = spark.read.option("header", True).option("escape", '"')
         if multi_line:
             reader = reader.option("multiLine", True)
         if schema is not None:
+            # with a pinned schema the native reader skips blank-ish
+            # (empty AND whitespace-only) preamble lines and consumes
+            # the first non-blank line as the header — pandas-correct
+            # as-is, no driver probe needed (round-14 probe matrix)
             return null_na_sentinels(reader.schema(schema).csv(path))
-        if not infer_schema:
-            # column NAMES keep Spark's native dedup (`a0`,`a1`) here —
-            # the documented no-extra-job pin, like `_c<i>` for empty
-            # header cells — but VALUES follow pandas: sentinels → NULL
-            return null_na_sentinels(reader.csv(path))
-        # only the HEADER position demands a non-blank guarantee; the
-        # inference sample is best-effort (its size is already a
+        # WITHOUT a schema the native reader's header pick is
+        # inconsistent on a blank-ish first physical line: space-only
+        # preambles are skipped but tab-containing ones become the
+        # header (round-13 verdict finding — silent data loss: the
+        # derived 1-column DDL truncated every row). pandas skips any
+        # blank-ish preamble. So both no-schema modes probe the first
+        # line driver-side (a first-split CollectLimit, the same
+        # header-scale cost read_explicit always pays) and route
+        # preamble files through the line-oriented machinery below.
+        # Only the HEADER position demands a non-blank guarantee; the
+        # inference sample stays best-effort (its size is already a
         # documented sample-based contract) — demanding the full
         # sample non-blank would walk a blank-padded file to its end
-        # through the driver (round-12 review)
-        head = [
-            l
-            for l in _head_with_blanks(spark, path, 1 + INFER_SAMPLE_LINES, 1)
-            if l
-        ]
-        if not head:
+        # through the driver (round-12 review).
+        n_head = (1 + INFER_SAMPLE_LINES) if infer_schema else 1
+        head_raw = _head_with_blanks(spark, path, n_head, 1)
+        if not any(l.strip() != "" for l in head_raw):
             raise ValueError(f"no non-blank lines in {path}")
-        names = _split_header(head[0])
-        sample = list(csv.reader(head[1:]))
-        return null_na_sentinels(reader.schema(_infer_ddl(names, sample)).csv(path))
+        if head_raw[0].strip() != "":
+            if not infer_schema:
+                # column NAMES keep Spark's native dedup (`a0`,`a1`)
+                # here — the documented pin, like `_c<i>` for empty
+                # header cells — but VALUES follow pandas: sentinels
+                # → NULL
+                return null_na_sentinels(reader.csv(path))
+            # strip, not truthiness: whitespace-only lines are blank to
+            # pandas — in the header slot AND in the inference sample,
+            # where a kept ws line polluted the dtypes (round-13
+            # verdict finding)
+            head = [l for l in head_raw if l.strip() != ""]
+            names = _split_header(head[0])
+            sample = list(csv.reader(head[1:]))
+            return null_na_sentinels(
+                reader.schema(_infer_ddl(names, sample)).csv(path)
+            )
+        if multi_line:
+            raise ValueError(
+                "multi_line cannot read a file whose first physical "
+                "line is blank: the native multiLine reader's header "
+                "pick is unreliable there and the line-oriented "
+                "fallback would split quoted fields — strip the blank "
+                "preamble or pass an explicit schema="
+            )
+        # blank-ish first physical line: fall through to the
+        # line-oriented path, which indexes the header off the first
+        # NON-blank line exactly like pandas (names take the pandas
+        # mangle here rather than the native dedup — strictly better
+        # than the data loss these files hit before round 14)
 
     # pandas semantics (which the reference inherits, csvplayback.py:
     # 651-659): skiprows counts PHYSICAL lines, but blank lines are then
