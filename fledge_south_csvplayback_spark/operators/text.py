@@ -98,8 +98,10 @@ FROM s
 
 
 # --- language-id heuristic ---------------------------------------------------
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+def _lang_id_cols() -> list:
+    """The lang-ID projection columns (over a frame holding ``text``)
+    — shared by ``text_lang_id`` and ``text_profile_suite`` so the
+    fold cannot drift from the standalone operator."""
     toks = F.split(F.col("text"), " ")
     scores = {lang: _in_set(toks, m) for lang, m in LANG_MARKERS.items()}
     best = F.greatest(*scores.values())
@@ -108,12 +110,14 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in reversed(list(LANG_MARKERS)):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    return docs.select(
-        "doc_id",
-        "lang",
+    return [
         pred.alias("lang_pred"),
         *[s.alias(f"score_{lang}") for lang, s in scores.items()],
-    )
+    ]
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "lang", *_lang_id_cols())
 
 
 def _lang_case() -> tuple[str, dict[str, str]]:
@@ -146,14 +150,17 @@ WORD_RE = "[a-z]+"
 NUM_RE = "[0-9]+"
 
 
-def text_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
+def _token_class_cols() -> list:
+    """Token-class counting columns — shared with the profile suite."""
+    return [
         F.regexp_count(F.col("text"), F.lit(r"\S+")).alias("n_ws_tokens"),
         F.regexp_count(F.col("text"), F.lit(WORD_RE)).alias("n_word_tokens"),
         F.regexp_count(F.col("text"), F.lit(NUM_RE)).alias("n_num_tokens"),
-    )
+    ]
+
+
+def text_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", *_token_class_cols())
 
 
 TEXT_TOKEN_CLASSES_SQL = rf"""
@@ -166,19 +173,61 @@ FROM documents
 
 
 # --- content fingerprint -----------------------------------------------------
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # case-fold BEFORE stripping so uppercase letters are lowered, not
-    # deleted — 'The Cat' normalizes to 'the cat', not 'he at'
-    docs = _docs(spark, sf_dir)
+def _fingerprint_col():
+    """md5 over case-folded-then-stripped text — case-fold BEFORE
+    stripping so uppercase letters are lowered, not deleted ('The Cat'
+    normalizes to 'the cat', not 'he at'). Shared with the profile
+    suite."""
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
-    return docs.select(
-        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
-    )
+    return F.md5(norm.cast("binary")).alias("fingerprint")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", _fingerprint_col())
 
 
 TEXT_FINGERPRINT_SQL = """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
 FROM documents
+"""
+
+
+# --- folded profile suite (round-14 registry rotation) ------------------------
+def text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_lang_id`` + ``text_token_classes`` + ``text_fingerprint``
+    folded into ONE registered entry (round-14 rotation, COVERAGE.md:
+    the driver caps CORRECTNESS at 50 rows and the three are one-scan
+    projections over the same documents fixture with disjoint output
+    columns, so the fold is a WIDE single-scan projection — no union
+    tag, no join, zero shuffle both engines). The constituent columns
+    come from the same ``_lang_id_cols``/``_token_class_cols``/
+    ``_fingerprint_col`` builders the standalone operators select, so
+    suite-vs-operator drift is impossible by construction; the
+    unmerged callables stay public and pytest-oracle-covered. The two
+    freed slots register ``text_normalize`` and
+    ``ann_cosine_topk_sq8``."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        *_lang_id_cols(),
+        *_token_class_cols(),
+        _fingerprint_col(),
+    )
+
+
+TEXT_PROFILE_SUITE_SQL = rf"""
+WITH s AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id, lang,
+       {_CASE} AS lang_pred,
+       CAST({_HITS['en']} AS INTEGER) AS score_en,
+       CAST({_HITS['es']} AS INTEGER) AS score_es,
+       CAST({_HITS['fr']} AS INTEGER) AS score_fr,
+       CAST({_HITS['de']} AS INTEGER) AS score_de,
+       CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{WORD_RE}')) AS INTEGER) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '{NUM_RE}')) AS INTEGER) AS n_num_tokens,
+       md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
+FROM s
 """
 
 
@@ -850,6 +899,97 @@ def _bm25_stats(base: DataFrame) -> DataFrame:
     )
 
 
+# versioned-sidecar manifests (the corpus_ingest.df_table_dir pattern:
+# readers resolve one small pointer file whose replacement is an atomic
+# POSIX rename / per-object store PUT — they never depend on a
+# directory overwrite being atomic). All names are underscore-prefixed
+# so a plain parquet read of the index root cannot see them as data.
+_BM25_STATS_MANIFEST = "_stats_MANIFEST"
+_BM25_POSTINGS_MANIFEST = "_postings_MANIFEST"
+
+
+def _manifest_resolve(index_dir: str, manifest: str, fallback: str) -> str:
+    """The live dir the manifest names; ``fallback`` ('' = the index
+    root itself) before any promote has run (fresh ``build_bm25_index``
+    layout)."""
+    import os
+
+    m = os.path.join(index_dir, manifest)
+    if os.path.exists(m):
+        with open(m) as f:
+            return os.path.join(index_dir, f.read().strip())
+    return os.path.join(index_dir, fallback) if fallback else index_dir
+
+
+def bm25_stats_dir(index_dir: str) -> str:
+    return _manifest_resolve(index_dir, _BM25_STATS_MANIFEST, "_stats")
+
+
+def bm25_postings_dir(index_dir: str) -> str:
+    return _manifest_resolve(index_dir, _BM25_POSTINGS_MANIFEST, "")
+
+
+def _manifest_promote(index_dir: str, manifest: str, name: str) -> None:
+    """The one cutover: write the pointer aside, fsync, atomic rename.
+    A crash at any instruction leaves a manifest that names a COMPLETE
+    dir (the old one, or — after the rename — the fully-staged new
+    one); there is no window where a reader resolves a missing or
+    partial table."""
+    import os
+
+    tmp = os.path.join(index_dir, manifest + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(index_dir, manifest))
+
+
+def _next_version(cur_name: str, stem: str) -> str:
+    if not cur_name.startswith(f"{stem}.v"):
+        return f"{stem}.v1"
+    return f"{stem}.v{int(cur_name.rsplit('.v', 1)[1]) + 1}"
+
+
+def _sweep_stale_versions(index_dir: str, stem: str, cur: str) -> None:
+    """Deferred cleanup (the compact_text_neardup_index rule): version
+    dirs superseded by an EARLIER promote — plus crashed staging
+    leftovers and orphaned ``.tmp`` manifests — are garbage; the dir
+    the CURRENT manifest names is never touched, so a reader that
+    resolved it before this write keeps what it is reading."""
+    import os
+    import shutil
+
+    cur_name = os.path.basename(cur)
+    for name in sorted(os.listdir(index_dir)):
+        if name == cur_name:
+            continue
+        full = os.path.join(index_dir, name)
+        if name.startswith(f"{stem}.v") or (
+            name == stem and cur_name != stem
+        ):
+            shutil.rmtree(full)
+        elif name.endswith("_MANIFEST.tmp"):
+            os.remove(full)
+
+
+def _promote_bm25_stats(spark: SparkSession, row, index_dir: str) -> None:
+    """Stage the recomposed one-row stats as ``_stats.v<N+1>``, then
+    promote via the manifest — replacing the round-13
+    ``mode("overwrite")`` of the live ``_stats`` dir, whose
+    delete-then-write window could show a racing reader a missing or
+    partial sidecar (round-13 verdict item 3)."""
+    import os
+
+    cur = bm25_stats_dir(index_dir)
+    _sweep_stale_versions(index_dir, "_stats", cur)
+    nxt = _next_version(os.path.basename(cur), "_stats")
+    spark.createDataFrame(
+        [row], "n double, n_dl double, sum_dl double, avgdl double"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, nxt))
+    _manifest_promote(index_dir, _BM25_STATS_MANIFEST, nxt)
+
+
 def append_bm25_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -867,25 +1007,118 @@ def append_bm25_index(
     with doc_ids disjoint from the seed corpus — the same caller
     contract as the near-dup ingest.
 
-    Run-between-batches contract (the compaction module's rule): the
-    ``_stats`` overwrite is the one non-append write, so appends are
-    serialized with queries by the caller; a reader racing the swap
-    sees either the old or the new one-row parquet, never a torn mix.
+    Appends serialize with each other and with ``compact_bm25_index``
+    (the run-between-batches contract), but a QUERY may race an append
+    freely: the posting write is append-only and the stats cutover is
+    an atomic manifest promote (``_promote_bm25_stats``) — a racing
+    reader sees the old complete sidecar or the new complete one,
+    never a torn or missing ``_stats``. (It can pair new postings
+    with old stats mid-append — the same read-committed-not-snapshot
+    semantics every non-transactional append layout has; the
+    bit-exactness pin applies to serialized runs.)
     """
     base = _bm25_base(docs)
-    _bm25_postings(base, n_buckets).write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(index_dir)
-    old = spark.read.parquet(f"{index_dir}/_stats").collect()[0]
+    # repartition on bucket before the write: without it every one of
+    # the groupBy's output partitions writes into every bucket dir it
+    # touches (tasks × buckets files PER APPEND — the small-file
+    # growth compact_bm25_index exists to fold); keyed on the
+    # partition column, each bucket's rows land in one task → ≤1 file
+    # per touched bucket per batch. The exchange is BATCH-sized
+    # posting rows, not corpus-sized.
+    _bm25_postings(base, n_buckets).repartition("bucket").write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(bm25_postings_dir(index_dir))
+    old = spark.read.parquet(bm25_stats_dir(index_dir)).collect()[0]
     new = _bm25_stats(base).collect()[0]
     n = old["n"] + new["n"]
     n_dl = old["n_dl"] + new["n_dl"]
     sum_dl = (old["sum_dl"] or 0.0) + (new["sum_dl"] or 0.0)
     avgdl = (sum_dl / n_dl) if n_dl else None
-    spark.createDataFrame(
-        [(n, n_dl, sum_dl if n_dl else None, avgdl)],
-        "n double, n_dl double, sum_dl double, avgdl double",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_stats")
+    _promote_bm25_stats(
+        spark, (n, n_dl, sum_dl if n_dl else None, avgdl), index_dir
+    )
+
+
+# compaction target for the BM25 posting table. NOT the generic 128 MB:
+# a pruned query reads only its |Q| term buckets, and repartition(n,
+# "bucket") lands each bucket in ONE write task, so files-per-bucket =
+# bucket_bytes / target — at 128 MB that is ONE ~27 MB file per bucket
+# at 10M docs, collapsing a 3-term query to 3 scan tasks (measured
+# 2.3 s vs 1.2 s over the 3.3k-file fragmented layout at local[32]).
+# 16 MB keeps ~2-8 files per bucket: file count still bounded (64-512
+# total vs unbounded append growth) while a pruned query keeps
+# intra-bucket parallelism (8 MB target measured 1.94 s). Callers on
+# object stores with expensive per-file listing can raise it.
+BM25_COMPACT_TARGET_BYTES = 16 * 1024 * 1024
+
+
+def compact_bm25_index(
+    spark: SparkSession, index_dir: str, target_bytes: int | None = None
+) -> int:
+    """Maintenance: rewrite the posting table into ~target-sized files
+    per bucket partition, staged as ``_postings.v<N+1>`` and promoted
+    by one atomic manifest rename (round-13 verdict item 4). Every
+    ``append_bm25_index`` adds ≥1 parquet file to each bucket its
+    batch's terms hash to; after enough micro-batches a query's
+    pruned-bucket scan pays per-file listing/footer/task overhead that
+    dwarfs the data. The rewrite is ``compaction.compact_parquet``'s
+    partition-preserving path, so the ``bucket=`` layout — and with it
+    the query's PartitionFilters pruning — survives verbatim (pinned
+    in tests). Returns the compacted file count.
+
+    Measured honestly at 10M/local[32] (BASELINE.md round 14): after
+    20 micro-batch appends (3.3k files) the fragmented layout had NOT
+    yet degraded — 156 small files across a 3-term query's buckets
+    give 32-way scan parallelism that beats the compacted layout's
+    files-per-bucket tasks (1.2 s vs 1.9-2.3 s) — so compaction's
+    payoff is the CLUSTER-store regime (per-file listing RPCs, open
+    latency, driver listing memory at thousands of appends), not the
+    local 20-batch one; ``BM25_COMPACT_TARGET_BYTES`` (16 MB, not the
+    generic 128 MB) keeps intra-bucket parallelism for pruned queries
+    either way.
+
+    Read stability: the superseded posting dir is swept by the NEXT
+    compaction, never by the promote itself, so a query that resolved
+    the old dir keeps a complete table for as long as it runs. Appends
+    and compactions serialize with each other (caller contract, as for
+    the near-dup index); queries race either freely.
+    """
+    import os
+
+    from fledge_south_csvplayback_spark.operators import compaction
+
+    cur = bm25_postings_dir(index_dir)
+    _sweep_stale_versions(index_dir, "_postings", cur)
+    if cur == index_dir:
+        # first compaction: the live table is the index ROOT's bucket
+        # dirs (the build layout). They cannot be swept now (read
+        # stability) nor later by the version sweep (the root is never
+        # a version dir) — sweep them here ONLY once a manifest from a
+        # prior compaction exists, which it does not on this branch;
+        # the root's bucket dirs are instead removed by the NEXT
+        # compaction via the branch below.
+        pass
+    else:
+        # the build-layout bucket dirs under the root were superseded
+        # when the FIRST compaction promoted; remove them now (deferred
+        # one full cycle, same as the version sweep)
+        import shutil
+
+        for name in sorted(os.listdir(index_dir)):
+            if name.startswith("bucket="):
+                shutil.rmtree(os.path.join(index_dir, name))
+    nxt = _next_version(
+        os.path.basename(cur) if cur != index_dir else "", "_postings"
+    )
+    staged = os.path.join(index_dir, nxt)
+    n_files = compaction.compact_parquet(
+        spark,
+        cur,
+        staged,
+        target_bytes or BM25_COMPACT_TARGET_BYTES,
+    )
+    _manifest_promote(index_dir, _BM25_POSTINGS_MANIFEST, nxt)
+    return n_files
 
 
 def text_bm25_topk_indexed(
@@ -919,7 +1152,10 @@ def text_bm25_topk_indexed(
     """
     if not query:
         raise ValueError("text_bm25_topk_indexed: need at least one query term")
-    stats = spark.read.parquet(f"{index_dir}/_stats").collect()[0]
+    # resolve both tables through their manifests ONCE up front (the
+    # corpus_ingest rule: one version per query) — readers never race
+    # a promote into a half-resolved mix
+    stats = spark.read.parquet(bm25_stats_dir(index_dir)).collect()[0]
     n, avgdl = stats["n"], stats["avgdl"]
     # term -> bucket via the same JVM xxhash64 the builder used (no
     # driver-side reimplementation to drift); one 1-row job
@@ -935,7 +1171,7 @@ def text_bm25_topk_indexed(
         .collect()[0]
     )
     buckets = sorted({bucket_row[f"b{j}"] for j in range(len(query))})
-    p = spark.read.parquet(index_dir).filter(
+    p = spark.read.parquet(bm25_postings_dir(index_dir)).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(*query)
     )
     # per-term document frequencies: ≤|Q| rows, exact integer counts

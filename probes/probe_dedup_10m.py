@@ -120,6 +120,8 @@ def main() -> None:
             "keep_best_ab",
             "lexical_topk",
             "bm25_indexed",
+            "bm25_append",
+            "bpe",
         ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
@@ -317,6 +319,197 @@ def main() -> None:
                     "exact_agreement": indexed == inline,
                     "out_rows": len(indexed),
                     "query_terms": sample,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "bm25_append":
+        # round-13 verdict items 4+5: the append path's "batch-sized
+        # work" claim at corpus scale, and the compaction's query-wall
+        # recovery after N micro-batch appends. Seed index over the
+        # corpus, one measured 10k-doc append (wall + shuffle +
+        # bit-exactness vs a full rebuild of corpus+batch), then N-1
+        # more appends to fragment the buckets, query wall before/after
+        # compact_bm25_index, exact agreement throughout.
+        from fledge_south_csvplayback_spark.operators import text as T
+
+        import shutil
+
+        n_batches = 20
+        batch_sz = 10_000
+        idx = f"{PROBE_ROOT}/bm25_append_idx_{args.rows}"
+        if os.path.exists(idx):
+            shutil.rmtree(idx)  # appends mutate: always start fresh
+
+        def batch_docs(b: int) -> DataFrame:
+            start = args.rows + b * batch_sz
+            wc = [
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.lit("probe"), F.col("doc_id"), F.lit(p)),
+                        F.lit(VOCAB),
+                    ),
+                )
+                for p in range(args.words)
+            ]
+            return (
+                spark.range(start, start + batch_sz)
+                .select(F.col("id").alias("doc_id"))
+                .select("doc_id", F.concat_ws(" ", *wc).alias("text"))
+            )
+
+        sample = [
+            r["t"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .limit(1)
+            .select(F.explode(F.split("text", " ")).alias("t"))
+            .limit(3)
+            .collect()
+        ]
+        q = tuple(sample)
+        t0 = time.perf_counter()
+        T.build_bm25_index(spark, sf_dir, idx)
+        build = round(time.perf_counter() - t0, 1)
+        shuffle_before = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        T.append_bm25_index(spark, batch_docs(0), idx)
+        append_wall = round(time.perf_counter() - t0, 1)
+        append_shuffle = shuffle_delta(shuffle_before, shuffle_write_bytes(spark))
+        # bit-exactness of the measured append vs a full rebuild
+        corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idx_rb = f"{PROBE_ROOT}/bm25_rebuild_idx_{args.rows}"
+        t0 = time.perf_counter()
+        T.build_bm25_index(
+            spark, sf_dir, idx_rb, docs=corpus.unionByName(batch_docs(0))
+        )
+        rebuild_wall = round(time.perf_counter() - t0, 1)
+        appended = [
+            tuple(r)
+            for r in T.text_bm25_topk_indexed(spark, sf_dir, idx, query=q).collect()
+        ]
+        rebuilt = [
+            tuple(r)
+            for r in T.text_bm25_topk_indexed(spark, sf_dir, idx_rb, query=q).collect()
+        ]
+        s_a = spark.read.parquet(T.bm25_stats_dir(idx)).collect()[0]
+        s_r = spark.read.parquet(T.bm25_stats_dir(idx_rb)).collect()[0]
+        # fragment: N-1 more micro-batches, then measure the compaction
+        for b in range(1, n_batches):
+            T.append_bm25_index(spark, batch_docs(b), idx)
+
+        def n_parquet_files(d: str) -> int:
+            return sum(
+                1
+                for root, _dirs, files in os.walk(d)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        files_before = n_parquet_files(T.bm25_postings_dir(idx))
+        t0 = time.perf_counter()
+        pre_compact = [
+            tuple(r)
+            for r in T.text_bm25_topk_indexed(spark, sf_dir, idx, query=q).collect()
+        ]
+        query_pre = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        n_files = T.compact_bm25_index(spark, idx)
+        compact_wall = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        post_compact = [
+            tuple(r)
+            for r in T.text_bm25_topk_indexed(spark, sf_dir, idx, query=q).collect()
+        ]
+        query_post = round(time.perf_counter() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "op": "bm25_append",
+                    "rows": args.rows,
+                    "batch_docs": batch_sz,
+                    "n_batches": n_batches,
+                    "seed_build_sec": build,
+                    "append_wall_sec": append_wall,
+                    "append_shuffle_bytes": append_shuffle,
+                    "rebuild_wall_sec": rebuild_wall,
+                    "append_exact_vs_rebuild": appended == rebuilt
+                    and tuple(s_a) == tuple(s_r),
+                    "query_sec_after_20_appends": query_pre,
+                    "files_before_compact": files_before,
+                    "compact_wall_sec": compact_wall,
+                    "compacted_files": n_files,
+                    "query_sec_after_compact": query_post,
+                    "compact_exact": post_compact == pre_compact,
+                    "out_rows": len(appended),
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "bpe":
+        # round-13 verdict item 6: the BPE family's scale shape. The
+        # merge LOOP is driver-side over a fixed 500-doc sample
+        # (Sennrich-style; every production tokenizer trains on a
+        # sample) — its corpus-proportional part is ONE TakeOrdered
+        # sample fetch, not iterations×corpus scans. What scales with
+        # the corpus is the APPLY pass (mapInPandas, zero shuffle).
+        # Measured: train wall vs n_merges (where the driver loop
+        # saturates), sample-fetch wall at 10M, and the full 10M
+        # tokenize scan (wall, shuffle, docs/s).
+        from fledge_south_csvplayback_spark.operators import text as T
+
+        t0 = time.perf_counter()
+        sample_texts = [
+            r["text"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .orderBy("doc_id")
+            .limit(T.BPE_TRAIN_DOCS)
+            .select("text")
+            .collect()
+        ]
+        fetch_sec = round(time.perf_counter() - t0, 1)
+        train_curve = {}
+        for n_merges in (200, 500, 1000):
+            t0 = time.perf_counter()
+            merges = T.bpe_train_texts(sample_texts, n_merges)
+            train_curve[n_merges] = {
+                "sec": round(time.perf_counter() - t0, 1),
+                "merges_learned": len(merges),
+            }
+        merges = T.bpe_train_texts(sample_texts, 500)
+        shuffle_before = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        agg = (
+            T.text_bpe_tokenize(spark, sf_dir, merges)
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_bpe_tokens").alias("bpe_tokens"),
+                F.sum("n_ws_tokens").alias("ws_tokens"),
+            )
+            .collect()[0]
+        )
+        apply_wall = round(time.perf_counter() - t0, 1)
+        shuffle = shuffle_delta(shuffle_before, shuffle_write_bytes(spark))
+        print(
+            json.dumps(
+                {
+                    "op": "bpe",
+                    "rows": args.rows,
+                    "sample_fetch_sec": fetch_sec,
+                    "train_curve": train_curve,
+                    "apply_wall_sec": apply_wall,
+                    "apply_shuffle_bytes": shuffle,
+                    "docs_per_sec": round(args.rows / apply_wall, 1)
+                    if apply_wall
+                    else None,
+                    "docs": agg["docs"],
+                    "bpe_tokens": agg["bpe_tokens"],
+                    "ws_tokens": agg["ws_tokens"],
+                    "sane": agg["bpe_tokens"] >= agg["ws_tokens"],
                 }
             )
         )

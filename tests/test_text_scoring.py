@@ -757,8 +757,8 @@ def test_bm25_append_matches_rebuild(spark, tmp_path):
     text.build_bm25_index(spark, TEST_SF_DIR, idx_app, docs=seed)
     text.append_bm25_index(spark, batch, idx_app)
     text.build_bm25_index(spark, TEST_SF_DIR, idx_full)
-    s_app = spark.read.parquet(f"{idx_app}/_stats").collect()[0]
-    s_full = spark.read.parquet(f"{idx_full}/_stats").collect()[0]
+    s_app = spark.read.parquet(text.bm25_stats_dir(idx_app)).collect()[0]
+    s_full = spark.read.parquet(text.bm25_stats_dir(idx_full)).collect()[0]
     assert (s_app["n"], s_app["n_dl"], s_app["sum_dl"], s_app["avgdl"]) == (
         s_full["n"], s_full["n_dl"], s_full["sum_dl"], s_full["avgdl"]
     )
@@ -776,3 +776,139 @@ def test_bm25_append_matches_rebuild(spark, tmp_path):
             ).collect()
         ]
         assert got == want and got, q
+
+
+def test_bm25_stats_swap_is_atomic(spark, tmp_path):
+    """Round-13 verdict item 3: the append's ``_stats`` cutover is a
+    versioned dir + atomic manifest promote, never an overwrite of the
+    live dir. Pin each crash point (the test_corpus_ingest model): a
+    staged-but-unpromoted ``_stats.v<k>`` and an orphaned tmp manifest
+    are both invisible to the resolver and swept by the next append;
+    at every step the resolved dir is a COMPLETE one-row parquet."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    idx = str(tmp_path / "bm25_atomic")
+    text.build_bm25_index(spark, TEST_SF_DIR, idx, docs=docs.filter(F.col("doc_id") < 200))
+    # fresh build: literal sidecar, no manifest yet
+    assert text.bm25_stats_dir(idx) == f"{idx}/_stats"
+    seed_stats = spark.read.parquet(text.bm25_stats_dir(idx)).collect()[0]
+
+    # crash point 1: a staged version dir that was never promoted
+    spark.createDataFrame(
+        [(1.0, 1.0, 1.0, 1.0)], "n double, n_dl double, sum_dl double, avgdl double"
+    ).write.parquet(f"{idx}/_stats.v9")
+    # crash point 2: a tmp manifest that was never renamed
+    with open(f"{idx}/_stats_MANIFEST.tmp", "w") as f:
+        f.write("_stats.v9")
+    # both leftovers invisible: resolver still names the live sidecar
+    assert text.bm25_stats_dir(idx) == f"{idx}/_stats"
+    got = spark.read.parquet(text.bm25_stats_dir(idx)).collect()[0]
+    assert tuple(got) == tuple(seed_stats)
+
+    # the next append sweeps the leftovers and promotes atomically
+    text.append_bm25_index(
+        spark, docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)), idx
+    )
+    assert not os.path.exists(f"{idx}/_stats.v9")
+    assert not os.path.exists(f"{idx}/_stats_MANIFEST.tmp")
+    cur = text.bm25_stats_dir(idx)
+    assert os.path.basename(cur) == "_stats.v1"
+    # deferred cleanup: the superseded literal dir survives THIS
+    # promote (read stability for a racing reader)...
+    assert os.path.isdir(f"{idx}/_stats")
+    # ...and is swept by the NEXT append's promote
+    text.append_bm25_index(
+        spark, docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)), idx
+    )
+    assert os.path.basename(text.bm25_stats_dir(idx)) == "_stats.v2"
+    assert not os.path.exists(f"{idx}/_stats")
+    assert os.path.isdir(f"{idx}/_stats.v1")  # superseded one cycle ago: still readable
+    # append-vs-rebuild bit-exactness still holds through the swaps
+    idx_full = str(tmp_path / "bm25_atomic_full")
+    text.build_bm25_index(
+        spark, TEST_SF_DIR, idx_full, docs=docs.filter(F.col("doc_id") < 400)
+    )
+    s_app = spark.read.parquet(text.bm25_stats_dir(idx)).collect()[0]
+    s_full = spark.read.parquet(text.bm25_stats_dir(idx_full)).collect()[0]
+    assert tuple(s_app) == tuple(s_full)
+
+
+def test_bm25_compact_preserves_results_and_pruning(spark, tmp_path):
+    """compact_bm25_index (round-13 verdict item 4): appends grow ≥1
+    file per touched bucket per batch; compaction folds them, the
+    query's results stay BIT-identical, the bucket= layout (and the
+    scan's PartitionFilters pruning) survives, and appends keep
+    working against the promoted dir — including a SECOND compaction
+    exercising the deferred sweep of both the root bucket dirs and
+    the superseded version dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def n_parquet_files(d):
+        return sum(
+            1
+            for root, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    idx = str(tmp_path / "bm25_cmp")
+    text.build_bm25_index(spark, TEST_SF_DIR, idx, docs=docs.filter(F.col("doc_id") < 200))
+    for lo in range(200, 450, 50):  # five appended micro-batches
+        text.append_bm25_index(
+            spark,
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50)),
+            idx,
+        )
+    before = [
+        tuple(r)
+        for r in text.text_bm25_topk_indexed(spark, TEST_SF_DIR, idx).collect()
+    ]
+    files_before = n_parquet_files(text.bm25_postings_dir(idx))
+    n_after = text.compact_bm25_index(spark, idx)
+    assert os.path.basename(text.bm25_postings_dir(idx)) == "_postings.v1"
+    assert n_after < files_before
+    after = [
+        tuple(r)
+        for r in text.text_bm25_topk_indexed(spark, TEST_SF_DIR, idx).collect()
+    ]
+    assert after == before
+    # pruning survives the promoted layout
+    plan = (
+        text.text_bm25_topk_indexed(spark, TEST_SF_DIR, idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert any(
+        "PartitionFilters" in line and "bucket" in line
+        for line in plan.splitlines()
+    ), plan
+    # root bucket dirs survive the FIRST compaction (read stability)
+    assert any(x.startswith("bucket=") for x in os.listdir(idx))
+    # append lands in the promoted dir; a second compaction sweeps the
+    # root layout and the superseded version, and results still match
+    # a full rebuild
+    text.append_bm25_index(
+        spark, docs.filter((F.col("doc_id") >= 450) & (F.col("doc_id") < 500)), idx
+    )
+    text.compact_bm25_index(spark, idx)
+    assert os.path.basename(text.bm25_postings_dir(idx)) == "_postings.v2"
+    assert not any(x.startswith("bucket=") for x in os.listdir(idx))
+    assert os.path.isdir(f"{idx}/_postings.v1")  # deferred one cycle
+    idx_full = str(tmp_path / "bm25_cmp_full")
+    text.build_bm25_index(spark, TEST_SF_DIR, idx_full)  # doc_id < 500 = all
+    got = [
+        tuple(r)
+        for r in text.text_bm25_topk_indexed(spark, TEST_SF_DIR, idx).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in text.text_bm25_topk_indexed(spark, TEST_SF_DIR, idx_full).collect()
+    ]
+    assert got == want and got
