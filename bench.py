@@ -120,11 +120,12 @@ EXTRA_QUERIES = {
     "corpus_chunk_documents": curation.corpus_chunk_documents,
     "events_funnel": events.events_funnel,
     "text_repeated_span_scrub": text.text_repeated_span_scrub,
-    "text_normalize": text.text_normalize,
+    # text_normalize and ann_cosine_topk_sq8 moved INTO the registry in
+    # the round-14 rotation (slots freed by the text_profile_suite
+    # fold); their bench rows keep the same names via the registry dict
     "multimodal_image_resize": multimodal.multimodal_image_resize_stats,
     "semantic_dedup": similarity.semantic_dedup,
     "multimodal_video_stats": multimodal.multimodal_video_stats,
-    "ann_cosine_topk_sq8": similarity.ann_cosine_topk_sq8,
     "corpus_decontaminate": curation.corpus_decontaminate,
     # hybrid_topk_rrf and corpus_neardup_keep_best moved INTO the
     # registry in the round-13 rotation (slots freed by the
@@ -138,6 +139,10 @@ EXTRA_QUERIES = {
     # de-registered in the round-13 folds; same name-stable rule
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    # de-registered in the round-14 text_profile_suite fold; same rule
+    "text_lang_id": text.text_lang_id,
+    "text_token_classes": text.text_token_classes,
+    "text_fingerprint": text.text_fingerprint,
 }
 
 

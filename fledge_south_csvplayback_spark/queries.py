@@ -84,9 +84,20 @@ register(
     text.text_boilerplate_scrub,
     text.TEXT_BOILERPLATE_SQL,
 )
-register("text_lang_id", text.text_lang_id, text.TEXT_LANG_ID_SQL)
-register("text_token_classes", text.text_token_classes, text.TEXT_TOKEN_CLASSES_SQL)
-register("text_fingerprint", text.text_fingerprint, text.TEXT_FINGERPRINT_SQL)
+# Round-14 registry fold (COVERAGE.md selection rule): lang_id,
+# token_classes and fingerprint are three one-scan projections over
+# the same documents fixture with disjoint output columns, so they
+# ride ONE wide single-scan entry — every constituent column still
+# value-checked per row, and the suite selects the SAME column
+# builders the standalone operators do (drift impossible by
+# construction). Unmerged callables stay public + pytest-oracle-
+# checked; the two freed slots register text_normalize and
+# ann_cosine_topk_sq8 below.
+register("text_profile_suite", text.text_profile_suite, text.TEXT_PROFILE_SUITE_SQL)
+# rotated in round 14 (slot freed by the text_profile_suite fold): the
+# standalone CCNet/Dolma normalization pass — benched since round 9,
+# previously pytest-oracle only
+register("text_normalize", text.text_normalize, text.TEXT_NORMALIZE_SQL)
 # rotated in round 10 (slot freed by the ts_current_time_stamping
 # fold): HTML/markup extraction — the stage a web corpus runs before
 # text_normalize, and the largest cross-engine regex surface in the
@@ -154,6 +165,17 @@ register(
     "ann_cosine_topk_ivf",
     similarity.ann_cosine_topk_ivf,
     similarity.ANN_COSINE_TOPK_IVF_SQL,
+)
+# rotated in round 14 (slot freed by the text_profile_suite fold): the
+# SQ8 two-stage rescored ANN. Its oracle is the BRUTE-force top-k SQL
+# on purpose — with stage-1 recall@C perfect at this dimensionality
+# (quantization error ~1e-3 cosine, C = 4k), the exact rescore returns
+# the true top-k, and that equality IS the operator's contract
+# (test_sq8_topk_matches_brute pins it at both fixture scales).
+register(
+    "ann_cosine_topk_sq8",
+    similarity.ann_cosine_topk_sq8,
+    similarity.ANN_COSINE_TOPK_SQL,
 )
 register(
     "embedding_cosine_pairs",

@@ -7,6 +7,59 @@ from fledge_south_csvplayback_spark.operators import text
 
 
 
+# --- round-14 registry fold: profile suite + de-registered constituents ----
+def test_text_profile_suite_oracle_parity(spark):
+    """The folded wide entry (lang_id + token_classes + fingerprint in
+    one scan) against its composed DuckDB SQL at both fixture scales."""
+    from tests.conftest import ORACLE_SF_DIR, TEST_SF_DIR
+    from tests.oracle_harness import compare
+
+    for sf in (TEST_SF_DIR, ORACLE_SF_DIR):
+        ok, msg = compare(
+            text.text_profile_suite(spark, sf), text.TEXT_PROFILE_SUITE_SQL, sf
+        )
+        assert ok, msg
+
+
+def test_text_profile_constituents_oracle_parity(spark):
+    """The three de-registered standalone operators keep their own
+    oracle checks in pytest (the de-registration rule: fold frees the
+    driver slot, never the coverage)."""
+    from tests.conftest import ORACLE_SF_DIR, TEST_SF_DIR
+    from tests.oracle_harness import compare
+
+    for fn, sql in (
+        (text.text_lang_id, text.TEXT_LANG_ID_SQL),
+        (text.text_token_classes, text.TEXT_TOKEN_CLASSES_SQL),
+        (text.text_fingerprint, text.TEXT_FINGERPRINT_SQL),
+    ):
+        for sf in (TEST_SF_DIR, ORACLE_SF_DIR):
+            ok, msg = compare(fn(spark, sf), sql, sf)
+            assert ok, (fn.__name__, msg)
+
+
+def test_text_profile_suite_matches_constituents(spark):
+    """Column-level drift net: the suite's projection equals the three
+    standalone outputs joined on doc_id — they share the same column
+    builders, so this can only break if someone forks them."""
+    from tests.conftest import TEST_SF_DIR
+
+    suite = {r["doc_id"]: r.asDict() for r in text.text_profile_suite(spark, TEST_SF_DIR).collect()}
+    for fn in (text.text_lang_id, text.text_token_classes, text.text_fingerprint):
+        for r in fn(spark, TEST_SF_DIR).collect():
+            d = r.asDict()
+            for k, v in d.items():
+                assert suite[d["doc_id"]][k] == v, (fn.__name__, k)
+    # one scan, no shuffle, both the fold's point and its plan contract
+    plan = (
+        text.text_profile_suite(spark, TEST_SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
 # --- standalone normalization ---------------------------------------------
 def test_text_normalize_oracle_parity(spark):
     from tests.conftest import ORACLE_SF_DIR, TEST_SF_DIR
