@@ -515,6 +515,15 @@ def dedup_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.unionByName(mh)
 
 
+# NOTE (round-13 advice): the 'minhash' arm deliberately reuses the
+# EXACT-Jaccard SQL — DuckDB has no MinHash to mirror, and the LSH
+# miner's output equals exact Jaccard ONLY under the fixture-margin
+# property (every fixture pair sits far from the 0.8 threshold;
+# test_dedup's margin test pins this). A future fixture with pairs
+# hovering just above the threshold would make the driver compare fail
+# SPURIOUSLY (LSH miss probability ~1.5e-2 per pair at the threshold)
+# — that is a fixture-contract violation, not an LSH bug: fix the
+# fixture margin (or re-split the union), don't loosen the miner.
 DEDUP_NEARDUP_PAIRS_SQL = f"""
 SELECT 'ngram' AS method, * FROM ({NGRAM_JACCARD_SQL})
 UNION ALL

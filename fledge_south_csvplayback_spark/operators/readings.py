@@ -59,7 +59,18 @@ def pandas_ts_string(ts: Column, tz_aware: bool = False) -> Column:
     (``.000250`` → ``'.00025'``) and never a suffix — a downstream
     consumer strptime-ing the reference's output with ``%f%z`` would
     reject the engine convention. Pinned against live
-    ``str(pd.Timestamp)`` in tests/test_csv_source.py."""
+    ``str(pd.Timestamp)`` in tests/test_csv_source.py.
+
+    ``tz_aware`` caveat (round-13 advice): the suffix comes from
+    ``date_format(ts, 'xxx')`` — the SESSION timezone's offset at the
+    row's instant, not the per-row offset ``str(pandas.Timestamp)``
+    preserves (Spark timestamps are instants; the parsed ``%z`` offset
+    is not stored). Byte parity with the reference therefore assumes a
+    FIXED-OFFSET session timezone equal to the feed's offset (UTC in
+    the tests) — under a DST session zone the suffix varies by date
+    where pandas would keep the feed's constant offset. Feeds that
+    genuinely mix per-row offsets need the offset carried as a column
+    before the parse; no reference fixture does."""
     base = F.when(
         F.unix_micros(ts) % 1_000_000 == 0,
         F.date_format(ts, "yyyy-MM-dd HH:mm:ss"),

@@ -2302,6 +2302,21 @@ def _sq8_search(
     return _exact_rescore(spark, sf_dir, partial, rescore_c)
 
 
+def _literal_df(spark: SparkSession, structs: list, ddl: str) -> DataFrame:
+    """Driver-local rows as a literal inline table (``inline`` over a
+    1-row range) — plans as Generate over Range, fully JVM-side,
+    instead of ``createDataFrame``'s ``Scan ExistingRDD`` Python
+    round-trip. For zero rows, an empty typed projection."""
+    if structs:
+        return spark.range(1).select(F.inline(F.array(*structs)))
+    from pyspark.sql import types as T
+
+    st = T.StructType.fromDDL(ddl)
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+    )
+
+
 def _exact_rescore(
     spark: SparkSession, sf_dir: str, partial: DataFrame, rescore_c: int
 ) -> DataFrame:
@@ -2335,16 +2350,36 @@ def _exact_rescore(
     exact = embq.filter(F.col("vec_id").isin(ids)).select(
         "vec_id", "v", "norm"
     )
-    qdf = spark.createDataFrame(
-        [(int(r["vec_id"]), list(r["v"]), float(r["norm"])) for r in qrows],
+    # the two driver-local tables ride as LITERAL inline rows, not
+    # createDataFrame: a Python-list createDataFrame enters the plan as
+    # `Scan ExistingRDD` (a Python round-trip the global plan-hygiene
+    # sweep bans, and unreadable in the registered plan). Both are
+    # ≤ |Q|·C rows by design, so the literal expression tree is tiny.
+    qdf = _literal_df(
+        spark,
+        [
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("query_id"),
+                F.array(*[F.lit(float(x)) for x in r["v"]]).alias("qv"),
+                F.lit(float(r["norm"])).alias("qn"),
+            )
+            for r in qrows
+        ],
         "query_id long, qv array<double>, qn double",
     )
+    cand_df = _literal_df(
+        spark,
+        [
+            F.struct(
+                F.lit(int(r["query_id"])).alias("query_id"),
+                F.lit(int(r["vec_id"])).alias("vec_id"),
+            )
+            for r in cand_rows
+        ],
+        "query_id long, vec_id long",
+    )
     rescored = (
-        spark.createDataFrame(
-            [(int(r["query_id"]), int(r["vec_id"])) for r in cand_rows],
-            "query_id long, vec_id long",
-        )
-        .join(F.broadcast(exact), "vec_id")
+        cand_df.join(F.broadcast(exact), "vec_id")
         .join(F.broadcast(qdf), "query_id")
         .select(
             "query_id",
@@ -2430,8 +2465,21 @@ def lexical_topk_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("toks", "q_toks"))
     uni = F.size(F.array_union("toks", "q_toks"))
+    # floor(j·1e6 + 0.5)/1e6 rather than F.round: the scorer variant
+    # (_lexical_partial_topk) rounds on the FLOAT PRODUCT in numpy, and
+    # F.round is BigDecimal HALF_UP on the exact decimal — the two
+    # disagree whenever the product's rounding error crosses the .5
+    # boundary (round-13 advice item; measured 1064/142860 adversarial
+    # half-boundary doubles). The floor form is bit-identical to the
+    # numpy emulation by IEEE determinism (same multiply/add/floor) —
+    # agreement by construction, not fixture luck — and ALSO matches
+    # DuckDB's ROUND(double, 6) on every probed boundary value, where
+    # F.round does not (probe in tests/test_similarity.py).
     jac = (
-        F.when(uni > 0, F.round(inter.cast("double") / uni, 6))
+        F.when(
+            uni > 0,
+            F.floor(inter.cast("double") / uni * 1e6 + 0.5) / 1e6,
+        )
         .otherwise(F.lit(0.0))
     )
     w = W.partitionBy("query_id").orderBy(
@@ -2461,10 +2509,13 @@ def _lexical_partial_topk(qtoks: list[tuple[int, list[str]]]):
     in from the JVM projection so the union size is
     ``na + nq - c`` without materializing unions.
 
-    Rounding matches the expression variant's ``F.round`` (HALF_UP):
-    ``floor(j·1e6 + 0.5)/1e6`` — identical on every exactly-
-    representable ratio (the dyadic 1/128-style values where
-    numpy's half-even ``np.round`` would diverge).
+    Rounding is ``floor(j·1e6 + 0.5)/1e6`` — and since round 14 the
+    expression variant computes the SAME floor form in the JVM
+    (identical IEEE multiply/add/floor → bit-identical by
+    construction; ``F.round``'s BigDecimal HALF_UP disagrees with any
+    float-product rounding when the product's error crosses the .5
+    boundary — round-13 advice item, closed by aligning both variants
+    on the float-product form, which DuckDB's ROUND also matches).
 
     Every batch doc is scored — zero-intersection docs participate
     with jaccard 0.0 — so per-batch top-k plus the shared global

@@ -209,6 +209,16 @@ INFER_SAMPLE_LINES = 128
 HEAD_BLANK_SLACK = 64
 
 
+def _is_blank(line: str) -> bool:
+    """pandas C-ENGINE blank test: only spaces and tabs are blank —
+    \\x0b, \\f, \\xa0 and unicode spaces are DATA to the C parser
+    (round-14 probe vs pandas 2.2; the python engine's wider unicode
+    rule applies only to the ragged read, see lineio._BLANK_RE). A
+    bare ``str.strip()`` here over-classified both control and
+    unicode whitespace as blank."""
+    return line.strip(" \t") == ""
+
+
 def _head_with_blanks(
     spark: SparkSession, path: str, want: int, need_nonblank: int
 ) -> list[str]:
@@ -219,7 +229,7 @@ def _head_with_blanks(
     slack = HEAD_BLANK_SLACK
     while True:
         head = lineio.head_lines(spark, path, want + slack)
-        nonblank = sum(1 for l in head if l.strip() != "")
+        nonblank = sum(1 for l in head if not _is_blank(l))
         if nonblank >= need_nonblank or len(head) < want + slack:
             return head
         slack *= 8
@@ -407,20 +417,20 @@ def read_pick_from_file(
         # through the driver (round-12 review).
         n_head = (1 + INFER_SAMPLE_LINES) if infer_schema else 1
         head_raw = _head_with_blanks(spark, path, n_head, 1)
-        if not any(l.strip() != "" for l in head_raw):
+        if all(_is_blank(l) for l in head_raw):
             raise ValueError(f"no non-blank lines in {path}")
-        if head_raw[0].strip() != "":
+        if not _is_blank(head_raw[0]):
             if not infer_schema:
                 # column NAMES keep Spark's native dedup (`a0`,`a1`)
                 # here — the documented pin, like `_c<i>` for empty
                 # header cells — but VALUES follow pandas: sentinels
                 # → NULL
                 return null_na_sentinels(reader.csv(path))
-            # strip, not truthiness: whitespace-only lines are blank to
-            # pandas — in the header slot AND in the inference sample,
-            # where a kept ws line polluted the dtypes (round-13
-            # verdict finding)
-            head = [l for l in head_raw if l.strip() != ""]
+            # blank test, not truthiness: whitespace-only lines are
+            # blank to pandas — in the header slot AND in the
+            # inference sample, where a kept ws line polluted the
+            # dtypes (round-13 verdict finding)
+            head = [l for l in head_raw if not _is_blank(l)]
             names = _split_header(head[0])
             sample = list(csv.reader(head[1:]))
             return null_na_sentinels(
@@ -453,10 +463,11 @@ def read_pick_from_file(
         skip_rows + header_row + 1 + n_sample,
         skip_rows + header_row + 1,
     )
-    # strip: whitespace-only lines are blank to pandas (lineio
-    # drop_blank_lines docstring, round-13 probe)
+    # C-engine blank test: space/tab-only lines are blank to pandas
+    # (lineio drop_blank_lines docstring; round-13 probe + round-14
+    # character-set pin)
     nonblank = [
-        (j, ln) for j, ln in enumerate(head[skip_rows:]) if ln.strip() != ""
+        (j, ln) for j, ln in enumerate(head[skip_rows:]) if not _is_blank(ln)
     ]
     if len(nonblank) <= header_row:
         raise ValueError(
@@ -631,10 +642,10 @@ def read_explicit(
     # the discarded header is the first NON-BLANK line after the
     # physical skip (pandas header=0 semantics; blank lines invisible)
     head = _head_with_blanks(spark, path, skip_rows + 1, skip_rows + 1)
-    # strip: whitespace-only lines are blank to pandas (lineio
-    # drop_blank_lines docstring, round-13 probe)
+    # C-engine blank test: space/tab-only lines are blank to pandas
+    # (lineio drop_blank_lines docstring, round-13/14 probes)
     nonblank = [
-        (j, ln) for j, ln in enumerate(head[skip_rows:]) if ln.strip() != ""
+        (j, ln) for j, ln in enumerate(head[skip_rows:]) if not _is_blank(ln)
     ]
     if not nonblank:
         raise ValueError(f"no header line after skipping {skip_rows} lines of {path}")
@@ -780,8 +791,14 @@ def read_ragged(
     """
     check_not_empty(path)
     lines = lineio.with_line_numbers(
+        # python-ENGINE blank semantics: the reference's ragged read is
+        # pandas engine='python', whose _remove_empty_lines drops a
+        # single-field line blank under str.strip() — ANY unicode
+        # whitespace — where the C engine would keep \x0b/\xa0/
+        # lines as data (round-14 probe; lineio._BLANK_RE)
         lineio.drop_blank_lines(
-            lineio.skip_lines(lineio.read_lines(spark, path), skip_rows)
+            lineio.skip_lines(lineio.read_lines(spark, path), skip_rows),
+            engine="python",
         )
     )
     width_row = lines.select(

@@ -64,7 +64,21 @@ def read_lines(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def drop_blank_lines(lines: DataFrame) -> DataFrame:
+# what counts as a BLANK line differs between pandas' two parsers
+# (round-14 probe, both pinned live against pandas 2.2):
+#   - the C engine (every pick_from_file/explicit read inherits it)
+#     skips only lines made of SPACES and TABS — \x0b, \f, \xa0 and
+#     unicode spaces are DATA rows;
+#   - the python engine (the reference's ragged read) removes a
+#     single-field line whose str.strip() is empty — i.e. ANY unicode
+#     whitespace. (?U) gives Java \s the Unicode White_Space class;
+#     \x1c-\x1f are appended because Python's str.isspace() counts the
+#     file/group/record/unit separators as whitespace while Unicode
+#     White_Space does not.
+_BLANK_RE = {"c": r"^[ \t]*$", "python": r"(?U)^[\s\x1c-\x1f]*$"}
+
+
+def drop_blank_lines(lines: DataFrame, engine: str = "c") -> DataFrame:
     """Blank physical lines are no rows at all.
 
     pandas' default ``skip_blank_lines=True`` (which the reference
@@ -72,14 +86,17 @@ def drop_blank_lines(lines: DataFrame) -> DataFrame:
     indexing and to the data itself, while ``skiprows`` still counts
     them physically — so callers apply this AFTER ``skip_lines``.
 
-    "Blank" includes WHITESPACE-ONLY lines: pandas' parser skips a
-    raw line of spaces/tabs exactly like an empty one (verified live
-    on pandas 2.2 in single- and multi-column files, for data rows
-    and for ``header=`` indexing — round-13 probe; this docstring
-    previously claimed the opposite without one). The test is on the
-    RAW line, so a QUOTED whitespace field (``"  "``) is data, kept.
+    "Blank" includes WHITESPACE-ONLY lines, with the whitespace set
+    depending on which pandas parser the caller mirrors (``engine``,
+    see ``_BLANK_RE``): space/tab for the C engine's reads, any
+    unicode whitespace for the python engine's ragged read. Previous
+    rounds used Java's ASCII ``\\s`` for both — wrong in BOTH
+    directions (it dropped \\x0b/\\f lines the C engine keeps as data,
+    and kept \\xa0/\\u3000 lines the python engine removes). The test
+    is on the RAW line, so a QUOTED whitespace field (``"  "``) is
+    data, kept.
     """
-    return lines.filter(~F.col("value").rlike(r"^\s*$"))
+    return lines.filter(~F.col("value").rlike(_BLANK_RE[engine]))
 
 
 def head_lines(spark: SparkSession, path: str, n: int) -> list[str]:

@@ -212,6 +212,67 @@ def test_pick_preamble_gzip_matches_pandas(spark, tmp_path):
     assert sorted(map(tuple, df.collect())) == [(1, 2), (3, 4)]
 
 
+def test_blank_charset_c_engine_keeps_control_ws_lines(spark, tmp_path):
+    """Round-14 character-set pin: pandas' C engine treats ONLY
+    space/tab lines as blank — \\x0c (form feed), \\x0b (vertical
+    tab), \\xa0 (nbsp) and unicode-space lines are DATA rows (probed
+    live). The line-oriented path previously dropped \\x0c/\\x0b via
+    Java's ASCII \\s and the driver-side filters over-classified
+    unicode whitespace via str.strip() — both now use the C-engine
+    space/tab rule."""
+    for name, ws in (("ff", "\x0c"), ("vt", "\x0b"), ("nbsp", "\xa0"), ("em", " ")):
+        text = f"m1,x\nm2,x\na,b\n1,2\n{ws}\n3,4\n"
+        p = _write(tmp_path, f"ctl_{name}", text)
+        exp = pd.read_csv(p, skiprows=2, header=0, dtype=str)
+        df = cs.read_pick_from_file(spark, p, skip_rows=2, infer_schema=False)
+        assert _norm_spark(df) == _norm_pd(exp), name
+        # the ws line IS one of the rows (not dropped)
+        assert df.count() == 3, name
+
+
+def test_blank_charset_python_engine_ragged_drops_unicode_ws(spark, tmp_path):
+    """The ragged read mirrors pandas' PYTHON engine, whose
+    _remove_empty_lines drops a single-field line blank under
+    str.strip() — any unicode whitespace — while a line WITH commas
+    is never blank (multiple fields). Pinned: \\u3000/\\xa0/\\x0c
+    lines vanish before numbering; ' , ' survives as a two-field
+    row of whitespace values."""
+    text = "a,b\n　\n1,2\n\xa0\n\x0c\n , \n"
+    p = _write(tmp_path, "rag_uws", text)
+    got = {r.row_id: r.readings for r in cs.read_ragged(spark, p).collect()}
+    assert got == {
+        0: {"column_1": "a", "column_2": "b"},
+        1: {"column_1": "1", "column_2": "2"},
+        2: {"column_1": " ", "column_2": " "},
+    }
+
+
+def test_python_blank_regex_matches_str_strip(spark):
+    """The JVM regex behind the ragged read's blank test must classify
+    every character exactly like Python's str.strip() (the pandas
+    python-engine rule) — swept over the ASCII controls, the unicode
+    whitespace set, and near-miss non-whitespace (ZWSP, word joiner)."""
+    from pyspark.sql import functions as F
+
+    chars = [chr(c) for c in range(0x00, 0x40)]
+    chars += ["\x85", "\xa0", " ", " ", " ", " "]
+    chars += [" ", " ", " ", " ", "　"]
+    chars += ["​", "⁠", "﻿", "x", "·"]
+    # \n/\r never appear INSIDE a line payload (they terminate lines)
+    chars = [c for c in chars if c not in ("\n", "\r")]
+    from fledge_south_csvplayback_spark.sources.lineio import _BLANK_RE
+
+    df = spark.createDataFrame([(c,) for c in chars], "value string")
+    got = {
+        r["value"]: r["blank"]
+        for r in df.select(
+            "value", F.col("value").rlike(_BLANK_RE["python"]).alias("blank")
+        ).collect()
+    }
+    for c in chars:
+        assert got[c] == (c.strip() == ""), hex(ord(c))
+
+
 def test_pick_preamble_multiline_raises(spark, tmp_path):
     """multi_line cannot take the line-oriented fallback (it would
     split quoted fields) and the native multiLine header pick is

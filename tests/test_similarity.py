@@ -1280,3 +1280,41 @@ def test_lexical_topk_scorer_agrees_with_expr(spark):
         tuple(r) for r in S.lexical_topk_expr(spark, TEST_SF_DIR).collect()
     )
     assert got == want
+
+
+def test_lexical_rounding_agrees_by_construction(spark):
+    """Round-13 advice item: the scorer's numpy ``floor(j·1e6+0.5)/1e6``
+    and the expression variant's rounding must agree on EVERY double,
+    not just the fixture's ratios — so the expression variant now
+    computes the same floor form in the JVM (identical IEEE
+    multiply/add/floor → bit-identical by construction). Pinned on
+    adversarial half-boundary values — doubles within an ulp of an
+    exact ``n + 0.5`` product — where ``F.round``'s BigDecimal HALF_UP
+    was measured to diverge from the float-product form in ~0.7 % of
+    cases (and from DuckDB's ROUND, which the floor form matches)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    vals = []
+    for n in range(1, 5000, 13):
+        x = (n + 0.5) / 1e6
+        vals += [float(np.nextafter(x, -np.inf)), float(x), float(np.nextafter(x, np.inf))]
+    arr = np.unique(np.array(vals, dtype=np.float64))
+    want = np.floor(arr * 1e6 + 0.5) / 1e6  # the scorer's numpy form
+    rows = (
+        spark.createDataFrame([(float(x),) for x in arr], "v double")
+        .select("v", (F.floor(F.col("v") * 1e6 + 0.5) / 1e6).alias("ff"))
+        .collect()
+    )
+    got = {r["v"]: r["ff"] for r in rows}
+    for x, w in zip(arr, want):
+        assert got[float(x)] == w, x
+    # DuckDB's ROUND matches the floor form on the same values (the
+    # oracle-side half of the construction)
+    import duckdb
+
+    duck = duckdb.connect().execute(
+        "SELECT round(v, 6) FROM (SELECT unnest(?) AS v)",
+        [list(map(float, arr))],
+    ).fetchall()
+    assert [d[0] for d in duck] == list(want)
