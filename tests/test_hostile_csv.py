@@ -36,6 +36,13 @@ with the documented rationale:
   UnicodeDecodeError; this engine yields the row with U+FFFD
   replacement characters — pinned divergence (one bad byte in a
   100 TB scan is one mangled cell, not a dead job).
+- blank-line CHARACTER SETS (round 14): pandas' C engine calls only
+  space/tab lines blank; its python engine (the ragged read) calls
+  any str.strip()-blank single-field line blank — both matched
+  per-engine on the line-oriented paths. The NATIVE fast path
+  additionally drops \\x0c/\\x0b-only data lines that pandas keeps
+  (uniVocity's rule) — pinned divergence; the skip path is the
+  exact-parity alternative.
 """
 
 from __future__ import annotations
@@ -228,6 +235,31 @@ def test_blank_charset_c_engine_keeps_control_ws_lines(spark, tmp_path):
         assert _norm_spark(df) == _norm_pd(exp), name
         # the ws line IS one of the rows (not dropped)
         assert df.count() == 3, name
+
+
+def test_blank_charset_native_fast_path_pins(spark, tmp_path):
+    """PINNED DIVERGENCE (round-14 hunt): Spark's NATIVE reader — the
+    fast path when the first physical line is non-blank — drops
+    \\x0c/\\x0b-only DATA lines that pandas' C engine keeps as rows
+    (uniVocity's empty-line rule treats the ASCII controls as blank);
+    \\xa0 and unicode-space lines are kept by both. The line-oriented
+    skip path matches pandas exactly on all of them
+    (test_blank_charset_c_engine_keeps_control_ws_lines), so feeds
+    where control-only lines are data should read via skip_rows or an
+    explicit schema= on the skip path. Pinned so the divergence is a
+    tested contract, not an accident."""
+    for name, ws, native_keeps in (
+        ("ff", "\x0c", False),
+        ("vt", "\x0b", False),
+        ("nbsp", "\xa0", True),
+    ):
+        p = _write(tmp_path, f"nat_{name}", f"a,b\n1,2\n{ws}\n3,4\n")
+        exp = pd.read_csv(p, dtype=str)
+        assert len(exp) == 3, name  # pandas C keeps the ws line as a row
+        df = cs.read_pick_from_file(spark, p, infer_schema=False)
+        assert df.count() == (3 if native_keeps else 2), name
+        if native_keeps:
+            assert _norm_spark(df) == _norm_pd(exp), name
 
 
 def test_blank_charset_python_engine_ragged_drops_unicode_ws(spark, tmp_path):
