@@ -83,6 +83,62 @@ def partition_cols(path: str) -> list[str]:
     return cols
 
 
+# --- versioned-dir + manifest promote (the lakehouse pointer pattern) --------
+# Shared by every persisted-index maintenance op (BM25 postings/stats,
+# media bands, the text shingle-df compactor predates it with its own
+# copy): readers resolve one small pointer file whose replacement is an
+# atomic POSIX rename / per-object store PUT — they never depend on a
+# directory overwrite or rename being atomic. A crash at any
+# instruction leaves a manifest that names a COMPLETE table.
+
+
+def manifest_resolve(index_dir: str, manifest: str, fallback: str) -> str:
+    """The live dir the manifest names; ``fallback`` ('' = the index
+    root itself) before any promote has run."""
+    m = os.path.join(index_dir, manifest)
+    if os.path.exists(m):
+        with open(m) as f:
+            return os.path.join(index_dir, f.read().strip())
+    return os.path.join(index_dir, fallback) if fallback else index_dir
+
+
+def manifest_promote(index_dir: str, manifest: str, name: str) -> None:
+    """The one cutover: write the pointer aside, fsync, atomic rename."""
+    tmp = os.path.join(index_dir, manifest + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(index_dir, manifest))
+
+
+def next_version(cur_name: str, stem: str) -> str:
+    if not cur_name.startswith(f"{stem}.v"):
+        return f"{stem}.v1"
+    return f"{stem}.v{int(cur_name.rsplit('.v', 1)[1]) + 1}"
+
+
+def sweep_stale_versions(index_dir: str, stem: str, cur: str) -> None:
+    """Deferred cleanup: version dirs superseded by an EARLIER promote
+    — plus crashed staging leftovers and orphaned ``.tmp`` manifests —
+    are garbage; the dir the CURRENT manifest names is never touched,
+    so a reader that resolved it before this write keeps what it is
+    reading (the compact_text_neardup_index read-stability rule)."""
+    import shutil
+
+    cur_name = os.path.basename(cur)
+    for name in sorted(os.listdir(index_dir)):
+        if name == cur_name:
+            continue
+        full = os.path.join(index_dir, name)
+        if name.startswith(f"{stem}.v") or (
+            name == stem and cur_name != stem
+        ):
+            shutil.rmtree(full)
+        elif name.endswith("_MANIFEST.tmp"):
+            os.remove(full)
+
+
 def compact_parquet(
     spark: SparkSession,
     in_dir: str,

@@ -899,78 +899,26 @@ def _bm25_stats(base: DataFrame) -> DataFrame:
     )
 
 
-# versioned-sidecar manifests (the corpus_ingest.df_table_dir pattern:
-# readers resolve one small pointer file whose replacement is an atomic
-# POSIX rename / per-object store PUT — they never depend on a
-# directory overwrite being atomic). All names are underscore-prefixed
-# so a plain parquet read of the index root cannot see them as data.
+# versioned-sidecar manifests (the shared compaction-module pointer
+# pattern — see operators/compaction.py manifest_* helpers: readers
+# resolve one small pointer file whose replacement is an atomic POSIX
+# rename; they never depend on a directory overwrite being atomic).
+# All names are underscore-prefixed so a plain parquet read of the
+# index root cannot see them as data.
 _BM25_STATS_MANIFEST = "_stats_MANIFEST"
 _BM25_POSTINGS_MANIFEST = "_postings_MANIFEST"
 
 
-def _manifest_resolve(index_dir: str, manifest: str, fallback: str) -> str:
-    """The live dir the manifest names; ``fallback`` ('' = the index
-    root itself) before any promote has run (fresh ``build_bm25_index``
-    layout)."""
-    import os
-
-    m = os.path.join(index_dir, manifest)
-    if os.path.exists(m):
-        with open(m) as f:
-            return os.path.join(index_dir, f.read().strip())
-    return os.path.join(index_dir, fallback) if fallback else index_dir
-
-
 def bm25_stats_dir(index_dir: str) -> str:
-    return _manifest_resolve(index_dir, _BM25_STATS_MANIFEST, "_stats")
+    from fledge_south_csvplayback_spark.operators import compaction
+
+    return compaction.manifest_resolve(index_dir, _BM25_STATS_MANIFEST, "_stats")
 
 
 def bm25_postings_dir(index_dir: str) -> str:
-    return _manifest_resolve(index_dir, _BM25_POSTINGS_MANIFEST, "")
+    from fledge_south_csvplayback_spark.operators import compaction
 
-
-def _manifest_promote(index_dir: str, manifest: str, name: str) -> None:
-    """The one cutover: write the pointer aside, fsync, atomic rename.
-    A crash at any instruction leaves a manifest that names a COMPLETE
-    dir (the old one, or — after the rename — the fully-staged new
-    one); there is no window where a reader resolves a missing or
-    partial table."""
-    import os
-
-    tmp = os.path.join(index_dir, manifest + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(name)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(index_dir, manifest))
-
-
-def _next_version(cur_name: str, stem: str) -> str:
-    if not cur_name.startswith(f"{stem}.v"):
-        return f"{stem}.v1"
-    return f"{stem}.v{int(cur_name.rsplit('.v', 1)[1]) + 1}"
-
-
-def _sweep_stale_versions(index_dir: str, stem: str, cur: str) -> None:
-    """Deferred cleanup (the compact_text_neardup_index rule): version
-    dirs superseded by an EARLIER promote — plus crashed staging
-    leftovers and orphaned ``.tmp`` manifests — are garbage; the dir
-    the CURRENT manifest names is never touched, so a reader that
-    resolved it before this write keeps what it is reading."""
-    import os
-    import shutil
-
-    cur_name = os.path.basename(cur)
-    for name in sorted(os.listdir(index_dir)):
-        if name == cur_name:
-            continue
-        full = os.path.join(index_dir, name)
-        if name.startswith(f"{stem}.v") or (
-            name == stem and cur_name != stem
-        ):
-            shutil.rmtree(full)
-        elif name.endswith("_MANIFEST.tmp"):
-            os.remove(full)
+    return compaction.manifest_resolve(index_dir, _BM25_POSTINGS_MANIFEST, "")
 
 
 def _promote_bm25_stats(spark: SparkSession, row, index_dir: str) -> None:
@@ -981,13 +929,15 @@ def _promote_bm25_stats(spark: SparkSession, row, index_dir: str) -> None:
     partial sidecar (round-13 verdict item 3)."""
     import os
 
+    from fledge_south_csvplayback_spark.operators import compaction
+
     cur = bm25_stats_dir(index_dir)
-    _sweep_stale_versions(index_dir, "_stats", cur)
-    nxt = _next_version(os.path.basename(cur), "_stats")
+    compaction.sweep_stale_versions(index_dir, "_stats", cur)
+    nxt = compaction.next_version(os.path.basename(cur), "_stats")
     spark.createDataFrame(
         [row], "n double, n_dl double, sum_dl double, avgdl double"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, nxt))
-    _manifest_promote(index_dir, _BM25_STATS_MANIFEST, nxt)
+    compaction.manifest_promote(index_dir, _BM25_STATS_MANIFEST, nxt)
 
 
 def append_bm25_index(
@@ -1088,7 +1038,7 @@ def compact_bm25_index(
     from fledge_south_csvplayback_spark.operators import compaction
 
     cur = bm25_postings_dir(index_dir)
-    _sweep_stale_versions(index_dir, "_postings", cur)
+    compaction.sweep_stale_versions(index_dir, "_postings", cur)
     if cur == index_dir:
         # first compaction: the live table is the index ROOT's bucket
         # dirs (the build layout). They cannot be swept now (read
@@ -1107,7 +1057,7 @@ def compact_bm25_index(
         for name in sorted(os.listdir(index_dir)):
             if name.startswith("bucket="):
                 shutil.rmtree(os.path.join(index_dir, name))
-    nxt = _next_version(
+    nxt = compaction.next_version(
         os.path.basename(cur) if cur != index_dir else "", "_postings"
     )
     staged = os.path.join(index_dir, nxt)
@@ -1117,7 +1067,7 @@ def compact_bm25_index(
         staged,
         target_bytes or BM25_COMPACT_TARGET_BYTES,
     )
-    _manifest_promote(index_dir, _BM25_POSTINGS_MANIFEST, nxt)
+    compaction.manifest_promote(index_dir, _BM25_POSTINGS_MANIFEST, nxt)
     return n_files
 
 

@@ -45,6 +45,97 @@ from fledge_south_csvplayback_spark.operators.multimodal import (
 
 HASHES_SCHEMA = "doc_id long, dhash string"
 
+_BANDS_MANIFEST = "bands_MANIFEST"
+
+
+def media_bands_dir(index_dir: str) -> str:
+    """Resolve the CURRENT band-table directory (the shared
+    versioned-pointer pattern, ``compaction.manifest_resolve``):
+    the literal ``bands`` path until a ``compact_media_index`` has
+    promoted a version."""
+    from fledge_south_csvplayback_spark.operators import compaction
+
+    return compaction.manifest_resolve(index_dir, _BANDS_MANIFEST, "bands")
+
+
+def compact_media_index(spark: SparkSession, index_dir: str) -> None:
+    """Maintenance: fold every accepted band partition into the seed
+    partition (``ingest_batch=-1``) so the per-batch probe reads ONE
+    pre-merged table instead of N per-batch directories — the media
+    twin of ``corpus_ingest.compact_text_neardup_index``, sharing its
+    versioned-dir + atomic-manifest promote, deferred sweep, and
+    ``_FOLDED``-ledger rescue of concurrent appends (see that
+    docstring for the crash analysis; band rows are plain rows, so
+    the fold is a union, not an aggregation, and the folded table is
+    row-identical to the partitioned one).
+
+    HORIZON CONTRACT (stricter than the text df compactor's): run it
+    only for batch ids past the stream's checkpoint horizon. A batch
+    re-delivered AFTER its band rows folded into the seed can no
+    longer exclude its own rows (`ingest_batch != id` prunes nothing
+    from the seed), so its within-batch pairs would duplicate as
+    cross pairs — a CORRECTNESS error on re-delivery, not the text
+    compactor's mere cap bias. Past the horizon, re-delivery cannot
+    happen and the fold is observationally identical (pinned in
+    tests: post-compact batch pairs == unfolded-index batch pairs).
+    """
+    import math
+    import os
+    import shutil
+
+    from fledge_south_csvplayback_spark.operators import compaction
+    from fledge_south_csvplayback_spark.streaming.corpus_ingest import (
+        _FOLDED,
+        _batch_parts,
+        _read_folded,
+    )
+
+    cur = media_bands_dir(index_dir)
+    cur_name = os.path.basename(cur)
+    folded = _read_folded(cur)
+    # deferred cleanup of superseded versions, rescuing any batch
+    # partition a concurrent append completed after the prior merge
+    # pinned its input (absent from the current ledger)
+    for name in sorted(os.listdir(index_dir)):
+        if name == cur_name:
+            continue
+        if not (
+            name.startswith("bands.v")
+            or (name == "bands" and cur_name != "bands")
+        ):
+            continue
+        full = os.path.join(index_dir, name)
+        if folded is not None:
+            for part in sorted(_batch_parts(full)):
+                if part == "ingest_batch=-1" or part in folded:
+                    continue
+                dst = os.path.join(cur, part)
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(full, part), dst)
+        shutil.rmtree(full)
+
+    nxt = compaction.next_version(cur_name, "bands")
+    staged = os.path.join(index_dir, nxt)
+    # pin the merge's input to the partitions present NOW — the fold
+    # ledger must describe exactly what the seed absorbed
+    parts = sorted(_batch_parts(cur))
+    n_out = max(
+        1,
+        math.ceil(
+            compaction.input_bytes(cur) / compaction.DEFAULT_TARGET_BYTES
+        ),
+    )
+    merged = (
+        spark.read.option("basePath", cur)
+        .parquet(*[os.path.join(cur, p) for p in parts])
+        .drop("ingest_batch")
+        .repartition(n_out)
+    )
+    merged.write.mode("overwrite").parquet(f"{staged}/ingest_batch=-1")
+    with open(os.path.join(staged, _FOLDED), "w") as f:
+        f.write("\n".join(parts) + "\n")
+    compaction.manifest_promote(index_dir, _BANDS_MANIFEST, nxt)
+
 
 def seed_media_index(
     spark: SparkSession,
@@ -58,6 +149,16 @@ def seed_media_index(
     frame: geometry meta + the corpus band rows as partition
     ``ingest_batch=-1`` (the same ``_band_keys`` layout the batch
     builder writes, under the stream's Hive-partitioned root)."""
+    import os
+
+    if os.path.exists(os.path.join(index_dir, _BANDS_MANIFEST)):
+        # a stale manifest from a previously-compacted index would
+        # shadow the literal seed dir for every reader — re-seeding a
+        # compacted index is a fresh-directory job, fail loudly
+        raise ValueError(
+            f"{index_dir} already holds a compacted media index "
+            "(bands_MANIFEST present); seed into a fresh directory"
+        )
     _band_keys(st, hash_col, n_bands, m).write.mode("overwrite").parquet(
         f"{index_dir}/bands/ingest_batch=-1"
     )
@@ -92,8 +193,12 @@ def media_accept_batch(
         meta.n_bands,
         meta.m,
     ).cache()
+    # resolve the live band table ONCE per batch (manifest pointer):
+    # the probe read and the partition append below must target the
+    # same version (the corpus_ingest df-table rule)
+    bands_dir = media_bands_dir(index_dir)
     try:
-        idx = spark.read.parquet(f"{index_dir}/bands").filter(
+        idx = spark.read.parquet(bands_dir).filter(
             F.col("ingest_batch") != batch_id
         )
         pairs = _probe_pairs(
@@ -114,7 +219,7 @@ def media_accept_batch(
         # same-path overwrite keeps re-delivery idempotent (this is the
         # streaming-safe form of media_index_append)
         batch_keys.write.mode("overwrite").parquet(
-            f"{index_dir}/bands/ingest_batch={batch_id}"
+            f"{bands_dir}/ingest_batch={batch_id}"
         )
         # per-batch counters under the same lineage/overwrite layout
         # (the corpus_ingest metrics convention)

@@ -169,3 +169,86 @@ def test_media_ingest_metrics_partitions(spark, tmp_path):
     MI.media_accept_batch(shards[0], 0, idx, out)  # replay
     m2 = spark.read.parquet(f"{out}/metrics/ingest_batch=0").collect()
     assert len(m2) == 1 and tuple(m2[0]) == tuple(r)
+
+
+def test_compact_media_index_folds_and_preserves_semantics(spark, tmp_path):
+    """compact_media_index (round-14, the media twin of the text df
+    compactor): folding accepted band partitions into the seed must be
+    observationally invisible — the NEXT batch's pairs over a compacted
+    index equal those over the partitioned one — while the probe's
+    read drops from N per-batch directories to one merged partition.
+    Also pins the versioned-promote lifecycle: crash leftovers ignored
+    and swept, the superseded literal dir surviving exactly one cycle,
+    replay of a post-compact batch still idempotent."""
+    corpus, shards, hashes = _fixture(spark)
+    pairs1 = {}
+    for tag in ("cmp", "raw"):
+        idx = str(tmp_path / f"idx_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        MI.seed_media_index(spark, corpus, idx)
+        MI.media_accept_batch(shards[0], 0, idx, out)
+        if tag == "cmp":
+            rows_before = {
+                (r.doc_id, r.tbl, r.kk)
+                for r in spark.read.parquet(MI.media_bands_dir(idx))
+                .select("doc_id", "tbl", "kk")
+                .collect()
+            }
+            # crash leftovers: a staged-but-unpromoted version and an
+            # orphaned tmp manifest must be invisible and swept
+            spark.createDataFrame(
+                [(0,)], "x long"
+            ).write.parquet(f"{idx}/bands.v9/ingest_batch=-1")
+            with open(f"{idx}/bands_MANIFEST.tmp", "w") as f:
+                f.write("bands.v9")
+            assert os.path.basename(MI.media_bands_dir(idx)) == "bands"
+            MI.compact_media_index(spark, idx)
+            assert not os.path.exists(f"{idx}/bands.v9")
+            assert not os.path.exists(f"{idx}/bands_MANIFEST.tmp")
+            cur = MI.media_bands_dir(idx)
+            assert os.path.basename(cur) == "bands.v1"
+            parts = {
+                p for p in os.listdir(cur) if p.startswith("ingest_batch=")
+            }
+            assert parts == {"ingest_batch=-1"}  # folded to one partition
+            # the fold is row-identical (a union, not an aggregation)
+            rows_after = {
+                (r.doc_id, r.tbl, r.kk)
+                for r in spark.read.parquet(cur)
+                .select("doc_id", "tbl", "kk")
+                .collect()
+            }
+            assert rows_after == rows_before
+            # read stability: the superseded literal dir survives THIS
+            # promote...
+            assert os.path.isdir(f"{idx}/bands")
+        MI.media_accept_batch(shards[1], 1, idx, out)
+        pairs1[tag] = {
+            tuple(r)
+            for r in spark.read.parquet(
+                f"{out}/pairs/ingest_batch=1"
+            ).collect()
+        }
+    # folding changed nothing observable, and the cross pair that needs
+    # shard1's accepted state (360 x 320) is present in both
+    assert pairs1["cmp"] == pairs1["raw"] and pairs1["cmp"]
+    assert any(a == 320 or b == 320 for a, b, _h in pairs1["cmp"])
+    # post-compact replay is still idempotent (batch 1 is NOT folded,
+    # so the exclusion filter still prunes its own rows)
+    idx, out = str(tmp_path / "idx_cmp"), str(tmp_path / "out_cmp")
+    MI.media_accept_batch(shards[1], 1, idx, out)
+    again = {
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/pairs/ingest_batch=1").collect()
+    }
+    assert again == pairs1["cmp"]
+    # a second compact folds batch 1, sweeps the superseded literal dir
+    MI.compact_media_index(spark, idx)
+    assert os.path.basename(MI.media_bands_dir(idx)) == "bands.v2"
+    assert not os.path.exists(f"{idx}/bands")
+    assert os.path.isdir(f"{idx}/bands.v1")  # deferred one more cycle
+    # and re-seeding a compacted index fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="fresh directory"):
+        MI.seed_media_index(spark, corpus, idx)
