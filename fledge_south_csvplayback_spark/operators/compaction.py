@@ -139,6 +139,101 @@ def sweep_stale_versions(index_dir: str, stem: str, cur: str) -> None:
             os.remove(full)
 
 
+# per-version fold ledger: which ingest_batch partitions the version's
+# seed already absorbed (underscore name: invisible to parquet scans,
+# like _SUCCESS). The canonical copies of the ledger helpers live here
+# since round 14; the text shingle-df compactor predates them with the
+# same semantics.
+FOLDED_LEDGER = "_FOLDED"
+
+
+def batch_parts(d: str) -> set[str]:
+    if not os.path.isdir(d):
+        return set()
+    return {x for x in os.listdir(d) if x.startswith("ingest_batch=")}
+
+
+def read_folded(d: str) -> set[str] | None:
+    """The version dir's fold ledger, or None when absent (a dir made
+    by code predating the ledger — rescue is then skipped: moving a
+    partition that might already be folded would double its rows)."""
+    p = os.path.join(d, FOLDED_LEDGER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return {ln.strip() for ln in f if ln.strip()}
+
+
+def fold_ingest_partitions(
+    spark: SparkSession,
+    index_dir: str,
+    stem: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> str:
+    """Fold every ``ingest_batch=N`` partition of the ``<stem>`` table
+    under ``index_dir`` into ONE merged ``ingest_batch=-1`` partition —
+    a row-identical union (callers needing an aggregation, like the
+    text shingle-df sum, keep their own fold) — staged as
+    ``<stem>.v<N+1>`` and promoted by an atomic manifest rename.
+    Returns the promoted dir. Shared by the media band index and the
+    text shingles/bands tables; the full crash/rescue analysis lives on
+    ``corpus_ingest.compact_text_neardup_index``, whose lifecycle this
+    generalizes: deferred sweep of superseded versions (read
+    stability), ``_FOLDED``-ledger rescue of batch partitions a
+    concurrent append completed after the prior merge pinned its
+    input, and a crash at any instruction leaving a manifest that
+    names a complete table.
+
+    CALLER HORIZON CONTRACT: fold only batches past the stream's
+    checkpoint horizon — a re-delivered batch whose rows were folded
+    into the seed can no longer exclude itself from its own probe.
+    """
+    import shutil
+
+    manifest = f"{stem}_MANIFEST"
+    cur = manifest_resolve(index_dir, manifest, stem)
+    cur_name = os.path.basename(cur)
+    folded = read_folded(cur)
+    # deferred cleanup of superseded versions, rescuing any batch
+    # partition absent from the current ledger (completed concurrent
+    # appends wait one compaction cycle in the superseded dir)
+    for name in sorted(os.listdir(index_dir)):
+        if name == cur_name:
+            continue
+        if not (
+            name.startswith(f"{stem}.v")
+            or (name == stem and cur_name != stem)
+        ):
+            continue
+        full = os.path.join(index_dir, name)
+        if folded is not None:
+            for part in sorted(batch_parts(full)):
+                if part == "ingest_batch=-1" or part in folded:
+                    continue
+                dst = os.path.join(cur, part)
+                if not os.path.exists(dst):
+                    os.rename(os.path.join(full, part), dst)
+        shutil.rmtree(full)
+
+    nxt = next_version(cur_name, stem)
+    staged = os.path.join(index_dir, nxt)
+    # pin the merge's input to the partitions present NOW — the fold
+    # ledger must describe exactly what the seed absorbed
+    parts = sorted(batch_parts(cur))
+    n_out = max(1, math.ceil(input_bytes(cur) / target_bytes))
+    merged = (
+        spark.read.option("basePath", cur)
+        .parquet(*[os.path.join(cur, p) for p in parts])
+        .drop("ingest_batch")
+        .repartition(n_out)
+    )
+    merged.write.mode("overwrite").parquet(f"{staged}/ingest_batch=-1")
+    with open(os.path.join(staged, FOLDED_LEDGER), "w") as f:
+        f.write("\n".join(parts) + "\n")
+    manifest_promote(index_dir, manifest, nxt)
+    return os.path.join(index_dir, nxt)
+
+
 def compact_parquet(
     spark: SparkSession,
     in_dir: str,

@@ -54,6 +54,44 @@ DOCS_SCHEMA = (
 )
 
 
+def shingles_table_dir(index_dir: str) -> str:
+    """Resolve the CURRENT shingles table dir (versioned pointer once
+    ``compact_text_neardup_batches`` has run; literal before)."""
+    from fledge_south_csvplayback_spark.operators import compaction
+
+    return compaction.manifest_resolve(index_dir, "shingles_MANIFEST", "shingles")
+
+
+def bands_table_dir(index_dir: str) -> str:
+    """Resolve the CURRENT bands table dir (same pointer pattern)."""
+    from fledge_south_csvplayback_spark.operators import compaction
+
+    return compaction.manifest_resolve(index_dir, "bands_MANIFEST", "bands")
+
+
+def compact_text_neardup_batches(spark: SparkSession, index_dir: str) -> None:
+    """Fold the shingles and bands tables' accepted batch partitions
+    into their seed partitions (``ingest_batch=-1``) — the doc-row
+    twins of ``compact_text_neardup_index``'s df fold, via the shared
+    ``compaction.fold_ingest_partitions`` lifecycle (row-identical
+    union, versioned dir + atomic manifest promote, ledger rescue,
+    deferred sweep). After N micro-batches the per-batch probe lists
+    N directories per table; folded, it reads one merged partition.
+
+    HORIZON CONTRACT — stricter than the df fold's: a batch
+    re-delivered after its shingle/band rows folded into the seed can
+    no longer exclude itself, so it would probe against its own rows
+    and duplicate every within-batch pair as a cross pair (a
+    correctness error on re-delivery, not the df fold's cap bias).
+    Run only for batches past the stream's checkpoint horizon, like
+    ``media_ingest.compact_media_index``.
+    """
+    from fledge_south_csvplayback_spark.operators import compaction
+
+    compaction.fold_ingest_partitions(spark, index_dir, "shingles")
+    compaction.fold_ingest_partitions(spark, index_dir, "bands")
+
+
 def seed_text_neardup_index(
     spark: SparkSession, docs: DataFrame, index_dir: str
 ) -> None:
@@ -63,6 +101,17 @@ def seed_text_neardup_index(
     partition ``ingest_batch=-1`` under a Hive-partitioned root so
     per-batch growth and the replay exclusion filter are partition
     pruning, not scans (the ``media_ingest`` layout)."""
+    import os
+
+    for m in ("shingles_MANIFEST", "bands_MANIFEST", _DF_MANIFEST):
+        if os.path.exists(os.path.join(index_dir, m)):
+            # a stale manifest from a previously-compacted index would
+            # shadow the literal seed dirs for every reader (the
+            # media_ingest seed guard)
+            raise ValueError(
+                f"{index_dir} already holds a compacted near-dup index "
+                f"({m} present); seed into a fresh directory"
+            )
     _shingled_docs(docs).write.mode("overwrite").parquet(
         f"{index_dir}/shingles/ingest_batch=-1"
     )
@@ -130,9 +179,10 @@ def compact_text_neardup_index(spark: SparkSession, index_dir: str) -> None:
     seed partition (``ingest_batch=-1``) so the per-batch probe's
     df re-sum — the one corpus-proportional step in ``_neardup_gate``
     — reads one pre-summed table instead of N partitions. Bands and
-    shingles keep their per-batch partitions (they carry doc-level
-    rows the probe prunes by key, and their lineage is what the
-    exclusion filter and diff maintenance target).
+    shingles fold separately via ``compact_text_neardup_batches``
+    (round 14 — a row union, not a sum, with a stricter horizon
+    contract since their lineage is what the exclusion filter
+    targets); run both past the checkpoint horizon.
 
     Run it only for batch ids past the stream's checkpoint horizon: a
     batch re-delivered AFTER its df rows folded into the seed can no
@@ -261,13 +311,17 @@ def _neardup_gate(
     bottleneck."""
     spark = survivors.sparkSession
     not_self = F.col("ingest_batch") != batch_id
+    # resolve each live table ONCE per batch (manifest pointers): the
+    # reads and the partition appends below must target one version
+    sh_dir = shingles_table_dir(index_dir)
+    bands_dir = bands_table_dir(index_dir)
     idx_sh = (
-        spark.read.parquet(f"{index_dir}/shingles")
+        spark.read.parquet(sh_dir)
         .filter(not_self)
         .drop("ingest_batch")
     )
     idx_bands = (
-        spark.read.parquet(f"{index_dir}/bands")
+        spark.read.parquet(bands_dir)
         .filter(not_self)
         .drop("ingest_batch")
     )
@@ -296,10 +350,10 @@ def _neardup_gate(
             f"{out_dir}/neardup_pairs/ingest_batch={batch_id}"
         )
         caches["batch_sh"].write.mode("overwrite").parquet(
-            f"{index_dir}/shingles/ingest_batch={batch_id}"
+            f"{sh_dir}/ingest_batch={batch_id}"
         )
         caches["batch_bands"].write.mode("overwrite").parquet(
-            f"{index_dir}/bands/ingest_batch={batch_id}"
+            f"{bands_dir}/ingest_batch={batch_id}"
         )
         caches["batch_df"].select(
             "s", F.col("bdf").alias("df")

@@ -79,62 +79,9 @@ def compact_media_index(spark: SparkSession, index_dir: str) -> None:
     happen and the fold is observationally identical (pinned in
     tests: post-compact batch pairs == unfolded-index batch pairs).
     """
-    import math
-    import os
-    import shutil
-
     from fledge_south_csvplayback_spark.operators import compaction
-    from fledge_south_csvplayback_spark.streaming.corpus_ingest import (
-        _FOLDED,
-        _batch_parts,
-        _read_folded,
-    )
 
-    cur = media_bands_dir(index_dir)
-    cur_name = os.path.basename(cur)
-    folded = _read_folded(cur)
-    # deferred cleanup of superseded versions, rescuing any batch
-    # partition a concurrent append completed after the prior merge
-    # pinned its input (absent from the current ledger)
-    for name in sorted(os.listdir(index_dir)):
-        if name == cur_name:
-            continue
-        if not (
-            name.startswith("bands.v")
-            or (name == "bands" and cur_name != "bands")
-        ):
-            continue
-        full = os.path.join(index_dir, name)
-        if folded is not None:
-            for part in sorted(_batch_parts(full)):
-                if part == "ingest_batch=-1" or part in folded:
-                    continue
-                dst = os.path.join(cur, part)
-                if not os.path.exists(dst):
-                    os.rename(os.path.join(full, part), dst)
-        shutil.rmtree(full)
-
-    nxt = compaction.next_version(cur_name, "bands")
-    staged = os.path.join(index_dir, nxt)
-    # pin the merge's input to the partitions present NOW — the fold
-    # ledger must describe exactly what the seed absorbed
-    parts = sorted(_batch_parts(cur))
-    n_out = max(
-        1,
-        math.ceil(
-            compaction.input_bytes(cur) / compaction.DEFAULT_TARGET_BYTES
-        ),
-    )
-    merged = (
-        spark.read.option("basePath", cur)
-        .parquet(*[os.path.join(cur, p) for p in parts])
-        .drop("ingest_batch")
-        .repartition(n_out)
-    )
-    merged.write.mode("overwrite").parquet(f"{staged}/ingest_batch=-1")
-    with open(os.path.join(staged, _FOLDED), "w") as f:
-        f.write("\n".join(parts) + "\n")
-    compaction.manifest_promote(index_dir, _BANDS_MANIFEST, nxt)
+    compaction.fold_ingest_partitions(spark, index_dir, "bands")
 
 
 def seed_media_index(

@@ -299,6 +299,72 @@ def test_compact_text_neardup_index_preserves_next_batch_pairs(
     assert pairs_a and pairs_a == pairs_b
 
 
+def test_compact_text_neardup_batches_fold_is_invisible(spark, tmp_path):
+    """Round 14: folding the shingles and bands batch partitions into
+    their seeds (compact_text_neardup_batches, the media compactor's
+    text twin) must not change what the NEXT batch mines — identical
+    pair rows over folded and unfolded copies — while each folded
+    table becomes ONE row-identical seed partition; post-fold appends
+    land in the promoted dirs and the next fold sweeps the superseded
+    literals one cycle deferred. Also pins the re-seed guard."""
+    import os
+    import shutil
+
+    import pytest
+
+    corpus, shards, _ = _nd_fixture(spark)
+    idx_a = str(tmp_path / "fidx_a")
+    idx_b = str(tmp_path / "fidx_b")
+    out_a = str(tmp_path / "fout_a")
+    out_b = str(tmp_path / "fout_b")
+    CI.seed_text_neardup_index(spark, corpus, idx_a)
+    CI.accept_batch(shards[0], 0, out_a, index_dir=idx_a)
+    shutil.copytree(idx_a, idx_b)
+
+    def rows(d, cols):
+        return {tuple(r) for r in spark.read.parquet(d).select(*cols).collect()}
+
+    sh_before = rows(CI.shingles_table_dir(idx_b), ["doc_id"])
+    bd_before = rows(CI.bands_table_dir(idx_b), ["doc_id", "band", "key"])
+    CI.compact_text_neardup_batches(spark, idx_b)
+    for resolve, literal in (
+        (CI.shingles_table_dir, "shingles"),
+        (CI.bands_table_dir, "bands"),
+    ):
+        cur = resolve(idx_b)
+        assert os.path.basename(cur) == f"{literal}.v1"
+        parts = {d for d in os.listdir(cur) if d.startswith("ingest_batch=")}
+        assert parts == {"ingest_batch=-1"}
+        assert os.path.isdir(f"{idx_b}/{literal}")  # deferred one cycle
+    assert rows(CI.shingles_table_dir(idx_b), ["doc_id"]) == sh_before
+    assert rows(CI.bands_table_dir(idx_b), ["doc_id", "band", "key"]) == bd_before
+
+    CI.accept_batch(shards[1], 1, out_a, index_dir=idx_a)
+    CI.accept_batch(shards[1], 1, out_b, index_dir=idx_b)
+    pairs_a = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            f"{out_a}/neardup_pairs/ingest_batch=1"
+        ).collect()
+    )
+    pairs_b = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            f"{out_b}/neardup_pairs/ingest_batch=1"
+        ).collect()
+    )
+    assert pairs_a and pairs_a == pairs_b
+    # batch 1 landed in the promoted dirs, and a second fold sweeps the
+    # superseded literal dirs
+    assert os.path.isdir(f"{CI.shingles_table_dir(idx_b)}/ingest_batch=1")
+    CI.compact_text_neardup_batches(spark, idx_b)
+    assert os.path.basename(CI.shingles_table_dir(idx_b)) == "shingles.v2"
+    assert not os.path.exists(f"{idx_b}/shingles")
+    assert not os.path.exists(f"{idx_b}/bands")
+    with pytest.raises(ValueError, match="fresh directory"):
+        CI.seed_text_neardup_index(spark, corpus, idx_b)
+
+
 def test_ingest_metrics_partitions(spark, tmp_path):
     """Each accepted batch writes a one-row metrics partition whose
     counters reconcile exactly with the batch's outputs, and replay
