@@ -185,6 +185,35 @@ def test_pick_inferred_dtypes_match_pandas(spark, tmp_path, case):
     assert got == exp_rows, case
 
 
+@pytest.mark.parametrize(
+    "case",
+    ["ws_only_line", "na_sentinels", "short_rows", "bad_numeric",
+     "tab_preamble", "blank_lines"],
+)
+def test_skiprows_inferred_dtypes_match_pandas(spark, tmp_path, case):
+    """The dtype net on the LINE-ORIENTED path too: the skip-rows
+    read shares _infer_ddl, so its inferred dtypes must match pandas'
+    skiprows read the same way the fast path's do."""
+    text, _ = CASES[case]
+    p = _write(tmp_path, f"skdt_{case}", SKIP_META + text)
+    df = cs.read_pick_from_file(spark, p, skip_rows=2)
+    exp = pd.read_csv(p, skiprows=2, header=0)
+    want = {c: _PD_KIND[str(t)] for c, t in exp.dtypes.items()}
+    assert dict(df.dtypes) == want, case
+    got = sorted([tuple(r) for r in df.collect()], key=repr)
+    exp_rows = sorted(
+        [
+            tuple(
+                None if pd.isna(v) else (v.item() if hasattr(v, "item") else v)
+                for v in row
+            )
+            for row in exp.itertuples(index=False)
+        ],
+        key=repr,
+    )
+    assert got == exp_rows, case
+
+
 def test_pick_preamble_no_infer_and_schema_match_pandas(spark, tmp_path):
     """The other two fast-path modes on blank-ish preamble files:
     infer_schema=False routes line-oriented (pandas names + values);
