@@ -444,6 +444,20 @@ def read_pick_from_file(
                 "fallback would split quoted fields — strip the blank "
                 "preamble or pass an explicit schema="
             )
+        if os.path.isdir(path):
+            # the line-oriented fallback reads ONE file's positional
+            # semantics; over a directory it would skip only the FIRST
+            # file's header and parse the others' header lines as data
+            # (the native reader skips one per file). Directory reads
+            # are this engine's extension (the reference plays one
+            # file at a time) and the schema-pinned native path
+            # handles blank preambles correctly per file — demand it.
+            raise ValueError(
+                f"directory {path} has a blank-ish first line in its "
+                "first file: pass an explicit schema= (the native "
+                "reader then skips each file's preamble and header "
+                "correctly) or read files individually"
+            )
         # blank-ish first physical line: fall through to the
         # line-oriented path, which indexes the header off the first
         # NON-blank line exactly like pandas (names take the pandas

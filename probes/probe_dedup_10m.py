@@ -122,6 +122,7 @@ def main() -> None:
             "bm25_indexed",
             "bm25_append",
             "bpe",
+            "neardup_fold",
         ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
@@ -236,6 +237,90 @@ def main() -> None:
                     "planted": k,
                     "recall": round(n_hit / k, 4) if k else None,
                     "false_pos": n_out - n_hit,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "neardup_fold":
+        # round-14 maintenance probe: after N real micro-batch ingests
+        # the streaming near-dup gate lists N partitions per table;
+        # compact_text_neardup_batches (shingles/bands row fold) +
+        # compact_text_neardup_index (df sum fold) collapse the layout.
+        # Measured: per-batch gate wall early vs late in the history,
+        # both fold walls, and the gate wall immediately after folding
+        # — the claim is wall recovery, with exact batch-output
+        # invariance already pinned in pytest.
+        import shutil
+
+        from fledge_south_csvplayback_spark.streaming import (
+            corpus_ingest as CI,
+        )
+
+        n_batches = 50
+        batch_sz = 2_000
+        idx = f"{PROBE_ROOT}/neardup_fold_idx_{args.rows}"
+        out = f"{PROBE_ROOT}/neardup_fold_out_{args.rows}"
+        for d in (idx, out):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        def batch_docs(b: int) -> DataFrame:
+            start = args.rows + b * batch_sz
+            wc = [
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.lit("probe"), F.col("doc_id"), F.lit(p)),
+                        F.lit(VOCAB),
+                    ),
+                )
+                for p in range(args.words)
+            ]
+            return (
+                spark.range(start, start + batch_sz)
+                .select(F.col("id").alias("doc_id"))
+                .select(
+                    "doc_id",
+                    F.concat_ws(" ", *wc).alias("text"),
+                    F.lit("en").alias("lang"),
+                    F.lit("probe").alias("source"),
+                    F.lit(25 * 8).alias("n_chars"),
+                )
+            )
+
+        t0 = time.perf_counter()
+        CI.seed_text_neardup_index(spark, corpus, idx)
+        seed_sec = round(time.perf_counter() - t0, 1)
+        gate_walls = []
+        for b in range(n_batches):
+            t0 = time.perf_counter()
+            CI.accept_batch(batch_docs(b), b, out, index_dir=idx)
+            gate_walls.append(round(time.perf_counter() - t0, 1))
+        t0 = time.perf_counter()
+        CI.compact_text_neardup_batches(spark, idx)
+        fold_batches_sec = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        CI.compact_text_neardup_index(spark, idx)
+        fold_df_sec = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        CI.accept_batch(batch_docs(n_batches), n_batches, out, index_dir=idx)
+        gate_after_fold = round(time.perf_counter() - t0, 1)
+        print(
+            json.dumps(
+                {
+                    "op": "neardup_fold",
+                    "rows": args.rows,
+                    "batch_docs": batch_sz,
+                    "n_batches": n_batches,
+                    "seed_sec": seed_sec,
+                    "gate_first5_sec": gate_walls[:5],
+                    "gate_last5_sec": gate_walls[-5:],
+                    "fold_batches_sec": fold_batches_sec,
+                    "fold_df_sec": fold_df_sec,
+                    "gate_after_fold_sec": gate_after_fold,
                 }
             )
         )

@@ -334,6 +334,24 @@ def test_python_blank_regex_matches_str_strip(spark):
         assert got[c] == (c.strip() == ""), hex(ord(c))
 
 
+def test_pick_preamble_directory_requires_schema(spark, tmp_path):
+    """A DIRECTORY whose first file has a blank-ish preamble cannot
+    take the line-oriented fallback (it skips only one header; the
+    native reader skips one per file) — no-schema reads fail loudly,
+    and the schema-pinned native path reads every file correctly
+    (it skips blank-ish preambles per file, round-14 probe matrix)."""
+    d = tmp_path / "preamble_dir"
+    d.mkdir()
+    # the preamble file is the larger one, so Spark's size-descending
+    # file packing makes it partition 0 — the head probe's "first file"
+    (d / "a.csv").write_text("   \nx,y\n1,2\n10,20\n30,40\n")
+    (d / "b.csv").write_text("x,y\n3,4\n")
+    with pytest.raises(ValueError, match="schema"):
+        cs.read_pick_from_file(spark, str(d))
+    df = cs.read_pick_from_file(spark, str(d), schema="x bigint, y bigint")
+    assert sorted(map(tuple, df.collect())) == [(1, 2), (3, 4), (10, 20), (30, 40)]
+
+
 def test_pick_preamble_multiline_raises(spark, tmp_path):
     """multi_line cannot take the line-oriented fallback (it would
     split quoted fields) and the native multiLine header pick is
