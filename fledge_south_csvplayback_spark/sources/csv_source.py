@@ -377,7 +377,17 @@ def read_pick_from_file(
     CSV; the default stays the splittable line-oriented read. With
     driver-side inference the head SAMPLE is still line-based (a
     quoted newline in the sample can only widen a column's inferred
-    type toward string, never lose values)."""
+    type toward string, never lose values).
+
+    multiLine blank-line PIN (round-14 hunt): the native multiLine
+    reader keeps interior WHITESPACE-only lines as data rows (empty
+    lines it skips) where pandas drops both. Unfixable post-parse: a
+    raw ``  `` line and a legitimate quoted-whitespace field ``"  "``
+    (with missing trailing fields) parse to the SAME row image, and
+    pandas keeps the quoted one — any filter dropping one corrupts
+    the other. Feeds mixing embedded newlines WITH whitespace-only
+    lines must clean one of the two first; pinned in the hostile
+    sweep."""
     check_not_empty(path)
     if multi_line and (header_row or skip_rows):
         raise ValueError(

@@ -625,6 +625,34 @@ def test_multiline_escape_hatch_matches_pandas(spark, tmp_path):
     assert got == {1: "x\ny", 2: "z"}
 
 
+def test_multiline_ws_line_divergence_pinned(spark, tmp_path):
+    """PINNED DIVERGENCE (round-14 hunt): in multiLine mode the native
+    reader keeps an interior WHITESPACE-only line as a data row
+    (('  ', None)) where pandas drops it — while truly EMPTY interior
+    lines are skipped by both, and a QUOTED whitespace field is data
+    to both. Unfixable post-parse: raw '  ' and the legitimate '\"  \"'
+    field parse to the same row image (read_pick_from_file docstring)."""
+    ml = 'a,b\n1,"x\ny"\n  \n2,z\n'
+    p = _write(tmp_path, "mlws", ml)
+    exp = pd.read_csv(p, dtype=str)
+    assert exp.values.tolist() == [["1", "x\ny"], ["2", "z"]]  # pandas drops
+    df = cs.read_pick_from_file(spark, p, infer_schema=False, multi_line=True)
+    assert sorted(map(tuple, df.collect()), key=repr) == sorted(
+        [("1", "x\ny"), ("  ", None), ("2", "z")], key=repr
+    )
+    # empty interior lines: both engines skip them — values match
+    p2 = _write(tmp_path, "mlempty", 'a,b\n1,"x\ny"\n\n2,z\n')
+    exp2 = pd.read_csv(p2, dtype=str)
+    df2 = cs.read_pick_from_file(spark, p2, infer_schema=False, multi_line=True)
+    assert _norm_spark(df2) == _norm_pd(exp2)
+    # quoted whitespace FIELD is data to both (why no post-filter can
+    # fix the raw-ws pin)
+    p3 = _write(tmp_path, "mlqws", 'a\n"  "\n1\n')
+    exp3 = pd.read_csv(p3, dtype=str)
+    df3 = cs.read_pick_from_file(spark, p3, infer_schema=False, multi_line=True)
+    assert _norm_spark(df3) == _norm_pd(exp3) == [("  ",), ("1",)]
+
+
 def test_multiline_line_oriented_paths_fail_loudly(spark, tmp_path):
     """The line-oriented paths cannot parse across lines: combining
     them with multi_line raises up front instead of silently splitting
