@@ -79,6 +79,27 @@ def find_csv_file(csv_dir: str, pattern: str = "") -> str | None:
     return files[0] if files else None
 
 
+def _first_data_file(path: str) -> str:
+    """Alphabetically-first data file of a directory read.
+
+    This is the ONE file the no-schema directory read derives its
+    header names and inference sample from (S1's pick-first order,
+    csvplayback.py:477-517 — deterministic, unlike Spark's
+    size-descending split packing, which made "first file" mean
+    "largest file"). Files Spark's FileIndex hides (``_``/``.``
+    prefixes) are skipped so the probe never reads a file the
+    distributed scan won't."""
+    names = sorted(
+        n
+        for n in os.listdir(path)
+        if not n.startswith(("_", "."))
+        and os.path.isfile(os.path.join(path, n))
+    )
+    if not names:
+        raise FileNotFoundError(f"no data files in directory {path}")
+    return os.path.join(path, names[0])
+
+
 # ---------------------------------------------------------------------------
 # raw line access (delegates to lineio; kept as the module's public API)
 # ---------------------------------------------------------------------------
@@ -426,6 +447,47 @@ def read_pick_from_file(
         # sample non-blank would walk a blank-padded file to its end
         # through the driver (round-12 review).
         n_head = (1 + INFER_SAMPLE_LINES) if infer_schema else 1
+        if os.path.isdir(path):
+            # DIRECTORY no-schema reads derive names AND dtypes from
+            # ONE file — the alphabetically-first data file (S1
+            # pick-first) — and pin the resulting schema on the
+            # native reader, which then skips each file's preamble
+            # and header correctly per file (round-14 probe matrix).
+            # Probing the directory-wide text head crossed file
+            # boundaries whenever the first SPLIT was smaller than
+            # the sample, letting other files' HEADER lines into the
+            # inference sample as data rows and silently widening
+            # every column to string (round-14 verdict finding); and
+            # the unpinned native reader took NAMES from whichever
+            # file was the largest split and mis-picked headers on
+            # blank-ish preambles in ANY file, not just the first
+            # (round-14 advice item). The inference sample is the
+            # first file's head only — the documented sample-based
+            # contract, now per pick-first file.
+            probe = _first_data_file(path)
+            check_not_empty(probe)
+            head_raw = _head_with_blanks(spark, probe, n_head, 1)
+            if all(_is_blank(l) for l in head_raw):
+                raise ValueError(
+                    f"no non-blank lines in first file {probe} of {path}"
+                )
+            if multi_line and _is_blank(head_raw[0]):
+                raise ValueError(
+                    f"multi_line cannot read directory {path}: its "
+                    f"first file {probe} has a blank first physical "
+                    "line and the native multiLine reader's header "
+                    "pick is unreliable there — strip the preamble "
+                    "or pass an explicit schema="
+                )
+            head = [l for l in head_raw if not _is_blank(l)]
+            names = _split_header(head[0])
+            # infer_schema=False keeps the raw-mode contract: names
+            # from the first file's header (pandas mangle — no longer
+            # the largest split's native dedup), every column string
+            sample = list(csv.reader(head[1:])) if infer_schema else []
+            return null_na_sentinels(
+                reader.schema(_infer_ddl(names, sample)).csv(path)
+            )
         head_raw = _head_with_blanks(spark, path, n_head, 1)
         if all(_is_blank(l) for l in head_raw):
             raise ValueError(f"no non-blank lines in {path}")
@@ -453,20 +515,6 @@ def read_pick_from_file(
                 "pick is unreliable there and the line-oriented "
                 "fallback would split quoted fields — strip the blank "
                 "preamble or pass an explicit schema="
-            )
-        if os.path.isdir(path):
-            # the line-oriented fallback reads ONE file's positional
-            # semantics; over a directory it would skip only the FIRST
-            # file's header and parse the others' header lines as data
-            # (the native reader skips one per file). Directory reads
-            # are this engine's extension (the reference plays one
-            # file at a time) and the schema-pinned native path
-            # handles blank preambles correctly per file — demand it.
-            raise ValueError(
-                f"directory {path} has a blank-ish first line in its "
-                "first file: pass an explicit schema= (the native "
-                "reader then skips each file's preamble and header "
-                "correctly) or read files individually"
             )
         # blank-ish first physical line: fall through to the
         # line-oriented path, which indexes the header off the first
