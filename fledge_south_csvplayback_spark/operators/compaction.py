@@ -164,11 +164,17 @@ def read_folded(d: str) -> set[str] | None:
         return {ln.strip() for ln in f if ln.strip()}
 
 
+def _batch_id(part: str) -> int:
+    """Numeric batch id of an ``ingest_batch=N`` partition name."""
+    return int(part.split("=", 1)[1])
+
+
 def fold_ingest_partitions(
     spark: SparkSession,
     index_dir: str,
     stem: str,
     target_bytes: int = DEFAULT_TARGET_BYTES,
+    horizon: int | None = None,
 ) -> str:
     """Fold every ``ingest_batch=N`` partition of the ``<stem>`` table
     under ``index_dir`` into ONE merged ``ingest_batch=-1`` partition —
@@ -184,9 +190,19 @@ def fold_ingest_partitions(
     input, and a crash at any instruction leaving a manifest that
     names a complete table.
 
-    CALLER HORIZON CONTRACT: fold only batches past the stream's
-    checkpoint horizon — a re-delivered batch whose rows were folded
-    into the seed can no longer exclude itself from its own probe.
+    HORIZON (round-14 advice: the contract as an enforceable API, not
+    a docstring): with ``horizon=H`` only batches with id < H fold
+    into the seed; batches >= H are CARRIED into the promoted version
+    untouched, keeping their ``ingest_batch=N`` identity — so a
+    re-delivered batch still excludes its own rows from its probe and
+    a caller with a LIVE stream can fold safely by passing its
+    checkpoint horizon instead of waiting for full downtime. With
+    ``horizon=None`` (default) everything folds, which is only safe
+    past the stream's checkpoint horizon — the original contract. The
+    deferred-sweep RESCUE is deliberately NOT horizon-filtered:
+    rescue moves a partition intact (identity preserved, probe
+    exclusion unbroken); only the merge erases identity, and skipping
+    rescue would delete the rows with the superseded dir.
     """
     import shutil
 
@@ -218,9 +234,23 @@ def fold_ingest_partitions(
     nxt = next_version(cur_name, stem)
     staged = os.path.join(index_dir, nxt)
     # pin the merge's input to the partitions present NOW — the fold
-    # ledger must describe exactly what the seed absorbed
-    parts = sorted(batch_parts(cur))
-    n_out = max(1, math.ceil(input_bytes(cur) / target_bytes))
+    # ledger must describe exactly what the seed absorbed. The seed
+    # (-1) always folds; with a horizon, batches at/past it are
+    # carried into the new version intact instead.
+    all_parts = sorted(batch_parts(cur))
+    if horizon is None:
+        parts, carry = all_parts, []
+    else:
+        parts = [p for p in all_parts if _batch_id(p) < horizon]
+        carry = [p for p in all_parts if _batch_id(p) >= horizon]
+    if not any(_batch_id(p) >= 0 for p in parts):
+        # nothing below the horizon to fold: keep the current version
+        # (the deferred sweep above still ran)
+        return cur
+    fold_bytes = sum(
+        input_bytes(os.path.join(cur, p)) for p in parts
+    )
+    n_out = max(1, math.ceil(fold_bytes / target_bytes))
     merged = (
         spark.read.option("basePath", cur)
         .parquet(*[os.path.join(cur, p) for p in parts])
@@ -230,6 +260,18 @@ def fold_ingest_partitions(
     merged.write.mode("overwrite").parquet(f"{staged}/ingest_batch=-1")
     with open(os.path.join(staged, FOLDED_LEDGER), "w") as f:
         f.write("\n".join(parts) + "\n")
+    # carry un-foldable live batches into the promoted version AFTER
+    # the merge write (their bytes never entered it) and BEFORE the
+    # promote: readers of the new version see every row the old one
+    # held. Crash between these renames and the promote leaves the
+    # manifest on `cur` with the moved partitions in the staged dir —
+    # they are absent from `cur`'s ledger, so the NEXT fold's deferred
+    # sweep rescues them straight back into the current table (the
+    # same one-cycle-invisibility class as a concurrent append).
+    for p in carry:
+        dst = os.path.join(staged, p)
+        if not os.path.exists(dst):
+            os.rename(os.path.join(cur, p), dst)
     manifest_promote(index_dir, manifest, nxt)
     return os.path.join(index_dir, nxt)
 

@@ -38,6 +38,7 @@ then index the clean corpus.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -2094,7 +2095,24 @@ def media_index_append(
     geometry comes from the index's own meta, and the appended rows
     are the same ``_band_keys`` layout the builder writes, so
     build(corpus)+append(batch) ≡ build(corpus ∪ batch) row-for-row
-    (pinned by the sequential-ingest pytest)."""
+    (pinned by the sequential-ingest pytest).
+
+    STREAMING indexes are refused (round-14 advice item): once
+    ``media_ingest.compact_media_index`` has promoted a version, the
+    live band table is whatever ``bands_MANIFEST`` names — an append
+    into the literal ``bands`` dir would land in the SUPERSEDED
+    directory, invisible to every manifest-resolving probe and
+    deleted by the next compaction's deferred sweep. Streaming
+    indexes take appends through ``media_ingest.media_accept_batch``
+    (per-partition overwrite, re-delivery idempotent), which this
+    flat-layout append cannot emulate."""
+    if os.path.exists(os.path.join(index_dir, "bands_MANIFEST")):
+        raise ValueError(
+            f"{index_dir} is a compacted STREAMING media index "
+            "(bands_MANIFEST present): a flat append here would land "
+            "in a superseded directory and be swept — append through "
+            "media_ingest.media_accept_batch instead"
+        )
     meta = spark.read.parquet(f"{index_dir}/meta").collect()[0]
     _band_keys(batch_st, meta.hash_col, meta.n_bands, meta.m).write.mode(
         "append"

@@ -2306,12 +2306,21 @@ def _literal_df(spark: SparkSession, structs: list, ddl: str) -> DataFrame:
     """Driver-local rows as a literal inline table (``inline`` over a
     1-row range) — plans as Generate over Range, fully JVM-side,
     instead of ``createDataFrame``'s ``Scan ExistingRDD`` Python
-    round-trip. For zero rows, an empty typed projection."""
-    if structs:
-        return spark.range(1).select(F.inline(F.array(*structs)))
+    round-trip. For zero rows, an empty typed projection.
+
+    BOTH branches honor the declared DDL: ``F.lit(python_int)`` is
+    IntegerType for values under 2^31, so an uncast inline table's
+    dtypes would drift with the DATA (int for small ids, long via the
+    empty branch) — a schema-contract break against the bigint
+    oracle (round-14 advice item). The casts constant-fold; the plan
+    stays Generate over Range."""
     from pyspark.sql import types as T
 
     st = T.StructType.fromDDL(ddl)
+    if structs:
+        return spark.range(1).select(F.inline(F.array(*structs))).select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields]
+        )
     return spark.range(0).select(
         *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
     )

@@ -229,6 +229,16 @@ INFER_SAMPLE_LINES = 128
 # a fixed window failed spuriously past 64 blanks)
 HEAD_BLANK_SLACK = 64
 
+# hard bound on the widening (round-14 verdict item 5): each widening
+# re-reads the head from scratch, so an unbounded loop on a blank-
+# padded multi-GB file walks the whole file through the driver (the
+# geometric ×8 keeps the TOTAL read within ~8/7 of the final one, but
+# the final one must still be bounded). A header more than ~1M blank
+# lines deep fails LOUDLY with guidance instead — the documented edge
+# of the driver-probe envelope (pandas would grind through it; a
+# pinned schema= reads such files natively with no probe at all).
+HEAD_MAX_LINES = 1 << 20
+
 
 def _is_blank(line: str) -> bool:
     """pandas C-ENGINE blank test: only spaces and tabs are blank —
@@ -249,10 +259,19 @@ def _head_with_blanks(
     index them themselves)."""
     slack = HEAD_BLANK_SLACK
     while True:
-        head = lineio.head_lines(spark, path, want + slack)
+        n = min(want + slack, HEAD_MAX_LINES)
+        head = lineio.head_lines(spark, path, n)
         nonblank = sum(1 for l in head if not _is_blank(l))
-        if nonblank >= need_nonblank or len(head) < want + slack:
+        if nonblank >= need_nonblank or len(head) < n:
             return head
+        if n >= HEAD_MAX_LINES:
+            raise ValueError(
+                f"fewer than {need_nonblank} non-blank lines in the "
+                f"first {HEAD_MAX_LINES} lines of {path}: the header "
+                "probe gives up past ~1M blank preamble lines — pass "
+                "an explicit schema= (no probe needed) or clean the "
+                "preamble"
+            )
         slack *= 8
 
 

@@ -69,7 +69,9 @@ def bands_table_dir(index_dir: str) -> str:
     return compaction.manifest_resolve(index_dir, "bands_MANIFEST", "bands")
 
 
-def compact_text_neardup_batches(spark: SparkSession, index_dir: str) -> None:
+def compact_text_neardup_batches(
+    spark: SparkSession, index_dir: str, horizon: int | None = None
+) -> None:
     """Fold the shingles and bands tables' accepted batch partitions
     into their seed partitions (``ingest_batch=-1``) — the doc-row
     twins of ``compact_text_neardup_index``'s df fold, via the shared
@@ -83,13 +85,18 @@ def compact_text_neardup_batches(spark: SparkSession, index_dir: str) -> None:
     no longer exclude itself, so it would probe against its own rows
     and duplicate every within-batch pair as a cross pair (a
     correctness error on re-delivery, not the df fold's cap bias).
-    Run only for batches past the stream's checkpoint horizon, like
-    ``media_ingest.compact_media_index``.
+    Enforce it by passing the stream's checkpoint horizon as
+    ``horizon`` — batches at/past it are carried into the promoted
+    version un-folded, identity intact, so a live stream can compact
+    without downtime; ``horizon=None`` folds everything (only safe
+    when no re-delivery can occur).
     """
     from fledge_south_csvplayback_spark.operators import compaction
 
-    compaction.fold_ingest_partitions(spark, index_dir, "shingles")
-    compaction.fold_ingest_partitions(spark, index_dir, "bands")
+    compaction.fold_ingest_partitions(
+        spark, index_dir, "shingles", horizon=horizon
+    )
+    compaction.fold_ingest_partitions(spark, index_dir, "bands", horizon=horizon)
 
 
 def seed_text_neardup_index(

@@ -58,7 +58,9 @@ def media_bands_dir(index_dir: str) -> str:
     return compaction.manifest_resolve(index_dir, _BANDS_MANIFEST, "bands")
 
 
-def compact_media_index(spark: SparkSession, index_dir: str) -> None:
+def compact_media_index(
+    spark: SparkSession, index_dir: str, horizon: int | None = None
+) -> None:
     """Maintenance: fold every accepted band partition into the seed
     partition (``ingest_batch=-1``) so the per-batch probe reads ONE
     pre-merged table instead of N per-batch directories — the media
@@ -78,10 +80,14 @@ def compact_media_index(spark: SparkSession, index_dir: str) -> None:
     compactor's mere cap bias. Past the horizon, re-delivery cannot
     happen and the fold is observationally identical (pinned in
     tests: post-compact batch pairs == unfolded-index batch pairs).
+    Enforceable since round 15: pass the stream's checkpoint horizon
+    as ``horizon`` and batches at/past it are carried into the
+    promoted version un-folded, identity intact — a live stream can
+    compact without downtime. ``horizon=None`` folds everything.
     """
     from fledge_south_csvplayback_spark.operators import compaction
 
-    compaction.fold_ingest_partitions(spark, index_dir, "bands")
+    compaction.fold_ingest_partitions(spark, index_dir, "bands", horizon=horizon)
 
 
 def seed_media_index(

@@ -150,3 +150,73 @@ def test_compaction_splits_oversized_partition_value(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert a == b
+
+
+def test_fold_horizon_carries_live_batches_unfolded(spark, tmp_path):
+    """fold_ingest_partitions(horizon=H) — the checkpoint-horizon
+    contract as an enforceable API (round-14 advice item): batches
+    with id < H fold into the seed, batches >= H are CARRIED into the
+    promoted version with their ingest_batch identity intact (so a
+    re-delivered batch still excludes its own rows), the promoted
+    version is row-identical to the old one, and a fold with nothing
+    below the horizon is a no-op that keeps the current version."""
+    import os
+
+    idx = str(tmp_path / "idx")
+    tbl = os.path.join(idx, "bands")
+
+    def _rows(batch, lo, n):
+        return [(i, f"b{batch}") for i in range(lo, lo + n)]
+
+    for batch, lo in ((-1, 0), (0, 100), (1, 200), (2, 300)):
+        spark.createDataFrame(
+            _rows(batch, lo, 10), "doc_id long, payload string"
+        ).write.parquet(f"{tbl}/ingest_batch={batch}")
+
+    all_rows = {
+        tuple(r)
+        for r in spark.read.parquet(tbl)
+        .select("doc_id", "payload", "ingest_batch")
+        .collect()
+    }
+
+    cur = compaction.fold_ingest_partitions(spark, idx, "bands", horizon=2)
+    assert os.path.basename(cur) == "bands.v1"
+    parts = compaction.batch_parts(cur)
+    # 0 and 1 folded into the seed; 2 carried, identity intact
+    assert parts == {"ingest_batch=-1", "ingest_batch=2"}
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(cur)
+        .select("doc_id", "payload", "ingest_batch")
+        .collect()
+    }
+    # every row survives; folded rows now carry the seed's batch id
+    assert {(d, p) for d, p, _b in got} == {(d, p) for d, p, _b in all_rows}
+    assert {b for _d, _p, b in got} == {-1, 2}
+    carried = {(d, p) for d, p, b in got if b == 2}
+    assert carried == {(i, "b2") for i in range(300, 310)}
+    # the ledger records exactly what the seed absorbed — batch 2 is
+    # absent, so a later sweep can never mistake it for folded
+    assert compaction.read_folded(cur) == {
+        "ingest_batch=-1",
+        "ingest_batch=0",
+        "ingest_batch=1",
+    }
+
+    # nothing below the horizon left: no-op, same version kept
+    again = compaction.fold_ingest_partitions(spark, idx, "bands", horizon=2)
+    assert again == cur
+    assert os.path.basename(
+        compaction.manifest_resolve(idx, "bands_MANIFEST", "bands")
+    ) == "bands.v1"
+
+    # raising the horizon folds the carried batch
+    final = compaction.fold_ingest_partitions(spark, idx, "bands", horizon=3)
+    assert os.path.basename(final) == "bands.v2"
+    assert compaction.batch_parts(final) == {"ingest_batch=-1"}
+    got2 = {
+        (r.doc_id, r.payload)
+        for r in spark.read.parquet(final).collect()
+    }
+    assert got2 == {(d, p) for d, p, _b in all_rows}

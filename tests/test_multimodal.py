@@ -1033,6 +1033,39 @@ def test_media_index_append_sequential_ingests(spark, tmp_path):
     assert a == b
 
 
+def test_media_index_append_refuses_compacted_streaming_index(spark, tmp_path):
+    """A compacted STREAMING index resolves its live band table via
+    bands_MANIFEST; the batch append's literal-path write would land
+    in the superseded dir — invisible to every probe and deleted by
+    the next sweep (round-14 advice item). It must fail loudly and
+    leave the index untouched."""
+    import os
+
+    from fledge_south_csvplayback_spark.streaming import media_ingest as MI
+
+    st = spark.createDataFrame(
+        [(i, _md5hex16(i, "g")) for i in range(40)],
+        "doc_id long, dhash string",
+    )
+    idx = str(tmp_path / "sidx")
+    MI.seed_media_index(spark, st, idx)
+    batch = spark.createDataFrame(
+        [(100 + i, _md5hex16(100 + i, "g")) for i in range(5)],
+        "doc_id long, dhash string",
+    )
+    MI.media_accept_batch(batch, 0, idx, str(tmp_path / "out"))
+    MI.compact_media_index(spark, idx)
+    assert os.path.exists(f"{idx}/bands_MANIFEST")
+    live_before = {
+        tuple(r) for r in spark.read.parquet(MI.media_bands_dir(idx)).collect()
+    }
+    with pytest.raises(ValueError, match="media_accept_batch"):
+        M.media_index_append(spark, idx, st.limit(5))
+    assert {
+        tuple(r) for r in spark.read.parquet(MI.media_bands_dir(idx)).collect()
+    } == live_before
+
+
 def test_audio_downmix_stats_oracle_parity(spark):
     """decode -> floor-mean downmix -> re-encode -> decode -> stats
     matches the closed-form interleaved-formula oracle (explicit

@@ -923,6 +923,37 @@ def test_sq8_topk_matches_brute(spark):
         assert ok, msg
 
 
+def test_literal_df_honors_ddl_on_both_branches(spark):
+    """F.lit(small_python_int) is IntegerType, so an uncast inline
+    table's dtypes would drift with the DATA (int for ids < 2^31,
+    long only via the empty branch) — both branches must yield the
+    declared DDL types, and the non-empty plan must stay a literal
+    Generate (no Scan ExistingRDD), so the SQ8 rescore's output
+    schema is data-independent (round-14 advice item)."""
+    from pyspark.sql import functions as F
+
+    ddl = "query_id bigint, vec_id bigint"
+    structs = [
+        F.struct(F.lit(1).alias("query_id"), F.lit(2).alias("vec_id"))
+    ]
+    nonempty = S._literal_df(spark, structs, ddl)
+    empty = S._literal_df(spark, [], ddl)
+    assert dict(nonempty.dtypes) == dict(empty.dtypes) == {
+        "query_id": "bigint",
+        "vec_id": "bigint",
+    }
+    assert [tuple(r) for r in nonempty.collect()] == [(1, 2)]
+    plan = nonempty._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan, plan
+
+
+def test_sq8_output_dtypes_are_data_independent(spark):
+    """The registered SQ8 query's id columns are bigint regardless of
+    id magnitude (the DuckDB oracle yields BIGINT)."""
+    got = dict(S.ann_cosine_topk_sq8(spark, TEST_SF_DIR).dtypes)
+    assert got["query_id"] == "bigint" and got["vec_id"] == "bigint", got
+
+
 def test_sq8_indexed_matches_inline_and_reads_codes_only(spark, tmp_path):
     """The persisted-index path returns the inline result; its stage-1
     scan reads the 64-byte codes (never the embedding column), and the
