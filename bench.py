@@ -143,6 +143,9 @@ EXTRA_QUERIES = {
     "text_lang_id": text.text_lang_id,
     "text_token_classes": text.text_token_classes,
     "text_fingerprint": text.text_fingerprint,
+    # de-registered in the round-15 events_activity_suite fold; same rule
+    "events_props_extract": events.events_props_extract,
+    "events_hourly_rollup": events.events_hourly_rollup,
 }
 
 

@@ -210,18 +210,40 @@ GROUP BY user_id, session_id
 
 
 # --- JSON props extraction (F7) ---------------------------------------------
+# Shared grouped-frame/aggregate builders: the standalone operators and
+# the registered events_activity_suite fold select from the SAME
+# builders, so suite-vs-operator drift is impossible by construction
+# (the text_profile_suite convention from the round-14 rotation).
+def _props_grouped(ev: DataFrame):
+    k = F.from_json(F.col("props"), "map<string,int>")["k"]
+    return ev.withColumn("k", k).groupBy("event_type")
+
+
+def _props_aggs() -> list:
+    return [
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+    ]
+
+
+def _hourly_grouped(ev: DataFrame):
+    # F.window() silently drops NULL-ts rows; filter explicitly so the
+    # semantics are stated and the oracle mirrors them
+    return ev.filter(F.col("ts").isNotNull()).groupBy(
+        F.window("ts", "1 hour").start.alias("hour"), "event_type"
+    )
+
+
+def _hourly_aggs() -> list:
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ]
+
+
 def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    k = F.from_json(F.col("props"), "map<string,int>")["k"]
-    return (
-        ev.withColumn("k", k)
-        .groupBy("event_type")
-        .agg(
-            F.round(F.avg("k"), 6).alias("avg_k"),
-            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
-        )
-        .orderBy("event_type")
-    )
+    return _props_grouped(ev).agg(*_props_aggs()).orderBy("event_type")
 
 
 EVENTS_PROPS_SQL = """
@@ -244,19 +266,8 @@ ORDER BY event_type
 
 # --- hourly tumbling-window rollup ------------------------------------------
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F.window() silently drops NULL-ts rows; filter explicitly so the
-    # semantics are stated and the oracle mirrors them
-    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
-    return (
-        ev.groupBy(
-            F.window("ts", "1 hour").start.alias("hour"), "event_type"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .orderBy("hour", "event_type")
-    )
+    ev = _events(spark, sf_dir)
+    return _hourly_grouped(ev).agg(*_hourly_aggs()).orderBy("hour", "event_type")
 
 
 EVENTS_HOURLY_SQL = """
@@ -266,6 +277,94 @@ FROM events
 WHERE ts IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+
+# --- registered fold: props extraction + hourly rollup -----------------------
+def events_activity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events_props_extract`` + ``events_hourly_rollup`` folded into
+    ONE registered entry (round-15 rotation, COVERAGE.md: the driver
+    caps CORRECTNESS at 50 rows; the freed slot registers
+    ``text_bm25_topk_indexed``, the persisted-index deployment path
+    whose bit-exactness claim was pytest-only). Both constituents
+    aggregate the same events fixture, so the fold is a union of two
+    part-tagged aggregations over one logical scan — each arm built
+    from the SAME ``_props_grouped``/``_hourly_grouped`` +
+    ``_*_aggs()`` builders the standalone operators use, so
+    suite-vs-operator drift is impossible by construction. Unlike the
+    text_profile_suite fold the arms cannot share ONE physical scan:
+    the hourly arm filters NULL-ts rows out while the props arm keeps
+    them (F.window drops NULL keys; props stats must not), so a
+    grouping-sets single-pass would change one arm's semantics. The
+    unmerged callables stay public, bench-named, and keep the driver's
+    own value check in test_oracle_parity (de-registration
+    convention)."""
+    ev = _events(spark, sf_dir)
+    props = (
+        _props_grouped(ev)
+        .agg(*_props_aggs())
+        .select(
+            F.lit("props").alias("part"),
+            F.lit(None).cast("timestamp").alias("hour"),
+            "event_type",
+            "avg_k",
+            "n_high",
+            F.lit(None).cast("bigint").alias("n"),
+            F.lit(None).cast("double").alias("total_value"),
+        )
+    )
+    hourly = (
+        _hourly_grouped(ev)
+        .agg(*_hourly_aggs())
+        .select(
+            F.lit("hourly").alias("part"),
+            "hour",
+            "event_type",
+            F.lit(None).cast("double").alias("avg_k"),
+            F.lit(None).cast("bigint").alias("n_high"),
+            "n",
+            "total_value",
+        )
+    )
+    return props.unionByName(hourly).orderBy("part", "hour", "event_type")
+
+
+EVENTS_ACTIVITY_SUITE_SQL = """
+WITH props AS (
+    SELECT 'props' AS part,
+           CAST(NULL AS TIMESTAMP) AS hour,
+           event_type,
+           ROUND(AVG(k), 6) AS avg_k,
+           CAST(COUNT(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_high,
+           CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS DOUBLE) AS total_value
+    FROM (
+        -- json_valid guard: DuckDB's json_extract ERRORS on malformed
+        -- props where Spark's from_json returns NULL (hostile sweep)
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+               END AS k
+        FROM events
+    )
+    GROUP BY event_type
+),
+hourly AS (
+    SELECT 'hourly' AS part,
+           date_trunc('hour', ts) AS hour,
+           event_type,
+           CAST(NULL AS DOUBLE) AS avg_k,
+           CAST(NULL AS BIGINT) AS n_high,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY 2, 3
+)
+SELECT * FROM props
+UNION ALL
+SELECT * FROM hourly
+ORDER BY part, hour, event_type
 """
 
 

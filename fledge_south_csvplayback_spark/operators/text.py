@@ -1162,6 +1162,33 @@ def text_bm25_topk_indexed(
         .limit(k)
     )
 
+
+def text_bm25_topk_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry for the persisted-index BM25 path (round-15
+    rotation: registered as ``text_bm25_topk_indexed``, slot freed by
+    the events_activity_suite fold — COVERAGE.md). Builds the inverted
+    index from the sf_dir corpus into a per-process scratch dir, then
+    answers the standard query THROUGH the index, so the driver's
+    DuckDB compare gates the whole deployment path — build, partition
+    pruning, stats sidecar, pivot-back scoring — against the INLINE
+    operator's SQL (``TEXT_BM25_SQL``): the bit-exact
+    indexed-equals-inline claim, previously pytest-only
+    (test_text_scoring), now under the driver's own hash. Like
+    ``ann_cosine_topk_sq8``, the registered call includes the build
+    (the honest self-contained shape); the scratch dir is fixed per
+    (process, sf) and rebuilt with overwrite, so repeated bench reps
+    don't accumulate directories."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = os.path.join(
+        tempfile.gettempdir(), f"bm25_index_{tag}_{os.getpid()}"
+    )
+    build_bm25_index(spark, sf_dir, idx)
+    return text_bm25_topk_indexed(spark, sf_dir, idx)
+
+
 # --- corpus-wide repeated-line removal (boilerplate scrub) -------------------
 # A line repeated across this many DISTINCT documents is boilerplate.
 # 2 is the CCNet/"deduplicate paragraphs" setting (drop anything shared

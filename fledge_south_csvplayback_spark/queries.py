@@ -44,11 +44,16 @@ register("events_asof_click", events.events_asof_click, events.EVENTS_ASOF_SQL)
 register(
     "events_sessionize", events.events_sessionize, events.EVENTS_SESSIONIZE_SQL
 )
+# Round-15 registry fold (COVERAGE.md selection rule): props extraction
+# and the hourly rollup share the events fixture and fold into one
+# part-tagged union built from the standalone operators' own grouped/agg
+# builders (drift impossible by construction); the unmerged callables
+# stay public + bench-named and keep the driver's value check in
+# test_oracle_parity. The freed slot registers text_bm25_topk_indexed.
 register(
-    "events_props_extract", events.events_props_extract, events.EVENTS_PROPS_SQL
-)
-register(
-    "events_hourly_rollup", events.events_hourly_rollup, events.EVENTS_HOURLY_SQL
+    "events_activity_suite",
+    events.events_activity_suite,
+    events.EVENTS_ACTIVITY_SUITE_SQL,
 )
 # rotated in round 11 (slot freed by folding csv_pick_from_file into
 # the csv_directory_codecs union): weekly cohort retention — exact SQL
@@ -305,6 +310,14 @@ register(
 # — the one text-retrieval scoring surface that held an exact oracle
 # without a slot since round 8
 register("text_bm25_topk", text.text_bm25_topk, text.TEXT_BM25_SQL)
+# rotated in round 15 (slot freed by the events_activity_suite fold):
+# the persisted-inverted-index BM25 deployment path — build + pruned
+# query in one self-contained call, gated against the INLINE operator's
+# SQL so the bit-exact indexed-equals-inline claim sits under the
+# driver's own hash (it was pytest-only before)
+register(
+    "text_bm25_topk_indexed", text.text_bm25_topk_via_index, text.TEXT_BM25_SQL
+)
 # rotated in round 13 (slot freed by the dedup_neardup_pairs fold):
 # hybrid sparse+dense retrieval with reciprocal-rank fusion — exact
 # DuckDB oracle + bench row held since round 12

@@ -83,3 +83,17 @@ def test_round11_fold_constituents_oracle_parity(spark):
     ):
         ok, msg = compare(fn(spark, TEST_SF_DIR), sql, TEST_SF_DIR)
         assert ok, f"{fn.__name__}: {msg}"
+
+
+def test_round15_fold_constituents_oracle_parity(spark):
+    """Round-15 fold (events_props_extract + events_hourly_rollup into
+    events_activity_suite): the de-registration convention keeps the
+    driver's own value check on each unmerged callable here."""
+    from fledge_south_csvplayback_spark.operators import events as E
+
+    for fn, sql in (
+        (E.events_props_extract, E.EVENTS_PROPS_SQL),
+        (E.events_hourly_rollup, E.EVENTS_HOURLY_SQL),
+    ):
+        ok, msg = compare(fn(spark, TEST_SF_DIR), sql, TEST_SF_DIR)
+        assert ok, f"{fn.__name__}: {msg}"
