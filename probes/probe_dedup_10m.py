@@ -121,6 +121,7 @@ def main() -> None:
             "lexical_topk",
             "bm25_indexed",
             "bm25_append",
+            "bm25_liststress",
             "bpe",
             "neardup_fold",
         ],
@@ -529,6 +530,147 @@ def main() -> None:
                     "query_sec_after_compact": query_post,
                     "compact_exact": post_compact == pre_compact,
                     "out_rows": len(appended),
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    if args.op == "bm25_liststress":
+        # round-14 verdict item 6: compact_bm25_index measured in the
+        # regime it exists for. The local-disk adjudication showed the
+        # 16 MB target is query-wall NEUTRAL at small fragment counts;
+        # the claimed payoff is the object-store cost model, where the
+        # driver pays per-file LIST/HEAD RPCs on every read. This probe
+        # fragments a 10M-doc index with 200 micro-batch appends, then
+        # measures the quantities that ARE that cost model: total
+        # posting files, files inside the 3-term query's pruned
+        # buckets (the per-query GET count), and the driver-side
+        # listing wall of a fresh `spark.read.parquet` over the
+        # posting table (InMemoryFileIndex discovery — the local floor
+        # of the remote LIST round; min of 3) — each before and after
+        # compaction, with pre/post query agreement pinned.
+        from fledge_south_csvplayback_spark.operators import text as T
+
+        import shutil
+
+        n_batches = 200
+        batch_sz = 2_000
+        idx = f"{PROBE_ROOT}/bm25_liststress_idx_{args.rows}"
+        if os.path.exists(idx):
+            shutil.rmtree(idx)  # appends mutate: always start fresh
+
+        def batch_docs(b: int) -> DataFrame:
+            start = args.rows + b * batch_sz
+            wc = [
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.lit("probe"), F.col("doc_id"), F.lit(p)),
+                        F.lit(VOCAB),
+                    ),
+                )
+                for p in range(args.words)
+            ]
+            return (
+                spark.range(start, start + batch_sz)
+                .select(F.col("id").alias("doc_id"))
+                .select("doc_id", F.concat_ws(" ", *wc).alias("text"))
+            )
+
+        sample = [
+            r["t"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .limit(1)
+            .select(F.explode(F.split("text", " ")).alias("t"))
+            .limit(3)
+            .collect()
+        ]
+        q = tuple(sample)
+        t0 = time.perf_counter()
+        T.build_bm25_index(spark, sf_dir, idx)
+        build = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        for b in range(n_batches):
+            T.append_bm25_index(spark, batch_docs(b), idx)
+        appends_wall = round(time.perf_counter() - t0, 1)
+
+        q_buckets = sorted(
+            {
+                r[0]
+                for r in spark.range(1)
+                .select(
+                    F.explode(
+                        F.array(*[F.lit(t) for t in q])
+                    ).alias("t")
+                )
+                .select(F.pmod(F.xxhash64("t"), F.lit(T.BM25_INDEX_BUCKETS)))
+                .collect()
+            }
+        )
+
+        def file_stats(postings: str) -> tuple[int, int]:
+            total = pruned = 0
+            for root, _dirs, files in os.walk(postings):
+                n = sum(1 for f in files if f.endswith(".parquet"))
+                total += n
+                if any(f"bucket={b}" in root for b in q_buckets):
+                    pruned += n
+            return total, pruned
+
+        def listing_wall(postings: str) -> float:
+            walls = []
+            for _ in range(3):
+                t = time.perf_counter()
+                spark.read.parquet(postings)  # fresh file discovery
+                walls.append(time.perf_counter() - t)
+            return round(min(walls), 3)
+
+        def query_wall() -> tuple[float, list]:
+            walls, rows = [], []
+            for _ in range(3):
+                t = time.perf_counter()
+                rows = [
+                    tuple(r)
+                    for r in T.text_bm25_topk_indexed(
+                        spark, sf_dir, idx, query=q
+                    ).collect()
+                ]
+                walls.append(time.perf_counter() - t)
+            return round(min(walls), 2), rows
+
+        postings = T.bm25_postings_dir(idx)
+        files_pre, pruned_pre = file_stats(postings)
+        listing_pre = listing_wall(postings)
+        q_pre, rows_pre = query_wall()
+        t0 = time.perf_counter()
+        n_files = T.compact_bm25_index(spark, idx)
+        compact_wall = round(time.perf_counter() - t0, 1)
+        postings = T.bm25_postings_dir(idx)
+        files_post, pruned_post = file_stats(postings)
+        listing_post = listing_wall(postings)
+        q_post, rows_post = query_wall()
+        print(
+            json.dumps(
+                {
+                    "op": "bm25_liststress",
+                    "rows": args.rows,
+                    "batch_docs": batch_sz,
+                    "n_batches": n_batches,
+                    "seed_build_sec": build,
+                    "appends_total_sec": appends_wall,
+                    "files_before_compact": files_pre,
+                    "pruned_query_files_before": pruned_pre,
+                    "listing_sec_before": listing_pre,
+                    "query_sec_before": q_pre,
+                    "compact_wall_sec": compact_wall,
+                    "compacted_files": n_files,
+                    "files_after_compact": files_post,
+                    "pruned_query_files_after": pruned_post,
+                    "listing_sec_after": listing_post,
+                    "query_sec_after": q_post,
+                    "compact_exact": rows_post == rows_pre,
+                    "query_buckets": q_buckets,
                 }
             )
         )
