@@ -395,6 +395,105 @@ def _schema_ddl(schema: T.StructType | str, names: list[str] | None = None) -> s
 # skipping S rows (csvplayback.py:651-659; pandas header=H, skiprows=S:
 # drop S lines, line S+H is the header, data starts at S+H+1)
 # ---------------------------------------------------------------------------
+def _dir_line_cuts(
+    spark: SparkSession,
+    path: str,
+    skip_rows: int,
+    header_row: int,
+    n_sample: int,
+) -> tuple[DataFrame, dict[str, int], str, list[str]]:
+    """Per-FILE skip/header discovery for DIRECTORY line-oriented reads
+    (round-15 hunt finding: the single-file ``skip_lines`` applied a
+    GLOBAL skip over the directory-wide text read, whose cross-file
+    order is Spark's split-packing order — other files' preamble and
+    header lines leaked in as data rows, silently). Semantics are the
+    reference's one-file-at-a-time playback / pandas per-file
+    read+concat: each file independently drops ``skip_rows`` physical
+    lines, indexes the ``header_row``-th NON-blank remaining line as
+    its header, and contributes only the lines after it.
+
+    Returns ``(lines, cut_mids, first_header_line, sample_lines)``:
+    the tagged line frame, the per-file position of each file's header
+    line (feed to ``lineio.skip_lines_by_file``), the header LINE of
+    the alphabetically-first data file (names come from the pick-first
+    file — the same directory contract as the native no-schema read;
+    later files' header lines are consumed positionally, never
+    name-matched), and the first file's inference sample lines
+    (non-blank, post-header, ≤ ``n_sample``).
+
+    Cost shape: one tiny per-file aggregate + ONE bounded head-collect
+    job (re-run widened for blank-padded files, ``HEAD_MAX_LINES``
+    bound), then a broadcast-literal-map filter over the data — no
+    data shuffle, no whole-file window. Raises per file: a file with
+    no header at the index fails loudly (pandas raises on that file
+    too), naming the file.
+    """
+    lines = lineio.read_lines_by_file(spark, path)
+    extents = lineio.file_extents(lines)
+    if not extents:
+        raise ValueError(f"no data lines in directory {path}")
+    first_file = extents[0][0]
+    base_want = skip_rows + header_row + 1
+    want = {
+        f: min(
+            base_want
+            + HEAD_BLANK_SLACK
+            + (n_sample if f == first_file else 0),
+            HEAD_MAX_LINES,
+        )
+        for f, _m0, _n0, _mb in extents
+    }
+    heads: dict[str, list[str]] = {}
+    need = dict(want)
+    while need:
+        got = lineio.heads_by_file(lines, extents, need)
+        still: dict[str, int] = {}
+        for f, head in got.items():
+            nb = sum(1 for ln in head[skip_rows:] if not _is_blank(ln))
+            if nb > header_row or len(head) < need[f]:
+                heads[f] = head  # enough non-blank lines, or EOF
+            elif need[f] >= HEAD_MAX_LINES:
+                raise ValueError(
+                    f"no header at row {header_row} within the first "
+                    f"{HEAD_MAX_LINES} lines of {f} (directory read of "
+                    f"{path}) — pass an explicit schema= or clean the "
+                    "preamble"
+                )
+            else:
+                still[f] = min(need[f] * 8, HEAD_MAX_LINES)
+        need = still
+    cuts: dict[str, int] = {}
+    first_header = ""
+    sample_lines: list[str] = []
+    for f, m0, n0, mb in extents:
+        head = heads[f]
+        nonblank = [
+            (j, ln) for j, ln in enumerate(head[skip_rows:]) if not _is_blank(ln)
+        ]
+        if len(nonblank) <= header_row:
+            raise ValueError(
+                f"no header at row {header_row} after skipping "
+                f"{skip_rows} lines of {f} (directory read of {path})"
+            )
+        h_off, header_line = nonblank[header_row]
+        cut_lines = skip_rows + h_off + 1  # physical lines consumed
+        if cut_lines > n0 and mb > 0:
+            # the header lies beyond the file's first split (one
+            # physical line larger than a split) — the per-file cut is
+            # positional within the first split, so fail loudly
+            raise ValueError(
+                f"header of {f} lies beyond its first split — read the "
+                "file individually or pass schema= on the native path"
+            )
+        cuts[f] = m0 + cut_lines - 1  # _mid of the header line
+        if f == first_file:
+            first_header = header_line
+            sample_lines = [ln for _, ln in nonblank[header_row + 1 :]][
+                :n_sample
+            ]
+    return lines, cuts, first_header, sample_lines
+
+
 def read_pick_from_file(
     spark: SparkSession,
     path: str,
@@ -545,6 +644,29 @@ def read_pick_from_file(
     # 651-659): skiprows counts PHYSICAL lines, but blank lines are then
     # invisible — header=H indexes the H-th NON-BLANK remaining line,
     # and blank data lines are no rows at all.
+    if os.path.isdir(path):
+        # DIRECTORY + skip/header is PER FILE (round-15 hunt finding —
+        # the single-file global skip over a directory-wide read leaked
+        # other files' preamble/header lines in as data, in split-
+        # packing order): each file drops its own skip_rows physical
+        # lines and its own header_row-th non-blank header; names and
+        # the inference sample come from the alphabetically-first file
+        # (the engine-wide directory contract — later files map
+        # positionally, their header lines consumed, never name-matched)
+        n_sample = (
+            INFER_SAMPLE_LINES if (schema is None and infer_schema) else 0
+        )
+        lines, cuts, first_header, sample_lines = _dir_line_cuts(
+            spark, path, skip_rows, header_row, n_sample
+        )
+        names = _split_header(first_header)
+        if schema is not None:
+            ddl = _schema_ddl(schema, names)
+        else:
+            sample = list(csv.reader(sample_lines))
+            ddl = _infer_ddl(names, sample if infer_schema else [])
+        data = lineio.drop_blank_lines(lineio.skip_lines_by_file(lines, cuts))
+        return null_na_sentinels(lineio.parse_csv_lines(data, ddl))
     n_sample = INFER_SAMPLE_LINES if (schema is None and infer_schema) else 1
     # non-blank guarantee covers the header position only; the sample
     # stays best-effort (see the fast path's note)
@@ -730,16 +852,23 @@ def read_explicit(
     specs = (
         parse_use_columns(use_columns) if isinstance(use_columns, str) else use_columns
     )
+    is_dir = os.path.isdir(path)
     # the discarded header is the first NON-BLANK line after the
-    # physical skip (pandas header=0 semantics; blank lines invisible)
-    head = _head_with_blanks(spark, path, skip_rows + 1, skip_rows + 1)
+    # physical skip (pandas header=0 semantics; blank lines invisible).
+    # For a DIRECTORY the probe reads the alphabetically-first data
+    # file (the engine-wide pick-first contract, round 15 — a
+    # directory-wide head crossed file boundaries in split-packing
+    # order), and the width check validates the pick-first file.
+    probe = _first_data_file(path) if is_dir else path
+    check_not_empty(probe)
+    head = _head_with_blanks(spark, probe, skip_rows + 1, skip_rows + 1)
     # C-engine blank test: space/tab-only lines are blank to pandas
     # (lineio drop_blank_lines docstring, round-13/14 probes)
     nonblank = [
         (j, ln) for j, ln in enumerate(head[skip_rows:]) if not _is_blank(ln)
     ]
     if not nonblank:
-        raise ValueError(f"no header line after skipping {skip_rows} lines of {path}")
+        raise ValueError(f"no header line after skipping {skip_rows} lines of {probe}")
     h_off, header_line = nonblank[0]
     n_cols = len(_split_header(header_line))
     if len(specs) != n_cols:
@@ -756,13 +885,23 @@ def read_explicit(
         )
     if skip_rows == 0 and h_off == 0:
         # native fast path: header=True discards line 0, pinned all-string
-        # schema applies positionally — one pass, no inference.
+        # schema applies positionally — one pass, no inference. For a
+        # DIRECTORY the pinned schema makes the native reader skip
+        # blank-ish preambles and the first non-blank header PER FILE
+        # (round-14 probe matrix) — positional mapping throughout.
         # multi_line: the embedded-newline escape hatch, same contract
         # as read_pick_from_file's (pandas-parity, non-splittable)
         reader = spark.read.option("header", True).option("escape", '"')
         if multi_line:
             reader = reader.option("multiLine", True)
         df = reader.schema(raw_ddl).csv(path)
+    elif is_dir:
+        # DIRECTORY + skip/header is PER FILE (round-15; see
+        # read_pick_from_file) — each file drops its own skip_rows and
+        # its own first non-blank header line
+        lines, cuts, _hdr, _s = _dir_line_cuts(spark, path, skip_rows, 0, 0)
+        data = lineio.drop_blank_lines(lineio.skip_lines_by_file(lines, cuts))
+        df = lineio.parse_csv_lines(data, raw_ddl)
     else:
         data = lineio.drop_blank_lines(
             lineio.skip_lines(lineio.read_lines(spark, path), skip_rows + h_off + 1)
@@ -881,17 +1020,52 @@ def read_ragged(
     conversion drops every ``pd.isnull`` cell (csvplayback.py:703-711).
     """
     check_not_empty(path)
-    lines = lineio.with_line_numbers(
-        # python-ENGINE blank semantics: the reference's ragged read is
-        # pandas engine='python', whose _remove_empty_lines drops a
-        # single-field line blank under str.strip() — ANY unicode
-        # whitespace — where the C engine would keep \x0b/\xa0/
-        # lines as data (round-14 probe; lineio._BLANK_RE)
-        lineio.drop_blank_lines(
-            lineio.skip_lines(lineio.read_lines(spark, path), skip_rows),
-            engine="python",
+    if os.path.isdir(path):
+        # DIRECTORY ragged reads are PER FILE (round-15 hunt finding —
+        # the single-file skip/numbering over a directory-wide read is
+        # split-packing-ordered, i.e. nondeterministic): each file
+        # drops its own skip_rows physical lines and its own BOM;
+        # row_id numbers globally in alphabetical file order (the
+        # reference's playback order / pandas concat ignore_index)
+        raw = lineio.read_lines_by_file(spark, path)
+        extents = lineio.file_extents(raw)
+        if not extents:
+            raise ValueError(f"no data lines in directory {path}")
+        if skip_rows > 0:
+            for f, _m0, n0, mb in extents:
+                if mb > 0 and n0 < skip_rows:
+                    raise ValueError(
+                        f"cannot skip {skip_rows} lines of {f}: its "
+                        "first split holds fewer lines (one physical "
+                        "line larger than a split) — read the file "
+                        "individually"
+                    )
+            cuts = {
+                f: m0 + min(skip_rows, n0) - 1
+                for f, m0, n0, mb in extents
+                if n0 > skip_rows or mb > 0
+            }
+            raw = lineio.skip_lines_by_file(raw, cuts)
+            # each file's first (BOM-bearing) line is consumed by the skip
+        else:
+            raw = lineio.strip_bom_by_file(
+                raw, {f: m0 for f, m0, _n0, _mb in extents}
+            )
+        lines = lineio.with_line_numbers_by_file(
+            lineio.drop_blank_lines(raw, engine="python")
         )
-    )
+    else:
+        lines = lineio.with_line_numbers(
+            # python-ENGINE blank semantics: the reference's ragged read
+            # is pandas engine='python', whose _remove_empty_lines drops
+            # a single-field line blank under str.strip() — ANY unicode
+            # whitespace — where the C engine would keep \x0b/\xa0/
+            # lines as data (round-14 probe; lineio._BLANK_RE)
+            lineio.drop_blank_lines(
+                lineio.skip_lines(lineio.read_lines(spark, path), skip_rows),
+                engine="python",
+            )
+        )
     width_row = lines.select(
         F.max(F.size(F.split(F.col("value"), ",", -1))).alias("k")
     ).collect()[0]
@@ -927,4 +1101,9 @@ def read_ragged(
 # builder (operators/readings.py).
 # ---------------------------------------------------------------------------
 def read_metadata_datapoint(spark: SparkSession, path: str, n_rows: int) -> str:
+    # a DIRECTORY's metadata head comes from the pick-first file (the
+    # reference reads the CURRENT playback file's head; a directory-wide
+    # head is split-packing-ordered — round-15 directory contract)
+    if os.path.isdir(path):
+        path = _first_data_file(path)
     return "_".join(head_lines(spark, path, n_rows))
