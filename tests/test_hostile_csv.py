@@ -1480,3 +1480,62 @@ def test_dir_metadata_datapoint_is_first_file(spark, tmp_path):
     (d / "a.csv").write_text("ma\nA,B\n1,2\n")
     (d / "z.csv").write_text("mz\nA,B\n" + "".join(f"{j},{j}\n" for j in range(200)))
     assert cs.read_metadata_datapoint(spark, str(d), 1) == "ma"
+
+
+def test_dir_bz2_member_probe_and_mixed_codecs(spark, tmp_path):
+    """The remaining codec cells of the directory envelope: a bz2
+    pick-first member drives inference (single-split head read through
+    the codec), and a skip-rows directory mixing plain, gzip and bz2
+    members cuts each per file."""
+    import bz2
+    import gzip
+
+    d = tmp_path / "dbz2"
+    d.mkdir()
+    with bz2.open(d / "a.csv.bz2", "wt") as f:
+        f.write("A,B\n1,2\n")
+    (d / "b.csv").write_text("A,B\n3,4\n")
+    df = cs.read_pick_from_file(spark, str(d))
+    assert dict(df.dtypes) == {"A": "bigint", "B": "bigint"}
+    assert sorted(map(tuple, df.collect())) == [(1, 2), (3, 4)]
+
+    m = tmp_path / "dmix"
+    m.mkdir()
+    (m / "a.csv").write_text("junk\nA,B\n1,2\n")
+    with gzip.open(m / "b.csv.gz", "wt") as f:
+        f.write("junk\nA,B\n3,4\n")
+    with bz2.open(m / "c.csv.bz2", "wt") as f:
+        f.write("junk\nA,B\n5,6\n")
+    df = cs.read_pick_from_file(spark, str(m), skip_rows=1)
+    assert dict(df.dtypes) == {"A": "bigint", "B": "bigint"}
+    assert sorted(map(tuple, df.collect())) == [(1, 2), (3, 4), (5, 6)]
+
+
+def test_dir_dup_header_mangle_from_first_file(spark, tmp_path):
+    """Duplicate header names in the pick-first file take the pandas
+    mangle (a, a.1) for the whole directory; later files map
+    positionally under those names."""
+    d = tmp_path / "ddup"
+    d.mkdir()
+    (d / "a.csv").write_text("a,a,b\n1,2,3\n")
+    (d / "z.csv").write_text("a,a,b\n4,5,6\n")
+    df = cs.read_pick_from_file(spark, str(d))
+    assert df.columns == ["a", "a.1", "b"]
+    assert dict(df.dtypes) == {"a": "bigint", "a.1": "bigint", "b": "bigint"}
+    assert sorted(map(tuple, df.collect())) == [(1, 2, 3), (4, 5, 6)]
+
+
+def test_dir_header_only_first_file_stays_string(spark, tmp_path):
+    """A pick-first file with a header and NO data rows gives an empty
+    inference sample → all columns string (the single-file empty-sample
+    contract, applied per the directory's pick-first rule). pandas
+    concat agrees at the dtype level — the empty first frame poisons
+    the result to object — though its object cells hold typed values
+    where this engine holds the strings."""
+    d = tmp_path / "dhdronly"
+    d.mkdir()
+    (d / "a.csv").write_text("A,B\n")
+    (d / "z.csv").write_text("A,B\n1,2\n")
+    df = cs.read_pick_from_file(spark, str(d))
+    assert dict(df.dtypes) == {"A": "string", "B": "string"}
+    assert sorted(map(tuple, df.collect())) == [("1", "2")]
