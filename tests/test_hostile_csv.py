@@ -1539,3 +1539,81 @@ def test_dir_header_only_first_file_stays_string(spark, tmp_path):
     df = cs.read_pick_from_file(spark, str(d))
     assert dict(df.dtypes) == {"A": "string", "B": "string"}
     assert sorted(map(tuple, df.collect())) == [("1", "2")]
+
+
+def test_dir_perfile_fuzz_vs_pandas_concat(spark, tmp_path):
+    """Seeded fuzz of the DIRECTORY per-file envelope vs per-file
+    pandas concat: 2-4 files sharing one header, random typed columns
+    (int / float / string — fixed per column so no cross-file widening
+    hits the pinned first-file-sample contract), sparse NA sentinels
+    (first file guaranteed a non-missing exemplar per column — the
+    all-missing sample is its own pinned case), random blank-ish
+    preambles per file, × skip_rows ∈ {0, 1} (skip=1 adds a junk line
+    per file). Asserts names, dtypes, and typed values against
+    pd.concat of per-file reads — the net that catches any regression
+    to global skipping or cross-file sampling."""
+    import random
+
+    random.seed(1515)
+    ints = ["1", "42", "007", "-3"]
+    floats = ["1.5", "2.5", "-0.25", "1e2"]
+    strs = ["x", "yy", "z1"]
+    pools = {"int": ints, "float": floats, "str": strs}
+    ran = 0
+    for trial in range(40):
+        n_files = random.randint(2, 4)
+        n_cols = random.randint(1, 3)
+        coltypes = [random.choice(list(pools)) for _ in range(n_cols)]
+        header = ",".join(f"c{i}" for i in range(n_cols))
+        skip = random.choice([0, 1])
+        d = tmp_path / f"dfz{trial}"
+        d.mkdir()
+        # missing cells are allowed only in columns marked nullable, and
+        # a nullable column gets a GUARANTEED sentinel in the first
+        # file: an int column whose only missing cells are in later
+        # files is the PINNED first-file-sample divergence (pandas
+        # widens to float64, the sample can't see it) — its own test,
+        # not fuzz territory
+        nullable = [random.random() < 0.3 for _ in range(n_cols)]
+        for fi in range(n_files):
+            lines = []
+            if skip:
+                lines.append("junk junk")
+            if random.random() < 0.4:
+                lines.extend([" \t"] * random.randint(1, 3))
+            lines.append(header)
+            n_rows = random.randint(1, 6)
+            for ri in range(n_rows):
+                row = []
+                for ci in range(n_cols):
+                    # first file row 0: always a real exemplar
+                    if fi == 0 and ri == 0:
+                        row.append(random.choice(pools[coltypes[ci]]))
+                    elif nullable[ci] and random.random() < 0.15:
+                        row.append(random.choice(["", "NA", "null"]))
+                    else:
+                        row.append(random.choice(pools[coltypes[ci]]))
+                lines.append(",".join(row))
+            if fi == 0 and any(nullable):
+                # "NA", not "": an all-nullable single-column row of
+                # empty cells is a BLANK line, dropped by both engines
+                lines.append(
+                    ",".join(
+                        "NA"
+                        if nullable[ci]
+                        else random.choice(pools[coltypes[ci]])
+                        for ci in range(n_cols)
+                    )
+                )
+            (d / f"f{fi}.csv").write_text("\n".join(lines) + "\n")
+        try:
+            want, exp_rows = _dir_oracle_kw(str(d), skiprows=skip)
+        except Exception:
+            continue
+        ran += 1
+        df = cs.read_pick_from_file(spark, str(d), skip_rows=skip)
+        assert df.columns == list(want), (trial, skip)
+        assert dict(df.dtypes) == want, (trial, skip)
+        got = sorted([tuple(r) for r in df.collect()], key=repr)
+        assert got == exp_rows, (trial, skip)
+    assert ran >= 30
