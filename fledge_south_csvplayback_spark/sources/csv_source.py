@@ -88,12 +88,16 @@ def _first_data_file(path: str) -> str:
     size-descending split packing, which made "first file" mean
     "largest file"). Files Spark's FileIndex hides (``_``/``.``
     prefixes) are skipped so the probe never reads a file the
-    distributed scan won't."""
+    distributed scan won't, and so are ZERO-BYTE members — the
+    directory contract everywhere (native reader, per-file line
+    machinery) is that empty members contribute nothing, so they must
+    not become the header source either (round 15)."""
     names = sorted(
         n
         for n in os.listdir(path)
         if not n.startswith(("_", "."))
         and os.path.isfile(os.path.join(path, n))
+        and os.path.getsize(os.path.join(path, n)) > 0
     )
     if not names:
         raise FileNotFoundError(f"no data files in directory {path}")

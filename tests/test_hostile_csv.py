@@ -1617,3 +1617,25 @@ def test_dir_perfile_fuzz_vs_pandas_concat(spark, tmp_path):
         got = sorted([tuple(r) for r in df.collect()], key=repr)
         assert got == exp_rows, (trial, skip)
     assert ran >= 30
+
+
+def test_dir_empty_first_member_probe_skips_to_next(spark, tmp_path):
+    """A zero-byte member sorting FIRST must not become the probe: the
+    directory contract (everywhere) is that empty members contribute
+    nothing, so names/dtypes come from the first file that HAS lines —
+    on the no-schema fast path AND the skip path."""
+    d = tmp_path / "demptyfirst"
+    d.mkdir()
+    (d / "a.csv").write_text("")
+    (d / "b.csv").write_text("A,B\n1,2\n")
+    df = cs.read_pick_from_file(spark, str(d))
+    assert df.columns == ["A", "B"]
+    assert dict(df.dtypes) == {"A": "bigint", "B": "bigint"}
+    assert [tuple(r) for r in df.collect()] == [(1, 2)]
+    d2 = tmp_path / "demptyfirst2"
+    d2.mkdir()
+    (d2 / "a.csv").write_text("")
+    (d2 / "b.csv").write_text("junk\nA,B\n3,4\n")
+    df = cs.read_pick_from_file(spark, str(d2), skip_rows=1)
+    assert df.columns == ["A", "B"]
+    assert [tuple(r) for r in df.collect()] == [(3, 4)]
