@@ -1639,3 +1639,34 @@ def test_dir_empty_first_member_probe_skips_to_next(spark, tmp_path):
     df = cs.read_pick_from_file(spark, str(d2), skip_rows=1)
     assert df.columns == ["A", "B"]
     assert [tuple(r) for r in df.collect()] == [(3, 4)]
+
+
+def test_dir_skip_and_header_combined_vs_pandas(spark, tmp_path):
+    """skip_rows and header_row compose per file: drop k physical
+    lines, THEN index the h-th non-blank remaining line as the header —
+    each file on its own offsets."""
+    d = tmp_path / "dcombo"
+    d.mkdir()
+    (d / "a.csv").write_text("x\nmeta,ma\n\nA,B\n1,2\n")
+    (d / "b.csv").write_text("y\nmeta,mb\nA,B\n3,4\n")
+    df = cs.read_pick_from_file(spark, str(d), skip_rows=1, header_row=1)
+    want, exp_rows = _dir_oracle_kw(str(d), skiprows=1, header=1)
+    assert df.columns == list(want)
+    assert dict(df.dtypes) == want
+    assert sorted([tuple(r) for r in df.collect()], key=repr) == exp_rows
+
+
+def test_dir_crlf_members_vs_pandas(spark, tmp_path):
+    """CRLF line endings inside directory members parse identically to
+    pandas on the per-file skip path (the text reader splits CRLF; no
+    stray \\r reaches the parser)."""
+    d = tmp_path / "dcrlf"
+    d.mkdir()
+    with open(d / "a.csv", "w", newline="") as f:
+        f.write("junk\r\nA,B\r\n1,2\r\n")
+    with open(d / "b.csv", "w", newline="") as f:
+        f.write("junk\r\nA,B\r\n3,4\r\n")
+    df = cs.read_pick_from_file(spark, str(d), skip_rows=1)
+    want, exp_rows = _dir_oracle_kw(str(d), skiprows=1)
+    assert dict(df.dtypes) == want
+    assert sorted([tuple(r) for r in df.collect()], key=repr) == exp_rows
