@@ -1670,3 +1670,32 @@ def test_dir_crlf_members_vs_pandas(spark, tmp_path):
     want, exp_rows = _dir_oracle_kw(str(d), skiprows=1)
     assert dict(df.dtypes) == want
     assert sorted([tuple(r) for r in df.collect()], key=repr) == exp_rows
+
+
+def test_dir_perfile_plan_shapes(spark, tmp_path):
+    """Scale pins for the per-file directory machinery: the pick/skip
+    data plan is Exchange-FREE (per-file cuts are literal-map filters
+    over the scan — never a window, never a data shuffle) and the
+    ragged plan has exactly ONE Exchange (the per-(file, split)
+    numbering window, same budget as the single-file read). Both stay
+    JVM-side."""
+    d = tmp_path / "dplan"
+    d.mkdir()
+    (d / "a.csv").write_text("junk\nA,B\n1,2\n")
+    (d / "b.csv").write_text("junk\nA,B\n3,4\n")
+    plan = (
+        cs.read_pick_from_file(spark, str(d), skip_rows=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 0, plan
+    assert "PythonRDD" not in plan
+    plan2 = (
+        cs.read_ragged(spark, str(d), skip_rows=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan2.count("Exchange") == 1, plan2
+    assert "PythonRDD" not in plan2
