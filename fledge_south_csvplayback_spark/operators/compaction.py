@@ -67,6 +67,64 @@ def input_bytes(path: str) -> int:
     return total
 
 
+def fragmentation_stats(path: str) -> dict:
+    """Fragmentation snapshot of a parquet layout — the measured input
+    to a compaction schedule (round 15, from the ``bm25_liststress``
+    arithmetic: a 3-term query against a 200-append index opened 696
+    files; compaction cut that to 6). Returns ``n_files``, ``bytes``,
+    ``n_partition_dirs`` (leaf dirs holding parquet files whose name is
+    ``k=v`` — 0 for a flat layout), and ``worst_partition`` =
+    ``(n_files, bytes)`` of the most file-heavy leaf (the
+    per-pruned-query file-open bound; the whole layout for a flat
+    one). Local FS only, same contract as ``input_bytes``."""
+    _require_local(path)
+    n_files = total = 0
+    per_dir: dict[str, list[int]] = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                sz = os.path.getsize(os.path.join(root, f))
+                n_files += 1
+                total += sz
+                c = per_dir.setdefault(root, [0, 0])
+                c[0] += 1
+                c[1] += sz
+    leaf_parts = {
+        d: v for d, v in per_dir.items() if "=" in os.path.basename(d)
+    }
+    worst = max(
+        leaf_parts.values(), key=lambda v: v[0], default=[n_files, total]
+    )
+    return {
+        "n_files": n_files,
+        "bytes": total,
+        "n_partition_dirs": len(leaf_parts),
+        "worst_partition": (worst[0], worst[1]),
+    }
+
+
+def needs_compaction(
+    path: str,
+    max_files_per_partition: int = 64,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> bool:
+    """Enforceable compaction trigger (the round-14 horizon lesson:
+    a schedule contract should be an API, not a docstring): True when
+    the most file-heavy partition (or the flat layout) holds more than
+    ``max_files_per_partition`` files AND more than its bytes warrant
+    at ``target_bytes`` — a naturally large partition of target-sized
+    files is capacity, not fragmentation. The default 64 sits where
+    the measured regimes cross: the 20-append BM25 index
+    (~52 files/bucket) was still query-neutral locally, the 200-append
+    one (~230 files/bucket, 696 opens per 3-term query) was well past
+    it (BASELINE.md round-14/15 rows)."""
+    s = fragmentation_stats(path)
+    wf, wb = s["worst_partition"]
+    if wf <= max_files_per_partition:
+        return False
+    return wf > max(1, math.ceil(wb / target_bytes))
+
+
 def partition_cols(path: str) -> list[str]:
     """Hive partition columns of a parquet directory, outermost first,
     discovered from the ``k=v`` directory names (the same layout

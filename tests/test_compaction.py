@@ -220,3 +220,37 @@ def test_fold_horizon_carries_live_batches_unfolded(spark, tmp_path):
         for r in spark.read.parquet(final).collect()
     }
     assert got2 == {(d, p) for d, p, _b in all_rows}
+
+
+def test_fragmentation_stats_and_trigger(spark, tmp_path):
+    """fragmentation_stats measures the per-partition file-open bound;
+    needs_compaction fires only on genuine fragmentation (round 15 —
+    the bm25_liststress schedule made enforceable)."""
+    from fledge_south_csvplayback_spark.operators import compaction as C
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "frag")
+    # 2 partitions, many tiny files in one of them
+    df = spark.range(200).select(
+        (F.col("id") % 2).alias("p"), F.col("id").alias("v")
+    )
+    df.repartition(20).write.partitionBy("p").parquet(d)
+    s = C.fragmentation_stats(d)
+    assert s["n_partition_dirs"] == 2
+    assert s["n_files"] >= 20
+    wf, wb = s["worst_partition"]
+    assert wf >= 10 and wb > 0
+    # tiny threshold: fragmented (files far exceed bytes/target at 128MB)
+    assert C.needs_compaction(d, max_files_per_partition=4)
+    # generous threshold: not fragmented
+    assert not C.needs_compaction(d, max_files_per_partition=1000)
+    # a right-sized layout never triggers, whatever the threshold says
+    d2 = str(tmp_path / "sized")
+    df.coalesce(1).write.partitionBy("p").parquet(d2)
+    assert not C.needs_compaction(d2, max_files_per_partition=0)
+    # empty layout
+    d3 = str(tmp_path / "empty")
+    import os
+    os.makedirs(d3)
+    assert C.fragmentation_stats(d3)["n_files"] == 0
+    assert not C.needs_compaction(d3)
