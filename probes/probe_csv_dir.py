@@ -56,6 +56,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=1000)
     ap.add_argument("--rows", type=int, default=1000)
+    ap.add_argument("--skip-loop", action="store_true")
     args = ap.parse_args()
 
     from fledge_south_csvplayback_spark.sources import csv_source as cs
@@ -97,7 +98,7 @@ def main() -> None:
     )
     # driver loop of per-file single-file reads (the pre-round-15
     # workaround): one plan per file, unioned
-    if args.files <= 2000:
+    if args.files <= 2000 and not args.skip_loop:
         def loop():
             files = cs.find_csv_files(d)
             parts = [
@@ -112,10 +113,32 @@ def main() -> None:
             return df
 
         out.update(run("loop", loop))
-    ok = out["perfile_rows"] == expect_rows and all(
-        out[f"{t}_sum"] == out["perfile_sum"]
-        for t in ("native_floor", "loop")
-        if f"{t}_sum" in out
+    # ragged arm: per-file numbering (the one-Exchange window path) —
+    # row_id must cover [0, N) exactly (global, gap-free, file-ordered)
+    t0 = time.perf_counter()
+    rdf = cs.read_ragged(spark, d, skip_rows=2)  # skip preamble + header
+    ragg = rdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("row_id").alias("lo"),
+        F.max("row_id").alias("hi"),
+        F.count_distinct("row_id").alias("d"),
+    ).collect()[0]
+    out["ragged_sec"] = round(time.perf_counter() - t0, 2)
+    out["ragged_rows"] = ragg["n"]
+    out["ragged_ids_dense"] = bool(
+        ragg["lo"] == 0
+        and ragg["hi"] == ragg["n"] - 1
+        and ragg["d"] == ragg["n"]
+    )
+    ok = (
+        out["perfile_rows"] == expect_rows
+        and out["ragged_rows"] == expect_rows
+        and out["ragged_ids_dense"]
+        and all(
+            out[f"{t}_sum"] == out["perfile_sum"]
+            for t in ("native_floor", "loop")
+            if f"{t}_sum" in out
+        )
     )
     out["agree"] = bool(ok)
     print(json.dumps(out))

@@ -64,6 +64,11 @@ _EXPLICIT = [
     ("video_neardup_pairs", multimodal.video_neardup_pairs, multimodal.VIDEO_NEARDUP_SQL),
     ("multimodal_audio_downmix_stats", multimodal.multimodal_audio_downmix_stats, multimodal.MULTIMODAL_AUDIO_DOWNMIX_SQL),
     ("multimodal_image_resize_stats", multimodal.multimodal_image_resize_stats, multimodal.MULTIMODAL_IMAGE_RESIZE_SQL),
+    # de-registered in the round-15 events_activity_suite fold: the
+    # constituents keep their hostile sweep here (the de-registration
+    # convention — the check moves, it never weakens)
+    ("events_props_extract", events.events_props_extract, events.EVENTS_PROPS_SQL),
+    ("events_hourly_rollup", events.events_hourly_rollup, events.EVENTS_HOURLY_SQL),
 ]
 
 
