@@ -1699,3 +1699,60 @@ def test_dir_perfile_plan_shapes(spark, tmp_path):
     )
     assert plan2.count("Exchange") == 1, plan2
     assert "PythonRDD" not in plan2
+
+
+def test_dir_header_only_member_contributes_nothing(spark, tmp_path):
+    """A member that is ONLY preamble+header yields zero rows (its cut
+    consumes everything). PINNED dtype divergence: pandas' empty-frame
+    member has object columns and poisons the concat to object, where
+    the pick-first-file sample keeps the data-bearing bigint — the
+    richer type, values identical."""
+    d = tmp_path / "dhdrmember"
+    d.mkdir()
+    (d / "a.csv").write_text("junk\nA,B\n1,2\n")
+    (d / "b.csv").write_text("junk\nA,B\n")
+    df = cs.read_pick_from_file(spark, str(d), skip_rows=1)
+    assert dict(df.dtypes) == {"A": "bigint", "B": "bigint"}
+    assert [tuple(r) for r in df.collect()] == [(1, 2)]
+
+
+def test_dir_all_members_header_only_yields_empty_with_schema(spark, tmp_path):
+    """Every member header-only → an EMPTY frame that still carries the
+    derived column names (all-string: empty inference sample)."""
+    d = tmp_path / "dallhdr"
+    d.mkdir()
+    (d / "a.csv").write_text("junk\nA,B\n")
+    (d / "b.csv").write_text("junk\nA,B\n")
+    df = cs.read_pick_from_file(spark, str(d), skip_rows=1)
+    assert df.columns == ["A", "B"]
+    assert df.count() == 0
+
+
+def test_dir_single_member_equals_single_file_read(spark, tmp_path):
+    """Degenerate one-file directory ≡ reading that file directly."""
+    d = tmp_path / "dsingle"
+    d.mkdir()
+    (d / "a.csv").write_text("junk\n\nA,B\n1,2\nNA,4\n")
+    df_dir = cs.read_pick_from_file(spark, str(d), skip_rows=1)
+    df_one = cs.read_pick_from_file(spark, str(d / "a.csv"), skip_rows=1)
+    assert df_dir.columns == df_one.columns
+    assert dict(df_dir.dtypes) == dict(df_one.dtypes)
+    assert sorted(map(tuple, df_dir.collect()), key=repr) == sorted(
+        map(tuple, df_one.collect()), key=repr
+    )
+
+
+def test_dir_ragged_skip_past_member_eof_pinned(spark, tmp_path):
+    """PINNED divergence: a ragged member SHORTER than skip_rows
+    contributes nothing (the empty-member rule applied to the
+    post-skip remainder); pandas' per-file read raises EmptyDataError
+    on that member."""
+    d = tmp_path / "dshort"
+    d.mkdir()
+    (d / "a.csv").write_text("h\n1,2\n")
+    (d / "b.csv").write_text("h\n")  # 1 line < skip_rows=2? no: == ... see below
+    (d / "c.csv").write_text("x\ny\n3,4\n")
+    df = cs.read_ragged(spark, str(d), skip_rows=2)
+    rows = sorted([(r["row_id"], dict(r["readings"])) for r in df.collect()])
+    # a.csv: 2 lines, both consumed; b.csv: 1 line consumed; c.csv: data
+    assert rows == [(0, {"column_1": "3", "column_2": "4"})]
