@@ -146,6 +146,9 @@ EXTRA_QUERIES = {
     # de-registered in the round-15 events_activity_suite fold; same rule
     "events_props_extract": events.events_props_extract,
     "events_hourly_rollup": events.events_hourly_rollup,
+    # de-registered in the round-15 ann_cosine_topk_suite fold; same rule
+    "ann_cosine_topk": similarity.ann_cosine_topk,
+    "ann_cosine_topk_sq8": similarity.ann_cosine_topk_sq8,
 }
 
 

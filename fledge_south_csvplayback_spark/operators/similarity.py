@@ -827,6 +827,36 @@ def ann_cosine_topk_ivf_indexed(
     return _rank_topk(partial)
 
 
+def ann_cosine_topk_ivf_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry for the persisted-index IVF path (round-15
+    rotation: registered as ``ann_cosine_topk_ivf_indexed``, slot freed
+    by the ann_cosine_topk_suite fold — COVERAGE.md). Builds the
+    cell_id-partitioned index from the sf_dir embeddings into a
+    per-process scratch dir, then answers the standard query THROUGH
+    the index, so the driver's DuckDB compare gates the whole
+    deployment path — head-rule quantizer persistence, partitionBy
+    write, probed-cell partition pruning, masked partial top-k —
+    against the INLINE entry's oracle (``ANN_COSINE_TOPK_IVF_SQL``):
+    the exact indexed-equals-inline claim, previously pytest-only
+    (test_similarity), now under the driver's own hash. Like
+    ``text_bm25_topk_via_index``, the registered call includes the
+    build (the honest self-contained shape); the scratch dir is fixed
+    per (process, sf) and rebuilt with overwrite, so repeated bench
+    reps don't accumulate directories. Centroids stay the inline
+    entry's deterministic head rule — the one the SQL oracle rebuilds;
+    the kmeans production quantizer has no closed-form SQL and keeps
+    its pytest gates."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = os.path.join(
+        tempfile.gettempdir(), f"ivf_index_{tag}_{os.getpid()}"
+    )
+    build_ivf_index(spark, sf_dir, idx)
+    return ann_cosine_topk_ivf_indexed(spark, sf_dir, idx)
+
+
 # --- diff-driven IVF index maintenance ----------------------------------------
 # The cell_id sibling of multimodal.media_index_maintenance_plan: a
 # crawl's vector churn maps to exactly the cell partitions whose rows
@@ -2430,6 +2460,42 @@ def ann_cosine_topk_sq8_indexed(
     return _sq8_search(
         spark, sf_dir, codes_df, list(q["lo"]), list(q["hi"]), rescore_c
     )
+
+
+def ann_cosine_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-15 registry fold (COVERAGE.md selection rule; the
+    dedup_neardup_pairs precedent): the brute-force entry and the SQ8
+    two-stage entry already shared ONE oracle (both registered against
+    ``ANN_COSINE_TOPK_SQL`` — sq8's rescored top-k EQUAL to brute IS
+    its contract, ``test_sq8_topk_matches_brute``), so they fold into
+    one method-tagged union: both execution paths stay
+    driver-value-checked per row while freeing a registry slot
+    (rotating in ``ann_cosine_topk_ivf_indexed``, the persisted-index
+    deployment path). The unmerged callables stay public, bench-named
+    (bench.py EXTRA_QUERIES), and keep the driver's own value check in
+    test_oracle_parity (de-registration convention)."""
+    brute = ann_cosine_topk(spark, sf_dir).select(
+        F.lit("brute").alias("method"), "query_id", "rank", "vec_id", "cosine"
+    )
+    sq8 = ann_cosine_topk_sq8(spark, sf_dir).select(
+        F.lit("sq8").alias("method"), "query_id", "rank", "vec_id", "cosine"
+    )
+    return brute.unionByName(sq8)
+
+
+# NOTE (the dedup_neardup_pairs rule): the 'sq8' arm deliberately
+# reuses the BRUTE-force SQL — its two-stage exact rescore returns the
+# true top-k whenever stage-1 recall@C is perfect, which
+# test_sq8_topk_matches_brute pins at both fixture scales. A future
+# fixture whose top-C quantized ranking drops a true winner would make
+# the driver compare fail SPURIOUSLY — that is a fixture-contract
+# violation (raise SQ8_RESCORE_C or re-split the union), not a reason
+# to loosen the operator.
+ANN_COSINE_TOPK_SUITE_SQL = f"""
+SELECT 'brute' AS method, * FROM ({ANN_COSINE_TOPK_SQL})
+UNION ALL
+SELECT 'sq8' AS method, * FROM ({ANN_COSINE_TOPK_SQL})
+"""
 
 
 # --- hybrid sparse+dense retrieval (reciprocal-rank fusion) -------------------

@@ -160,7 +160,17 @@ register(
 register("corpus_profile", curation.corpus_profile, curation.CORPUS_PROFILE_SQL)
 
 # --- similarity search (embeddings table) -----------------------------------
-register("ann_cosine_topk", similarity.ann_cosine_topk, similarity.ANN_COSINE_TOPK_SQL)
+# Round-15 registry fold #2 (COVERAGE.md selection rule; the
+# dedup_neardup_pairs precedent): the brute entry and the round-14
+# SQ8 entry shared ONE oracle SQL (sq8's rescored-equals-brute
+# equality IS its contract — test_sq8_topk_matches_brute), so they
+# ride one method-tagged union; both paths still value-checked per
+# row. The freed slot registers ann_cosine_topk_ivf_indexed below.
+register(
+    "ann_cosine_topk_suite",
+    similarity.ann_cosine_topk_suite,
+    similarity.ANN_COSINE_TOPK_SUITE_SQL,
+)
 register(
     "ann_cosine_topk_lsh",
     similarity.ann_cosine_topk_lsh,
@@ -171,16 +181,16 @@ register(
     similarity.ann_cosine_topk_ivf,
     similarity.ANN_COSINE_TOPK_IVF_SQL,
 )
-# rotated in round 14 (slot freed by the text_profile_suite fold): the
-# SQ8 two-stage rescored ANN. Its oracle is the BRUTE-force top-k SQL
-# on purpose — with stage-1 recall@C perfect at this dimensionality
-# (quantization error ~1e-3 cosine, C = 4k), the exact rescore returns
-# the true top-k, and that equality IS the operator's contract
-# (test_sq8_topk_matches_brute pins it at both fixture scales).
+# rotated in round 15 (slot freed by the ann_cosine_topk fold above):
+# the persisted-IVF deployment path — build (head-rule quantizer
+# persisted under _centroids, partitionBy(cell_id) layout) + pruned
+# query in one self-contained call (the text_bm25_topk_indexed shape),
+# gated against the INLINE entry's SQL so the exact
+# indexed-equals-inline claim sits under the driver's own hash.
 register(
-    "ann_cosine_topk_sq8",
-    similarity.ann_cosine_topk_sq8,
-    similarity.ANN_COSINE_TOPK_SQL,
+    "ann_cosine_topk_ivf_indexed",
+    similarity.ann_cosine_topk_ivf_via_index,
+    similarity.ANN_COSINE_TOPK_IVF_SQL,
 )
 register(
     "embedding_cosine_pairs",

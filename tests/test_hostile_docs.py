@@ -69,6 +69,11 @@ _EXPLICIT = [
     # convention — the check moves, it never weakens)
     ("events_props_extract", events.events_props_extract, events.EVENTS_PROPS_SQL),
     ("events_hourly_rollup", events.events_hourly_rollup, events.EVENTS_HOURLY_SQL),
+    # de-registered in the round-15 ann_cosine_topk_suite fold: the
+    # brute constituent sweeps by convention (ANN_COSINE_TOPK_SQL);
+    # sq8's shared-brute-SQL contract has no convention constant, so
+    # its sweep rides here (same rule)
+    ("ann_cosine_topk_sq8", similarity.ann_cosine_topk_sq8, similarity.ANN_COSINE_TOPK_SQL),
 ]
 
 

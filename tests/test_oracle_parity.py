@@ -86,14 +86,18 @@ def test_round11_fold_constituents_oracle_parity(spark):
 
 
 def test_round15_fold_constituents_oracle_parity(spark):
-    """Round-15 fold (events_props_extract + events_hourly_rollup into
-    events_activity_suite): the de-registration convention keeps the
+    """Round-15 folds (events_props_extract + events_hourly_rollup into
+    events_activity_suite; ann_cosine_topk + ann_cosine_topk_sq8 into
+    ann_cosine_topk_suite): the de-registration convention keeps the
     driver's own value check on each unmerged callable here."""
     from fledge_south_csvplayback_spark.operators import events as E
+    from fledge_south_csvplayback_spark.operators import similarity as S
 
     for fn, sql in (
         (E.events_props_extract, E.EVENTS_PROPS_SQL),
         (E.events_hourly_rollup, E.EVENTS_HOURLY_SQL),
+        (S.ann_cosine_topk, S.ANN_COSINE_TOPK_SQL),
+        (S.ann_cosine_topk_sq8, S.ANN_COSINE_TOPK_SQL),
     ):
         ok, msg = compare(fn(spark, TEST_SF_DIR), sql, TEST_SF_DIR)
         assert ok, f"{fn.__name__}: {msg}"

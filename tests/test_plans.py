@@ -65,8 +65,13 @@ def test_bruteforce_topk_is_partial_no_collect_list(spark):
     top-k: the exchange after scoring carries ~batches·|Q|·k tiny rows.
     A groupBy/collect_list formulation ships ALL N·|Q| scored structs
     inside partial-agg buffers (a result-expression slice is NOT pushed
-    into the partial aggregate), so its presence is a regression."""
-    plan = _plan(spark, "ann_cosine_topk")
+    into the partial aggregate), so its presence is a regression.
+    De-registered in the round-15 ann_cosine_topk_suite fold; the plan
+    property pins the CONSTITUENT, so call it directly."""
+    from fledge_south_csvplayback_spark.operators import similarity as S
+
+    df = S.ann_cosine_topk(spark, TEST_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "collect_list" not in plan
     assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
