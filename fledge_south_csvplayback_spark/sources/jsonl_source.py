@@ -35,6 +35,7 @@ DOCUMENTS_SCHEMA = (
     "doc_id long, text string, lang string, source string, n_chars long"
 )
 _CORRUPT = "_corrupt_record"
+_BOM = "\ufeff"
 
 
 def read_jsonl_documents(
@@ -67,7 +68,13 @@ def read_jsonl_documents(
       STRINGIFIED (not corrupt) — Jackson's lenient string coercion;
     - duplicate keys: last occurrence wins (not corrupt);
     - missing fields / extra keys: NULL / ignored (not corrupt);
-    - blank lines are no rows at all; a UTF-8 BOM is tolerated.
+    - blank lines are no rows at all; exactly ONE leading UTF-8 BOM
+      per RECORD is tolerated (Jackson's byte-source bootstrapper
+      skips it) — so the cat-of-BOM'd-shards shape parses clean, a
+      double BOM or a BOM after whitespace is corrupt, a record of
+      just a BOM is corrupt, and BOM + space/tab-only is no row
+      (round-15 cells, pinned with the report's matching
+      classification in tests/test_hostile_jsonl.py).
     """
     full = f"{schema}, {_CORRUPT} string"
     reader = (
@@ -91,8 +98,17 @@ def jsonl_corrupt_report(
     find failures — QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the
     documented cache() workaround is exactly wrong at corpus scale.
     The text-scan formulation is one pass, no cache, same parser."""
+    # The native reader tolerates exactly ONE leading UTF-8 BOM per
+    # RECORD (Jackson's byte-source bootstrapper sniffs and skips it
+    # before parsing) — the cat-of-BOM'd-shards shape: a mid-file line
+    # '<BOM>{...}' is a CLEAN row. from_json gets a decoded string
+    # (no byte bootstrapper), so the report must strip that one BOM
+    # itself or it mis-classifies every such line corrupt (round-15
+    # hunt finding). '^' anchors once: a double-BOM line keeps its
+    # second BOM and stays corrupt, like the reader.
+    stripped = F.regexp_replace(F.col("value"), "^" + _BOM, "")
     parsed = F.from_json(
-        F.col("value"),
+        stripped,
         f"{schema}, {_CORRUPT} string",
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT},
     )
@@ -105,12 +121,29 @@ def jsonl_corrupt_report(
     # only line IS a (corrupt) row to Jackson, so it must stay in both
     # counts (round-12 review; \S here silently dropped real corrupt
     # records from the health check)
+    # Degenerate BOM-whitespace records follow the reader's probed
+    # cells (round 15, tests/test_hostile_jsonl.py). Bare \r is a line
+    # TERMINATOR to both the text scan and the JSON source (Hadoop
+    # line reading), so no record ever contains one, and both strip
+    # the FILE-leading BOM before records exist; what remains is the
+    # mid-file record that IS exactly one BOM — a CORRUPT row (three
+    # bytes: Jackson's 4-byte encoding sniff can't complete, the parse
+    # throws) — vs a BOM followed by space/tab-only — NO row at all
+    # (BOM skipped, whitespace-skip to EOF). The \r alternative in the
+    # regex is defensive for a non-default lineSep ever feeding a
+    # CR-bearing record through.
+    bom_ws_quirk = F.col("value").startswith(_BOM) & stripped.rlike(
+        "^(\r[ \t\r]*)?$"
+    )
+    is_row = (F.regexp_extract(stripped, "[^ \t\r]", 0) != "") | bom_ws_quirk
     return (
         spark.read.text(path)
-        .filter(F.regexp_extract(F.col("value"), "[^ \t\r]", 0) != "")
+        .filter(is_row)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.count(parsed[_CORRUPT]).alias("n_corrupt"),
+            F.count(F.when(parsed[_CORRUPT].isNotNull() | bom_ws_quirk, 1)).alias(
+                "n_corrupt"
+            ),
         )
     )
 

@@ -73,6 +73,39 @@ CASES = [
         '{"doc_id": 12, "text": "uni \\ud83d\\ude00", "lang": "en", "source": "s", "n_chars": 5}',
         {"doc_id": 12, "text": "uni \U0001f600", "corrupt": False},
     ),
+    # round-15 per-RECORD BOM cells (the cat-of-BOM'd-shards shape):
+    # Jackson's byte-source bootstrapper skips exactly ONE leading BOM
+    # per record, so a MID-FILE BOM'd line is clean — and the report's
+    # from_json path must agree (it re-strips the BOM itself; the hunt
+    # found it classifying every such line corrupt). Degenerate cells:
+    # a record of JUST a BOM is corrupt (3 bytes — the 4-byte encoding
+    # sniff can't complete), BOM + space/tab-only is no row, a second
+    # BOM or whitespace BEFORE the BOM is corrupt. No \r in any cell:
+    # bare \r is a line TERMINATOR to Hadoop line reading, never
+    # record content.
+    (
+        "bom_then_json",
+        '﻿{"doc_id": 20, "text": "bom", "lang": "en", "source": "s", "n_chars": 3}',
+        {"doc_id": 20, "text": "bom", "corrupt": False},
+    ),
+    (
+        "bom_then_ws_then_json",
+        '﻿  {"doc_id": 21, "text": "bomws", "lang": "en", "source": "s", "n_chars": 5}',
+        {"doc_id": 21, "text": "bomws", "corrupt": False},
+    ),
+    ("bom_only", "﻿", "corrupt"),
+    ("bom_space_only", "﻿ ", None),
+    ("bom_tab_only", "﻿\t", None),
+    (
+        "double_bom",
+        '﻿﻿{"doc_id": 22, "text": "x", "lang": "en", "source": "s", "n_chars": 1}',
+        "corrupt",
+    ),
+    (
+        "ws_then_bom",
+        ' ﻿{"doc_id": 23, "text": "x", "lang": "en", "source": "s", "n_chars": 1}',
+        "corrupt",
+    ),
 ]
 
 

@@ -83,3 +83,35 @@ FROM read_json('{p}', format='newline_delimited',
 """
     ok, msg = compare(df, sql, str(tmp_path))
     assert ok, msg
+
+
+def test_jsonl_bom_shard_directory_reader_report_agree(spark, tmp_path):
+    """A directory of BOM'd shards (every file starts with a UTF-8
+    BOM — the Windows-tool export shape): file-leading BOMs are
+    stripped before records exist, so reader and report both see all
+    rows clean; and a CONCATENATED shard (cat a.jsonl b.jsonl with
+    BOMs intact) parses identically — the mid-file BOM rides the
+    record and both paths tolerate exactly one (round-15 fix)."""
+    import shutil
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    line = '{"doc_id": %d, "text": "x", "lang": "en", "source": "s", "n_chars": 1}\n'
+    (d / "a.jsonl").write_text("﻿" + line % 1)
+    (d / "b.jsonl").write_text("﻿" + line % 2)
+    df = J.read_jsonl_documents(spark, str(d), keep_corrupt=True)
+    assert sorted(r.doc_id for r in df.collect()) == [1, 2]
+    assert all(r._corrupt_record is None for r in df.collect())
+    rep = J.jsonl_corrupt_report(spark, str(d)).collect()[0]
+    assert (rep.n_rows, rep.n_corrupt) == (2, 0)
+
+    cat = tmp_path / "cat.jsonl"
+    with open(cat, "wb") as out:
+        for name in ("a.jsonl", "b.jsonl"):
+            with open(d / name, "rb") as f:
+                shutil.copyfileobj(f, out)
+    df2 = J.read_jsonl_documents(spark, str(cat), keep_corrupt=True)
+    assert sorted(r.doc_id for r in df2.collect()) == [1, 2]
+    assert all(r._corrupt_record is None for r in df2.collect())
+    rep2 = J.jsonl_corrupt_report(spark, str(cat)).collect()[0]
+    assert (rep2.n_rows, rep2.n_corrupt) == (2, 0)
