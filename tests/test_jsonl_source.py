@@ -115,3 +115,27 @@ def test_jsonl_bom_shard_directory_reader_report_agree(spark, tmp_path):
     assert all(r._corrupt_record is None for r in df2.collect())
     rep2 = J.jsonl_corrupt_report(spark, str(cat)).collect()[0]
     assert (rep2.n_rows, rep2.n_corrupt) == (2, 0)
+
+
+def test_jsonl_zst_member_reads_natively(spark, tmp_path):
+    """The docstring's third codec claim, pinned: a ``.zst`` shard
+    decodes in the scan (Hadoop ZStandardCodec; pyarrow's zstd frame
+    is the same format corpora ship — e.g. RedPajama/Dolma releases).
+    Mixed-codec directories read member-by-member like the CSV layer."""
+    import pyarrow as pa
+
+    d = tmp_path / "zshards"
+    d.mkdir()
+    line = '{"doc_id": %d, "text": "x", "lang": "en", "source": "s", "n_chars": 1}\n'
+    (d / "a.jsonl.zst").write_bytes(
+        pa.compress((line % 1).encode(), codec="zstd", asbytes=True)
+    )
+    import gzip
+
+    (d / "b.jsonl.gz").write_bytes(gzip.compress((line % 2).encode()))
+    (d / "c.jsonl").write_text(line % 3)
+    df = J.read_jsonl_documents(spark, str(d), keep_corrupt=True)
+    assert sorted(r.doc_id for r in df.collect()) == [1, 2, 3]
+    assert all(r._corrupt_record is None for r in df.collect())
+    rep = J.jsonl_corrupt_report(spark, str(d)).collect()[0]
+    assert (rep.n_rows, rep.n_corrupt) == (3, 0)
