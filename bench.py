@@ -104,6 +104,11 @@ HEADLINE = [
     "corpus_profile",  # per-language dataset-card aggregate (round 11)
     "hybrid_topk_rrf",  # sparse+dense RRF retrieval fusion (round 12)
     "corpus_neardup_keep_best",  # quality-score cluster election (round 12)
+    # round-15 rotations: the persisted-index deployment paths, benched
+    # self-contained (build + query — the honest shape; the suite folds
+    # are NOT benched: their constituents already have name-stable rows)
+    "text_bm25_topk_indexed",  # inverted-index build + pruned query (round 15)
+    "ann_cosine_topk_ivf_indexed",  # IVF build + partition-pruned query (round 15)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in

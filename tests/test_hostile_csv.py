@@ -1810,3 +1810,61 @@ def test_dir_multimember_gz_member_skip_is_per_file_not_per_member(
     df = cs.read_pick_from_file(spark, str(d), skip_rows=1)
     assert dict(df.dtypes) == {"A": "bigint", "B": "bigint"}
     assert sorted(map(tuple, df.collect())) == [(1, 2), (3, 4), (5, 6)]
+
+
+def test_dir_width_drift_positional_pin(spark, tmp_path):
+    """PINNED divergence (the positional directory contract's WIDTH
+    face, completing test_dir_header_content_positional_pin's NAME
+    face): a later member WIDER than the first file's schema has its
+    extra trailing values silently DROPPED (native PERMISSIVE row
+    mapping); a NARROWER member null-fills the missing tail. pandas'
+    per-file concat would outer-join into the union of columns (or
+    index-promote, PANDAS_INDEX_QUIRK) — directories with width drift
+    need per-file reads or an explicit schema per width."""
+    d = tmp_path / "dwide"
+    d.mkdir()
+    (d / "a.csv").write_text("A,B\n1,2\n")
+    (d / "b.csv").write_text("A,B,C\n3,4,5\n")
+    df = cs.read_pick_from_file(spark, str(d))
+    assert dict(df.dtypes) == {"A": "bigint", "B": "bigint"}
+    assert sorted(map(tuple, df.collect())) == [(1, 2), (3, 4)]
+
+    d2 = tmp_path / "dnarrow"
+    d2.mkdir()
+    (d2 / "a.csv").write_text("A,B,C\n1,2,3\n")
+    (d2 / "b.csv").write_text("A,B\n4,5\n")
+    df2 = cs.read_pick_from_file(spark, str(d2))
+    assert dict(df2.dtypes) == {"A": "bigint", "B": "bigint", "C": "bigint"}
+    assert sorted(map(tuple, df2.collect())) == [(1, 2, 3), (4, 5, None)]
+
+
+def test_dir_bom_blank_preamble_gz_probe_and_zst_member(spark, tmp_path):
+    """Two residual codec×probe cells: (a) the alphabetically-first
+    probe file being a gz member whose stream opens with a BOM'd blank
+    preamble line still infers typed columns (the per-file head read
+    decompresses and BOM-strips before the blank skip); (b) a
+    ``.csv.zst`` member decodes transparently (Hadoop ZStandardCodec)
+    — a bonus over the reference's csv/gz/bz2 envelope, pinned so a
+    codec-config regression is loud."""
+    import gzip
+
+    import pyarrow as pa
+
+    d = tmp_path / "dbomgz"
+    d.mkdir()
+    with gzip.open(d / "a.csv.gz", "wb") as f:
+        f.write("﻿\nA,B\n1,2\n".encode())
+    (d / "b.csv").write_text("A,B\n3,4\n")
+    df = cs.read_pick_from_file(spark, str(d))
+    assert dict(df.dtypes) == {"A": "bigint", "B": "bigint"}
+    assert sorted(map(tuple, df.collect())) == [(1, 2), (3, 4)]
+
+    d2 = tmp_path / "dzst"
+    d2.mkdir()
+    (d2 / "a.csv").write_text("A,B\n1,2\n")
+    (d2 / "b.csv.zst").write_bytes(
+        pa.compress(b"A,B\n3,4\n", codec="zstd", asbytes=True)
+    )
+    df2 = cs.read_pick_from_file(spark, str(d2))
+    assert dict(df2.dtypes) == {"A": "bigint", "B": "bigint"}
+    assert sorted(map(tuple, df2.collect())) == [(1, 2), (3, 4)]
