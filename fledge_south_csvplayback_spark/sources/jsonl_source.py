@@ -87,10 +87,18 @@ def read_jsonl_documents(
 
 
 def jsonl_corrupt_report(
-    spark: SparkSession, path: str, schema: str = DOCUMENTS_SCHEMA
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_SCHEMA,
+    by_file: bool = False,
 ) -> DataFrame:
     """One row: (n_rows, n_corrupt) — the ingest health check a
-    pipeline logs before accepting a shard batch.
+    pipeline logs before accepting a shard batch. With
+    ``by_file=True``, one row PER SHARD: (file, n_rows, n_corrupt),
+    the actionable form at corpus scale — a bad export job corrupts
+    whole shards, and quarantining needs the file name, not a global
+    count. Same scan, same classification; the group-by key is
+    ``input_file_name()`` (exchange payload = one row per shard).
 
     Built on a text scan + ``from_json`` rather than the JSON reader:
     Spark disallows queries that reference ONLY ``_corrupt_record``
@@ -136,16 +144,20 @@ def jsonl_corrupt_report(
         "^(\r[ \t\r]*)?$"
     )
     is_row = (F.regexp_extract(stripped, "[^ \t\r]", 0) != "") | bom_ws_quirk
-    return (
-        spark.read.text(path)
-        .filter(is_row)
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(F.when(parsed[_CORRUPT].isNotNull() | bom_ws_quirk, 1)).alias(
-                "n_corrupt"
-            ),
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(parsed[_CORRUPT].isNotNull() | bom_ws_quirk, 1)).alias(
+            "n_corrupt"
+        ),
+    ]
+    lines = spark.read.text(path).filter(is_row)
+    if by_file:
+        return (
+            lines.groupBy(F.input_file_name().alias("file"))
+            .agg(*aggs)
+            .orderBy("file")
         )
-    )
+    return lines.agg(*aggs)
 
 
 def write_jsonl(

@@ -167,3 +167,29 @@ def test_clean_file_report_is_zero_corrupt(spark, tmp_path):
     rep = J.jsonl_corrupt_report(spark, p).collect()[0]
     assert (rep.n_rows, rep.n_corrupt) == (10, 0)
     assert J.read_jsonl_documents(spark, p).count() == 10
+
+
+def test_bom_cells_inside_gz_shard_reader_report_agree(spark, tmp_path):
+    """The BOM envelope under a codec: a gz shard whose decompressed
+    stream carries a file-leading BOM, mid-file BOM'd clean lines, a
+    BOM'd garbage line, and a BOM-only line. Decompression happens
+    before line splitting in both paths, so every classification
+    matches the plain-text cells — and the corrupt audit lines retain
+    their BOM (the raw record, not the stripped parse input)."""
+    import gzip
+
+    line = '{"doc_id": %d, "text": "x", "lang": "en", "source": "s", "n_chars": 1}'
+    body = (
+        "﻿" + line % 1 + "\n"
+        "﻿" + line % 2 + "\n"
+        "﻿notjson\n"
+        "﻿\n" + line % 3 + "\n"
+    )
+    p = tmp_path / "a.jsonl.gz"
+    p.write_bytes(gzip.compress(body.encode()))
+    rows = J.read_jsonl_documents(spark, str(p), keep_corrupt=True).collect()
+    assert sorted(r.doc_id for r in rows if r.doc_id is not None) == [1, 2, 3]
+    bad = sorted(r._corrupt_record for r in rows if r._corrupt_record)
+    assert bad == ["﻿", "﻿notjson"]
+    rep = J.jsonl_corrupt_report(spark, str(p)).collect()[0]
+    assert (rep.n_rows, rep.n_corrupt) == (5, 2)

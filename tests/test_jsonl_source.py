@@ -139,3 +139,26 @@ def test_jsonl_zst_member_reads_natively(spark, tmp_path):
     assert all(r._corrupt_record is None for r in df.collect())
     rep = J.jsonl_corrupt_report(spark, str(d)).collect()[0]
     assert (rep.n_rows, rep.n_corrupt) == (3, 0)
+
+
+def test_jsonl_corrupt_report_by_file(spark, tmp_path):
+    """by_file=True names the bad shard: same scan and classification
+    as the global report, one row per input file, so the two reports
+    must agree in aggregate and the corrupt counts must land on the
+    files that actually carry the corruption."""
+    d = tmp_path / "shards"
+    d.mkdir()
+    line = '{"doc_id": %d, "text": "x", "lang": "en", "source": "s", "n_chars": 1}\n'
+    (d / "good.jsonl").write_text(line % 1 + line % 2)
+    (d / "bad.jsonl").write_text(line % 3 + '{"doc_id": 4, "text": "tr\n' + "﻿\n")
+    (d / "empty_ish.jsonl").write_text("\n \t \n")
+    per = {
+        r.file.rsplit("/", 1)[-1]: (r.n_rows, r.n_corrupt)
+        for r in J.jsonl_corrupt_report(spark, str(d), by_file=True).collect()
+    }
+    assert per == {
+        "good.jsonl": (2, 0),
+        "bad.jsonl": (3, 2),
+    }  # the blank-only shard contributes no row at all
+    tot = J.jsonl_corrupt_report(spark, str(d)).collect()[0]
+    assert (tot.n_rows, tot.n_corrupt) == (5, 2)
