@@ -1780,7 +1780,7 @@ def ann_cosine_topk_pq_indexed(
         _score, f"query_id long, vec_id long, {out_col} double"
     )
     if rescore_c is not None:
-        return _exact_rescore(spark, sf_dir, partial, rescore_c)
+        return _exact_rescore(spark, sf_dir, partial, rescore_c, qrows=qrows)
     return _rank_topk(partial)
 
 
@@ -2029,7 +2029,7 @@ def ann_cosine_topk_ivfpq(
         _score, f"query_id long, vec_id long, {out_col} double"
     )
     if rescore_c is not None:
-        return _exact_rescore(spark, sf_dir, partial, rescore_c)
+        return _exact_rescore(spark, sf_dir, partial, rescore_c, qrows=qrows)
     return _rank_topk(partial)
 
 
@@ -2184,10 +2184,13 @@ def sq8_fit(spark: SparkSession, sf_dir: str) -> tuple[list[float], list[float]]
     2·DIM min/max aggregate expressions (no explode, no per-dim jobs),
     map-side partials reduce to a single 128-number row. Min/max over
     doubles is exact (no summation-order float drift), so the trained
-    model is bit-identical to any oracle recomputation."""
-    row = _emb(spark, sf_dir).select(
-        *[F.min(F.col("v")[d]).alias(f"lo{d}") for d in range(DIM)],
-        *[F.max(F.col("v")[d]).alias(f"hi{d}") for d in range(DIM)],
+    model is bit-identical to any oracle recomputation. The 2·DIM
+    aggregate expressions are built with ONE ``selectExpr`` call —
+    the string list parses JVM-side, replacing ~256 Py4J expression
+    round trips (~0.7 s of driver time per invocation, round 15)."""
+    row = _emb(spark, sf_dir).selectExpr(
+        *[f"min(v[{d}]) as lo{d}" for d in range(DIM)],
+        *[f"max(v[{d}]) as hi{d}" for d in range(DIM)],
     ).collect()[0]
     return (
         [row[f"lo{d}"] for d in range(DIM)],
@@ -2200,9 +2203,12 @@ def _sq8_code_expr(vmin: list[float], vmax: list[float]) -> Column:
     Catalyst expression over the embedding array — floor(x+0.5) instead
     of round() so Spark and DuckDB agree bit-for-bit on ties, clamping
     AFTER the floor in both engines. A constant dimension (hi == lo)
-    encodes as 0 and reconstructs to lo exactly."""
-    lo = F.array(*[F.lit(float(x)) for x in vmin])
-    hi = F.array(*[F.lit(float(x)) for x in vmax])
+    encodes as 0 and reconstructs to lo exactly. The (lo, hi) vectors
+    ride as single array Literals (one Py4J call each), not
+    per-element ``F.lit`` trees — same constant-folded element values,
+    ~130 fewer driver round trips per invocation (round 15)."""
+    lo = F.lit([float(x) for x in vmin])
+    hi = F.lit([float(x) for x in vmax])
 
     def code(x, d):
         lo_d, hi_d = F.get(lo, d), F.get(hi, d)
@@ -2329,7 +2335,9 @@ def _sq8_search(
     partial = codes_df.mapInPandas(
         _score, "query_id long, vec_id long, approx double"
     )
-    return _exact_rescore(spark, sf_dir, partial, rescore_c)
+    return _exact_rescore(
+        spark, sf_dir, partial, rescore_c, qrows=qrows, embq=embq
+    )
 
 
 def _literal_df(spark: SparkSession, structs: list, ddl: str) -> DataFrame:
@@ -2356,8 +2364,46 @@ def _literal_df(spark: SparkSession, structs: list, ddl: str) -> DataFrame:
     )
 
 
+def _literal_cols_df(
+    spark: SparkSession, cols: dict[str, list], ddl: str
+) -> DataFrame:
+    """Column-oriented sibling of ``_literal_df`` for larger inline
+    tables: the WHOLE table rides as one JSON string Literal decoded
+    by ``from_json`` against the declared DDL — a single Py4J round
+    trip however many rows/values. The struct form costs one Py4J
+    call per VALUE (measured ~3 s of driver-side tree construction
+    per invocation for the rescore tables at |Q|·C rows × 64-dim
+    vectors), and even per-column ``F.lit(list)`` expands to
+    per-element lits inside PySpark. JSON round-trips exactly here:
+    ids are int64, vector values are finite doubles whose shortest
+    repr re-parses to the identical IEEE double in Jackson. Plan
+    stays Generate(inline) over Range — fully JVM-side, no
+    ExistingRDD; dtypes come from the DDL via the from_json schema.
+    Same empty-case typed projection as ``_literal_df``."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    st = T.StructType.fromDDL(ddl)
+    names = [f.name for f in st.fields]
+    n = len(next(iter(cols.values()))) if cols else 0
+    if n:
+        rows = [{nm: cols[nm][i] for nm in names} for i in range(n)]
+        return spark.range(1).select(
+            F.inline(F.from_json(F.lit(_json.dumps(rows)), T.ArrayType(st)))
+        )
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+    )
+
+
 def _exact_rescore(
-    spark: SparkSession, sf_dir: str, partial: DataFrame, rescore_c: int
+    spark: SparkSession,
+    sf_dir: str,
+    partial: DataFrame,
+    rescore_c: int,
+    qrows: list | None = None,
+    embq: DataFrame | None = None,
 ) -> DataFrame:
     """Stage 2 of every codes-scan ANN path (SQ8 since round 9; PQ and
     IVFADC since round 11 — the ADC+R re-ranking of Jégou et al.,
@@ -2367,11 +2413,22 @@ def _exact_rescore(
     through a pushed-down ``isin`` point lookup (never a second full
     scan), and re-rank on exact cosine computed declaratively.
     ``partial`` is (query_id, vec_id, approx); everything here is
-    ≤ |Q|·C-sized — driver-bounded by design."""
+    ≤ |Q|·C-sized — driver-bounded by design.
+
+    ``qrows``: the caller's already-collected query rows
+    (vec_id, v, norm) — every codes-scan path collects them for its
+    stage-1 query matrix, so re-collecting here was a duplicate
+    scan+job per invocation (round-15 measurement: one extra parquet
+    scan job per search call). ``None`` keeps the self-contained
+    behavior."""
     from pyspark.sql import Window as W
 
-    embq = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
-    qrows = embq.filter(F.col("vec_id") < N_QUERIES).collect()
+    if embq is None:
+        embq = _emb(spark, sf_dir, scorable=True).withColumn(
+            "norm", _norm(F.col("v"))
+        )
+    if qrows is None:
+        qrows = embq.filter(F.col("vec_id") < N_QUERIES).collect()
     cand = (
         partial.withColumn(
             "rk",
@@ -2385,36 +2442,37 @@ def _exact_rescore(
         .select("query_id", "vec_id")
     )
     cand_rows = cand.collect()  # ≤ |Q|·C rows — driver-bounded by design
-    ids = sorted({r["vec_id"] for r in cand_rows})
-    exact = embq.filter(F.col("vec_id").isin(ids)).select(
-        "vec_id", "v", "norm"
-    )
-    # the two driver-local tables ride as LITERAL inline rows, not
+    ids = sorted({int(r["vec_id"]) for r in cand_rows})
+    # one parsed IN (...) predicate instead of Column.isin's per-value
+    # Py4J literal marshalling (~0.17 s per invocation at |ids|≈200)
+    exact = embq.filter(
+        F.expr(f"vec_id IN ({','.join(map(str, ids))})")
+        if ids
+        else F.lit(False)
+    ).select("vec_id", "v", "norm")
+    # the two driver-local tables ride as LITERAL inline tables, not
     # createDataFrame: a Python-list createDataFrame enters the plan as
     # `Scan ExistingRDD` (a Python round-trip the global plan-hygiene
     # sweep bans, and unreadable in the registered plan). Both are
-    # ≤ |Q|·C rows by design, so the literal expression tree is tiny.
-    qdf = _literal_df(
+    # ≤ |Q|·C rows by design. Column-literal form (round-15): one
+    # array Literal per COLUMN instead of one Py4J call per value —
+    # the struct form spent ~3 s/invocation of driver time just
+    # constructing the qv vectors' expression tree.
+    qdf = _literal_cols_df(
         spark,
-        [
-            F.struct(
-                F.lit(int(r["vec_id"])).alias("query_id"),
-                F.array(*[F.lit(float(x)) for x in r["v"]]).alias("qv"),
-                F.lit(float(r["norm"])).alias("qn"),
-            )
-            for r in qrows
-        ],
+        {
+            "query_id": [int(r["vec_id"]) for r in qrows],
+            "qv": [[float(x) for x in r["v"]] for r in qrows],
+            "qn": [float(r["norm"]) for r in qrows],
+        },
         "query_id long, qv array<double>, qn double",
     )
-    cand_df = _literal_df(
+    cand_df = _literal_cols_df(
         spark,
-        [
-            F.struct(
-                F.lit(int(r["query_id"])).alias("query_id"),
-                F.lit(int(r["vec_id"])).alias("vec_id"),
-            )
-            for r in cand_rows
-        ],
+        {
+            "query_id": [int(r["query_id"]) for r in cand_rows],
+            "vec_id": [int(r["vec_id"]) for r in cand_rows],
+        },
         "query_id long, vec_id long",
     )
     rescored = (
