@@ -592,18 +592,22 @@ def _simhash_fp(
     # reverted. Identical fingerprints throughout (majority vote as
     # 2*count_b > n = sum(±1) > 0, same integers, so the
     # md5-reproducible oracle is unaffected).
+    # expression trees below are built as SQL TEXT parsed JVM-side by
+    # ONE F.expr call each: the Column-API form issued one Py4J round
+    # trip per operator node (~1.1 s of driver time per invocation for
+    # the 33 lane aggregates + 64 pack terms, measured round 15) while
+    # producing the identical parsed expressions — same operators, same
+    # evaluation order, same types, so fingerprints are bit-identical
+    # and the md5-reproducible oracle is unaffected.
     lane_mask = 0x00010001
-    lanes = tok.groupBy("doc_id").agg(
-        F.array(
-            F.count(F.lit(1)),
-            *[
-                F.sum(F.shiftrightunsigned(col, b).bitwiseAND(lane_mask))
-                for col in (F.col("h_lo"), F.col("h_hi"))
-                for b in range(16)
-            ],
-        ).alias("lanes")
+    lane_sums = ", ".join(
+        f"sum(shiftrightunsigned({col}, {b}) & {lane_mask})"
+        for col in ("h_lo", "h_hi")
+        for b in range(16)
     )
-    n = F.element_at(F.col("lanes"), 1)
+    lanes = tok.groupBy("doc_id").agg(
+        F.expr(f"array(count(1), {lane_sums})").alias("lanes")
+    )
 
     # A doc with > 65535 shingles would overflow a 16-bit lane: emit a
     # NULL fingerprint instead of a silently-corrupt one (null band
@@ -616,23 +620,27 @@ def _simhash_fp(
     # analysis this shape exists to avoid). Whole-doc SimHash over
     # >65k shingles is degenerate anyway (every bit a ~50/50 vote);
     # chunk such docs upstream.
-    seed = F.when(n <= 0xFFFF, F.lit(0).cast("long"))
+    seed = (
+        "IF(element_at(lanes, 1) <= 65535, "
+        "CAST(0 AS BIGINT), CAST(NULL AS BIGINT))"
+    )
 
-    def pack(half_offset: int) -> Column:
+    def pack(half_offset: int) -> str:
         # lanes[1]=n, lanes[2..17]=lo lanes, lanes[18..33]=hi lanes;
         # bit b's count sits in 16-bit lane b//16 of lanes element
         # half_offset + b%16 + 1
-        terms = []
-        for b in range(32):
-            cnt = F.shiftrightunsigned(
-                F.element_at(F.col("lanes"), half_offset + b % 16 + 1),
-                16 * (b // 16),
-            ).bitwiseAND(0xFFFF)
-            terms.append(F.shiftleft((cnt * 2 > n).cast("long"), b))
-        return F.aggregate(F.array(*terms), seed, lambda a, x: a.bitwiseOR(x))
+        terms = ", ".join(
+            "shiftleft(CAST(((shiftrightunsigned(element_at(lanes, "
+            f"{half_offset + b % 16 + 1}), {16 * (b // 16)}) & 65535) * 2"
+            f" > element_at(lanes, 1)) AS BIGINT), {b})"
+            for b in range(32)
+        )
+        return f"aggregate(array({terms}), {seed}, (a, x) -> a | x)"
 
     return lanes.select(
-        "doc_id", pack(1).alias("fp_lo"), pack(17).alias("fp_hi")
+        "doc_id",
+        F.expr(pack(1)).alias("fp_lo"),
+        F.expr(pack(17)).alias("fp_hi"),
     )
 
 
@@ -649,7 +657,13 @@ def _fp_chunk(i: int) -> Column:
 def _hamming_pairs(chunks: DataFrame, key_cols: list[str]) -> DataFrame:
     """Self-join ``chunks`` on ``key_cols`` (+ doc_a < doc_b), verify
     full Hamming distance <= SIMHASH_MAX_HAMMING, distinct pairs. The
-    shared tail of both SimHash candidate schemes."""
+    shared tail of both SimHash candidate schemes.
+
+    (Round-15 note: explicitly repartitioning the candidate table on
+    the join keys to defeat AQE's single-task coalescing was tried
+    and measured SLOWER at sf0.1 — 2.48 s vs 2.18 s — the verify
+    tail is bounded by the hottest (band, chunk) buckets, which key
+    partitioning cannot split; left as-is.)"""
     a, b = chunks.alias("a"), chunks.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")
     for k in key_cols:
@@ -767,25 +781,35 @@ def dedup_simhash_blocked(
     fp = _simhash_fp(spark, sf_dir, reproducible)
     band_bits = 64 // SIMHASH_BANDS
 
-    def key(combo: tuple[int, ...]) -> Column:
-        k = F.lit(0).cast("long")
+    # the C(8, m) key-table structs build as SQL TEXT parsed by ONE
+    # F.expr call (the _simhash_fp rule): the Column-API form issued
+    # ~7.7k Py4J round trips for 56 tables × 3-chunk MSB-first folds
+    # (~1.6 s of driver time per invocation, measured round 15);
+    # parsed expressions, chunk extraction, fold order and types are
+    # identical, so candidates and the oracle compare are unchanged.
+    def chunk_sql(i: int) -> str:
+        col = "fp_lo" if i < 4 else "fp_hi"
+        return (
+            f"(shiftrightunsigned({col}, {band_bits * (i % 4)})"
+            f" & {(1 << band_bits) - 1})"
+        )
+
+    def key(combo: tuple[int, ...]) -> str:
+        k = "CAST(0 AS BIGINT)"
         for i in combo:
-            k = F.shiftleft(k, band_bits).bitwiseOR(_fp_chunk(i))
+            k = f"(shiftleft({k}, {band_bits}) | {chunk_sql(i)})"
         return k
 
     combos = list(itertools.combinations(range(SIMHASH_BANDS), m))
+    structs = ", ".join(
+        f"named_struct('tbl', {t}, 'key', {key(c)})"
+        for t, c in enumerate(combos)
+    )
     chunks = fp.select(
         "doc_id",
         "fp_lo",
         "fp_hi",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), key(c).alias("key"))
-                    for t, c in enumerate(combos)
-                ]
-            )
-        ).alias("tk"),
+        F.expr(f"explode(array({structs}))").alias("tk"),
     ).select("doc_id", "fp_lo", "fp_hi", "tk.tbl", "tk.key")
     return _hamming_pairs(chunks, ["tbl", "key"])
 
