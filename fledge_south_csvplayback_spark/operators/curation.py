@@ -2628,8 +2628,12 @@ def contamination_attribution(
 
     ne_values = _bench_window_sizes(benchmark, n)
     if not ne_values:
-        return docs.sparkSession.createDataFrame(
-            [], "doc_id long, bench_id long, n_hits long"
+        from fledge_south_csvplayback_spark.operators.inline import (
+            literal_cols_df,
+        )
+
+        return literal_cols_df(
+            docs.sparkSession, {}, "doc_id long, bench_id long, n_hits long"
         )
     bg = _guarded_broadcast(_bench_grams(benchmark, n, ne_values, with_ids=True))
     sz = F.size(F.split(F.col("text"), " "))

@@ -2079,8 +2079,12 @@ def build_media_neardup_index(
     _band_keys(st, hash_col, n_bands, m).write.mode("overwrite").parquet(
         f"{index_dir}/bands"
     )
-    spark.createDataFrame(
-        [(hash_col, n_bands, m)], "hash_col string, n_bands int, m int"
+    from fledge_south_csvplayback_spark.operators.inline import (
+        literal_rows_df,
+    )
+
+    literal_rows_df(
+        spark, [(hash_col, n_bands, m)], "hash_col string, n_bands int, m int"
     ).write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 

@@ -775,8 +775,16 @@ def build_ivf_index(
     # AFTER the data write: overwriting index_dir would wipe a
     # previously-written sidecar (underscore prefix keeps it invisible
     # to plain reads of the data directory)
-    spark.createDataFrame(
-        [(cid, cv, cn) for cid, cv, cn in cents],
+    # literal inline table, NOT createDataFrame: the Python-list path
+    # round-trips a worker per write (measured 4-9 s for these 16 rows
+    # at local[32], round 15) where the JVM literal writes in ~0.2 s
+    _literal_cols_df(
+        spark,
+        {
+            "cell_id": [cid for cid, _, _ in cents],
+            "cv": [cv for _, cv, _ in cents],
+            "cn": [cn for _, _, cn in cents],
+        },
         "cell_id long, cv array<double>, cn double",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_centroids")
 
@@ -1681,8 +1689,18 @@ def build_pq_index(
     emb.mapInPandas(_encode, "vec_id long, codes array<int>").write.mode(
         "overwrite"
     ).parquet(index_dir)
-    spark.createDataFrame(
-        [(j, cid, [float(x) for x in c[j, cid]]) for j in range(m) for cid in range(c.shape[1])],
+    rows = [
+        (j, cid, [float(x) for x in c[j, cid]])
+        for j in range(m)
+        for cid in range(c.shape[1])
+    ]
+    _literal_cols_df(
+        spark,
+        {
+            "j": [r[0] for r in rows],
+            "cid": [r[1] for r in rows],
+            "cv": [r[2] for r in rows],
+        },
         "j long, cid long, cv array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_codebooks")
 
@@ -1888,16 +1906,27 @@ def build_ivfpq_index(
     emb.mapInPandas(
         _encode, "vec_id long, cell_id long, codes array<int>"
     ).write.mode("overwrite").partitionBy("cell_id").parquet(index_dir)
-    spark.createDataFrame(
-        [(cid, cv, cnn) for cid, cv, cnn in cents_l],
+    _literal_cols_df(
+        spark,
+        {
+            "cell_id": [cid for cid, _, _ in cents_l],
+            "cv": [cv for _, cv, _ in cents_l],
+            "cn": [cnn for _, _, cnn in cents_l],
+        },
         "cell_id long, cv array<double>, cn double",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_centroids")
-    spark.createDataFrame(
-        [
-            (j, cid, [float(x) for x in cfinal[j, cid]])
-            for j in range(m)
-            for cid in range(k)
-        ],
+    rows_cb = [
+        (j, cid, [float(x) for x in cfinal[j, cid]])
+        for j in range(m)
+        for cid in range(k)
+    ]
+    _literal_cols_df(
+        spark,
+        {
+            "j": [r[0] for r in rows_cb],
+            "cid": [r[1] for r in rows_cb],
+            "cv": [r[2] for r in rows_cb],
+        },
         "j long, cid long, cv array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_codebooks")
 
@@ -2272,8 +2301,9 @@ def build_sq8_index(
     _emb(spark, sf_dir, scorable=True).select(
         "vec_id", _sq8_code_expr(vmin, vmax).alias("codes")
     ).write.mode("overwrite").parquet(index_dir)
-    spark.createDataFrame(
-        [(vmin, vmax)], "lo array<double>, hi array<double>"
+    _literal_cols_df(
+        spark, {"lo": [vmin], "hi": [vmax]},
+        "lo array<double>, hi array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_quantizer")
 
 
@@ -2368,33 +2398,16 @@ def _literal_cols_df(
     spark: SparkSession, cols: dict[str, list], ddl: str
 ) -> DataFrame:
     """Column-oriented sibling of ``_literal_df`` for larger inline
-    tables: the WHOLE table rides as one JSON string Literal decoded
-    by ``from_json`` against the declared DDL — a single Py4J round
-    trip however many rows/values. The struct form costs one Py4J
-    call per VALUE (measured ~3 s of driver-side tree construction
-    per invocation for the rescore tables at |Q|·C rows × 64-dim
-    vectors), and even per-column ``F.lit(list)`` expands to
-    per-element lits inside PySpark. JSON round-trips exactly here:
-    ids are int64, vector values are finite doubles whose shortest
-    repr re-parses to the identical IEEE double in Jackson. Plan
-    stays Generate(inline) over Range — fully JVM-side, no
-    ExistingRDD; dtypes come from the DDL via the from_json schema.
-    Same empty-case typed projection as ``_literal_df``."""
-    import json as _json
-
-    from pyspark.sql import types as T
-
-    st = T.StructType.fromDDL(ddl)
-    names = [f.name for f in st.fields]
-    n = len(next(iter(cols.values()))) if cols else 0
-    if n:
-        rows = [{nm: cols[nm][i] for nm in names} for i in range(n)]
-        return spark.range(1).select(
-            F.inline(F.from_json(F.lit(_json.dumps(rows)), T.ArrayType(st)))
-        )
-    return spark.range(0).select(
-        *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+    tables — delegates to the shared ``operators.inline`` helper (ONE
+    JSON-literal Py4J round trip however many rows; plan stays
+    Generate over Range; dtypes from the DDL). The struct form costs
+    one Py4J call per VALUE — measured ~3 s of driver-side tree
+    construction per invocation for the rescore tables (round 15)."""
+    from fledge_south_csvplayback_spark.operators.inline import (
+        literal_cols_df,
     )
+
+    return literal_cols_df(spark, cols, ddl)
 
 
 def _exact_rescore(

@@ -857,9 +857,19 @@ def build_bm25_index(
     overrides the corpus frame for seed/batch builds.
     """
     base = _bm25_base(docs if docs is not None else _docs(spark, sf_dir))
-    _bm25_postings(base, n_buckets).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(index_dir)
+    # repartition on the partition column before the write — the same
+    # trade append_bm25_index documents: without it every aggregate
+    # output task writes into every bucket dir it touches (tasks ×
+    # buckets files per build) and at sf scale AQE coalesces the whole
+    # write onto ONE task (measured 0.94 s single-task write, round
+    # 15); keyed on "bucket" at the session's configured shuffle
+    # parallelism, each bucket lands in one task → ≤1 file per bucket
+    # and the write parallelizes across buckets. The exchange carries
+    # the already-aggregated posting rows, not raw text.
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    _bm25_postings(base, n_buckets).repartition(p, "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(index_dir)
     # AFTER the data write: overwriting index_dir would wipe the sidecar
     _bm25_stats(base).coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/_stats"
@@ -934,8 +944,14 @@ def _promote_bm25_stats(spark: SparkSession, row, index_dir: str) -> None:
     cur = bm25_stats_dir(index_dir)
     compaction.sweep_stale_versions(index_dir, "_stats", cur)
     nxt = compaction.next_version(os.path.basename(cur), "_stats")
-    spark.createDataFrame(
-        [row], "n double, n_dl double, sum_dl double, avgdl double"
+    from fledge_south_csvplayback_spark.operators.inline import (
+        literal_rows_df,
+    )
+
+    # literal inline row, not createDataFrame: the Python-list path
+    # spins up a worker per write (measured multi-second, round 15)
+    literal_rows_df(
+        spark, [tuple(row)], "n double, n_dl double, sum_dl double, avgdl double"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_dir, nxt))
     compaction.manifest_promote(index_dir, _BM25_STATS_MANIFEST, nxt)
 

@@ -474,7 +474,12 @@ def accept_batch(
             if index_dir is not None
             else None
         )
-        spark.createDataFrame(
+        from fledge_south_csvplayback_spark.operators.inline import (
+            literal_rows_df,
+        )
+
+        literal_rows_df(
+            spark,
             [(n_input, n_quality, n_contaminated, n_accepted, n_pairs)],
             "n_input long, n_quality_pass long, n_contaminated long, "
             "n_accepted long, n_neardup_pairs long",

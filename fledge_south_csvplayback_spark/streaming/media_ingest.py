@@ -115,8 +115,12 @@ def seed_media_index(
     _band_keys(st, hash_col, n_bands, m).write.mode("overwrite").parquet(
         f"{index_dir}/bands/ingest_batch=-1"
     )
-    spark.createDataFrame(
-        [(hash_col, n_bands, m)], "hash_col string, n_bands int, m int"
+    from fledge_south_csvplayback_spark.operators.inline import (
+        literal_rows_df,
+    )
+
+    literal_rows_df(
+        spark, [(hash_col, n_bands, m)], "hash_col string, n_bands int, m int"
     ).write.mode("overwrite").parquet(f"{index_dir}/meta")
 
 
@@ -176,7 +180,12 @@ def media_accept_batch(
         )
         # per-batch counters under the same lineage/overwrite layout
         # (the corpus_ingest metrics convention)
-        spark.createDataFrame(
+        from fledge_south_csvplayback_spark.operators.inline import (
+            literal_rows_df,
+        )
+
+        literal_rows_df(
+            spark,
             [
                 (
                     batch_df.count(),
