@@ -920,8 +920,11 @@ def dedup_clusters(
     - each iteration ends in an EAGER ``localCheckpoint``: without it
       the plan doubles per iteration (the classic iterative-lineage
       blowup) and the convergence count re-executes the whole history;
-    - convergence = a changed-label count of zero (one tiny job per
-      iteration on the checkpointed frame).
+    - convergence = the label SUM stops decreasing (labels are
+      monotone non-increasing under min-propagation, so an unchanged
+      exact decimal sum IS the fixed point) — one shuffle-free
+      aggregate per iteration on the checkpointed frame, replacing a
+      new-vs-old label equi-join and its per-iteration shuffle.
 
     GraphFrames' alternating large-star/small-star converges in fewer
     rounds on adversarial graphs; min-propagation keeps this
@@ -960,6 +963,20 @@ def connected_components(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    # convergence detection: labels are monotonically NON-INCREASING
+    # under min-propagation (new = min(old, neighbors)), so the label
+    # SUM strictly decreases on any change and is unchanged exactly at
+    # the fixed point. Comparing sums replaces the former per-iteration
+    # new-vs-old equi-join (+ its shuffle) with a shuffle-free partial
+    # aggregate over the just-checkpointed frame. decimal(38,0) keeps
+    # the sum exact at any scale (1e10 docs x int64 ids < 1e38 — a
+    # long sum could overflow and alias two different label sets).
+    def _label_sum(frame: DataFrame):
+        return frame.select(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iters):
         prop = edges.join(
             labels, edges["doc_a"] == labels["doc_id"], "inner"
@@ -971,15 +988,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
