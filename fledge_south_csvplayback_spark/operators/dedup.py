@@ -40,10 +40,11 @@ for the 100 TB case first:
 from __future__ import annotations
 
 import itertools
-import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from fledge_south_csvplayback_spark.operators import fanout
 
 NGRAM = 3
 JACCARD_THRESHOLD = 0.8
@@ -78,57 +79,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _spread(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
-    """Round-robin repartition ONLY when the scan is parallelism-starved.
-
-    Shingling is interpreted higher-order-function work — the most
-    expensive per-row compute in this module — and a small corpus packed
-    into one parquet file otherwise runs it on a single core (measured
-    2.6× slower at sf0.1). The starvation check is driver-side file-size
-    math, NOT ``df.rdd.getNumPartitions()``: converting to RDD under AQE
-    finalizes the plan and executes the scan as a real job (measured 5×
-    slower than no check at all). At real scale the input exceeds the
-    size cutoff (or is on a non-local filesystem) and this is a no-op —
-    collapsing a wide scan to 16 partitions would be the opposite of
-    the intent.
-    """
-    try:
-        p = path[len("file:"):] if path.startswith("file:") else path
-        if os.path.isdir(p):
-            total = sum(
-                os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
-            )
-        else:
-            total = os.path.getsize(p)
-    except OSError:
-        return df  # non-local store: input splits already provide parallelism
-    target = max(2, spark.sparkContext.defaultParallelism // 2)
-    max_split = _parse_size_bytes(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-    )
-    if total >= target * max_split // 4:
-        return df
-    return df.repartition(target)
-
-
-_SIZE_SUFFIXES = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-
-
-def _parse_size_bytes(value: str, default: int = 134217728) -> int:
-    """Spark byte-size conf parse ('134217728', '128m', '1G', '128mb').
-
-    A bad value falls back to the 128 MiB default rather than failing
-    the query — this conf only tunes the small-input repartition
-    heuristic."""
-    v = value.strip().lower().removesuffix("b")
-    mult = 1
-    if v and v[-1] in _SIZE_SUFFIXES:
-        mult = _SIZE_SUFFIXES[v[-1]]
-        v = v[:-1]
-    try:
-        return int(v) * mult
-    except ValueError:
-        return default
+# shingling is interpreted higher-order-function work — the most
+# expensive per-row compute in this module; a single-file corpus ran it
+# 2.6× slower at sf0.1 on one core before the fan-out. The guarded
+# implementation moved to the shared ``fanout`` module (round 15);
+# these aliases keep this module's call sites and tests stable.
+_spread = fanout.spread
+_parse_size_bytes = fanout._parse_size_bytes
 
 
 # --- exact dedup -------------------------------------------------------------
