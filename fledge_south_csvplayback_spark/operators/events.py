@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from fledge_south_csvplayback_spark.operators import fanout
 from fledge_south_csvplayback_spark.session import ensure_ltz
 
 
@@ -430,7 +431,12 @@ def events_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     after it — binned range join + per-anchor aggregate. Anchors with
     an empty window drop (inner-join semantics, mirrored by the
     oracle's plain inequality join)."""
-    ev = _events(spark, sf_dir)
+    # the bin explode + shuffle write otherwise run on ONE task when
+    # the events table is a single parquet split (guide §2.2); spread
+    # is a no-op once input splits provide parallelism
+    ev = fanout.spread(
+        _events(spark, sf_dir), spark, f"{sf_dir}/events.parquet"
+    )
     anchors = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("anchor_id"), F.col("ts").alias("a_ts")
     )

@@ -49,6 +49,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fledge_south_csvplayback_spark.operators import fanout
+
 # Feature-hash resolution for the bag-of-ngrams models. The paper uses
 # 10k buckets for unigram+bigram word features; 4096 keeps the ratio
 # table trivially broadcastable while leaving collisions rare on the
@@ -203,7 +205,12 @@ def dsir_logweights(
     the two declarative scans are the honest shape, and a cluster
     that wants the single-scan variant opts in with storage to back
     it."""
-    docs = _docs(spark, sf_dir)
+    # the gram explode + md5 bucketing run twice (fit + score) and
+    # otherwise sit on ONE task over a single-split corpus (guide
+    # §2.2); spread is a no-op once input splits provide parallelism
+    docs = fanout.spread(
+        _docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+    )
     exb = docs.select(
         "doc_id",
         (F.col("source") == F.lit(target_source)).alias("is_t"),

