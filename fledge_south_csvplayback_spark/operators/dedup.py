@@ -619,30 +619,62 @@ def _fp_chunk(i: int) -> Column:
 
 
 def _hamming_pairs(chunks: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Self-join ``chunks`` on ``key_cols`` (+ doc_a < doc_b), verify
-    full Hamming distance <= SIMHASH_MAX_HAMMING, distinct pairs. The
-    shared tail of both SimHash candidate schemes.
+    """Bucket ``chunks`` by ``key_cols`` and emit each bucket's i<j
+    pairs within Hamming <= SIMHASH_MAX_HAMMING, distinct. The shared
+    tail of both SimHash candidate schemes.
+
+    Shape (round 15): group into sorted per-bucket lists and explode
+    the i<j pairs in-array — the ``_pair_counts`` pattern — instead of
+    the earlier self-equi-join. The join planned as a BroadcastHashJoin
+    whose build side REPLAYED the whole fingerprint pipeline (plan
+    showed both subtrees in full: scan + gram md5 + vote aggregate,
+    twice per invocation); the group-by computes fingerprints ONCE and
+    shuffles the chunk table once. Same pair set: sort_array orders
+    each bucket by doc_id, so i<j is exactly doc_a < doc_b; NULL
+    (overflow) fingerprints are filtered up front, matching the
+    equi-join's null-key drop semantics — pinned by
+    test_simhash_overflow_oracle_parity. Hot-bucket bound unchanged
+    (|bucket|² pairs either way); the bucket array adds O(|bucket|)
+    task memory, second-order next to the quadratic pair work.
 
     (Round-15 note: explicitly repartitioning the candidate table on
     the join keys to defeat AQE's single-task coalescing was tried
     and measured SLOWER at sf0.1 — 2.48 s vs 2.18 s — the verify
     tail is bounded by the hottest (band, chunk) buckets, which key
-    partitioning cannot split; left as-is.)"""
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cond = F.col("a.doc_id") < F.col("b.doc_id")
-    for k in key_cols:
-        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    ham = F.bit_count(
-        F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo"))
-    ) + F.bit_count(F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi")))
-    return (
-        a.join(b, cond)
-        .filter(ham <= SIMHASH_MAX_HAMMING)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+    partitioning cannot split.)"""
+    buckets = (
+        chunks.filter(F.col("fp_lo").isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "fp_lo", "fp_hi"))
+            ).alias("ds")
         )
+        .filter(F.size("ds") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    x["fp_lo"].alias("alo"),
+                    x["fp_hi"].alias("ahi"),
+                    y["doc_id"].alias("doc_b"),
+                    y["fp_lo"].alias("blo"),
+                    y["fp_hi"].alias("bhi"),
+                ),
+            ),
+        )
+    )
+    p = buckets.select(F.explode(pair_structs).alias("p")).select("p.*")
+    ham = F.bit_count(F.col("alo").bitwiseXOR(F.col("blo"))) + F.bit_count(
+        F.col("ahi").bitwiseXOR(F.col("bhi"))
+    )
+    return (
+        p.filter(ham <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", ham.alias("hamming"))
         .distinct()
     )
 
