@@ -864,7 +864,29 @@ def build_bm25_index(
     because counts and exact integer sums compose), and ``docs=``
     overrides the corpus frame for seed/batch builds.
     """
+    from pyspark.sql.observation import Observation
+
+    from fledge_south_csvplayback_spark.operators.inline import (
+        literal_cols_df,
+    )
+
     base = _bm25_base(docs if docs is not None else _docs(spark, sf_dir))
+    # corpus stats ride the postings write as observe() metrics — the
+    # same four aggregates _bm25_stats computed, collected DURING the
+    # write job instead of by a second full tokenize scan (round 15;
+    # one corpus pass per build instead of two at any scale). dl values
+    # are integers, so the double sum — and avg = sum/count, divided
+    # once — is exact under ANY partition/accumulator merge order: the
+    # written values are bit-identical to the dedicated scan's
+    # (test_text_scoring pins indexed == inline bit-exact on top).
+    obs = Observation()
+    base = base.observe(
+        obs,
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count("dl").cast("double").alias("n_dl"),
+        F.sum("dl").alias("sum_dl"),
+        F.avg("dl").alias("avgdl"),
+    )
     # repartition on the partition column before the write — the same
     # trade append_bm25_index documents: without it every aggregate
     # output task writes into every bucket dir it touches (tasks ×
@@ -879,9 +901,12 @@ def build_bm25_index(
         "overwrite"
     ).partitionBy("bucket").parquet(index_dir)
     # AFTER the data write: overwriting index_dir would wipe the sidecar
-    _bm25_stats(base).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_dir}/_stats"
-    )
+    m = obs.get
+    literal_cols_df(
+        spark,
+        {k: [m[k]] for k in ("n", "n_dl", "sum_dl", "avgdl")},
+        "n double, n_dl double, sum_dl double, avgdl double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/_stats")
 
 
 def _bm25_base(docs: DataFrame) -> DataFrame:
@@ -1128,27 +1153,31 @@ def text_bm25_topk_indexed(
         raise ValueError("text_bm25_topk_indexed: need at least one query term")
     # resolve both tables through their manifests ONCE up front (the
     # corpus_ingest rule: one version per query) — readers never race
-    # a promote into a half-resolved mix
-    stats = spark.read.parquet(bm25_stats_dir(index_dir)).collect()[0]
-    n, avgdl = stats["n"], stats["avgdl"]
-    # term -> bucket via the same JVM xxhash64 the builder used (no
-    # driver-side reimplementation to drift); one 1-row job
-    bucket_row = (
-        spark.range(1)
+    # a promote into a half-resolved mix. Term -> bucket hashes ride
+    # the same one-row job as extra projected columns (the builder's
+    # JVM xxhash64 — no driver-side reimplementation to drift, and no
+    # second 1-row job; round 15).
+    stats = (
+        spark.read.parquet(bm25_stats_dir(index_dir))
         .select(
+            "*",
             *[
-                F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"b{j}")
-                for j in range(len(query))
-                for t in [query[j]]
-            ]
+                F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"_b{j}")
+                for j, t in enumerate(query)
+            ],
         )
         .collect()[0]
     )
-    buckets = sorted({bucket_row[f"b{j}"] for j in range(len(query))})
+    n, avgdl = stats["n"], stats["avgdl"]
+    buckets = sorted({stats[f"_b{j}"] for j in range(len(query))})
     p = spark.read.parquet(bm25_postings_dir(index_dir)).filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(*query)
     )
-    # per-term document frequencies: ≤|Q| rows, exact integer counts
+    # per-term document frequencies: ≤|Q| rows, exact integer counts.
+    # (A broadcast-join fold of these into the scoring job was A/B'd
+    # round 15 and measured SLOWER — the broadcast build is its own
+    # job reading the pruned postings a second time — so the literal
+    # collect stays.)
     dfs = {
         r["term"]: r["df"]
         for r in p.groupBy("term")
