@@ -188,18 +188,29 @@ def _ppm_table(spark: SparkSession, sf_dir: str, w: int, h: int) -> DataFrame:
     decode probes measure the DECODE (the per-row-per-byte transform
     formulation measurably dominated the wall; see video_table's
     post-mortem)."""
+    from fledge_south_csvplayback_spark.operators.inline import (
+        literal_cols_df,
+    )
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_px = w * h * 3
-    consts = F.array(*[F.lit((i * 17) % 256) for i in range(n_px)])
-    lut = spark.range(256).select(
-        F.col("id").cast("int").alias("dd"),
-        F.concat_ws(
-            "",
-            F.transform(
-                consts,
-                lambda c: F.lpad(F.hex((F.col("id") + c) % 256), 2, "0"),
-            ),
-        ).alias("pxhex"),
+    # the 256 possible pixel-plane hex strings build in PYTHON on the
+    # driver and ship as one JSON-literal inline table (round 15): the
+    # previous Range-over-256 formulation evaluated w·h·3 interpreted
+    # lambda elements per LUT row inside the broadcast build —
+    # 256·n_px ≈ 0.2-1.0 s per invocation at these geometries — for
+    # byte values a driver loop produces in milliseconds. Identical
+    # bytes: (dd + (i·17) % 256) % 256 == (dd + i·17) % 256, and unhex
+    # is case-insensitive. Plan stays Generate-over-Range (the
+    # hygiene pin: no Scan ExistingRDD).
+    px_rows = [
+        "".join(f"{(dd + i * 17) % 256:02x}" for i in range(n_px))
+        for dd in range(256)
+    ]
+    lut = literal_cols_df(
+        spark,
+        {"dd": list(range(256)), "pxhex": px_rows},
+        "dd int, pxhex string",
     )
     header = F.encode(F.lit(f"P6\n{w} {h}\n255\n"), "UTF-8")
     payload = F.concat(header, F.unhex(F.col("pxhex")))
@@ -591,19 +602,34 @@ def audio_table(
     )
     # the sample formula depends on doc_id only through doc_id*7 %
     # 2048, so the 2048 possible PCM planes build ONCE over a 2048-row
-    # Range (declarative, no ExistingRDD; LE-int16 packed exactly as
-    # before) and a broadcast join assembles the payload — see
-    # video_table's synthesis post-mortem
-    consts = F.array(*[F.lit((i * 13) % 2048) for i in range(n)])
+    # Range (LE-int16 packed exactly as before) and a broadcast join
+    # assembles the payload — see video_table's synthesis post-mortem.
+    # Round 15: the hex strings build in PYTHON on the driver and ship
+    # as one JSON-literal inline table — the Range formulation
+    # evaluated 2048·n interpreted lambda elements inside the
+    # broadcast build for bytes a driver loop produces in
+    # milliseconds; same (id + c) % 2048 - 1024 samples, same pmod
+    # 65536 two's-complement LE packing, and unhex is
+    # case-insensitive. Plan stays Generate-over-Range (the hygiene
+    # pin: no Scan ExistingRDD).
+    from fledge_south_csvplayback_spark.operators.inline import (
+        literal_cols_df,
+    )
 
-    def le16(c):
-        s = (F.col("id") + c) % 2048 - 1024
-        hx = F.lpad(F.hex(F.pmod(s, F.lit(65536))), 4, "0")
-        return F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2))
+    def le16_hex(s: int) -> str:
+        hx = f"{s % 65536:04x}"
+        return hx[2:4] + hx[0:2]
 
-    lut = spark.range(2048).select(
-        F.col("id").cast("int").alias("aa"),
-        F.concat_ws("", F.transform(consts, le16)).alias("pcmhex"),
+    pcm_rows = [
+        "".join(
+            le16_hex((aa + i * 13) % 2048 - 1024) for i in range(n)
+        )
+        for aa in range(2048)
+    ]
+    lut = literal_cols_df(
+        spark,
+        {"aa": list(range(2048)), "pcmhex": pcm_rows},
+        "aa int, pcmhex string",
     )
     payload = F.concat(
         F.lit(bytearray(header)).cast("binary"),
@@ -1666,21 +1692,32 @@ def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cs.append((f * 37 + i * 17) % 256)
         frame_consts.append(cs)
 
-    def frame_hex(cs):
-        arr = F.array(*[F.lit(c) for c in cs])
-        return F.concat_ws(
-            "",
-            F.transform(
-                arr,
-                lambda c: F.when(c < 0, F.lit("00")).otherwise(
-                    F.lpad(F.hex((F.col("id") + c) % 256), 2, "0")
-                ),
-            ),
-        )
+    # the 256 × VID_FRAMES frame hex strings build in PYTHON on the
+    # driver and ship as one JSON-literal inline table (round 15): the
+    # Range-over-256 formulation evaluated 256·frames·frame_bytes
+    # interpreted lambda elements inside the broadcast build (~1 s per
+    # invocation at this geometry — the synthesis cost the docstring
+    # above exists to avoid) for bytes a driver loop produces in
+    # milliseconds. Identical payloads: same (dd + c) % 256 values,
+    # "00" padding, and unhex is case-insensitive. Plan stays
+    # Generate-over-Range (the hygiene pin: no Scan ExistingRDD).
+    from fledge_south_csvplayback_spark.operators.inline import (
+        literal_cols_df,
+    )
 
-    lut = spark.range(256).select(
-        F.col("id").cast("int").alias("dd"),
-        *[frame_hex(cs).alias(f"fhex{f}") for f, cs in enumerate(frame_consts)],
+    cols: dict[str, list] = {"dd": list(range(256))}
+    for f, cs in enumerate(frame_consts):
+        cols[f"fhex{f}"] = [
+            "".join(
+                "00" if c < 0 else f"{(dd + c) % 256:02x}" for c in cs
+            )
+            for dd in range(256)
+        ]
+    lut = literal_cols_df(
+        spark,
+        cols,
+        "dd int, "
+        + ", ".join(f"fhex{f} string" for f in range(len(frame_consts))),
     )
 
     parts = [F.lit(bytearray(header)).cast("binary")]
