@@ -327,10 +327,22 @@ def _check_on_error(on_error: str) -> None:
         )
 
 
-def _err_text(payload, ex: Exception) -> str:
-    if payload is None:
-        return "NULL payload"
-    return str(ex) or type(ex).__name__
+def _make_err_text():
+    """Factory so the function pickles BY VALUE into mapInPandas
+    closures (same rule as the decoders): a module-level def would be
+    cloudpickled by reference, and executor Python workers only share
+    the driver's sys.path when the driver happens to run with the repo
+    as its cwd."""
+
+    def _err_text(payload, ex: Exception) -> str:
+        if payload is None:
+            return "NULL payload"
+        return str(ex) or type(ex).__name__
+
+    return _err_text
+
+
+_err_text = _make_err_text()
 
 
 def image_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
