@@ -700,10 +700,16 @@ def corpus_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the upstream pair mining, measured at 10M in BASELINE.md.
     """
     from fledge_south_csvplayback_spark.operators import dedup
+    from fledge_south_csvplayback_spark.operators.fanout import spread
 
     weights, bias = _qmodel_weights()
     _, score = _qmodel_score_cols(F.col("text"), weights, bias)
-    docs = _docs(spark, sf_dir)
+    # the per-token md5 score projection is the expensive per-row work
+    # here, and it sits directly on the documents scan — a small corpus
+    # packed into one parquet row group would run it on ONE task, so
+    # both scoring paths go through the guarded fan-out (a no-op once
+    # the input provides scan parallelism; see operators/fanout.py)
+    docs = spread(_docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet")
     members = dedup.dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     ranked = (
         docs.select("doc_id", "text")

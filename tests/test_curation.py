@@ -1978,10 +1978,13 @@ def test_neardup_keep_best_elects_argmax_score(spark):
 
 
 def test_neardup_keep_best_plan_shape(spark):
-    """The documents scan never crosses an exchange: the member join is
-    a broadcast hash join, the election window partitions by
+    """The documents scan never crosses a HASH exchange: the member
+    join is a broadcast hash join, the election window partitions by
     cluster_id over member rows only, and the final anti-join
-    broadcasts the loser set."""
+    broadcasts the loser set. (A starved-regime round-robin fan-out of
+    the scan itself — operators/fanout.spread ahead of the per-token
+    md5 score projection — is allowed: it is a no-op once the input
+    provides scan parallelism.)"""
     plan = _plan(curation.corpus_neardup_keep_best(spark, TEST_SF_DIR))
     # the member↔score join is broadcast by hint (static plan already)
     assert "BroadcastHashJoin" in plan
