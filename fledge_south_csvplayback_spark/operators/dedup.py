@@ -279,6 +279,7 @@ def _pair_counts(
     hot: DataFrame | None = None,
     cached: list | None = None,
     min_jaccard: float | None = None,
+    hot_count: int | None = None,
 ) -> DataFrame:
     """Shared-shingle pair counts (doc_a, na, doc_b, nb, c) from a
     shingled frame — the posting-list core of both the exact-Jaccard
@@ -324,10 +325,15 @@ def _pair_counts(
         # callers. Per-micro-batch callers (the streaming gate via
         # _neardup_probe) pass ``cached`` and unpersist after their
         # writes, or this leaks one cached frame per batch.
-        hot = hot.cache()
-        if cached is not None:
-            cached.append(hot)
-        if hot.count() <= HOT_BROADCAST_MAX:
+        # ``hot_count`` = the caller already cached AND counted ``hot``
+        # (the minhash path overlaps that count with its candidate
+        # materialization on a second driver thread); None = guard here.
+        if hot_count is None:
+            hot = hot.cache()
+            if cached is not None:
+                cached.append(hot)
+            hot_count = hot.count()
+        if hot_count <= HOT_BROADCAST_MAX:
             idx = idx.join(F.broadcast(hot), "s", "anti")
         else:
             idx = idx.join(hot, "s", "anti")
@@ -447,14 +453,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache fill), so materialize it eagerly with a count() — one small
     # job, and the signature+banding pipeline runs once, not twice.
     # cands is a pair-of-longs table, tiny at any corpus scale.
-    cands = cands.cache()
-    cands.count()
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select("doc_b"))
-        .distinct()
-    )
-    cand_sh = sh.join(F.broadcast(cand_docs), "doc_id", "semi")
+    #
     # the df cap must be computed over the FULL corpus, exactly like the
     # exact operator and the shared oracle: a boilerplate shingle with
     # corpus df > CAP but candidate-slice df <= CAP would otherwise be
@@ -464,15 +463,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |postings| / CAP keys, anti-joined in _pair_counts (broadcast when
     # small — the guarded common case — shuffled when adversarially
     # large; see HOT_BROADCAST_MAX).
+    #
+    # the two materializations are INDEPENDENT (cands from the banded
+    # signature join, hot from the posting-frequency count), so they run
+    # as concurrent jobs from two driver threads (guide §2.6 overlap):
+    # each fills the tail of the other's stages instead of serializing
+    # two sub-second-to-minutes jobs at every corpus size.
+    cands = cands.cache()
     hot = (
         idx.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("s")
+        .cache()
     )
-    pairs = _pair_counts(cand_sh, hot=hot, min_jaccard=JACCARD_THRESHOLD).join(
-        F.broadcast(cands), ["doc_a", "doc_b"]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cands = pool.submit(cands.count)
+        f_hot = pool.submit(hot.count)
+        f_cands.result()
+        hot_count = f_hot.result()
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select("doc_b"))
+        .distinct()
     )
+    cand_sh = sh.join(F.broadcast(cand_docs), "doc_id", "semi")
+    pairs = _pair_counts(
+        cand_sh, hot=hot, min_jaccard=JACCARD_THRESHOLD, hot_count=hot_count
+    ).join(F.broadcast(cands), ["doc_a", "doc_b"])
     j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return pairs.filter(j >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
