@@ -814,12 +814,22 @@ def ann_cosine_topk_ivf_indexed(
     fixture or probe corpus exhibits one; the agreement test would
     surface it.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
-    queries = [
-        (r["vec_id"], list(r["v"]), r["norm"])
-        for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
-    ]
-    cents = _read_centroids(spark, index_dir)
+    # the query-row collect and the centroid-sidecar read are
+    # independent driver-side jobs — run them from two driver threads
+    # (guide §2.6 overlap) instead of serializing two small collects
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_q = pool.submit(
+            lambda: [
+                (r["vec_id"], list(r["v"]), r["norm"])
+                for r in emb.filter(F.col("vec_id") < N_QUERIES).collect()
+            ]
+        )
+        f_c = pool.submit(_read_centroids, spark, index_dir)
+        queries = f_q.result()
+        cents = f_c.result()
     probe_cells = _probe_sets(queries, cents, nprobe)
     qmat = [(qid, qv, qn, set(probe_cells[qid])) for qid, qv, qn in queries]
 

@@ -1151,39 +1151,53 @@ def text_bm25_topk_indexed(
     """
     if not query:
         raise ValueError("text_bm25_topk_indexed: need at least one query term")
+    from concurrent.futures import ThreadPoolExecutor
+
     # resolve both tables through their manifests ONCE up front (the
     # corpus_ingest rule: one version per query) — readers never race
-    # a promote into a half-resolved mix. Term -> bucket hashes ride
-    # the same one-row job as extra projected columns (the builder's
-    # JVM xxhash64 — no driver-side reimplementation to drift, and no
-    # second 1-row job; round 15).
-    stats = (
-        spark.read.parquet(bm25_stats_dir(index_dir))
-        .select(
-            "*",
-            *[
-                F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"_b{j}")
-                for j, t in enumerate(query)
-            ],
+    # a promote into a half-resolved mix.
+    stats_path = bm25_stats_dir(index_dir)
+    postings_path = bm25_postings_dir(index_dir)
+
+    # the two driver-side collects are independent, so they run as
+    # concurrent jobs from two driver threads (guide §2.6 overlap):
+    # thread A reads the one-row stats sidecar; thread B hashes the
+    # query terms to buckets (a constant-folded one-row SELECT — still
+    # the builder's JVM xxhash64, no driver-side reimplementation to
+    # drift) and collects the per-term document frequencies off the
+    # pruned postings. (A broadcast-join fold of the dfs into the
+    # scoring job was A/B'd round 15 and measured SLOWER — the
+    # broadcast build is its own job reading the pruned postings a
+    # second time — so the literal collect stays.)
+    def _stats_row():
+        return spark.read.parquet(stats_path).collect()[0]
+
+    def _prune_and_dfs():
+        hx = ", ".join(
+            f"pmod(xxhash64(:t{j}), {int(n_buckets)}) AS _b{j}"
+            for j in range(len(query))
         )
-        .collect()[0]
-    )
+        hrow = spark.sql(
+            f"SELECT {hx}", args={f"t{j}": t for j, t in enumerate(query)}
+        ).collect()[0]
+        buckets = sorted({hrow[f"_b{j}"] for j in range(len(query))})
+        pruned = spark.read.parquet(postings_path).filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(*query)
+        )
+        dfs = {
+            r["term"]: r["df"]
+            for r in pruned.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("df"))
+            .collect()
+        }
+        return pruned, dfs
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_stats = pool.submit(_stats_row)
+        f_pd = pool.submit(_prune_and_dfs)
+        stats = f_stats.result()
+        p, dfs = f_pd.result()
     n, avgdl = stats["n"], stats["avgdl"]
-    buckets = sorted({stats[f"_b{j}"] for j in range(len(query))})
-    p = spark.read.parquet(bm25_postings_dir(index_dir)).filter(
-        F.col("bucket").isin(buckets) & F.col("term").isin(*query)
-    )
-    # per-term document frequencies: ≤|Q| rows, exact integer counts.
-    # (A broadcast-join fold of these into the scoring job was A/B'd
-    # round 15 and measured SLOWER — the broadcast build is its own
-    # job reading the pruned postings a second time — so the literal
-    # collect stays.)
-    dfs = {
-        r["term"]: r["df"]
-        for r in p.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
-        .collect()
-    }
     # pivot the ≤|Q| posting rows per doc back into tf_j columns so the
     # score expression is the INLINE operator's, additions in the same
     # order over the same doubles
