@@ -189,33 +189,53 @@ def _hyperplanes(n: int = LSH_PLANES, dim: int = DIM) -> list[list[float]]:
     return planes
 
 
-def _lsh_bands(v: Column) -> Column:
+def _lsh_bands(v: Column | str = "v") -> Column:
     """Array of (band, key) structs from hyperplane sign bits.
 
-    The plane matrix rides in as ONE nested-array Literal and the sign
-    bits come from a ``transform`` over it — unrolling per-element
-    literals (16 planes × 64 doubles) made Catalyst ANALYSIS the
-    dominant cost of every LSH entry (~1.5 s/invocation). The dot stays
-    the same left-to-right fold, so bits and band keys are bit-identical
-    to before (and to the oracle's ``list_dot_product`` rebuild)."""
-    planes_lit = F.lit(_hyperplanes())
+    The whole expression builds as ONE SQL string parsed JVM-side
+    (round 15, the ``dedup_simhash`` precedent): the per-``Column``
+    formulation issued ~1.5k Py4J round trips per invocation — the
+    nested planes literal plus 64 dot subtrees — measured 0.7-1.0 s
+    of driver time on every LSH entry. The planes matrix binds ONCE
+    via the repo's let-binding idiom (``element_at(transform(array(P),
+    planes -> ...), 1)``); each sign bit keeps the identical
+    ``aggregate(zip_with(...))`` left-to-right dot fold, ``>= 0``
+    comparison, CASE 1/0 bit and integer shift-multiply fold, so bits
+    and band keys are bit-identical to the previous expression (and to
+    the oracle's ``list_dot_product`` rebuild) — pinned empirically by
+    ``test_lsh_band_sql_matches_column_build``. A shared ``bits``
+    array referenced via element_at would be COPIED into each
+    reference and re-evaluate all 16 dots per band key (measured 16x
+    the dot work), so each key folds its own 8 dots, as before."""
+    if not isinstance(v, str):
+        # Column callers always pass F.col("v") in this module; the SQL
+        # text needs the NAME, so reject anything else loudly
+        name = v._jc.toString()  # noqa: SLF001 — unqualified column name
+        if not name.isidentifier():
+            raise ValueError(f"_lsh_bands needs a plain column name, got {name!r}")
+        v = name
     per_band = LSH_PLANES // LSH_BANDS
+    planes_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in p) + ")"
+        for p in _hyperplanes()
+    ) + ")"
 
-    def bit(idx: Column) -> Column:
-        # one dot per (row, plane): a shared `bits` array referenced via
-        # element_at would be COPIED into each reference and re-evaluate
-        # all 16 dots per band key (measured 16x the dot work)
-        return F.when(_dot(v, F.element_at(planes_lit, idx)) >= 0, 1).otherwise(0)
+    def bit(i: int) -> str:
+        # one dot per (row, plane); idx = ((b * per_band) + i) + 1,
+        # the exact Column-arithmetic shape the tree build produced
+        dot = (
+            f"aggregate(zip_with({v}, element_at(planes, ((b * {per_band}) "
+            f"+ {i}) + 1), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        return f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END) * {1 << i}"
 
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            sum(
-                [bit(b * per_band + i + 1) * (1 << i) for i in range(per_band)],
-                F.lit(0),
-            ).alias("key"),
-        ),
+    key = "0"
+    for i in range(per_band):
+        key = f"({key} + {bit(i)})"
+    return F.expr(
+        f"element_at(transform(array({planes_sql}), planes -> "
+        f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
+        f"named_struct('band', b, 'key', {key}))), 1)"
     )
 
 

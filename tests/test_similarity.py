@@ -415,6 +415,45 @@ def test_lsh_production_keys_match_reproducible(spark):
     assert rep == prod
 
 
+def test_lsh_band_sql_matches_column_build(spark):
+    """_lsh_bands builds as ONE parsed SQL string (round 15); the
+    replaced per-Column tree build is replicated here verbatim and the
+    two must agree on every (band, key) of every fixture vector — the
+    oracle rebuilds bucket membership bit-for-bit, so any drift in the
+    planes literal, dot fold order, sign rule or bit packing is an
+    output change, not a refactor."""
+    from pyspark.sql import functions as F
+
+    def column_build(v):
+        planes_lit = F.lit(S._hyperplanes())
+        per_band = S.LSH_PLANES // S.LSH_BANDS
+
+        def bit(idx):
+            return F.when(
+                S._dot(v, F.element_at(planes_lit, idx)) >= 0, 1
+            ).otherwise(0)
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(S.LSH_BANDS - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                sum(
+                    [
+                        bit(b * per_band + i + 1) * (1 << i)
+                        for i in range(per_band)
+                    ],
+                    F.lit(0),
+                ).alias("key"),
+            ),
+        )
+
+    both = S._emb(spark, TEST_SF_DIR, scorable=True).select(
+        column_build(F.col("v")).alias("o"), S._lsh_bands("v").alias("n")
+    )
+    assert both.filter(F.col("o") != F.col("n")).count() == 0
+    assert both.filter(F.col("o").isNull() | F.col("n").isNull()).count() == 0
+
+
 def test_ivf_index_kmeans_centroids(spark, tmp_path):
     """The kmeans production quantizer: build_ivf_index persists its
     fitted centroids with the index, the query path reads them back,
