@@ -2354,6 +2354,7 @@ def _sq8_search(
     vmin: list[float],
     vmax: list[float],
     rescore_c: int,
+    qrows: list | None = None,
 ) -> DataFrame:
     """Shared SQ8 two-stage scorer. Stage 1 scans ONLY the codes:
     each Arrow batch reconstructs v̂ = lo + codes·(hi-lo)/255 with one
@@ -2370,7 +2371,10 @@ def _sq8_search(
     import numpy as np
 
     embq = _emb(spark, sf_dir, scorable=True).withColumn("norm", _norm(F.col("v")))
-    qrows = embq.filter(F.col("vec_id") < N_QUERIES).collect()
+    if qrows is None:
+        # callers that can overlap this collect with their quantizer
+        # job pass ``qrows``; None keeps the self-contained behavior
+        qrows = embq.filter(F.col("vec_id") < N_QUERIES).collect()
     qm = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
     qn = np.array([r["norm"] for r in qrows], dtype=np.float64)
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
@@ -2549,12 +2553,25 @@ def ann_cosine_topk_sq8(
 ) -> DataFrame:
     """Self-contained SQ8 ANN: fit + codegen'd encode + two-stage
     search in one plan (the inline sibling of
-    ``ann_cosine_topk_sq8_indexed``, like the inline IVF/LSH entries)."""
-    vmin, vmax = sq8_fit(spark, sf_dir)
+    ``ann_cosine_topk_sq8_indexed``, like the inline IVF/LSH entries).
+    The quantizer fit and the query-row collect are independent driver
+    jobs, so they run from two driver threads (guide §2.6 overlap)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    embq = _emb(spark, sf_dir, scorable=True).withColumn(
+        "norm", _norm(F.col("v"))
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fit = pool.submit(sq8_fit, spark, sf_dir)
+        f_q = pool.submit(embq.filter(F.col("vec_id") < N_QUERIES).collect)
+        vmin, vmax = f_fit.result()
+        qrows = f_q.result()
     codes_df = _emb(spark, sf_dir, scorable=True).select(
         "vec_id", _sq8_code_expr(vmin, vmax).alias("codes")
     )
-    return _sq8_search(spark, sf_dir, codes_df, vmin, vmax, rescore_c)
+    return _sq8_search(
+        spark, sf_dir, codes_df, vmin, vmax, rescore_c, qrows=qrows
+    )
 
 
 def ann_cosine_topk_sq8_indexed(
@@ -2565,11 +2582,25 @@ def ann_cosine_topk_sq8_indexed(
 ) -> DataFrame:
     """Two-stage SQ8 ANN over a ``build_sq8_index``: the codes scan
     reads 64 bytes of payload per vector (never the embedding column);
-    the quantizer comes from the ``_quantizer`` sidecar."""
-    q = spark.read.parquet(f"{index_dir}/_quantizer").collect()[0]
+    the quantizer comes from the ``_quantizer`` sidecar. The sidecar
+    read and the query-row collect are independent driver jobs — two
+    driver threads (guide §2.6 overlap)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    embq = _emb(spark, sf_dir, scorable=True).withColumn(
+        "norm", _norm(F.col("v"))
+    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_q = pool.submit(
+            lambda: spark.read.parquet(f"{index_dir}/_quantizer").collect()[0]
+        )
+        f_rows = pool.submit(embq.filter(F.col("vec_id") < N_QUERIES).collect)
+        q = f_q.result()
+        qrows = f_rows.result()
     codes_df = spark.read.parquet(index_dir).select("vec_id", "codes")
     return _sq8_search(
-        spark, sf_dir, codes_df, list(q["lo"]), list(q["hi"]), rescore_c
+        spark, sf_dir, codes_df, list(q["lo"]), list(q["hi"]), rescore_c,
+        qrows=qrows,
     )
 
 
@@ -2842,16 +2873,25 @@ def hybrid_topk_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusion itself is a tiny full-outer join + window — nothing
     corpus-sized crosses an exchange here.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Window as W
 
-    dense = ann_cosine_topk(spark, sf_dir).select(
-        "query_id",
-        F.col("vec_id").alias("doc_id"),
-        F.col("rank").alias("rank_d"),
-    )
-    sparse = lexical_topk(spark, sf_dir).select(
-        "query_id", "doc_id", F.col("rank").alias("rank_s")
-    )
+    # each arm's construction runs an eager driver-side collect (the
+    # dense arm's query vectors, the sparse arm's query token sets);
+    # they are independent, so the arms build on two driver threads
+    # (guide §2.6 overlap)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_dense = pool.submit(ann_cosine_topk, spark, sf_dir)
+        f_sparse = pool.submit(lexical_topk, spark, sf_dir)
+        dense = f_dense.result().select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("rank").alias("rank_d"),
+        )
+        sparse = f_sparse.result().select(
+            "query_id", "doc_id", F.col("rank").alias("rank_s")
+        )
     fused = dense.join(sparse, ["query_id", "doc_id"], "full_outer")
     rrf = F.round(
         F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("rank_d")), F.lit(0.0))
