@@ -441,8 +441,17 @@ def events_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("anchor_id"), F.col("ts").alias("a_ts")
     )
     probes = ev.select("event_id", "user_id", "value", "ts")
+    # bin_s = window/4: candidate pairs overcount the true window by
+    # ~(1 + bin/window) — 1.25x instead of the window-grain 2x — for a
+    # 5-bin explode of the 16-byte anchor rows instead of 2 (the heavy
+    # probe side still computes ONE bin per row). Fewer candidate rows
+    # through the join filter at any scale; results are bin-invariant
+    # by construction (each match meets on exactly the probe's own bin)
+    # — verified identical at 600/900/3600 s bins, min-of-4 interleaved
+    # 1.23 -> 1.12 s at sf0.1 (round 15).
     joined = range_join(
-        anchors, probes, "a_ts", "ts", RANGE_WINDOW_S
+        anchors, probes, "a_ts", "ts", RANGE_WINDOW_S,
+        bin_s=RANGE_WINDOW_S // 4,
     ).filter(F.col("event_id") != F.col("anchor_id"))
     return joined.groupBy("anchor_id").agg(
         F.count(F.lit(1)).alias("n_events"),
