@@ -1011,10 +1011,18 @@ def connected_components(
         ).localCheckpoint(eager=True)
         return ck, obs.get["s"]
 
+    # label INIT fused with ITERATION 1 (round 15): labels0[v] = v and
+    # iteration 1 computes min(v, min over neighbors) — with symmetric
+    # edges that is exactly min(least(doc_a, doc_b)) grouped by doc_a,
+    # ONE aggregate over the checkpointed edges. The unfused form paid
+    # a distinct shuffle for the identity init plus iteration 1's
+    # edge⟷label join; the fused form is one shuffle and one
+    # checkpoint job, same labels1 values (node coverage identical:
+    # every node appears as doc_a of the symmetric union).
     labels, prev_sum = _checkpoint_with_sum(
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.groupBy(F.col("doc_a").alias("doc_id")).agg(
+            F.min(F.least(F.col("doc_a"), F.col("doc_b"))).alias("label")
+        )
     )
     for _ in range(max_iters):
         prop = edges.join(
