@@ -98,8 +98,16 @@ def _paths_overlap(a: str, b: str) -> bool:
     )
 
 
+def _docs_path(sf_dir: str) -> str:
+    """The ONE documents-table path builder: ``_docs`` reads it and the
+    starvation-checked ``spread`` calls measure it — a single source so
+    the fan-out guard can never silently measure a different file than
+    the scan it protects (round-15 advisory)."""
+    return f"{sf_dir}/documents.parquet"
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spark.read.parquet(_docs_path(sf_dir))
 
 
 # --- pluggable token counting ------------------------------------------------
@@ -709,7 +717,7 @@ def corpus_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # packed into one parquet row group would run it on ONE task, so
     # both scoring paths go through the guarded fan-out (a no-op once
     # the input provides scan parallelism; see operators/fanout.py)
-    docs = spread(_docs(spark, sf_dir), spark, f"{sf_dir}/documents.parquet")
+    docs = spread(_docs(spark, sf_dir), spark, _docs_path(sf_dir))
     members = dedup.dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
     ranked = (
         docs.select("doc_id", "text")
@@ -2629,7 +2637,10 @@ def contamination_flags(
 
 
 def contamination_attribution(
-    docs: DataFrame, benchmark: DataFrame, n: int = DECON_NGRAM
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECON_NGRAM,
+    cached: list | None = None,
 ) -> DataFrame:
     """WHICH benchmark row leaked into which document — the audit the
     boolean flags can't answer (a release gate wants "these 40 docs
@@ -2649,6 +2660,8 @@ def contamination_attribution(
     from fledge_south_csvplayback_spark.operators.dedup import shingles
 
     benchmark = benchmark.cache()
+    if cached is not None:
+        cached.append(benchmark)
     ne_values = _bench_window_sizes(benchmark, n)
     if not ne_values:
         from fledge_south_csvplayback_spark.operators.inline import (
@@ -2658,7 +2671,9 @@ def contamination_attribution(
         return literal_cols_df(
             docs.sparkSession, {}, "doc_id long, bench_id long, n_hits long"
         )
-    bg = _guarded_broadcast(_bench_grams(benchmark, n, ne_values, with_ids=True))
+    bg = _guarded_broadcast(
+        _bench_grams(benchmark, n, ne_values, with_ids=True), cached
+    )
     sz = F.size(F.split(F.col("text"), " "))
     gram_frames = [
         docs.filter(sz >= ne).select(

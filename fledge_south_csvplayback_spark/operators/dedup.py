@@ -984,7 +984,12 @@ def connected_components(
     marks the representative. See ``dedup_clusters`` for the
     scale/convergence rationale (fixed-width label columns, eager
     localCheckpoint per iteration, diameter-bounded iteration count,
-    raise on non-convergence)."""
+    raise on non-convergence). Note: the init fused with iteration 1
+    (round 15) is itself a propagation step, so the loop performs up to
+    ``max_iters`` + 1 propagation steps before raising — strictly MORE
+    capacity than the documented cap, same converged output (round-15
+    advisory, recorded rather than tightened so no graph that converged
+    before can start raising)."""
     edges = pairs.select(
         F.col(a_col).alias("doc_a"), F.col(b_col).alias("doc_b")
     )
@@ -1040,8 +1045,8 @@ def connected_components(
         prev_sum = new_sum
     else:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iters} "
-            "iterations (adversarially long chain?)"
+            f"connected_components did not converge in {max_iters} + 1 "
+            "propagation steps (adversarially long chain?)"
         )
     return labels.select(
         F.col("doc_id").alias(id_col),

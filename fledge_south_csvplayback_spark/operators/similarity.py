@@ -214,6 +214,15 @@ def _lsh_bands(v: Column | str = "v") -> Column:
         if not name.isidentifier():
             raise ValueError(f"_lsh_bands needs a plain column name, got {name!r}")
         v = name
+    # a column literally named one of the generated SQL's lambda
+    # variables would be silently SHADOWED inside the expression and
+    # produce wrong band keys with no error (round-15 advisory) —
+    # reject the reserved identifiers explicitly
+    if v in {"planes", "b", "x", "y", "acc"}:
+        raise ValueError(
+            f"_lsh_bands: column name {v!r} collides with a lambda "
+            "variable of the generated SQL; alias the column first"
+        )
     per_band = LSH_PLANES // LSH_BANDS
     planes_sql = "array(" + ", ".join(
         "array(" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in p) + ")"
