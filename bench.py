@@ -54,6 +54,43 @@ from fledge_south_csvplayback_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARMUP_DIR = "/root/testdata/sf0.001"
 
+# Scaling-visibility probe (round 16, VERDICT r15 item 2): at sf0.1
+# every product query is sub-3 s and dominated by the fixed
+# driver/JVM/job floor, so the driver's 8-vs-32-core rerun could not
+# distinguish "bench ignores $SPARK_GRAFT_CPUS" (it does not —
+# session.py reads it) from "no row is CPU-bound enough to show
+# parallelism". This row is a deterministic per-row sha2-chain over
+# lineitem — pure executor compute, embarrassingly parallel, zero
+# wide shuffle — so the low-core run shows a real ratio. It is a BENCH
+# HARNESS probe, not a product operator: defined here, value-checked
+# against DuckDB's sha256 in tests/test_bench_probe.py.
+CPU_PROBE_ROUNDS = 32
+
+
+def cpu_scaling_probe(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from fledge_south_csvplayback_spark.operators import fanout
+
+    path = f"{sf_dir}/lineitem.parquet"
+    li = spark.read.parquet(path).select("l_orderkey", "l_linenumber")
+    # the sf tables are one parquet row group each, so without the
+    # guarded fan-out the whole chain would run on ONE task at any
+    # core count (no-op once input splits provide parallelism)
+    li = fanout.spread(li, spark, path)
+    h = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    for _ in range(CPU_PROBE_ROUNDS):
+        h = F.sha2(h, 256)
+    return li.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("h").alias("min_h"),
+        F.max("h").alias("max_h"),
+    )
+
 # Headline subset: biggest-shuffle / most-representative query per suite.
 # Falls back to every registered query if a headline name is missing.
 HEADLINE = [
@@ -109,6 +146,7 @@ HEADLINE = [
     # are NOT benched: their constituents already have name-stable rows)
     "text_bm25_topk_indexed",  # inverted-index build + pruned query (round 15)
     "ann_cosine_topk_ivf_indexed",  # IVF build + partition-pruned query (round 15)
+    "cpu_scaling_probe",  # CPU-bound scaling-visibility probe (round 16)
 ]
 
 # Ops outside the 50-entry driver registry (pytest-oracle-checked in
@@ -154,6 +192,8 @@ EXTRA_QUERIES = {
     # de-registered in the round-15 ann_cosine_topk_suite fold; same rule
     "ann_cosine_topk": similarity.ann_cosine_topk,
     "ann_cosine_topk_sq8": similarity.ann_cosine_topk_sq8,
+    # bench-harness scaling probe (round 16) — see its docstring above
+    "cpu_scaling_probe": cpu_scaling_probe,
 }
 
 
@@ -188,6 +228,7 @@ def main() -> None:
             run_query(qs[n], spark, WARMUP_DIR)
         except Exception as e:  # noqa: BLE001 — warmup failures must be visible
             print(f"warmup failed for {n}: {e!r}", file=sys.stderr)
+        spark.catalog.clearCache()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))
     # round-robin: rep i of every query before rep i+1 of any — a host
@@ -199,16 +240,33 @@ def main() -> None:
             t0 = time.perf_counter()
             run_query(qs[n], spark, SF_DIR)
             samples[n].append(time.perf_counter() - t0)
+            # cache hygiene (round 16, measurement-honesty fix): a few
+            # operators cache eval-/candidate-sized frames eagerly
+            # inside their build (guarded broadcasts, minhash candidate
+            # guard). Spark's CacheManager dedupes by analyzed plan, so
+            # without this, rep 2+ could read rep 1's cache and
+            # min-of-reps would time a warm plan. Clearing OUTSIDE the
+            # timed region guarantees every rep computes cold from the
+            # parquet inputs; r15-era numbers (no clear) are kept in
+            # plans/r16/bench_r16_before.json for comparison.
+            spark.catalog.clearCache()
 
     timings = {n: round(min(s), 4) for n, s in samples.items()}
     medians = {n: round(statistics.median(s), 4) for n, s in samples.items()}
 
+    sc = spark.sparkContext
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "queries_median": medians,
+        # scaling visibility (round 16): echo the EFFECTIVE core count
+        # and master so the driver's low-core rerun can verify the env
+        # var took hold (r15 PERF flagged "suspect_cpus_ignored" because
+        # nothing in the output proved it)
+        "cpus": sc.defaultParallelism,
+        "master": sc.master,
         "reps": reps,
         "noise": "min=engine, median=host; reps interleaved round-robin "
         "across queries so a multi-second host stall cannot poison every "
