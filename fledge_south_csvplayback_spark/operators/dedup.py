@@ -434,15 +434,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
     idx = sh.select("doc_id", F.explode("sh").alias("s"))
     bands = _lsh_band_table(minhash_signatures(idx))
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # candidate pairs by BUCKET GROUPING, not a band-key self-join
+    # (round 16; the dedup_simhash round-15 precedent): the self-join's
+    # two branches shared the signature exchange via ReusedExchange but
+    # each re-ran the 32-aggregate signature finalization and the band
+    # explode, and the build side paid a broadcast of the whole band
+    # table. Grouping each (band, key) bucket into a sorted doc list
+    # and exploding the i<j pairs in-array computes signatures ONCE in
+    # one linear chain — no join operator. Same pair set: sort_array ⇒
+    # i<j is doc_a < doc_b; band keys are xxhash64 outputs over
+    # never-NULL inputs, so the equi-join's NULL-key drop has nothing
+    # to drop; a doc appears at most once per bucket. Hot buckets
+    # produce |bucket|² pairs in BOTH formulations (banding bounds
+    # them) — the explode just stops paying the join machinery on top.
+    by_bucket = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    cand_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    cands = (
+        by_bucket.select(F.explode(cand_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # verify candidates with exact Jaccard from posting-list counts over
