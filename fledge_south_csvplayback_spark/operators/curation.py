@@ -2567,6 +2567,38 @@ def _bench_grams(
     return out.distinct()
 
 
+def _doc_grams(docs: DataFrame, ne_values: list[int]) -> DataFrame:
+    """(doc_id, ne, g) corpus gram keys at every benchmark window
+    class, via the fused multi-width builder (round 16): the previous
+    one-frame-per-ne union re-scanned the corpus and re-ran
+    split+xxhash64 once PER CLASS — with three classes that was three
+    full corpus passes into the hits join. ``dedup.shingles_multi``
+    shares one token-hash array across the classes, so the corpus is
+    scanned and tokenized exactly once regardless of how many window
+    classes the benchmark carries. Same (ne, g) set per class (see the
+    builder's docstring); the cheap ``sz >= min(ne)`` predicate keeps
+    the sub-window docs out of the explode, as before."""
+    from fledge_south_csvplayback_spark.operators.dedup import (
+        shingles_multi,
+    )
+
+    sz = F.size(F.split(F.col("text"), " "))
+    return (
+        docs.filter(sz >= min(ne_values))
+        .select(
+            "doc_id",
+            F.explode(
+                shingles_multi(F.col("text"), ne_values)
+            ).alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.col("t.ne").alias("ne"),
+            F.explode("t.gs").alias("g"),
+        )
+    )
+
+
 def contamination_flags(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -2587,8 +2619,6 @@ def contamination_flags(
     corpus are churn-cheap (hits broadcast, same guard). Gram keys are
     ``dedup.shingles``' 64-bit hashes; the oracle stays on STRING
     grams per the repo's output-level-parity rule."""
-    from fledge_south_csvplayback_spark.operators.dedup import shingles
-
     # cache the eval-set-sized benchmark slice before the two jobs that
     # consume it (window-size collect, gram build): the stand-in
     # benchmark derives FROM the corpus, so without the cache each of
@@ -2611,18 +2641,7 @@ def contamination_flags(
             F.lit(False).alias("contaminated"),
         )
     bg = _guarded_broadcast(_bench_grams(benchmark, n, ne_values), cached)
-    sz = F.size(F.split(F.col("text"), " "))
-    gram_frames = [
-        docs.filter(sz >= ne).select(
-            "doc_id",
-            F.lit(ne).alias("ne"),
-            F.explode(shingles(F.col("text"), ne)).alias("g"),
-        )
-        for ne in ne_values
-    ]
-    doc_grams = gram_frames[0]
-    for f in gram_frames[1:]:
-        doc_grams = doc_grams.unionByName(f)
+    doc_grams = _doc_grams(docs, ne_values)
     hits = _guarded_broadcast(
         doc_grams.join(bg, ["ne", "g"])
         .groupBy("doc_id")
@@ -2657,8 +2676,6 @@ def contamination_attribution(
     aggregate. The benchmark slice caches ahead of its two consumer
     jobs exactly as in ``contamination_flags`` (one corpus pass
     saved)."""
-    from fledge_south_csvplayback_spark.operators.dedup import shingles
-
     benchmark = benchmark.cache()
     if cached is not None:
         cached.append(benchmark)
@@ -2674,18 +2691,7 @@ def contamination_attribution(
     bg = _guarded_broadcast(
         _bench_grams(benchmark, n, ne_values, with_ids=True), cached
     )
-    sz = F.size(F.split(F.col("text"), " "))
-    gram_frames = [
-        docs.filter(sz >= ne).select(
-            "doc_id",
-            F.lit(ne).alias("ne"),
-            F.explode(shingles(F.col("text"), ne)).alias("g"),
-        )
-        for ne in ne_values
-    ]
-    doc_grams = gram_frames[0]
-    for f in gram_frames[1:]:
-        doc_grams = doc_grams.unionByName(f)
+    doc_grams = _doc_grams(docs, ne_values)
     return (
         doc_grams.join(bg, ["ne", "g"])
         .groupBy("doc_id", "bench_id")

@@ -177,6 +177,59 @@ def positional_shingles(text: Column, n: int = NGRAM) -> Column:
     return F.element_at(F.transform(F.array(token_hashes), build), 1)
 
 
+def shingles_multi(text: Column, ne_values: list[int]) -> Column:
+    """array<struct<ne, gs>> of the distinct word n-gram shingles at
+    EVERY window size in ``ne_values`` — one struct per window class,
+    each carrying that class's plain ``array<bigint>`` gram keys —
+    from ONE split + per-token xxhash64 pass (round 16). The
+    decontamination doc side needs grams at each distinct benchmark
+    window class; building them as per-ne frames unioned together
+    re-scanned the corpus and re-ran split+hash once PER CLASS — this
+    builder shares the let-bound token-hash array across every class,
+    so the corpus is scanned and tokenized once per invocation at any
+    scale. Per class the gram construction, ``array_distinct`` and the
+    in-expression ``when`` totality guard (see ``positional_shingles``)
+    are identical to ``shingles(text, ne)``, so the double-exploded
+    (ne, g) set is exactly the union of the per-ne builds (pinned by
+    ``test_shingles_multi_matches_per_ne_builds``). A struct-per-GRAM
+    variant was measured and REJECTED: tagging every gram inside the
+    interpreted lambda allocated a struct per element and ran the hits
+    join ~40% slower; the per-CLASS struct keeps the inner arrays
+    plain longs, exactly the shape ``shingles`` emits."""
+
+    def build(toks: Column) -> Column:
+        def grams_at(ne: int) -> Column:
+            def gram(i: Column) -> Column:
+                out = F.element_at(toks, i)
+                for k in range(1, ne):
+                    out = out.bitwiseXOR(
+                        F.shiftleft(F.element_at(toks, i + k), 2 * k)
+                    )
+                return out
+
+            return F.when(
+                F.size(toks) >= ne,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - (ne - 1)),
+                        gram,
+                    )
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(ne).alias("ne"), grams_at(ne).alias("gs")
+                )
+                for ne in ne_values
+            ]
+        )
+
+    token_hashes = F.transform(F.split(text, " "), lambda t: F.xxhash64(t))
+    return F.element_at(F.transform(F.array(token_hashes), build), 1)
+
+
 def shingle_strings(text: Column, n: int = NGRAM) -> Column:
     """Distinct word n-gram shingles as STRINGS — the slow path, kept
     for operators whose oracle must re-derive per-gram hash values

@@ -394,3 +394,40 @@ def test_neardup_ingest_broadcast_fallback_same_result(spark, tmp_path, monkeypa
         for r in dedup.neardup_ingest(spark, TEST_SF_DIR, index_dir).collect()
     }
     assert fb == base
+
+
+def test_shingles_multi_matches_per_ne_builds(spark, hostile_sf_dir):
+    """The fused multi-width gram builder (round 16) must produce
+    exactly the union of the per-ne ``shingles`` builds — pinned over
+    the hostile documents table (NULL/empty/sub-window shapes) and a
+    multi-class window list."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{hostile_sf_dir}/documents.parquet")
+    ne_values = [3, 11, 13]
+    fused = set(
+        map(
+            tuple,
+            docs.select(
+                "doc_id",
+                F.explode(
+                    dedup.shingles_multi(F.col("text"), ne_values)
+                ).alias("t"),
+            )
+            .select(
+                "doc_id",
+                F.col("t.ne").alias("ne"),
+                F.explode("t.gs").alias("g"),
+            )
+            .collect(),
+        )
+    )
+    per_ne = set()
+    for ne in ne_values:
+        per_ne |= {
+            (r.doc_id, ne, r.g)
+            for r in docs.select(
+                "doc_id", F.explode(dedup.shingles(F.col("text"), ne)).alias("g")
+            ).collect()
+        }
+    assert fused == per_ne
