@@ -1388,3 +1388,42 @@ def test_lexical_rounding_agrees_by_construction(spark):
         [list(map(float, arr))],
     ).fetchall()
     assert [d[0] for d in duck] == list(want)
+
+
+def test_kmeans_fixed_point_early_exit_is_exact(spark, tmp_path):
+    """The round-16 fixed-point shortcut: once an update leaves every
+    centroid bit-identical, the remaining iterations are skipped and
+    the inertia tail filled — returns must be BITWISE what running
+    them would produce. Two tight, well-separated clusters converge
+    after the first update, so iters=6 exercises the shortcut; the
+    replica runs all six iterations the long way."""
+    import numpy as np
+
+    sf_dir = str(tmp_path)
+    rows = []
+    for i in range(8):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [float(base)] * 4 + [0.0] * 60, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    k, iters = 2, 6
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    cents = x[:k].copy()
+    want_inertia = []
+    for _ in range(iters):
+        d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
+        a = np.argmin(d2, axis=1)
+        full = d2[np.arange(len(x)), a] + (x * x).sum(axis=1)
+        want_inertia.append(float(full.sum()))
+        cnt = np.bincount(a, minlength=k)
+        s = np.zeros_like(cents)
+        np.add.at(s, a, x)
+        cents = np.where(
+            (cnt > 0)[:, None], s / np.maximum(cnt, 1)[:, None], cents
+        )
+    got_cents, got_inertia = S.kmeans_fit(spark, sf_dir, k=k, iters=iters)
+    assert len(got_inertia) == iters
+    assert got_inertia == want_inertia
+    assert np.array_equal(np.array(got_cents), cents)
