@@ -684,6 +684,17 @@ def _simhash_fp(
     lanes = tok.groupBy("doc_id").agg(
         F.expr(f"array(count(1), {lane_sums})").alias("lanes")
     )
+    # On a starved-small corpus AQE coalesces the vote-agg exchange to
+    # ONE partition (its bytes are tiny), so the interpreted pack fold
+    # below plus the consumers' band/key explode ran on a single task —
+    # measured 1.6 s of a 2.4 s execution at sf0.1 (round 16). The
+    # guarded spread re-fans the AGGREGATED lane rows (one per doc)
+    # before the pack; at real scale the guard is a no-op and AQE's
+    # own partitioning provides the parallelism. (Distinct from the
+    # round-15 dead end, which repartitioned the candidate table on
+    # the JOIN KEYS — hot-bucket-bound; this spreads the pre-explode
+    # per-doc rows round-robin, which no key skew can defeat.)
+    lanes = fanout.spread(lanes, spark, f"{sf_dir}/documents.parquet")
 
     # A doc with > 65535 shingles would overflow a 16-bit lane: emit a
     # NULL fingerprint instead of a silently-corrupt one (null band
