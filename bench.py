@@ -64,7 +64,7 @@ WARMUP_DIR = "/root/testdata/sf0.001"
 # wide shuffle — so the low-core run shows a real ratio. It is a BENCH
 # HARNESS probe, not a product operator: defined here, value-checked
 # against DuckDB's sha256 in tests/test_bench_probe.py.
-CPU_PROBE_ROUNDS = 32
+CPU_PROBE_ROUNDS = 16
 
 
 def cpu_scaling_probe(spark, sf_dir: str):

@@ -54,6 +54,20 @@ FEATURE_SCHEMA = (
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int"
 
 
+def _media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared documents scan behind every synthetic media table,
+    routed through the guarded fan-out (round 16): the sf corpora are
+    one parquet row group, so every decode op's mapInPandas ran its
+    WHOLE pipeline on a single task at any core count — measured 1.2 s
+    of multimodal_video_stats' 1.0-1.4 s wall on one task at sf0.1.
+    At real scale (or for real media bytes from storage) the input
+    splits provide the parallelism and the spread is a no-op."""
+    from fledge_south_csvplayback_spark.operators import fanout
+
+    path = f"{sf_dir}/documents.parquet"
+    return fanout.spread(spark.read.parquet(path), spark, path)
+
+
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, payload binary, meta struct).
 
@@ -61,7 +75,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for real media bytes; the metadata struct is the typed
     sidecar a real pipeline would carry (content type + declared size).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     payload = F.encode(F.col("text"), "UTF-8")
     return docs.select(
         "doc_id",
@@ -192,7 +206,7 @@ def _ppm_table(spark: SparkSession, sf_dir: str, w: int, h: int) -> DataFrame:
         literal_cols_df,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     n_px = w * h * 3
     # the 256 possible pixel-plane hex strings build in PYTHON on the
     # driver and ship as one JSON-literal inline table (round 15): the
@@ -587,7 +601,7 @@ def audio_table(
     per-channel oracle stays closed-form."""
     import struct
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     n, rate = WAV_SAMPLES, WAV_RATE
     if channels < 1 or n % channels:
         raise ValueError(
@@ -1679,7 +1693,7 @@ def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast probe + concat, and the probe measures the DECODE."""
     import struct
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _media_docs(spark, sf_dir)
     w, h, stride, nf = VID_W, VID_H, VID_STRIDE, VID_FRAMES
     frame_bytes = stride * h
     header = _avi_header_bytes(w, h, nf)
