@@ -1141,49 +1141,85 @@ _PD_DTYPE = {"bool": bool, "int": "int64", "float": "float64"}
 
 @pytest.mark.parametrize("dtype", sorted(SPELLINGS))
 def test_explicit_accept_sets_match_pandas(spark, tmp_path, dtype):
-    """Per-spelling empirical parity with pandas' dtype= read: strict
-    raises exactly where pandas raises (modulo SPELLING_PINS);
-    permissive NULLs those same values instead; accepted values match
-    pandas' — including the spellings Spark's native cast disagrees
-    on (bool 'yes' accepted by Spark/rejected by pandas; int '1.0'
-    rejected by Spark's bigint cast/accepted by pandas via float64)."""
-    for v in SPELLINGS[dtype] + [s for d, s in sorted(SPELLING_PINS) if d == dtype]:
-        pname = f"pd_{abs(hash((dtype, v)))}.csv"
-        pdf_path = _write(tmp_path, pname, f"x\n{v}\n")
+    """Per-spelling empirical parity with pandas' dtype= read: every
+    accepted value must match pandas' image in BOTH modes, and every
+    value pandas rejects (plus SPELLING_PINS) must NULL under
+    permissive. pandas still adjudicates one value per read (its
+    column-level accept semantics would otherwise couple the
+    spellings) but the engine side batches each verdict class into one
+    indexed CSV — one Spark read per (class, mode) instead of two-three
+    collects per spelling, which dominated the suite's wall time
+    (round 16; ~95 s -> ~15 s, identical value coverage). Strict and
+    permissive share the one _pandas_accept_cast expression (strict
+    merely wraps its NULL in raise_error — csv_source.py), so
+    permissive-NULL ⇔ strict-raise for these non-empty spellings; the
+    raise machinery itself is exercised once on the batched bad file."""
+    spellings = SPELLINGS[dtype] + [
+        s for d, s in sorted(SPELLING_PINS) if d == dtype
+    ]
+    import io as _io
+
+    verdicts = {}
+    for v in spellings:
         try:
-            exp = pd.read_csv(pdf_path, dtype={"x": _PD_DTYPE[dtype]})["x"].iloc[0]
-            pandas_raises = False
+            exp = pd.read_csv(
+                _io.StringIO(f"x\n{v}\n"), dtype={"x": _PD_DTYPE[dtype]}
+            )["x"].iloc[0]
+            verdicts[v] = exp
         except Exception:
-            pandas_raises = True
+            verdicts[v] = None  # pandas raises
         if (dtype, v) in SPELLING_PINS:
-            pandas_raises = True  # pinned divergence: treat as BAD
-        sname = f"sp_{abs(hash((dtype, v)))}.csv"
-        sp_path = _write(tmp_path, sname, f"h\n{v}\n")
-        strict_df = cs.read_explicit(spark, sp_path, f"x:{dtype}", strict=True)
-        perm_df = cs.read_explicit(spark, sp_path, f"x:{dtype}")
-        if pandas_raises:
-            with pytest.raises(Exception, match="strict cast failed"):
-                strict_df.collect()
-            assert perm_df.collect()[0].x is None, (dtype, v)
+            verdicts[v] = None  # pinned divergence: treat as BAD
+    good = [v for v in spellings if verdicts[v] is not None]
+    bad = [v for v in spellings if verdicts[v] is None]
+
+    def batched(name, values):
+        body = "a,b\n" + "".join(f"{i},{v}\n" for i, v in enumerate(values))
+        return _write(tmp_path, name, body)
+
+    # accepted values: identical image in both modes, matching pandas
+    gp = batched(f"good_{dtype}", good)
+    got_strict = {
+        r.i: r.x
+        for r in cs.read_explicit(
+            spark, gp, f"i:int,x:{dtype}", strict=True
+        ).collect()
+    }
+    got_perm = {
+        r.i: r.x
+        for r in cs.read_explicit(spark, gp, f"i:int,x:{dtype}").collect()
+    }
+    assert len(got_strict) == len(good)
+    for i, v in enumerate(good):
+        exp, got_s = verdicts[v], got_strict[i]
+        if dtype == "float":
+            assert got_s == pytest.approx(float(exp)), (dtype, v)
+        elif dtype == "int":
+            # pandas' default xstrtod float parse is NOT correctly
+            # rounded (its own float_precision knob exists for this);
+            # Java's is — accept either image of the spelling
+            # ('1.0000000000000001e18' differs in the last ulp)
+            try:
+                rt = int(float(v))
+            except ValueError:
+                rt = int(exp)
+            assert got_s in (int(exp), rt), (dtype, v)
         else:
-            got_s = strict_df.collect()[0].x
-            got_p = perm_df.collect()[0].x
-            if dtype == "float":
-                assert got_s == pytest.approx(float(exp)), (dtype, v)
-            elif dtype == "int":
-                # pandas' default xstrtod float parse is NOT correctly
-                # rounded (its own float_precision knob exists for
-                # this); Java's is — accept either image of the
-                # spelling ('1.0000000000000001e18' differs in the
-                # last ulp between the two parsers)
-                try:
-                    rt = int(float(v))
-                except ValueError:
-                    rt = int(exp)
-                assert got_s in (int(exp), rt), (dtype, v)
-            else:
-                assert got_s == bool(exp), (dtype, v)
-            assert got_p == got_s, (dtype, v)
+            assert got_s == bool(exp), (dtype, v)
+        assert got_perm[i] == got_s, (dtype, v)
+
+    # rejected values: permissive NULLs every one; strict raises on the
+    # batch (shared accept expression — see docstring)
+    bp = batched(f"bad_{dtype}", bad)
+    perm_bad = {
+        r.i: r.x
+        for r in cs.read_explicit(spark, bp, f"i:int,x:{dtype}").collect()
+    }
+    assert len(perm_bad) == len(bad)
+    for i, v in enumerate(bad):
+        assert perm_bad[i] is None, (dtype, v)
+    with pytest.raises(Exception, match="strict cast failed"):
+        cs.read_explicit(spark, bp, f"i:int,x:{dtype}", strict=True).collect()
 
 
 def test_explicit_accept_sets_column_level_pin(spark, tmp_path):
