@@ -124,6 +124,7 @@ def main() -> None:
             "bm25_liststress",
             "bpe",
             "neardup_fold",
+            "cc_loop",
         ],
     )
     ap.add_argument("--rows", type=int, default=10_000_000)
@@ -141,6 +142,112 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = probe_session(f"probe_{args.op}")
+
+    if args.op == "cc_loop":
+        # the round-15 claim measured in its regime: the CC loop runs
+        # ONE Spark job per iteration (convergence label-sum rides the
+        # eager localCheckpoint as an observe metric; init fused with
+        # iteration 1). Synthetic chain graph: chains of 4 nodes over
+        # --rows nodes (diameter 3 -> 3 propagation iterations + the
+        # confirm pass), labels verified against the closed form.
+        import urllib.request
+
+        from fledge_south_csvplayback_spark.operators import dedup
+
+        n = args.rows
+        pairs = (
+            spark.range(n)
+            .filter(F.pmod(F.col("id"), 4) != 3)
+            .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+        )
+
+        def n_jobs() -> int:
+            url = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                f"{url}/api/v1/applications/{app}/jobs", timeout=10
+            ) as r:
+                return len(json.load(r))
+
+        # OLD convergence form for contrast (pre-round-15): identity
+        # init as its own distinct, and per iteration a checkpoint PLUS
+        # a new-vs-old equi-join + count — the extra all-labels join
+        # shuffle per iteration the observe-on-checkpoint removed.
+        def cc_old(edges_df):
+            edges = edges_df.select("doc_a", "doc_b")
+            edges = edges.union(
+                edges.select(
+                    F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+                )
+            ).localCheckpoint(eager=True)
+            labels = (
+                edges.select(F.col("doc_a").alias("doc_id"))
+                .distinct()
+                .select("doc_id", F.col("doc_id").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            for _ in range(20):
+                prop = edges.join(
+                    labels, edges["doc_a"] == labels["doc_id"], "inner"
+                ).select(F.col("doc_b").alias("doc_id"), "label")
+                new_labels = (
+                    labels.select("doc_id", "label")
+                    .union(prop)
+                    .groupBy("doc_id")
+                    .agg(F.min("label").alias("label"))
+                    .localCheckpoint(eager=True)
+                )
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "doc_id")
+                    .filter(F.col("n.label") != F.col("o.label"))
+                    .count()
+                )
+                labels = new_labels
+                if changed == 0:
+                    return labels
+            raise RuntimeError("no convergence")
+
+        before_jobs, before_shuf = n_jobs(), shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        labels_old = cc_old(pairs)
+        old_wall = round(time.perf_counter() - t0, 1)
+        old_jobs = n_jobs() - before_jobs
+        old_shuf = shuffle_delta(before_shuf, shuffle_write_bytes(spark))
+
+        before_jobs, before_shuf = n_jobs(), shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        labels = dedup.connected_components(pairs, "doc_a", "doc_b")
+        loop_jobs = n_jobs() - before_jobs  # the loop is EAGER; the
+        # returned frame is a projection of the last checkpoint
+        new_shuf = shuffle_delta(before_shuf, shuffle_write_bytes(spark))
+        bad = labels.filter(
+            F.col("cluster_id") != F.col("doc_id") - F.pmod(F.col("doc_id"), 4)
+        ).count()
+        bad_old = labels_old.filter(
+            F.col("label") != F.col("doc_id") - F.pmod(F.col("doc_id"), 4)
+        ).count()
+        wall = round(time.perf_counter() - t0, 1)
+        print(
+            json.dumps(
+                {
+                    "op": "cc_loop",
+                    "nodes": n,
+                    "edges_each_direction": int(n - n // 4),
+                    "chain_len": 4,
+                    "sec": wall,
+                    "loop_jobs": loop_jobs,
+                    "shuffle_bytes": new_shuf,
+                    "old_sec": old_wall,
+                    "old_jobs": old_jobs,
+                    "old_shuffle_bytes": old_shuf,
+                    "wrong_labels": bad,
+                    "wrong_labels_old_form": bad_old,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     t0 = time.perf_counter()
     sf_dir = gen_corpus(spark, args.rows, args.words)

@@ -78,7 +78,9 @@ def gen_events(spark: SparkSession, n: int) -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("op", choices=["gen", "funnel", "retention", "pivot"])
+    ap.add_argument(
+        "op", choices=["gen", "funnel", "retention", "pivot", "purchase_window"]
+    )
     ap.add_argument("--rows", type=int, default=10_000_000)
     args = ap.parse_args()
 
@@ -88,6 +90,61 @@ def main() -> None:
     gen_sec = round(time.perf_counter() - t0, 1)
     if args.op == "gen":
         print(json.dumps({"op": "gen", "rows": args.rows, "sec": gen_sec}))
+        spark.stop()
+        return
+
+    if args.op == "purchase_window":
+        # the round-15 bin = window/4 claim, measured in the regime it
+        # is about: candidate rows entering the exact-window filter at
+        # window-grain bins vs quarter-window bins (overcount bound
+        # 2x vs 1.25x of the true matches), plus the full operator's
+        # wall and shuffle bytes at this scale
+        ev = events._events(spark, sf_dir)
+        anchors = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("anchor_id"), F.col("ts").alias("a_ts")
+        )
+        probes_df = ev.select("event_id", "user_id", "value", "ts")
+        win = events.RANGE_WINDOW_S
+        cand = {}
+        for label, bin_s in (("window", win), ("window_div4", win // 4)):
+            lb = anchors.withColumn(
+                "_bin",
+                F.explode(
+                    F.expr(
+                        f"sequence(unix_micros(a_ts) div {bin_s * 1_000_000}, "
+                        f"(unix_micros(a_ts) + {win * 1_000_000 - 1}) div "
+                        f"{bin_s * 1_000_000})"
+                    )
+                ),
+            )
+            rb = probes_df.withColumn(
+                "_bin", F.expr(f"unix_micros(ts) div {bin_s * 1_000_000}")
+            )
+            cand[label] = lb.join(rb, "_bin").count()
+        true_matches = events.range_join(
+            anchors, probes_df, "a_ts", "ts", win, bin_s=win // 4
+        ).count()
+        before = shuffle_write_bytes(spark)
+        t0 = time.perf_counter()
+        events.events_purchase_window(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 1)
+        print(
+            json.dumps(
+                {
+                    "op": "purchase_window",
+                    "rows": args.rows,
+                    "sec": wall,
+                    "shuffle_bytes": shuffle_delta(
+                        before, shuffle_write_bytes(spark)
+                    ),
+                    "candidates_bin_window": cand["window"],
+                    "candidates_bin_window_div4": cand["window_div4"],
+                    "true_window_matches": true_matches,
+                }
+            )
+        )
         spark.stop()
         return
 
